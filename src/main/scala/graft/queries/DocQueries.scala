@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.functions.TextFns._
+import graft.functions.Num._
+
+/** Reference-parity query surface (SURVEY.md §2.3–2.6, §3.3) over the
+  * `documents` table, which stands in for the reference's news articles
+  * (FIXTURES.md §B). All sentiment math is built-in expressions (see
+  * TextFns) so every query is one whole-stage-codegen span up to the
+  * aggregate; the only shuffles are the final single-key hash aggs.
+  */
+object DocQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** Shared pipeline: project → clean (P3) → tokenize → polarity (U1) —
+    * narrow, shuffle-free, codegen'd end to end.
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("text_clean", clean(col("text")))
+      .withColumn("tok", tokens(col("text_clean")))
+      .withColumn("polarity", polarity(col("tok")))
+      .withColumn("n_tokens", size(col("tok")))
+
+  private val cte = docPolarityCte // DuckDB twin of `scored`
+
+  val qs: Seq[Q] = Seq(
+    // P1: column projection (reference streaming_pipeline.py:114–121)
+    Q(
+      "doc_project",
+      (s, d) =>
+        docs(s, d).select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id")),
+
+    // P3 + F1: clean then drop null/blank rows (streaming_pipeline.py:122–133;
+    // the stricter pandas trim-variant of work.py:147)
+    Q(
+      "doc_clean_filter",
+      (s, d) =>
+        scored(s, d)
+          .filter(col("text_clean").isNotNull && trim(col("text_clean")) =!= "")
+          .select("doc_id", "text_clean")
+          .orderBy("doc_id"),
+      Some(
+        s"""$cte SELECT doc_id, text_clean FROM scored
+           |WHERE text_clean IS NOT NULL AND trim(text_clean) <> ''
+           |ORDER BY doc_id""".stripMargin)),
+
+    // C1: concat_ws combine (streaming_pipeline.py:136–139); `source`
+    // plays the reference's title role
+    Q(
+      "doc_combined",
+      (s, d) =>
+        scored(s, d)
+          .withColumn("combined_text",
+            concat_ws(" ", clean(col("source")), col("text_clean")))
+          .select("doc_id", "combined_text")
+          .orderBy("doc_id"),
+      Some(
+        s"""$cte SELECT doc_id,
+           |  concat_ws(' ', ${cleanSql("source")}, text_clean) AS combined_text
+           |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // U1 + U2 + C2: polarity, label thresholds, confidence CASE
+    Q(
+      "doc_sentiment",
+      (s, d) =>
+        scored(s, d)
+          .withColumn("sentiment", label(col("polarity")))
+          .withColumn("sentiment_confidence", confidence(col("polarity")))
+          .select("doc_id", "polarity", "sentiment", "sentiment_confidence")
+          .orderBy("doc_id"),
+      Some(
+        s"""$cte SELECT doc_id, polarity,
+           |  ${labelSql("polarity")} AS sentiment,
+           |  ${confidenceSql("polarity")} AS sentiment_confidence
+           |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // G2: group-by count over the sentiment label (streaming_pipeline.py:95)
+    Q(
+      "doc_sentiment_counts",
+      (s, d) =>
+        scored(s, d)
+          .withColumn("sentiment", label(col("polarity")))
+          .groupBy("sentiment").agg(count(lit(1)).as("n"))
+          .orderBy("sentiment"),
+      Some(
+        s"""$cte SELECT ${labelSql("polarity")} AS sentiment, count(*) AS n
+           |FROM scored GROUP BY 1 ORDER BY sentiment""".stripMargin)),
+
+    // G3: per-group percentage of total (streamlit_app.py:186–210)
+    Q(
+      "doc_sentiment_pct",
+      (s, d) =>
+        scored(s, d)
+          .withColumn("sentiment", label(col("polarity")))
+          .groupBy("sentiment").agg(count(lit(1)).as("n"))
+          .withColumn("pct",
+            col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()))
+          .orderBy("sentiment"),
+      Some(
+        s"""$cte, g AS (
+           |  SELECT ${labelSql("polarity")} AS sentiment, count(*) AS n
+           |  FROM scored GROUP BY 1)
+           |SELECT sentiment, n, n * 100.0 / sum(n) OVER () AS pct
+           |FROM g ORDER BY sentiment""".stripMargin)),
+
+    // G1 + G4: total count and mean polarity (streamlit_app.py:159,215);
+    // avg is decimal-order-independent via rounding
+    Q(
+      "doc_avg_polarity",
+      (s, d) =>
+        scored(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("polarity")), 6).as("avg_polarity")),
+      Some(
+        s"""$cte SELECT count(*) AS n_docs,
+           |  round(avg(polarity), 6) AS avg_polarity
+           |FROM scored""".stripMargin)),
+
+    // G6: fixed-width 30-bin histogram of polarity over [-1, 1]
+    // (streamlit_app.py:290–296)
+    Q(
+      "doc_polarity_histogram",
+      (s, d) =>
+        scored(s, d)
+          .withColumn("bin",
+            least(floor((col("polarity") + lit(1.0)) / lit(2.0 / 30)),
+              lit(29.0)).cast("int"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .orderBy("bin"),
+      Some(
+        s"""$cte SELECT
+           |  CAST(least(floor((polarity + 1.0) / (2.0 / 30)), 29.0) AS INT) AS bin,
+           |  count(*) AS n
+           |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // D1: keep-first dedup via row_number (deterministic form of
+    // streamlit_app.py:147 drop_duplicates(keep="first"))
+    Q(
+      "doc_dedup_keepfirst",
+      (s, d) =>
+        scored(s, d)
+          .withColumn("rn",
+            row_number().over(
+              Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH r AS (
+           |  SELECT doc_id, n_chars,
+           |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM documents)
+           |SELECT doc_id, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // O1 + L1: top-K by sort key (streamlit_app.py:317) — Catalyst plans
+    // TakeOrderedAndProject, no full sort
+    Q(
+      "doc_topk_longest",
+      (s, d) =>
+        docs(s, d)
+          .select("doc_id", "n_chars", "lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(20),
+      Some(
+        """SELECT doc_id, n_chars, lang FROM documents
+          |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // C5: string truncate + append (streamlit_app.py:130)
+    Q(
+      "doc_truncate",
+      (s, d) =>
+        docs(s, d)
+          .withColumn("text_short",
+            concat(substring(col("text"), 1, 80), lit("...")))
+          .select("doc_id", "text_short")
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, substring(text, 1, 80) || '...' AS text_short
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // T1 + P4: union of heterogeneous projections with missing-column
+    // null backfill (streamlit_app.py:93–115,119–126)
+    Q(
+      "doc_union_missing_cols",
+      (s, d) => {
+        val base = docs(s, d)
+        val a = base.filter(col("lang") === "en").select("doc_id", "lang")
+        val b = base.filter(col("lang") === "fr").select("doc_id", "n_chars")
+        a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+          |FROM documents WHERE lang = 'en'
+          |UNION ALL
+          |SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars
+          |FROM documents WHERE lang = 'fr'
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Text analysis: token count (whitespace tokenizer)
+    Q(
+      "doc_token_count",
+      (s, d) =>
+        scored(s, d)
+          .select("doc_id", "n_tokens", "n_chars")
+          .orderBy("doc_id"),
+      Some(
+        s"""$cte SELECT doc_id, n_tokens, n_chars FROM scored
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Text analysis: document fingerprint — md5 over the normalized
+    // token stream (stable under punctuation/whitespace noise)
+    Q(
+      "doc_fingerprint",
+      (s, d) =>
+        scored(s, d)
+          .withColumn("fingerprint", md5(array_join(col("tok"), " ")))
+          .select("doc_id", "fingerprint")
+          .orderBy("doc_id"),
+      Some(
+        s"""$cte2 SELECT doc_id,
+           |  md5(array_to_string(tok, ' ')) AS fingerprint
+           |FROM toks ORDER BY doc_id""".stripMargin))
+  )
+
+  /** CTE variant exposing the token list itself (fingerprint needs `tok`,
+    * which `scored` drops).
+    */
+  private def cte2: String =
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+       |), toks AS (
+       |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+       |)""".stripMargin
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * 64-dim). Brute-force cosine is the exact baseline: at 100 TB the same
+  * plan holds — the query vector is a broadcast scalar, the scan is
+  * narrow (no shuffle), and top-k is TakeOrderedAndProject (per-partition
+  * heap + driver merge), so cost is one pass over the data. The
+  * LSH-bucketed scale path lives in DedupQueries/graft.ops (round 2+).
+  *
+  * All float math is widened to double element-wise IN ARRAY ORDER so
+  * Spark and the DuckDB oracle sum identically; outputs are rounded.
+  */
+object EmbQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+
+  /** sum of a[i]*b[i] accumulated in double, left-to-right */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** DuckDB twins — explicit fold, not list_cosine_similarity, so the
+    * accumulation order/width provably matches the Spark side.
+    */
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  val qs: Seq[Q] = Seq(
+    // L2 norm per vector — exercises the array math end to end
+    Q(
+      "emb_norms",
+      (s, d) =>
+        emb(s, d)
+          .select(col("vec_id"), round(norm2(col("embedding")), 6).as("l2"))
+          .orderBy("vec_id"),
+      Some(
+        s"""SELECT vec_id, round(${normSql("embedding")}, 6) AS l2
+           |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Brute-force cosine top-10 neighbours of vec_id=0
+    Q(
+      "emb_knn_cosine",
+      (s, d) => {
+        val e = emb(s, d)
+        val query = broadcast(
+          e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(query)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id,
+           |  round(${dotSql("embedding", "qv")} /
+           |        (${normSql("embedding")} * ${normSql("qv")}), 6) AS sim
+           |FROM embeddings, q WHERE vec_id <> 0
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Per-label centroid: elementwise mean via posexplode — the shuffle is
+    // on (label, dim), 64 * n_labels cells regardless of row count, so the
+    // reduction is fully partial-aggregated at any scale
+    Q(
+      "emb_centroid_by_label",
+      (s, d) =>
+        emb(s, d)
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
+          .orderBy("label", "dim"),
+      Some(
+        """SELECT label, CAST(i - 1 AS INT) AS dim,
+          |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
+          |FROM embeddings CROSS JOIN range(1, 65) r(i)
+          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
+
+    // Label-count sanity aggregate (cheap groupBy for the ANN surface)
+    Q(
+      "emb_count_by_label",
+      (s, d) =>
+        emb(s, d).groupBy("label").agg(count(lit(1)).as("n"))
+          .orderBy("label"),
+      Some("SELECT label, count(*) AS n FROM embeddings GROUP BY 1 ORDER BY label"))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.functions.Num._
+
+/** Event-time query surface over the `events` table — the windowing /
+  * watermark semantics SURVEY.md §2.7 + §7.1(7) call for. Batch forms are
+  * here (oracle-checkable); the streaming forms of the same plans live in
+  * graft.streaming and are exercised by ScalaTest.
+  *
+  * Timestamp convention: events.ts is parquet TIMESTAMP(NANOS); Spark
+  * truncates to micros while DuckDB keeps nanos, so every output exposes
+  * time as epoch SECONDS (bigint) and oracle SQL derives the same value
+  * from the nano timestamp. At 100 TB the bucketed aggregates here are
+  * partial-agg friendly: one shuffle on (bucket, key), no sort.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** epoch seconds from the (micro-truncated) Spark timestamp */
+  private def epochS(c: org.apache.spark.sql.Column) = c.cast("long")
+
+  val qs: Seq[Q] = Seq(
+    // G2 over events: counts + exact decimal sums per type
+    Q(
+      "ev_count_by_type",
+      (s, d) =>
+        ev(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type"),
+      Some(
+        s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // G5: latest event per the whole table (streamlit_app.py:162 analogue)
+    Q(
+      "ev_latest",
+      (s, d) =>
+        ev(s, d).agg(
+          epochS(max(col("ts"))).as("max_ts_s"),
+          count(lit(1)).as("n")),
+      Some(
+        """SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_s, count(*) AS n
+          |FROM events""".stripMargin)),
+
+    // Tumbling 5-minute event-time window (batch form of the §7 streaming
+    // surface): window().start == time_bucket in DuckDB
+    Q(
+      "ev_tumbling_5min",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(
+            epochS(col("w.start")).as("bucket_s"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("bucket_s", "event_type"),
+      Some(
+        s"""SELECT
+           |  CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS bucket_s,
+           |  event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY bucket_s, event_type""".stripMargin)),
+
+    // Sliding 10-minute window, 5-minute slide: each event lands in two
+    // windows; DuckDB twin = union of the two tumbling phases
+    Q(
+      "ev_sliding_10min",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(epochS(col("w.start")).as("bucket_s"), col("n"))
+          .orderBy("bucket_s"),
+      Some(
+        """WITH phased AS (
+          |  -- an event at t falls in the two 10-min windows starting at
+          |  -- floor5(t) and floor5(t) - 5min
+          |  SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS bucket_s
+          |  FROM events
+          |  UNION ALL
+          |  SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) - 300
+          |  FROM events)
+          |SELECT bucket_s, count(*) AS n FROM phased
+          |GROUP BY 1 ORDER BY bucket_s""".stripMargin)),
+
+    // C4/C7 analogue + JSON path: parse the props JSON column
+    Q(
+      "ev_json_extract",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("k").agg(count(lit(1)).as("n"))
+          .orderBy("k"),
+      Some(
+        """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // O1 + L1 on events: top-20 most recent (TakeOrderedAndProject)
+    Q(
+      "ev_topk_recent",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), epochS(col("ts")).as("ts_s"),
+            col("event_type"))
+          .orderBy(col("ts_s").desc, col("event_id"))
+          .limit(20),
+      Some(
+        """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+          |FROM events ORDER BY ts_s DESC, event_id LIMIT 20""".stripMargin)),
+
+    // Window function: per-user running total ordered by time (analytic
+    // surface the reference lacks; SURVEY §7.1(7))
+    Q(
+      "ev_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .filter(col("user_id") < 5)
+          .withColumn("running_n", count(lit(1)).over(w))
+          .select("event_id", "user_id", "running_n")
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT event_id, user_id,
+          |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+          |FROM events WHERE user_id < 5 ORDER BY event_id""".stripMargin)),
+
+    // Exact distinct (oracle-checkable twin of the approx query below)
+    Q(
+      "ev_distinct_users",
+      (s, d) =>
+        ev(s, d).agg(countDistinct(col("user_id")).as("n_users")),
+      Some("SELECT count(DISTINCT user_id) AS n_users FROM events")),
+
+    // approx_count_distinct: HLL values are engine-specific → rows-only check
+    Q(
+      "ev_approx_distinct_users",
+      (s, d) =>
+        ev(s, d).agg(
+          approx_count_distinct(col("user_id")).as("approx_users")),
+      None)
+  )
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.functions.Num._
+
+/** Beyond-reference relational surface over the TPC-H-ish star schema
+  * (SURVEY.md §7.1 step 7): multi-way joins, semi/anti joins, rollup,
+  * ranking windows. Scale notes per query:
+  *  - dimension tables (region/nation/supplier/part ≲ MBs even at 100 TB
+  *    fact scale) are broadcast explicitly → no shuffle of the fact side;
+  *  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once and
+  *    aggregate with map-side partials;
+  *  - all money sums are exact DECIMAL(18,4) sums (Num.dsum) so results
+  *    are order-independent — safe under AQE re-planning at any scale.
+  */
+object StarQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.t(s, d, n)
+
+  val qs: Seq[Q] = Seq(
+    // TPC-H Q1-flavor pricing summary: full lineitem scan, 2-key hash agg
+    Q(
+      "star_q1_pricing",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+              .as("sum_disc_price"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dsumSql("l_quantity")} AS sum_qty,
+           |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+           |  ${dsumProdSql("l_extendedprice", "1.0 - l_discount")} AS sum_disc_price,
+           |  round(avg(l_quantity), 6) AS avg_qty,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q3-flavor: customer ⋈ orders ⋈ lineitem, revenue top-10.
+    // customer is the small side → broadcast; orders⋈lineitem shuffles
+    // once on orderkey.
+    Q(
+      "star_q3_top_orders",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey")
+          .agg(dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(
+        s"""SELECT o_orderkey,
+           |  ${dsumProdSql("l_extendedprice", "1.0 - l_discount")} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |GROUP BY o_orderkey
+           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Q5-flavor: 6-table star join, all dimensions broadcast
+    Q(
+      "star_q5_region_revenue",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, d, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        val reg = t(s, d, "region").select("r_regionkey", "r_name")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+            .as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(
+        s"""SELECT r_name, n_name,
+           |  ${dsumProdSql("l_extendedprice", "1.0 - l_discount")} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name
+           |ORDER BY r_name, n_name""".stripMargin)),
+
+    // Left-semi join: EXISTS — orders having any high-quantity line
+    Q(
+      "star_semi_join",
+      (s, d) => {
+        val hi = t(s, d, "lineitem")
+          .filter(col("l_quantity") >= 49).select("l_orderkey")
+        t(s, d, "orders")
+          .join(hi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // Left-anti join: NOT EXISTS — customers with no orders
+    Q(
+      "star_anti_join",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // Ranking window: top-3 orders per customer by price
+    Q(
+      "star_topn_per_customer",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .filter(col("o_custkey") <= 50)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rk")
+      },
+      Some(
+        """WITH r AS (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |  FROM orders WHERE o_custkey <= 50)
+          |SELECT o_custkey, rk, o_orderkey, o_totalprice
+          |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin)),
+
+    // ROLLUP: hierarchical aggregate (grouping-set surface)
+    Q(
+      "star_rollup",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus")),
+      Some(
+        s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+           |  ${dsumSql("l_quantity")} AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Date bucketing on the fact table: orders per month
+    Q(
+      "star_orders_by_month",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+            .as("month"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("month"),
+      Some(
+        s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           |  count(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders GROUP BY 1 ORDER BY month""".stripMargin))
+  )
+}
