@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.NewsArticle
+import graft.sentiment.Sentiment
+
+/** The reference's batch/streaming lineage as composable
+  * `DataFrame => DataFrame` stages (SURVEY.md §7.1 modules 2–4). One code
+  * path serves both `spark.read` and `spark.readStream` — Structured
+  * Streaming's core design point (§3.2 note).
+  *
+  * Stage order matters for performance: the cheap non-empty filter runs
+  * BEFORE the sentiment UDF, because Catalyst will not push predicates
+  * through an opaque UDF (reference does the same deliberately,
+  * streaming_pipeline.py:131–133 before 136–151; SURVEY.md §4).
+  */
+object NewsPipeline {
+
+  /** P1: projection + processing-time stamp (streaming_pipeline.py:111,
+    * 114–121).
+    */
+  def project(df: DataFrame): DataFrame =
+    df.select(col("id"), col("title"), col("description"), col("url"),
+        col("publishedAt"), col("fetched_at"))
+      .withColumn("processing_time", current_timestamp())
+
+  /** P3: clean title/description (streaming_pipeline.py:122–128). */
+  def clean(df: DataFrame): DataFrame =
+    df.withColumn("title_clean",
+        lower(regexp_replace(coalesce(col("title"), lit("")),
+          "[^a-zA-Z\\s]", "")))
+      .withColumn("text_clean",
+        lower(regexp_replace(coalesce(col("description"), lit("")),
+          "[^a-zA-Z\\s]", "")))
+
+  /** F1: drop null/blank cleaned text (streaming_pipeline.py:131–133;
+    * trim variant = the stricter pandas semantics, work.py:147).
+    */
+  def filterNonEmpty(df: DataFrame): DataFrame =
+    df.filter(col("text_clean").isNotNull && trim(col("text_clean")) =!= "")
+
+  /** C1 + U1 + U2 + C2: combine, score, label, confidence
+    * (streaming_pipeline.py:136–151).
+    */
+  def score(df: DataFrame): DataFrame =
+    df.withColumn("combined_text",
+        concat_ws(" ", col("title_clean"), col("text_clean")))
+      .withColumn("polarity", Sentiment.polarityUdf(col("combined_text")))
+      .withColumn("sentiment", Sentiment.label(col("polarity")))
+      .withColumn("sentiment_confidence",
+        Sentiment.confidence(col("polarity")))
+
+  /** P2: final projection (streaming_pipeline.py:154–165). */
+  def finalProject(df: DataFrame): DataFrame =
+    df.select("id", "title", "description", "url", "publishedAt",
+      "fetched_at", "processing_time", "polarity", "sentiment",
+      "sentiment_confidence")
+
+  /** Full lineage, batch or streaming. */
+  def transform(df: DataFrame): DataFrame =
+    finalProject(score(filterNonEmpty(clean(project(df)))))
+
+  /** X1 batch entry (work.py's `process → analyze → write` run,
+    * §3.2): NDJSON in, CSV + NDJSON out. coalesce(1) mirrors the
+    * reference's single-file outputs (K5/K6) — drop it for real
+    * multi-file scale-out.
+    */
+  def runOnce(spark: SparkSession, inputPath: String, outputDir: String,
+      singleFile: Boolean = true): DataFrame = {
+    val raw = spark.read.schema(NewsArticle.schema).json(inputPath)
+    val out = transform(raw)
+    val w = (if (singleFile) out.coalesce(1) else out)
+      .withColumn("processing_time",
+        date_format(col("processing_time"), "yyyy-MM-dd HH:mm:ss"))
+    w.write.mode("overwrite").option("header", "true")
+      .csv(s"$outputDir/csv")
+    w.write.mode("overwrite").json(s"$outputDir/json")
+    out
+  }
+}

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.NewsPipeline
+import graft.schema.NewsArticle
+
+/** Structured Streaming surface (SURVEY.md §2.1 S1/S6, §2.2 K1–K4,
+  * §2.7): file-directory NDJSON source → the shared NewsPipeline
+  * lineage → the reference's four concurrent sinks, 10 s processing-time
+  * trigger, checkpointed.
+  *
+  * Scale note: the reference starts four independent queries over one
+  * lineage, so the source is read 4× (streaming_pipeline.py:196–241).
+  * `startFanOutSink` is the idiomatic alternative — one query, one source
+  * read, all sink work inside a single foreachBatch (SURVEY.md §7.3.5).
+  */
+object NewsStream {
+
+  /** S1: watched-directory NDJSON source with explicit schema. */
+  def source(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(NewsArticle.schema).json(inputDir)
+
+  def pipeline(spark: SparkSession, inputDir: String): DataFrame =
+    NewsPipeline.transform(source(spark, inputDir))
+
+  private val TriggerInterval = "10 seconds"
+
+  /** K1–K4: the reference's four sinks. Returns the started queries in
+    * (console, json, memory, foreachBatch) order. `trigger` overridable
+    * so tests can use AvailableNow.
+    */
+  def startAllSinks(
+      df: DataFrame,
+      outputDir: String,
+      checkpointRoot: String,
+      trigger: Trigger = Trigger.ProcessingTime(TriggerInterval),
+      memoryTable: String = "news_sentiment"): Seq[StreamingQuery] = {
+    val console = df.writeStream.format("console")
+      .outputMode("append").option("truncate", "false")
+      .option("numRows", "5")
+      .option("checkpointLocation", s"$checkpointRoot/console")
+      .trigger(trigger).start()
+    val json = df.writeStream.format("json")
+      .outputMode("append")
+      .option("path", s"$outputDir/stream_json")
+      .option("checkpointLocation", s"$checkpointRoot/json")
+      .trigger(trigger).start()
+    val memory = df.writeStream.format("memory")
+      .queryName(memoryTable).outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/memory")
+      .trigger(trigger).start()
+    val batchWise = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/foreach")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // K4 (streaming_pipeline.py:75–95): guard, count, sample,
+        // group-count — all against a cached batch so the lineage runs
+        // once, not four times
+        batch.persist()
+        try {
+          val n = batch.count()
+          if (n > 0) {
+            println(s"[batch $batchId] $n rows")
+            batch.show(3, truncate = false)
+            batch.groupBy("sentiment").count().show()
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+    Seq(console, json, memory, batchWise)
+  }
+
+  /** Idiomatic fan-out: ONE streaming query; each micro-batch is cached
+    * and written to every sink — 1× source read instead of 4×.
+    */
+  def startFanOutSink(
+      df: DataFrame,
+      outputDir: String,
+      checkpointRoot: String,
+      trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/fanout")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("append").json(s"$outputDir/stream_json")
+          val n = batch.count()
+          if (n > 0) batch.groupBy("sentiment").count().show()
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
+  /** Beyond-reference stream (SURVEY.md §2.7 gap + §7.1(7)): event-time
+    * tumbling window counts with a watermark bounding state.
+    */
+  def windowedSentimentCounts(df: DataFrame): DataFrame =
+    df.withColumn("event_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("event_ts").isNotNull)
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "5 minutes"), col("sentiment"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Beyond-reference: streaming dedup by title with bounded state —
+    * fixes the reference's unbounded dashboard-side dedup hazard
+    * (SURVEY.md §7.3.6).
+    */
+  def dedupByTitleWithinWatermark(df: DataFrame): DataFrame =
+    df.withColumn("event_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("event_ts").isNotNull)
+      .withWatermark("event_ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("title")
+
+  /** S6: sample-stream generator — drops NDJSON batch files into the
+    * watched dir (driver-side utility; the reference fetches from GNews,
+    * we synthesize deterministic articles instead — zero egress).
+    */
+  def writeSampleBatch(dir: String, batchId: Int, rows: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val sb = new StringBuilder
+    (0 until rows).foreach { i =>
+      val id = batchId * 10000 + i
+      val tone =
+        if (i % 3 == 0) "great success story"
+        else if (i % 3 == 1) "terrible crisis failure"
+        else "routine market update"
+      sb.append(
+        s"""{"id":"$id","title":"headline $id","description":"$tone number $id!","url":"https://example.invalid/$id","publishedAt":"2024-01-01T00:${f"${batchId % 60}%02d"}:${f"${i % 60}%02d"}Z","lang":"en","fetched_at":"2024-01-01T00:00:00"}""")
+      sb.append('\n')
+    }
+    Files.write(Paths.get(dir, f"batch_${batchId}%05d.json"),
+      sb.toString.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+}

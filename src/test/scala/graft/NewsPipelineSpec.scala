@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.NewsPipeline
+import graft.schema.NewsArticle
+
+/** Golden-file parity for the full news pipeline over the FIXTURES.md §A
+  * variant set: nominal rows, null/empty/whitespace/punctuation-only
+  * descriptions, non-ASCII, duplicate titles, missing columns, malformed
+  * JSON, unparseable timestamps.
+  */
+class NewsPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val fixture: String = {
+    val dir = Files.createTempDirectory("news_fixture").toFile
+    val f = new java.io.File(dir, "articles.json")
+    val lines = Seq(
+      // nominal positive / negative / neutral
+      """{"id":"1","title":"Markets rally","description":"great success story","url":"u1","publishedAt":"2024-01-01T10:00:00Z","lang":"en","fetched_at":"2024-01-01T10:05:00"}""",
+      """{"id":"2","title":"Storm damage","description":"terrible crisis failure","url":"u2","publishedAt":"2024-01-01T10:01:00Z","lang":"en","fetched_at":"2024-01-01T10:05:00"}""",
+      """{"id":"3","title":"Weather report","description":"routine market update","url":"u3","publishedAt":"2024-01-01T10:02:00Z","lang":"en","fetched_at":"2024-01-01T10:05:00"}""",
+      // null description -> cleaned to '' -> filtered
+      """{"id":"4","title":"No body","description":null,"url":"u4","publishedAt":"2024-01-01T10:03:00Z","lang":"en","fetched_at":"2024-01-01T10:05:00"}""",
+      // empty description -> filtered
+      """{"id":"5","title":"Empty body","description":"","url":"u5","publishedAt":"2024-01-01T10:04:00Z","lang":"en","fetched_at":"2024-01-01T10:05:00"}""",
+      // whitespace-only -> filtered (trim semantics, work.py:147)
+      """{"id":"6","title":"Blank body","description":"   ","url":"u6","publishedAt":"2024-01-01T10:05:00Z","lang":"en","fetched_at":"2024-01-01T10:05:00"}""",
+      // punctuation/digits only -> cleans to whitespace -> filtered
+      """{"id":"7","title":"Numbers","description":"1234!!! ???","url":"u7","publishedAt":"2024-01-01T10:06:00Z","lang":"en","fetched_at":"2024-01-01T10:05:00"}""",
+      // non-ASCII strips to the ASCII letters
+      """{"id":"8","title":"Unicode","description":"très good café","url":"u8","publishedAt":"2024-01-01T10:07:00Z","lang":"fr","fetched_at":"2024-01-01T10:05:00"}""",
+      // duplicate title of id=1 (dedup surface)
+      """{"id":"9","title":"Markets rally","description":"great success story","url":"u9","publishedAt":"2024-01-01T10:08:00Z","lang":"en","fetched_at":"2024-01-01T10:05:00"}""",
+      // missing columns entirely (repair: absent -> null)
+      """{"id":"10","title":"Sparse"}""",
+      // malformed JSON line (DROPMALFORMED-style skip)
+      """{"id":"11","title":"Broken",""",
+      // unparseable timestamp (parse-at-edge => null, errors=coerce)
+      """{"id":"12","title":"Bad ts","description":"good news","url":"u12","publishedAt":"not-a-date","lang":"en","fetched_at":"also-bad"}"""
+    )
+    Files.write(f.toPath, String.join("\n", lines: _*).getBytes("UTF-8"))
+    f.getAbsolutePath
+  }
+
+  private lazy val out =
+    NewsPipeline.transform(
+      spark.read.schema(NewsArticle.schema).json(fixture))
+
+  test("filter drops null/empty/whitespace/punct-only and malformed rows") {
+    val ids = out.select("id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("1", "2", "3", "8", "9", "12"))
+  }
+
+  test("golden labels and confidences") {
+    val m = out.select("id", "polarity", "sentiment", "sentiment_confidence")
+      .collect().map(r => r.getString(0) ->
+        (r.getFloat(1), r.getString(2), r.getString(3))).toMap
+    assert(m("1")._2 == "Positive" && m("1")._3 == "High") // 0.7
+    assert(m("2")._2 == "Negative" && m("2")._3 == "High") // -0.733
+    assert(m("3") == ((0.0f, "Neutral", "Low")))
+    // "très good café" cleans to "trs good caf" => good alone = 0.7
+    assert(math.abs(m("8")._1 - 0.7f) < 1e-6 && m("8")._2 == "Positive")
+    assert(m("9") == m("1")) // duplicate scores identically
+    // title feeds combined_text too: "bad ts" + "good news" => bad(-0.7)
+    // cancels good(0.7) => 0.0 Neutral; bad timestamps don't break scoring
+    assert(m("12") == ((0.0f, "Neutral", "Low")))
+  }
+
+  test("cleaning produces only lowercase letters and whitespace") {
+    val cleaned = NewsPipeline.clean(NewsPipeline.project(
+      spark.read.schema(NewsArticle.schema).json(fixture)))
+    val bad = cleaned
+      .filter(col("text_clean").rlike("[^a-z\\s]") ||
+        col("title_clean").rlike("[^a-z\\s]"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("timestamp parse-at-edge coerces bad values to null") {
+    // Spark 4 ANSI mode: to_timestamp THROWS on malformed input;
+    // try_to_timestamp is the errors="coerce" equivalent
+    val parsed = out
+      .withColumn("pub_ts", try_to_timestamp(col("publishedAt")))
+      .select("id", "pub_ts").collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+    assert(parsed("1") != null)
+    assert(parsed("12") == null)
+  }
+
+  test("runOnce writes csv+json sinks with the reference's columns") {
+    val outDir = Files.createTempDirectory("news_out").toFile.getAbsolutePath
+    val res = NewsPipeline.runOnce(spark, fixture, outDir)
+    assert(res.columns.toSeq == Seq("id", "title", "description", "url",
+      "publishedAt", "fetched_at", "processing_time", "polarity",
+      "sentiment", "sentiment_confidence"))
+    val csv = spark.read.option("header", "true").csv(s"$outDir/csv")
+    assert(csv.count() == 6)
+    val json = spark.read.json(s"$outDir/json")
+    assert(json.count() == 6)
+  }
+}

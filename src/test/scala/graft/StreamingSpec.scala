@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.NewsStream
+
+/** Structured Streaming behavior: file source → pipeline → sinks, plus
+  * the beyond-reference watermarked window and bounded-state dedup
+  * (SURVEY.md §5.4).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("file source -> pipeline -> memory sink, incremental batches") {
+    val in = tmp("stream_in")
+    val ckpt = tmp("stream_ckpt")
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 9)
+    val q = NewsStream.pipeline(spark, in).writeStream
+      .format("memory").queryName("t_mem").outputMode("append")
+      .option("checkpointLocation", s"$ckpt/mem")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_mem").count() == 9)
+      // second file lands -> next micro-batch picks up ONLY the delta
+      NewsStream.writeSampleBatch(in, batchId = 1, rows = 6)
+      q.processAllAvailable()
+      assert(spark.table("t_mem").count() == 15)
+      val labels = spark.table("t_mem").groupBy("sentiment").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // generator writes 1/3 positive, 1/3 negative, 1/3 neutral text
+      assert(labels("Positive") == 5 && labels("Negative") == 5 &&
+        labels("Neutral") == 5)
+    } finally q.stop()
+  }
+
+  test("foreachBatch fan-out sink writes json once per batch") {
+    val in = tmp("fan_in")
+    val outDir = tmp("fan_out")
+    val ckpt = tmp("fan_ckpt")
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 6)
+    val q = NewsStream.startFanOutSink(
+      NewsStream.pipeline(spark, in), outDir, ckpt,
+      Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      val written = spark.read.json(s"$outDir/stream_json")
+      assert(written.count() == 6)
+      assert(written.columns.contains("sentiment"))
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window emits closed windows in append mode") {
+    val in = tmp("win_in")
+    val ckpt = tmp("win_ckpt")
+    // batch 0: events at minute 0..8 (publishedAt from the generator is
+    // 2024-01-01T00:<batch>:<i>)
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 9)
+    val agg = NewsStream.windowedSentimentCounts(
+      NewsStream.pipeline(spark, in))
+    val q = agg.writeStream.format("memory").queryName("t_win")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/win")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // nothing closed yet: watermark is still max(ts)-10min
+      assert(spark.table("t_win").count() == 0)
+      // batch 30 pushes event time to 00:30 -> watermark 00:20 -> the
+      // 00:00/00:05 windows close and emit
+      NewsStream.writeSampleBatch(in, batchId = 30, rows = 3)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val closed = spark.table("t_win")
+        .select(col("window.start").cast("string").as("s"), col("n"))
+        .collect()
+      assert(closed.nonEmpty)
+      assert(closed.map(_.getString(0)).forall(_ < "2024-01-01 00:20:00"))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark bounds state and dedups titles") {
+    val in = tmp("dd_in")
+    val ckpt = tmp("dd_ckpt")
+    // same batchId twice => identical titles in two files
+    NewsStream.writeSampleBatch(in, batchId = 5, rows = 4)
+    val dd = NewsStream.dedupByTitleWithinWatermark(
+      NewsStream.pipeline(spark, in))
+    val q = dd.writeStream.format("memory").queryName("t_dd")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/dd")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_dd").count() == 4)
+      // duplicate titles arrive within the watermark -> suppressed
+      val dup = new java.io.File(in, "batch_dup.json")
+      val src = new java.io.File(in, "batch_00005.json")
+      Files.copy(src.toPath, dup.toPath)
+      q.processAllAvailable()
+      assert(spark.table("t_dd").count() == 4)
+    } finally q.stop()
+  }
+}
