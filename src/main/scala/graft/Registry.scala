@@ -24,6 +24,7 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     queries.DocQueries.qs ++
+      queries.TextQueries.qs ++
       queries.EventQueries.qs ++
       queries.StarQueries.qs ++
       queries.EmbQueries.qs ++

@@ -132,6 +132,59 @@ object DedupQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- SimHash -------------------------------------------------------
+
+  /** 24-bit SimHash over the token multiset. Token hash = first 6 hex
+    * chars of md5, decoded with locate/strpos arithmetic so BOTH engines
+    * compute identical integers (no engine-native hash). Per-bit sums of
+    * ±1 contributions reduce in one hash agg; sign => fingerprint bit.
+    */
+  private val SimBits = 24
+
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val tv = toks(s, dir)
+      .select(col("doc_id"), explode(col("tok")).as("t"))
+      .withColumn("m", md5(col("t")))
+      .withColumn("v", expr((1 to 6).map(k =>
+        s"(locate(substring(m, $k, 1), '0123456789abcdef') - 1) * ${1 << (4 * (6 - k))}"
+      ).mkString("(", " + ", ")")))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(shiftright(col("v"), b).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
+    tv.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until SimBits).map(b =>
+          when(col(s"s$b") >= 0, lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _))
+      .select("doc_id", "simhash")
+  }
+
+  private val simhashCte: String = {
+    val hexVal = (1 to 6).map(k =>
+      s"(strpos('0123456789abcdef', substr(m, $k, 1)) - 1) * ${1 << (4 * (6 - k))}"
+    ).mkString("(", " + ", ")")
+    val bitSums = (0 until SimBits).map(b =>
+      s"sum(((v >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n    ")
+    val fp = (0 until SimBits).map(b =>
+      s"(CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+       |), toksrc AS (
+       |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+       |), tv AS (
+       |  SELECT doc_id, md5(t.t) AS m
+       |  FROM toksrc, unnest(tok) AS t(t)
+       |), hv AS (
+       |  SELECT doc_id, $hexVal AS v FROM tv
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hv GROUP BY doc_id
+       |), fp AS (
+       |  SELECT doc_id, $fp AS simhash FROM bits
+       |)""".stripMargin
+  }
+
   // ---- queries -------------------------------------------------------
 
   val qs: Seq[Q] = Seq(
@@ -155,6 +208,33 @@ object DedupQueries {
 
     // MinHash + LSH banding near-dup pairs, exact-Jaccard verified
     Q("dedup_minhash_pairs", (s, d) => minhashPairs(s, d), Some(minhashSql)),
+
+    // SimHash fingerprints (portable bit arithmetic, oracle-checked)
+    Q(
+      "dedup_simhash",
+      (s, d) => simhashes(s, d).orderBy("doc_id"),
+      Some(s"$simhashCte SELECT doc_id, simhash FROM fp ORDER BY doc_id")),
+
+    // SimHash near-pairs: hamming distance <= 3 over the fingerprints
+    Q(
+      "dedup_simhash_pairs",
+      (s, d) => {
+        val f = simhashes(s, d)
+        val a = f.select(col("doc_id").as("a_id"), col("simhash").as("fa"))
+        val b = f.select(col("doc_id").as("b_id"), col("simhash").as("fb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+          .filter(col("hamming") <= 2)
+          .select("a_id", "b_id", "hamming")
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        s"""$simhashCte
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+           |ORDER BY a_id, b_id""".stripMargin)),
 
     // n-gram (token bigram) Jaccard over a bounded candidate block —
     // the exact quadratic baseline the LSH path approximates

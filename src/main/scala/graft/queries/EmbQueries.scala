@@ -88,6 +88,52 @@ object EmbQueries {
           |FROM embeddings CROSS JOIN range(1, 65) r(i)
           |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
 
+    // LSH-bucketed approximate NN — the scale path for similarity search.
+    // 8 deterministic integer hyperplanes hash each vector to an 8-bit
+    // sign bucket; search touches only the query's bucket (~1/256 of the
+    // corpus at scale) instead of everything. Fully oracle-checkable
+    // because the hyperplanes are a fixed arithmetic pattern, not RNG.
+    Q(
+      "emb_lsh_ann",
+      (s, d) => {
+        val e = emb(s, d)
+        def bucket(v: Column): Column =
+          (0 until 8).map { j =>
+            val dotJ = aggregate(
+              transform(sequence(lit(1), lit(64)), i =>
+                element_at(v, i).cast("double") *
+                  (((i * 7 + lit(j * 13)) % 5) - 2).cast("double")),
+              lit(0.0), (a, x) => a + x)
+            when(dotJ >= 0, lit(1 << j)).otherwise(lit(0))
+          }.reduce(_ + _)
+        val withB = e.withColumn("bucket", bucket(col("embedding")))
+        val qRow = broadcast(withB.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("bucket").as("qb")))
+        withB.crossJoin(qRow)
+          .filter(col("vec_id") =!= 0 && col("bucket") === col("qb"))
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some {
+        def dotJSql(v: String, j: Int): String =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST(((i * 7 + ${j * 13}) % 5) - 2 AS DOUBLE)))"
+        def bucketSql(v: String): String =
+          (0 until 8).map(j =>
+            s"(CASE WHEN ${dotJSql(v, j)} >= 0 THEN ${1 << j} ELSE 0 END)")
+            .mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+           |  FROM embeddings
+           |), q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+           |SELECT vec_id,
+           |  round(${dotSql("embedding", "qv")} /
+           |        (${normSql("embedding")} * ${normSql("qv")}), 6) AS sim
+           |FROM b, q WHERE vec_id <> 0 AND bucket = qb
+           |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+      }),
+
     // Label-count sanity aggregate (cheap groupBy for the ANN surface)
     Q(
       "emb_count_by_label",

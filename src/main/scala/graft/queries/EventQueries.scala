@@ -146,6 +146,42 @@ object EventQueries {
       (s, d) =>
         ev(s, d).agg(
           approx_count_distinct(col("user_id")).as("approx_users")),
-      None)
+      None),
+
+    // Session windows (30-min gap) via Spark's native session_window;
+    // DuckDB twin = classic gaps-and-islands over lag(). Spark's session
+    // state is a built-in stateful op in streaming and a single shuffle
+    // on user_id in batch — no custom operator needed.
+    Q(
+      "ev_sessionize",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), epochS(col("w.start")).as("session_start_s"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_s"),
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, ts,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |  FROM events),
+          |flagged AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN prev_ts IS NULL
+          |           OR ts - prev_ts > INTERVAL '30 minutes' THEN 1
+          |         ELSE 0 END AS new_session
+          |  FROM o),
+          |ids AS (
+          |  SELECT user_id, ts,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM flagged)
+          |SELECT user_id,
+          |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+          |  count(*) AS n_events
+          |FROM ids GROUP BY user_id, sid
+          |ORDER BY user_id, session_start_s""".stripMargin))
   )
 }

@@ -183,6 +183,20 @@ object StarQueries {
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // CUBE: full grouping-set lattice over two keys
+    Q(
+      "star_cube",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // Date bucketing on the fact table: orders per month
     Q(
       "star_orders_by_month",

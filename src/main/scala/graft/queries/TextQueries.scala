@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFns._
+import graft.sentiment.{Lexicon, Sentiment}
+
+/** Text-analysis surface for the training-data-pipeline use case:
+  * language ID (stopword n-gram heuristic), quality scoring, and the
+  * full pattern-lexicon polarity scorer applied corpus-wide.
+  *
+  * The polarity oracle is generated from the SAME Lexicon constants the
+  * Scala scorer uses; on this corpus no negator/intensifier tokens occur,
+  * so the SQL CASE-average is semantically identical and the only
+  * difference is float-vs-double accumulation — absorbed by round(…,4).
+  */
+object TextQueries {
+
+  /** stopword marker lists per language (public stopword heads) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "una", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "nicht"))
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .withColumn("text_clean", clean(col("text")))
+      .withColumn("tok", tokens(col("text_clean")))
+
+  private val tokCte =
+    s"""WITH cleaned AS (
+       |  SELECT *, ${cleanSql("text")} AS text_clean FROM documents
+       |), t AS (
+       |  SELECT *, ${tokensSql("text_clean")} AS tok FROM cleaned
+       |)""".stripMargin
+
+  /** argmax over per-language marker counts; ties => 'und' */
+  private def langPred(counts: Map[String, Column]): Column = {
+    val langs = LangMarkers.map(_._1)
+    langs.foldRight(lit("und")) { (l, acc) =>
+      val others = langs.filterNot(_ == l).map(counts)
+      when(others.foldLeft(lit(true))((c, o) => c && counts(l) > o), l)
+        .otherwise(acc)
+    }
+  }
+
+  private def langPredSql: String = {
+    val langs = LangMarkers.map(_._1)
+    val arms = langs.map { l =>
+      val cond = langs.filterNot(_ == l)
+        .map(o => s"c_$l > c_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $arms ELSE 'und' END"
+  }
+
+  val qs: Seq[Q] = Seq(
+    // Language ID via stopword-marker counting
+    Q(
+      "doc_lang_id",
+      (s, d) => {
+        val base = toks(s, d)
+        val withCounts = LangMarkers.foldLeft(base) { case (df, (l, ws)) =>
+          df.withColumn(s"c_$l", countIn(col("tok"), ws))
+        }
+        val counts = LangMarkers.map { case (l, _) =>
+          l -> col(s"c_$l")
+        }.toMap
+        withCounts
+          .withColumn("lang_pred", langPred(counts))
+          .select("doc_id", "lang", "lang_pred")
+          .orderBy("doc_id")
+      },
+      Some {
+        val countCols = LangMarkers.map { case (l, ws) =>
+          s"${countInSql("tok", ws)} AS c_$l"
+        }.mkString(",\n    ")
+        s"""$tokCte, scored AS (
+           |  SELECT doc_id, lang,
+           |    $countCols
+           |  FROM t)
+           |SELECT doc_id, lang, $langPredSql AS lang_pred
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    // Quality scoring: size, alpha ratio, stopword ratio, token shape
+    Q(
+      "doc_quality",
+      (s, d) =>
+        toks(s, d)
+          .withColumn("n_tokens", size(col("tok")))
+          .withColumn("alpha_chars",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+          .withColumn("alpha_ratio",
+            col("alpha_chars").cast("double") /
+              greatest(col("n_chars"), lit(1)))
+          .withColumn("stop_ratio",
+            countIn(col("tok"), LangMarkers.head._2).cast("double") /
+              greatest(col("n_tokens"), lit(1)))
+          .withColumn("avg_tok_len",
+            aggregate(transform(col("tok"), t => length(t)), lit(0),
+              (a, v) => a + v).cast("double") /
+              greatest(col("n_tokens"), lit(1)))
+          .withColumn("quality",
+            when(col("n_tokens").between(5, 1000) &&
+              col("stop_ratio") > 0.01, "ok").otherwise("low"))
+          .select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio",
+            "avg_tok_len", "quality")
+          .orderBy("doc_id"),
+      Some {
+        val stops = sqlIn(LangMarkers.head._2)
+        s"""$tokCte, m AS (
+           |  SELECT doc_id, n_chars, tok, len(tok) AS n_tokens,
+           |    len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+           |    len(list_filter(tok, x -> x IN $stops)) AS n_stop,
+           |    list_sum(list_transform(tok, x -> len(x))) AS tok_chars
+           |  FROM t)
+           |SELECT doc_id, n_tokens,
+           |  CAST(alpha_chars AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+           |  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+           |  CAST(coalesce(tok_chars, 0) AS DOUBLE) / greatest(n_tokens, 1) AS avg_tok_len,
+           |  CASE WHEN n_tokens BETWEEN 5 AND 1000
+           |         AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) > 0.01
+           |       THEN 'ok' ELSE 'low' END AS quality
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    // The full pattern-lexicon scorer (Sentiment.polarity UDF) applied to
+    // the corpus; oracle = CASE-average from the same lexicon (valid here
+    // because no negators/intensifiers occur in this corpus)
+    Q(
+      "doc_polarity_udf",
+      (s, d) =>
+        toks(s, d)
+          .withColumn("polarity", // + 0.0 folds -0.0 to 0.0 in both engines
+            round(Sentiment.polarityDoubleUdf(col("text_clean")), 6) + lit(0.0))
+          .select("doc_id", "polarity")
+          .orderBy("doc_id"),
+      Some {
+        // embed the float lexicon values WIDENED to double (0.7f widens
+        // to 0.699999988…), so both engines accumulate identical doubles
+        val arms = Lexicon.polarity.toSeq.sortBy(_._1).map { case (w, p) =>
+          s"WHEN x = '$w' THEN CAST(${p.toDouble} AS DOUBLE)"
+        }.mkString(" ")
+        s"""$tokCte, scored AS (
+           |  SELECT doc_id,
+           |    list_filter(list_transform(tok,
+           |      x -> CASE $arms ELSE NULL END), v -> v IS NOT NULL) AS ps
+           |  FROM t)
+           |SELECT doc_id,
+           |  (CASE WHEN len(ps) = 0 THEN 0.0
+           |        ELSE round(greatest(-1.0, least(1.0,
+           |               list_sum(ps) / len(ps))), 6) END) + 0.0 AS polarity
+           |FROM scored ORDER BY doc_id""".stripMargin
+      })
+  )
+}

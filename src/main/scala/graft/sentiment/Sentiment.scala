@@ -54,6 +54,38 @@ object Sentiment {
     */
   val polarityUdf = udf((s: String) => polarity(s))
 
+  /** Same algorithm in Double arithmetic. The Float form above pins the
+    * reference's output type (streaming_pipeline.py:69 FloatType); this
+    * one exists so cross-engine oracles can reproduce the accumulation
+    * bit-for-bit (a float sum rounds differently at round-N boundaries —
+    * e.g. avg 0.95/8 = exactly 0.11875).
+    */
+  def polarityDouble(text: String): Double = {
+    if (text == null) return 0.0
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    var sum = 0.0
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      Lexicon.polarity.get(toks(i)) match {
+        case Some(base) =>
+          var p: Double = base.toDouble
+          if (i > 0) Lexicon.intensifiers.get(toks(i - 1))
+            .foreach(f => p *= f.toDouble)
+          val negated = (i > 0 && Lexicon.negators(toks(i - 1))) ||
+            (i > 1 && Lexicon.negators(toks(i - 2)))
+          if (negated) p *= -0.5
+          sum += p
+          n += 1
+        case None =>
+      }
+      i += 1
+    }
+    if (n == 0) 0.0 else math.max(-1.0, math.min(1.0, sum / n))
+  }
+
+  val polarityDoubleUdf = udf((s: String) => polarityDouble(s))
+
   /** U2: >0.1 Positive, < -0.1 Negative, else (incl. null) Neutral. */
   def label(p: Column): Column =
     when(p > 0.1f, "Positive").when(p < -0.1f, "Negative")
