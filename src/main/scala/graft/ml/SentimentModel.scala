@@ -1,0 +1,86 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sentiment.Lexicon
+
+/** MLlib sentiment surface — the north star's "Structured Streaming +
+  * MLlib" approach (BASELINE.json): RegexTokenizer → HashingTF →
+  * LogisticRegression producing a [-1, 1] score alongside the lexicon
+  * scorer. The reference itself never ships a trained model (TextBlob is
+  * lexicon-based), so training data is synthesized deterministically
+  * from our own lexicon and the model is pinned by behavioral tests,
+  * not golden weights.
+  *
+  * Scale notes: scoring is a pure map (tokenize + hash + dot product) —
+  * no shuffle, streaming-safe (`model.transform` works on streaming
+  * DataFrames); training on a 1000-executor cluster uses the same code
+  * path since LogisticRegression is already distributed.
+  */
+object SentimentModel {
+
+  val NumFeatures: Int = 1 << 15
+
+  def buildPipeline(): Pipeline = {
+    val tok = new RegexTokenizer()
+      .setInputCol("text").setOutputCol("words")
+      .setPattern("\\s+").setGaps(true).setToLowercase(true)
+    val tf = new HashingTF()
+      .setInputCol("words").setOutputCol("features")
+      .setNumFeatures(NumFeatures)
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01)
+      .setFeaturesCol("features").setLabelCol("label")
+    new Pipeline().setStages(Array(tok, tf, lr))
+  }
+
+  /** Deterministic synthetic training set: phrases enumerated from the
+    * lexicon (no RNG — reproducible across runs and engines).
+    */
+  def trainingData(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pos = Lexicon.polarity.filter(_._2 > 0.2f).keys.toSeq.sorted
+    val neg = Lexicon.polarity.filter(_._2 < -0.2f).keys.toSeq.sorted
+    val neutral = Seq("market", "report", "update", "daily", "item", "note")
+    val posRows = for {
+      (p, i) <- pos.zipWithIndex
+      f <- neutral.take(3)
+    } yield (s"$p ${neutral(i % neutral.size)} $f", 1.0)
+    val negRows = for {
+      (n, i) <- neg.zipWithIndex
+      f <- neutral.take(3)
+    } yield (s"$n ${neutral(i % neutral.size)} $f", 0.0)
+    (posRows ++ negRows).toDF("text", "label")
+  }
+
+  def train(spark: SparkSession): PipelineModel =
+    buildPipeline().fit(trainingData(spark))
+
+  /** Adds `polarity_ml` in [-1, 1] (2·P(positive) − 1) and
+    * `sentiment_ml`. Works identically on batch and streaming frames.
+    */
+  def score(model: PipelineModel, df: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val base = if (textCol == "text") df
+      else df.withColumn("text", col(textCol))
+    model.transform(base)
+      .withColumn("polarity_ml",
+        vector_to_array(col("probability")).getItem(1) * 2 - 1)
+      .withColumn("sentiment_ml",
+        when(col("polarity_ml") > 0.1, "Positive")
+          .when(col("polarity_ml") < -0.1, "Negative")
+          .otherwise("Neutral"))
+      .drop("words", "features", "rawPrediction", "probability",
+        "prediction")
+  }
+
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+}

@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for the training-data pipeline: media ride
+  * as opaque `binary` columns with typed metadata, and decode /
+  * feature-extract / resize / frame-sample run as partition-mapped batch
+  * transforms (the Scala equivalent of pandas-UDF `mapInPandas`).
+  *
+  * The actual codecs are STUBBED — image/audio libraries are not in this
+  * container — behind `StubCodec`, a deterministic content-hash fake.
+  * Everything Spark-side is real and tested: schema, encoders, batch
+  * shape (one codec call per partition-batch, not per row), partition
+  * mapping, and the explode for frame sampling. Swapping StubCodec for a
+  * real decoder changes no plan shape.
+  */
+object Multimodal {
+
+  /** media table schema: one row per asset, bytes + typed metadata */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))),
+      nullable = true)))
+
+  final case class MediaRow(
+      media_id: Long, kind: String, bytes: Array[Byte],
+      width: Option[Int], height: Option[Int])
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, embedding: Array[Float],
+      decode_batch: Int)
+
+  /** ???-equivalent stub codec: deterministic pseudo-features from the
+    * content bytes. A real implementation would decode pixels/samples
+    * here; the signature (batch of byte arrays in, batch of features
+    * out) is what a vectorized codec needs.
+    */
+  object StubCodec {
+    def embedBatch(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+      batch.map { bytes =>
+        val h = if (bytes == null) 0 else java.util.Arrays.hashCode(bytes)
+        Array.tabulate(dim)(i =>
+          (((h * 31 + i * 2654435761L) % 1000).toFloat / 1000.0f))
+      }
+  }
+
+  /** Feature extraction over the binary column, batched per partition —
+    * the `mapInPandas` shape: the codec sees BatchSize rows at a time
+    * (amortizing per-call overhead), never the whole partition in memory.
+    */
+  val BatchSize = 64
+
+  def extractFeatures(df: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    implicit val inEnc: org.apache.spark.sql.Encoder[MediaRow] =
+      Encoders.product[MediaRow]
+    implicit val outEnc: org.apache.spark.sql.Encoder[MediaFeatures] =
+      Encoders.product[MediaFeatures]
+    df.select(col("media_id"), col("kind"), col("bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).zipWithIndex.flatMap { case (batch, bi) =>
+          val feats = StubCodec.embedBatch(batch.map(_.bytes), dim)
+          batch.lazyZip(feats).map { (r, f) =>
+            MediaFeatures(r.media_id, r.kind, f, bi)
+          }
+        }
+      }
+  }
+
+  /** Resize: metadata-only transform (the stub keeps bytes opaque; a
+    * real kernel would also rewrite bytes). Pure column ops — codegen'd.
+    */
+  def resizeMeta(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("meta", struct(
+      lit(w).as("width"), lit(h).as("height"),
+      col("meta.sample_rate").as("sample_rate"),
+      col("meta.duration_ms").as("duration_ms")))
+
+  /** Frame sampling for video rows: one output row per sampled frame at
+    * `everyMs` intervals, exploded from the duration metadata — the
+    * pattern that turns 1 video row into N frame rows without a shuffle.
+    */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
+    df.filter(col("kind") === "video")
+      .withColumn("frame_ts_ms",
+        explode(sequence(lit(0L),
+          greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs))))
+      .select(col("media_id"), col("frame_ts_ms"),
+        // stub frame payload: a real codec would decode the frame here
+        md5(concat(col("media_id").cast("string"), lit(":"),
+          col("frame_ts_ms").cast("string"))).as("frame_stub_id"))
+
+  /** Builder for test/demo data (no media files in the container). */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      org.apache.spark.sql.Row(
+        i.toLong, kind,
+        Array.tabulate[Byte](32 + i % 16)(j => ((i * 31 + j) % 127).toByte),
+        org.apache.spark.sql.Row(
+          if (kind == "image") Int.box(640) else null,
+          if (kind == "image") Int.box(480) else null,
+          if (kind == "audio") Int.box(16000) else null,
+          if (kind == "video") Long.box(10000L) else null))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), mediaSchema)
+  }
+}

@@ -138,22 +138,39 @@ object TextQueries {
             round(Sentiment.polarityDoubleUdf(col("text_clean")), 6) + lit(0.0))
           .select("doc_id", "polarity")
           .orderBy("doc_id"),
-      Some {
-        // embed the float lexicon values WIDENED to double (0.7f widens
-        // to 0.699999988…), so both engines accumulate identical doubles
-        val arms = Lexicon.polarity.toSeq.sortBy(_._1).map { case (w, p) =>
-          s"WHEN x = '$w' THEN CAST(${p.toDouble} AS DOUBLE)"
-        }.mkString(" ")
-        s"""$tokCte, scored AS (
-           |  SELECT doc_id,
-           |    list_filter(list_transform(tok,
-           |      x -> CASE $arms ELSE NULL END), v -> v IS NOT NULL) AS ps
-           |  FROM t)
-           |SELECT doc_id,
-           |  (CASE WHEN len(ps) = 0 THEN 0.0
-           |        ELSE round(greatest(-1.0, least(1.0,
-           |               list_sum(ps) / len(ps))), 6) END) + 0.0 AS polarity
-           |FROM scored ORDER BY doc_id""".stripMargin
-      })
+      Some(polarityOracleSql)),
+
+    // Same semantics through the native Catalyst PolarityScore expression
+    // (whole-stage codegen, no UDF barrier) — same oracle
+    Q(
+      "doc_polarity_native",
+      (s, d) =>
+        toks(s, d)
+          .withColumn("polarity",
+            round(graft.functions.PolarityScore
+              .polarityNative(col("text_clean")), 6) + lit(0.0))
+          .select("doc_id", "polarity")
+          .orderBy("doc_id"),
+      Some(polarityOracleSql))
   )
+
+  /** DuckDB twin of Sentiment.polarityDouble over this corpus. The float
+    * lexicon values are embedded WIDENED to double (0.7f widens to
+    * 0.699999988…) so both engines accumulate identical doubles.
+    */
+  private lazy val polarityOracleSql: String = {
+    val arms = Lexicon.polarity.toSeq.sortBy(_._1).map { case (w, p) =>
+      s"WHEN x = '$w' THEN CAST(${p.toDouble} AS DOUBLE)"
+    }.mkString(" ")
+    s"""$tokCte, scored AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(tok,
+       |      x -> CASE $arms ELSE NULL END), v -> v IS NOT NULL) AS ps
+       |  FROM t)
+       |SELECT doc_id,
+       |  (CASE WHEN len(ps) = 0 THEN 0.0
+       |        ELSE round(greatest(-1.0, least(1.0,
+       |               list_sum(ps) / len(ps))), 6) END) + 0.0 AS polarity
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
 }

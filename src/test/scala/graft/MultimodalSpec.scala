@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: schema, batched partition mapping (the
+  * mapInPandas shape), metadata transforms, frame-sampling explode.
+  * Codec output is a deterministic stub; plan shape and batching are the
+  * real assertions.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val media = Multimodal.syntheticMedia(spark, 300)
+
+  test("schema matches the declared media table shape") {
+    assert(media.schema == Multimodal.mediaSchema)
+    assert(media.rdd.getNumPartitions == 4)
+  }
+
+  test("feature extraction is batched per partition and deterministic") {
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 300)
+    assert(rows.forall(_.embedding.length == 8))
+    // batch shape: 300 rows over 4 partitions (75 each) with BatchSize
+    // 64 => batch indices {0, 1} per partition, never one-call-per-row
+    assert(rows.map(_.decode_batch).toSet == Set(0, 1))
+    // deterministic: same input bytes => same stub features
+    val again = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(rows.sortBy(_.media_id).map(_.embedding.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.embedding.toSeq).toSeq)
+  }
+
+  test("no shuffle in the extract plan — pure partition map") {
+    val feats = Multimodal.extractFeatures(media, dim = 4)
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("resizeMeta rewrites only metadata") {
+    val resized = Multimodal.resizeMeta(media, 128, 128)
+    val img = resized.filter(col("kind") === "image")
+      .select("meta.width", "meta.height").distinct().collect()
+    assert(img.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((128, 128)))
+    assert(resized.count() == 300)
+  }
+
+  test("frame sampling explodes videos into frame rows") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000)
+    val nVideos = media.filter(col("kind") === "video").count()
+    // duration 10000ms @ 1/s => 10 frames per video
+    assert(frames.count() == nVideos * 10)
+    assert(frames.columns.toSeq ==
+      Seq("media_id", "frame_ts_ms", "frame_stub_id"))
+  }
+}
