@@ -6,25 +6,33 @@ import graft.{Q, Tables}
 import graft.functions.TextFns._
 
 /** Deduplication surface for the training-data-pipeline use case: exact
-  * (hash) dedup, MinHash+LSH near-dup detection, and n-gram Jaccard.
+  * (hash) dedup, MinHash+LSH near-dup detection, SimHash, and n-gram
+  * Jaccard.
   *
   * The MinHash pipeline is the scale path: per-doc signature computation
-  * is narrow (one pass, codegen'd array exprs); candidate generation
-  * shuffles only (band, bandKey) pairs — O(#docs * #bands) small rows, not
-  * O(n²) — and the exact-Jaccard verify join touches only candidate pairs.
-  * That is the standard LSH banding argument and it survives 100 TB: no
-  * stage is quadratic in corpus size.
+  * is narrow (ONE md5 per shingle; the 16 hash functions are affine
+  * transforms of that one value, so signatures cost arithmetic, not
+  * hashing); candidate generation groups band keys and explodes pairs
+  * from the collected bucket — O(#docs * #bands) small rows and a single
+  * pass over the signature lineage, never an O(n²) self-join of the
+  * expensive side. The exact-Jaccard verify join touches only candidate
+  * pairs. That is the standard LSH banding argument and it survives
+  * 100 TB: no stage is quadratic in corpus size.
   *
-  * Hashes are hex-string MD5s (min over fixed-width hex strings ==
-  * min over the underlying 64-bit values), chosen because md5 is
-  * bit-identical in Spark and DuckDB — so even the LSH internals are
-  * oracle-checkable, with no engine-specific hash anywhere.
+  * All hashing is md5-derived integer arithmetic (md5 is bit-identical
+  * in Spark and DuckDB, and every intermediate stays < 2^62 so neither
+  * engine overflows) — the LSH internals themselves are oracle-checked.
   */
 object DedupQueries {
 
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = NumHashes / Bands
+
+  /** Mersenne prime 2^31−1; affine minhash functions h_i(v)=(a_i·v+b_i) mod P */
+  val P = 2147483647L
+  private def aCoef(i: Int): Long = 2L * i + 3
+  private def bCoef(i: Int): Long = 104729L * i + 12345
 
   // ---- Spark side ----------------------------------------------------
 
@@ -42,12 +50,20 @@ object DedupQueries {
           element_at(col("tok"), i + 1), element_at(col("tok"), i + 2))))
       .otherwise(array(array_join(col("tok"), " ")))
 
-  /** minhash_i = min over shingles of md5("i:" ++ shingle) (first 16 hex
-    * chars — fixed width, so string min == numeric min).
+  /** 12 hex chars of md5 -> 48-bit integer, as portable arithmetic
+    * (generated inline expression; identical formula in the SQL twin).
     */
+  private val hexToLongSql: String = (1 to 12).map(k =>
+    s"(locate(substring(x, $k, 1), '0123456789abcdef') - 1) * ${1L << (4 * (12 - k))}L")
+    .mkString("(", " + ", ")")
+
+  /** shingle values: one md5 per shingle, reduced mod P */
+  private val shingleVals: Column =
+    expr(s"transform(sh, s -> ${hexToLongSql.replace("x", "substring(md5(s), 1, 12)")} % ${P}L)")
+
   private def minhash(i: Int): Column =
-    array_min(transform(col("sh"),
-      x => substring(md5(concat(lit(s"$i:"), x)), 1, 16))).as(s"h$i")
+    array_min(transform(col("sv"),
+      v => (v * aCoef(i) + bCoef(i)) % P)).as(s"h$i")
 
   private def bandKey(b: Int): Column =
     md5(concat_ws("|",
@@ -55,24 +71,28 @@ object DedupQueries {
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = toks(s, dir).withColumn("sh", shingleCol)
-      .select(col("doc_id") +: col("sh") +:
-        (0 until NumHashes).map(minhash): _*)
-    val bands = (0 until Bands).map { b =>
-      sh.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("bk"))
-    }.reduce(_.unionAll(_))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .withColumn("sv", shingleVals)
+    val sigs = sh.select(col("doc_id") +: col("sh") +:
+      (0 until NumHashes).map(minhash): _*)
+    // one row per (doc, band) — then candidates come from grouping the
+    // band key and exploding pairs out of the collected bucket, so the
+    // signature lineage is evaluated once, not once per self-join side
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(bandKey): _*))
+        .as(Seq("band", "bk")))
+    val cand = bands.groupBy("band", "bk")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
     val sets = sh.select(col("doc_id"), array_distinct(col("sh")).as("st"))
-    val withA = cand.join(sets.select(col("doc_id").as("a_id"),
-      col("st").as("sa")), "a_id")
-    val withB = withA.join(sets.select(col("doc_id").as("b_id"),
-      col("st").as("sb")), "b_id")
-    withB
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")
       .withColumn("inter",
         size(filter(col("sa"), x => array_contains(col("sb"), x))))
       .withColumn("jaccard",
@@ -85,9 +105,13 @@ object DedupQueries {
 
   // ---- DuckDB twin ---------------------------------------------------
 
+  private def duckHexToLong(e: String): String = (1 to 12).map(k =>
+    s"(strpos('0123456789abcdef', substr($e, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
+    .mkString("(", " + ", ")")
+
   private def minhashSql: String = {
     val hashes = (0 until NumHashes).map(i =>
-      s"list_aggregate(list_transform(sh, x -> substr(md5('$i:' || x), 1, 16)), 'min') AS h$i")
+      s"list_aggregate(list_transform(sv, v -> (v * ${aCoef(i)} + ${bCoef(i)}) % $P), 'min') AS h$i")
       .mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand)
@@ -105,10 +129,14 @@ object DedupQueries {
        |             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
        |      ELSE [array_to_string(tok, ' ')] END AS sh
        |  FROM toksrc
-       |), mh AS (
+       |), sval AS (
        |  SELECT doc_id, sh,
-       |    $hashes
+       |    list_transform(sh, s -> ${duckHexToLong("substr(md5(s), 1, 12)")} % $P) AS sv
        |  FROM shingled
+       |), mh AS (
+       |  SELECT doc_id,
+       |    $hashes
+       |  FROM sval
        |), bands AS (
        |  $bandSelects
        |), cand AS (
@@ -134,54 +162,41 @@ object DedupQueries {
 
   // ---- SimHash -------------------------------------------------------
 
-  /** 24-bit SimHash over the token multiset. Token hash = first 6 hex
-    * chars of md5, decoded with locate/strpos arithmetic so BOTH engines
-    * compute identical integers (no engine-native hash). Per-bit sums of
-    * ±1 contributions reduce in one hash agg; sign => fingerprint bit.
+  /** 24-bit SimHash over the token multiset, computed as a pure per-row
+    * array fold — no explode, no shuffle: token hash = first 6 hex chars
+    * of md5 (portable strpos arithmetic), per-bit ±1 sums via
+    * aggregate() over the token-value array, sign => fingerprint bit.
     */
   private val SimBits = 24
 
+  private val tokHexToLong6: String = (1 to 6).map(k =>
+    s"(locate(substring(x, $k, 1), '0123456789abcdef') - 1) * ${1 << (4 * (6 - k))}")
+    .mkString("(", " + ", ")")
+
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val tv = toks(s, dir)
-      .select(col("doc_id"), explode(col("tok")).as("t"))
-      .withColumn("m", md5(col("t")))
-      .withColumn("v", expr((1 to 6).map(k =>
-        s"(locate(substring(m, $k, 1), '0123456789abcdef') - 1) * ${1 << (4 * (6 - k))}"
-      ).mkString("(", " + ", ")")))
-    val bitSums = (0 until SimBits).map(b =>
-      sum(shiftright(col("v"), b).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
-    tv.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until SimBits).map(b =>
-          when(col(s"s$b") >= 0, lit(1 << b)).otherwise(lit(0)))
-          .reduce(_ + _))
-      .select("doc_id", "simhash")
+    val withVals = toks(s, dir).withColumn("tv", expr(
+      s"transform(tok, t -> ${tokHexToLong6.replace("x", "substring(md5(t), 1, 6)")})"))
+    val fp = (0 until SimBits).map(b =>
+      when(expr(s"aggregate(tv, bigint(0), (acc, v) -> acc + ((v >> $b) & 1) * 2 - 1)") >= 0,
+        lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
+    withVals.select(col("doc_id"), fp.as("simhash"))
   }
 
   private val simhashCte: String = {
     val hexVal = (1 to 6).map(k =>
-      s"(strpos('0123456789abcdef', substr(m, $k, 1)) - 1) * ${1 << (4 * (6 - k))}"
-    ).mkString("(", " + ", ")")
-    val bitSums = (0 until SimBits).map(b =>
-      s"sum(((v >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n    ")
+      s"(strpos('0123456789abcdef', substr(substr(md5(t), 1, 6), $k, 1)) - 1) * ${1 << (4 * (6 - k))}")
+      .mkString("(", " + ", ")")
     val fp = (0 until SimBits).map(b =>
-      s"(CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+      s"(CASE WHEN list_sum(list_transform(tv, v -> ((v >> $b) & 1) * 2 - 1)) >= 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
     s"""WITH cleaned AS (
        |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
        |), toksrc AS (
        |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
-       |), tv AS (
-       |  SELECT doc_id, md5(t.t) AS m
-       |  FROM toksrc, unnest(tok) AS t(t)
-       |), hv AS (
-       |  SELECT doc_id, $hexVal AS v FROM tv
-       |), bits AS (
-       |  SELECT doc_id,
-       |    $bitSums
-       |  FROM hv GROUP BY doc_id
+       |), tvals AS (
+       |  SELECT doc_id, list_transform(tok, t -> $hexVal) AS tv FROM toksrc
        |), fp AS (
-       |  SELECT doc_id, $fp AS simhash FROM bits
+       |  SELECT doc_id, $fp AS simhash FROM tvals
        |)""".stripMargin
   }
 
@@ -215,25 +230,57 @@ object DedupQueries {
       (s, d) => simhashes(s, d).orderBy("doc_id"),
       Some(s"$simhashCte SELECT doc_id, simhash FROM fp ORDER BY doc_id")),
 
-    // SimHash near-pairs: hamming distance <= 3 over the fingerprints
+    // SimHash near-pairs: hamming <= 2 over the fingerprints. EXACT but
+    // banded: 24 bits split into 3 bytes — two fingerprints within
+    // hamming 2 must agree on at least one byte (pigeonhole), so
+    // candidates come from an equality join on (band, byte), never an
+    // O(n²) cross join. Same banding in the oracle.
     Q(
       "dedup_simhash_pairs",
       (s, d) => {
         val f = simhashes(s, d)
-        val a = f.select(col("doc_id").as("a_id"), col("simhash").as("fa"))
-        val b = f.select(col("doc_id").as("b_id"), col("simhash").as("fb"))
-        a.join(b, col("a_id") < col("b_id"))
+        val bands = f.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 3).map(b =>
+            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255))): _*))
+            .as(Seq("band", "key")))
+        val a = bands.select(col("band"), col("key"),
+          col("doc_id").as("a_id"), col("simhash").as("fa"))
+        val b = bands.select(col("band"), col("key"),
+          col("doc_id").as("b_id"), col("simhash").as("fb"))
+        // dedup across bands WITHOUT a distinct: keep a pair only in its
+        // FIRST matching band (earlier bands must differ)
+        val firstMatch =
+          col("band") === 0 ||
+            (col("band") === 1 &&
+              col("fa").bitwiseAND(lit(255)) =!= col("fb").bitwiseAND(lit(255))) ||
+            (col("band") === 2 &&
+              col("fa").bitwiseAND(lit(255)) =!= col("fb").bitwiseAND(lit(255)) &&
+              shiftright(col("fa"), 8).bitwiseAND(lit(255)) =!=
+                shiftright(col("fb"), 8).bitwiseAND(lit(255)))
+        a.join(b, Seq("band", "key"))
+          .filter(col("a_id") < col("b_id") && firstMatch)
           .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
           .filter(col("hamming") <= 2)
           .select("a_id", "b_id", "hamming")
           .orderBy("a_id", "b_id")
       },
       Some(
-        s"""$simhashCte
+        s"""$simhashCte, bands AS (
+           |  SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 255 AS key FROM fp
+           |  UNION ALL
+           |  SELECT doc_id, simhash, 1 AS band, (simhash >> 8) & 255 AS key FROM fp
+           |  UNION ALL
+           |  SELECT doc_id, simhash, 2 AS band, (simhash >> 16) & 255 AS key FROM fp
+           |)
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+           |  AND (a.band = 0
+           |    OR (a.band = 1 AND (a.simhash & 255) <> (b.simhash & 255))
+           |    OR (a.band = 2 AND (a.simhash & 255) <> (b.simhash & 255)
+           |        AND ((a.simhash >> 8) & 255) <> ((b.simhash >> 8) & 255)))
            |ORDER BY a_id, b_id""".stripMargin)),
 
     // n-gram (token bigram) Jaccard over a bounded candidate block —
