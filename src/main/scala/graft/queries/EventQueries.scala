@@ -148,6 +148,19 @@ object EventQueries {
           approx_count_distinct(col("user_id")).as("approx_users")),
       None),
 
+    // C7: timestamp display formatting (streamlit_app.py:157,164)
+    Q(
+      "ev_time_format",
+      (s, d) =>
+        ev(s, d)
+          .filter(col("event_id") < 50)
+          .select(col("event_id"),
+            date_format(col("ts"), "HH:mm:ss").as("hms"))
+          .orderBy("event_id"),
+      Some(
+        """SELECT event_id, strftime(ts, '%H:%M:%S') AS hms
+          |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin)),
+
     // Session windows (30-min gap) via Spark's native session_window;
     // DuckDB twin = classic gaps-and-islands over lag(). Spark's session
     // state is a built-in stateful op in streaming and a single shuffle
