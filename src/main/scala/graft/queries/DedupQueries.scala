@@ -224,6 +224,23 @@ object DedupQueries {
     // MinHash + LSH banding near-dup pairs, exact-Jaccard verified
     Q("dedup_minhash_pairs", (s, d) => minhashPairs(s, d), Some(minhashSql)),
 
+    // The dedup RESOLUTION step: corpus size, detected dupes (pair
+    // b-sides), and the surviving document count after keep-lowest-id
+    Q(
+      "dedup_minhash_survivors",
+      (s, d) => {
+        val dupes = minhashPairs(s, d)
+          .agg(countDistinct(col("b_id")).as("n_dupes"))
+        toks(s, d).agg(count(lit(1)).as("n_docs"))
+          .crossJoin(dupes)
+          .withColumn("n_survivors", col("n_docs") - col("n_dupes"))
+      },
+      Some(
+        s"""SELECT n_docs, n_dupes, n_docs - n_dupes AS n_survivors
+           |FROM (SELECT count(*) AS n_docs FROM documents)
+           |CROSS JOIN (SELECT count(DISTINCT b_id) AS n_dupes
+           |            FROM ($minhashSql))""".stripMargin)),
+
     // SimHash fingerprints (portable bit arithmetic, oracle-checked)
     Q(
       "dedup_simhash",

@@ -36,6 +36,27 @@ object EmbQueries {
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
+  /** 8-bit sign bucket from 8 fixed integer hyperplanes (shared by the
+    * ANN query and the embedding near-dup pair query).
+    */
+  def bucket(v: Column): Column =
+    (0 until 8).map { j =>
+      val dotJ = aggregate(
+        transform(sequence(lit(1), lit(64)), i =>
+          element_at(v, i).cast("double") *
+            (((i * 7 + lit(j * 13)) % 5) - 2).cast("double")),
+        lit(0.0), (a, x) => a + x)
+      when(dotJ >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def bucketSql(v: String): String = {
+    def dotJSql(j: Int): String =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST(((i * 7 + ${j * 13}) % 5) - 2 AS DOUBLE)))"
+    (0 until 8).map(j =>
+      s"(CASE WHEN ${dotJSql(j)} >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+  }
+
   val qs: Seq[Q] = Seq(
     // L2 norm per vector — exercises the array math end to end
     Q(
@@ -97,15 +118,6 @@ object EmbQueries {
       "emb_lsh_ann",
       (s, d) => {
         val e = emb(s, d)
-        def bucket(v: Column): Column =
-          (0 until 8).map { j =>
-            val dotJ = aggregate(
-              transform(sequence(lit(1), lit(64)), i =>
-                element_at(v, i).cast("double") *
-                  (((i * 7 + lit(j * 13)) % 5) - 2).cast("double")),
-              lit(0.0), (a, x) => a + x)
-            when(dotJ >= 0, lit(1 << j)).otherwise(lit(0))
-          }.reduce(_ + _)
         val withB = e.withColumn("bucket", bucket(col("embedding")))
         val qRow = broadcast(withB.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), col("bucket").as("qb")))
@@ -117,12 +129,6 @@ object EmbQueries {
           .limit(5)
       },
       Some {
-        def dotJSql(v: String, j: Int): String =
-          s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST(((i * 7 + ${j * 13}) % 5) - 2 AS DOUBLE)))"
-        def bucketSql(v: String): String =
-          (0 until 8).map(j =>
-            s"(CASE WHEN ${dotJSql(v, j)} >= 0 THEN ${1 << j} ELSE 0 END)")
-            .mkString(" + ")
         s"""WITH b AS (
            |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
            |  FROM embeddings
@@ -140,6 +146,36 @@ object EmbQueries {
       (s, d) =>
         emb(s, d).groupBy("label").agg(count(lit(1)).as("n"))
           .orderBy("label"),
-      Some("SELECT label, count(*) AS n FROM embeddings GROUP BY 1 ORDER BY label"))
+      Some("SELECT label, count(*) AS n FROM embeddings GROUP BY 1 ORDER BY label")),
+
+    // Embedding-cosine near-dup: top-10 most-similar pairs among
+    // bucket-colocated vectors — the banded (never O(n²)) form of
+    // embedding dedup, sharing the LSH bucket with emb_lsh_ann
+    Q(
+      "emb_near_dup_pairs",
+      (s, d) => {
+        val withB = emb(s, d)
+          .withColumn("bucket", bucket(col("embedding")))
+        val a = withB.select(col("bucket"), col("vec_id").as("a_id"),
+          col("embedding").as("ea"))
+        val b = withB.select(col("bucket"), col("vec_id").as("b_id"),
+          col("embedding").as("eb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(cosine(col("ea"), col("eb")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+          .limit(10)
+      },
+      Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+           |  FROM embeddings
+           |)
+           |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+           |  round(${dotSql("x.embedding", "y.embedding")} /
+           |        (${normSql("x.embedding")} * ${normSql("y.embedding")}), 6) AS sim
+           |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+           |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin))
   )
 }

@@ -133,6 +133,55 @@ object EventQueries {
           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
           |FROM events WHERE user_id < 5 ORDER BY event_id""".stripMargin)),
 
+    // RANGE-frame window: per-user sliding 10-minute sum anchored at
+    // each event (epoch-second ORDER BY so both engines frame identically)
+    Q(
+      "ev_range_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+          .rangeBetween(-600, 0)
+        ev(s, d)
+          .filter(col("user_id") < 5)
+          .withColumn("ts_s", epochS(col("ts")))
+          .withColumn("w_sum",
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .over(w).cast("double"))
+          .select("event_id", "user_id", "w_sum")
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, value,
+          |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          |  FROM events WHERE user_id < 5)
+          |SELECT event_id, user_id,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+          |    PARTITION BY user_id ORDER BY ts_s
+          |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS w_sum
+          |FROM e ORDER BY event_id""".stripMargin)),
+
+    // argmax-per-group: each user's highest-value event, deterministic
+    // tie-break on event_id
+    Q(
+      "ev_top_event_per_user",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))
+        ev(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "value", "event_type")
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH r AS (
+          |  SELECT user_id, event_id, value, event_type,
+          |    row_number() OVER (PARTITION BY user_id
+          |                       ORDER BY value DESC, event_id) AS rn
+          |  FROM events)
+          |SELECT user_id, event_id, value, event_type
+          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Exact distinct (oracle-checkable twin of the approx query below)
     Q(
       "ev_distinct_users",

@@ -183,6 +183,46 @@ object StarQueries {
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // Predicate-variety scan: IN + LIKE + BETWEEN, all pushed to the
+    // parquet reader (PushedFilters in .explain) — the filter surface a
+    // 100 TB scan lives or dies by
+    Q(
+      "star_filter_pushdown",
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(col("o_orderstatus").isin("F", "O") &&
+            col("o_orderpriority").like("1-%") &&
+            col("o_totalprice").between(1000, 100000))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus"),
+      Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders
+           |WHERE o_orderstatus IN ('F','O') AND o_orderpriority LIKE '1-%'
+           |  AND o_totalprice BETWEEN 1000 AND 100000
+           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // PIVOT: wide-format counts per linestatus (explicit value list so
+    // the output schema is static)
+    Q(
+      "star_pivot",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)))
+          .select(col("l_returnflag"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"))
+          .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
+          |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
+          |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // CUBE: full grouping-set lattice over two keys
     Q(
       "star_cube",
