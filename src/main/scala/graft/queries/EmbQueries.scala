@@ -148,6 +148,50 @@ object EmbQueries {
           .orderBy("label"),
       Some("SELECT label, count(*) AS n FROM embeddings GROUP BY 1 ORDER BY label")),
 
+    // Grouped ANN via the custom TopKAgg Aggregator: top-3 neighbours
+    // for EACH of 5 query vectors in one pass — partial+final aggregation
+    // with a bounded O(k) buffer, no per-group sort. Oracle = row_number
+    // window over the same cross join.
+    Q(
+      "emb_multi_knn",
+      (s, d) => {
+        import graft.functions.{ScoredId, TopKAgg}
+        val e = emb(s, d)
+        val qs = broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+        val scored = e.filter(col("vec_id") >= 5)
+          .crossJoin(qs)
+          .select(col("q_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"),
+            col("vec_id"))
+        import s.implicits._
+        val topK = new TopKAgg(3).toColumn
+        scored.as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => ScoredId(t._2, t._3))
+          .agg(topK.name("top"))
+          .toDF("q_id", "top")
+          .select(col("q_id"), posexplode(col("top")).as(Seq("rk0", "n")))
+          .select(col("q_id"), (col("rk0") + 1).as("rk"),
+            col("n.id").as("neighbor_id"), col("n.score").as("sim"))
+          .orderBy("q_id", "rk")
+      },
+      Some(
+        s"""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+           |), scored AS (
+           |  SELECT q.q_id, e.vec_id,
+           |    round(${dotSql("e.embedding", "q.qv")} /
+           |          (${normSql("e.embedding")} * ${normSql("q.qv")}), 6) AS sim
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5
+           |), r AS (
+           |  SELECT q_id, vec_id, sim,
+           |    row_number() OVER (PARTITION BY q_id
+           |                       ORDER BY sim DESC, vec_id) AS rk
+           |  FROM scored)
+           |SELECT q_id, rk, vec_id AS neighbor_id, sim
+           |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+
     // Embedding-cosine near-dup: top-10 most-similar pairs among
     // bucket-colocated vectors — the banded (never O(n²)) form of
     // embedding dedup, sharing the LSH bucket with emb_lsh_ann

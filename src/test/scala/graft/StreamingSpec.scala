@@ -87,6 +87,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restarted query resumes from committed offsets") {
+    val in = tmp("ckpt_in")
+    val ckpt = tmp("ckpt_root")
+    val out = tmp("ckpt_out")
+    // memory sink refuses checkpoint recovery — the file sink is the
+    // recovery-capable one, so exactly-once is asserted on its output
+    def startJson() = NewsStream.pipeline(spark, in).writeStream
+      .format("json").outputMode("append")
+      .option("path", s"$out/json")
+      .option("checkpointLocation", s"$ckpt/q")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 5)
+    val q1 = startJson()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.json(s"$out/json").count() == 5)
+    } finally q1.stop()
+    // new data lands while the query is down
+    NewsStream.writeSampleBatch(in, batchId = 1, rows = 3)
+    // restart from the SAME checkpoint: only the unseen file replays —
+    // 8 total rows, not 13 (no reprocessing), exactly-once preserved
+    val q2 = startJson()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.json(s"$out/json")
+      assert(rows.count() == 8)
+      assert(rows.select("id").distinct().count() == 8)
+    } finally q2.stop()
+  }
+
+  test("all four reference sinks run concurrently over one lineage") {
+    val in = tmp("allsinks_in")
+    val out = tmp("allsinks_out")
+    val ckpt = tmp("allsinks_ckpt")
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 6)
+    val qs = NewsStream.startAllSinks(
+      NewsStream.pipeline(spark, in), out, ckpt,
+      Trigger.ProcessingTime("1 second"), memoryTable = "t_all")
+    try {
+      qs.foreach(_.processAllAvailable())
+      assert(qs.forall(_.isActive))
+      assert(spark.table("t_all").count() == 6)
+      assert(spark.read.json(s"$out/stream_json").count() == 6)
+    } finally qs.foreach(_.stop())
+  }
+
   test("dropDuplicatesWithinWatermark bounds state and dedups titles") {
     val in = tmp("dd_in")
     val ckpt = tmp("dd_ckpt")
