@@ -133,6 +133,28 @@ object EventQueries {
           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
           |FROM events WHERE user_id < 5 ORDER BY event_id""".stripMargin)),
 
+    // Skew-mitigation pattern: salted two-phase aggregation. Phase 1
+    // aggregates on (key, salt) so a hot key spreads over 8 reducers;
+    // phase 2 combines the partials. Decimal partial sums make the
+    // two-phase result bit-identical to the direct aggregation, which is
+    // exactly what the oracle computes.
+    Q(
+      "ev_salted_agg",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(8)))
+          .groupBy("event_type", "salt")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .as("ps"))
+          .groupBy("event_type")
+          .agg(sum(col("pn")).as("n"),
+            sum(col("ps")).cast("double").as("sum_value"))
+          .orderBy("event_type"),
+      Some(
+        s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // RANGE-frame window: per-user sliding 10-minute sum anchored at
     // each event (epoch-second ORDER BY so both engines frame identically)
     Q(

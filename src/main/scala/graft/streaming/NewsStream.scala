@@ -119,6 +119,26 @@ object NewsStream {
       .withWatermark("event_ts", "30 minutes")
       .dropDuplicatesWithinWatermark("title")
 
+  /** Beyond-reference: arbitrary stateful processing via
+    * mapGroupsWithState — cumulative per-sentiment totals maintained in
+    * the state store across micro-batches (the custom-state API surface
+    * SURVEY.md §2.7 notes the reference recomputes per batch instead).
+    */
+  def runningSentimentTotals(df: DataFrame): org.apache.spark.sql.Dataset[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("sentiment")).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (key, total)
+      }
+  }
+
   /** S6: sample-stream generator — drops NDJSON batch files into the
     * watched dir (driver-side utility; the reference fetches from GNews,
     * we synthesize deterministic articles instead — zero egress).

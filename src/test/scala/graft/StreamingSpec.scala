@@ -134,6 +134,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally qs.foreach(_.stop())
   }
 
+  test("mapGroupsWithState accumulates totals across micro-batches") {
+    val in = tmp("state_in")
+    val ckpt = tmp("state_ckpt")
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 6) // 2 of each label
+    val totals = NewsStream.runningSentimentTotals(
+      NewsStream.pipeline(spark, in))
+    val q = totals.toDF("sentiment", "total").writeStream
+      .format("memory").queryName("t_state").outputMode("update")
+      .option("checkpointLocation", s"$ckpt/st")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("t_state").groupBy("sentiment")
+        .agg(max("total")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after1 == Map("Positive" -> 2, "Negative" -> 2, "Neutral" -> 2))
+      NewsStream.writeSampleBatch(in, batchId = 1, rows = 6)
+      q.processAllAvailable()
+      // state persisted: totals are cumulative, not per-batch
+      val after2 = spark.table("t_state").groupBy("sentiment")
+        .agg(max("total")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after2 == Map("Positive" -> 4, "Negative" -> 4, "Neutral" -> 4))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark bounds state and dedups titles") {
     val in = tmp("dd_in")
     val ckpt = tmp("dd_ckpt")
