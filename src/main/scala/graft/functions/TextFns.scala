@@ -47,7 +47,13 @@ object TextFns {
     (countIn(toks, Pos) - countIn(toks, Neg)).cast(DoubleType) /
       greatest(size(toks), lit(1))
 
-  /** U2 thresholds (reference streaming_pipeline.py:57–66): never a UDF. */
+  /** U2 thresholds (reference streaming_pipeline.py:57–66): never a UDF.
+    * NOTE: deliberately a twin of Sentiment.label, not a delegate — this
+    * one compares against DOUBLE literals for the double-typed oracle
+    * queries, Sentiment's compares against FLOAT literals for reference
+    * output parity. 0.1f widens to 0.10000000149…, so mixing them would
+    * move the threshold. Keep both in sync on the 0.1/0.2/0.5 values.
+    */
   def label(p: Column): Column =
     when(p > 0.1, "Positive").when(p < -0.1, "Negative").otherwise("Neutral")
 

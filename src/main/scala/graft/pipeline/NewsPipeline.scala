@@ -25,14 +25,15 @@ object NewsPipeline {
         col("publishedAt"), col("fetched_at"))
       .withColumn("processing_time", current_timestamp())
 
-  /** P3: clean title/description (streaming_pipeline.py:122–128). */
+  /** P3: clean title/description (streaming_pipeline.py:122–128) —
+    * delegates to the oracle-checked TextFns.clean so the regex can
+    * never diverge between the news pipeline and the query surface.
+    */
   def clean(df: DataFrame): DataFrame =
     df.withColumn("title_clean",
-        lower(regexp_replace(coalesce(col("title"), lit("")),
-          "[^a-zA-Z\\s]", "")))
+        graft.functions.TextFns.clean(coalesce(col("title"), lit(""))))
       .withColumn("text_clean",
-        lower(regexp_replace(coalesce(col("description"), lit("")),
-          "[^a-zA-Z\\s]", "")))
+        graft.functions.TextFns.clean(coalesce(col("description"), lit(""))))
 
   /** F1: drop null/blank cleaned text (streaming_pipeline.py:131–133;
     * trim variant = the stricter pandas semantics, work.py:147).
@@ -73,9 +74,15 @@ object NewsPipeline {
     val w = (if (singleFile) out.coalesce(1) else out)
       .withColumn("processing_time",
         date_format(col("processing_time"), "yyyy-MM-dd HH:mm:ss"))
-    w.write.mode("overwrite").option("header", "true")
-      .csv(s"$outputDir/csv")
-    w.write.mode("overwrite").json(s"$outputDir/json")
+    // persist: otherwise the two sink writes each re-execute the lineage
+    // (2x scan + UDF) AND re-evaluate current_timestamp, leaving the csv
+    // and json "mirror" outputs with different processing_time values
+    w.persist()
+    try {
+      w.write.mode("overwrite").option("header", "true")
+        .csv(s"$outputDir/csv")
+      w.write.mode("overwrite").json(s"$outputDir/json")
+    } finally w.unpersist()
     out
   }
 }

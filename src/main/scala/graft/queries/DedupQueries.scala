@@ -74,9 +74,11 @@ object DedupQueries {
       .withColumn("sv", shingleVals)
     val sigs = sh.select(col("doc_id") +: col("sh") +:
       (0 until NumHashes).map(minhash): _*)
-    // one row per (doc, band) — then candidates come from grouping the
-    // band key and exploding pairs out of the collected bucket, so the
-    // signature lineage is evaluated once, not once per self-join side
+    // one row per (doc, band) — candidates come from grouping the band
+    // key and exploding pairs out of the collected bucket (minhash band
+    // buckets are near-unique, so no skew concern here, unlike the
+    // simhash variant below), keeping the candidate stage to one pass
+    // over the signature lineage instead of a self-join of it
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bandKey): _*))
         .as(Seq("band", "bk")))
@@ -89,12 +91,17 @@ object DedupQueries {
           .stripMargin)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
+    // persist the distinct-shingle sets: the two verify joins below would
+    // otherwise each re-derive clean/tokenize/shingle/md5 from the scan.
+    // (At 100 TB this materialization is the signature store you would
+    // write to disk anyway.) Small: distinct shingles only.
     val sets = sh.select(col("doc_id"), array_distinct(col("sh")).as("st"))
+      .persist()
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")
-      .withColumn("inter",
-        size(filter(col("sa"), x => array_contains(col("sb"), x))))
+      .withColumn("inter", // inputs are distinct arrays => hash-based
+        size(array_intersect(col("sa"), col("sb"))))  // O(n+m), not O(n*m)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sa")) + size(col("sb")) - col("inter")))
@@ -179,7 +186,11 @@ object DedupQueries {
     val fp = (0 until SimBits).map(b =>
       when(expr(s"aggregate(tv, bigint(0), (acc, v) -> acc + ((v >> $b) & 1) * 2 - 1)") >= 0,
         lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
-    withVals.select(col("doc_id"), fp.as("simhash"))
+    // zero-token docs: Spark's empty-array fold yields 0 per bit (every
+    // `>= 0` test passes -> all bits set) while the oracle's list_sum([])
+    // is NULL -> 0. Pin simhash = 0 for empty docs on both engines.
+    withVals.select(col("doc_id"),
+      when(size(col("tok")) > 0, fp).otherwise(lit(0)).as("simhash"))
   }
 
   private val simhashCte: String = {
@@ -317,7 +328,7 @@ object DedupQueries {
         val b = grams.select(col("doc_id").as("b_id"), col("g").as("gb"))
         a.join(b, col("a_id") < col("b_id"))
           .withColumn("inter",
-            size(filter(col("ga"), x => array_contains(col("gb"), x))))
+            size(array_intersect(col("ga"), col("gb"))))
           .withColumn("jaccard",
             col("inter").cast("double") /
               (size(col("ga")) + size(col("gb")) - col("inter")))

@@ -95,10 +95,10 @@ object EventQueries {
         ev(s, d)
           .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
           .groupBy("k").agg(count(lit(1)).as("n"))
-          .orderBy("k"),
+          .orderBy(asc_nulls_first("k")),
       Some(
         """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
-          |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+          |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin)),
 
     // O1 + L1 on events: top-20 most recent (TakeOrderedAndProject)
     Q(
@@ -253,6 +253,9 @@ object EventQueries {
           |  FROM events),
           |flagged AS (
           |  SELECT user_id, ts,
+          |    -- strict > : probed empirically — Spark's session_window
+          |    -- MERGES two events exactly gap-duration apart (an event at
+          |    -- the previous window's end extends the session)
           |    CASE WHEN prev_ts IS NULL
           |           OR ts - prev_ts > INTERVAL '30 minutes' THEN 1
           |         ELSE 0 END AS new_session

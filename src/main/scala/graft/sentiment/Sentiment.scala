@@ -86,7 +86,10 @@ object Sentiment {
 
   val polarityDoubleUdf = udf((s: String) => polarityDouble(s))
 
-  /** U2: >0.1 Positive, < -0.1 Negative, else (incl. null) Neutral. */
+  /** U2: >0.1 Positive, < -0.1 Negative, else (incl. null) Neutral.
+    * FLOAT-literal twin of TextFns.label — see the note there before
+    * touching thresholds.
+    */
   def label(p: Column): Column =
     when(p > 0.1f, "Positive").when(p < -0.1f, "Negative")
       .otherwise("Neutral")
