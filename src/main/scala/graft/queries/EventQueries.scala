@@ -129,7 +129,8 @@ object EventQueries {
       },
       Some(
         """SELECT event_id, user_id,
-          |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |  count(*) OVER (PARTITION BY user_id
+          |                 ORDER BY make_timestamp(epoch_us(ts)), event_id
           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
           |FROM events WHERE user_id < 5 ORDER BY event_id""".stripMargin)),
 
@@ -247,10 +248,15 @@ object EventQueries {
             col("n_events"))
           .orderBy("user_id", "session_start_s"),
       Some(
-        """WITH o AS (
+        """WITH ev_us AS (
+          |  -- truncate to MICROseconds first: Spark reads the nano
+          |  -- timestamps micro-truncated, so gap/order math must match
+          |  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+          |  FROM events),
+          |o AS (
           |  SELECT user_id, ts,
           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-          |  FROM events),
+          |  FROM ev_us),
           |flagged AS (
           |  SELECT user_id, ts,
           |    -- strict > : probed empirically — Spark's session_window
