@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -147,6 +148,90 @@ object EmbQueries {
         emb(s, d).groupBy("label").agg(count(lit(1)).as("n"))
           .orderBy("label"),
       Some("SELECT label, count(*) AS n FROM embeddings GROUP BY 1 ORDER BY label")),
+
+    // IVF-flavored ANN: coarse codebook = per-label centroids (rounded
+    // so both engines agree bit-for-bit), inverted lists = cell
+    // assignment by nearest centroid, probe = the query's 2 nearest
+    // cells. Search touches only ~2/10 of the corpus; at scale the
+    // codebook grows and the plan shape is unchanged (centroids
+    // broadcast, one narrow scan + cell-filtered top-k).
+    Q(
+      "emb_ivf_ann",
+      (s, d) => {
+        val e = emb(s, d)
+        // codebook: label -> rounded centroid vector
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+          .groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .withColumnRenamed("label", "c_label") // avoid clash with e.label
+        // cell assignment: nearest centroid per vector (tie -> low label)
+        val dists = e.crossJoin(broadcast(cent))
+          .withColumn("d2",
+            aggregate(zip_with(col("embedding"), col("cvec"),
+              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+              lit(0.0), (acc, x) => acc + x))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2"), col("c_label"))
+        val ranked = dists.withColumn("rn", row_number().over(w))
+        val cells = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("cell"))
+        // probe: the query vector's 2 nearest cells
+        val qCells = broadcast(ranked
+          .filter(col("vec_id") === 0 && col("rn") <= 2)
+          .select(col("c_label").as("cell")))
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        e.join(cells, "vec_id")
+          .join(qCells, "cell")
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(
+        s"""WITH expl AS (
+           |  SELECT label, CAST(i - 1 AS INT) AS dim,
+           |    CAST(embedding[i] AS DOUBLE) AS v
+           |  FROM embeddings CROSS JOIN range(1, 65) r(i)
+           |), cdim AS (
+           |  SELECT label, dim, round(avg(v), 6) AS cv
+           |  FROM expl GROUP BY 1, 2
+           |), cent AS (
+           |  SELECT label,
+           |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))), x -> x.cv) AS cvec
+           |  FROM cdim GROUP BY label
+           |), dists AS (
+           |  SELECT e.vec_id, c.label,
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
+           |           (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS d2
+           |  FROM embeddings e CROSS JOIN cent c
+           |), ranked AS (
+           |  SELECT vec_id, label,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+           |  FROM dists
+           |), cells AS (
+           |  SELECT vec_id, label AS cell FROM ranked WHERE rn = 1
+           |), qcells AS (
+           |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+           |), qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |)
+           |SELECT e.vec_id,
+           |  round(${dotSql("e.embedding", "qv.qv")} /
+           |        (${normSql("e.embedding")} * ${normSql("qv.qv")}), 6) AS sim
+           |FROM embeddings e
+           |JOIN cells ON cells.vec_id = e.vec_id
+           |JOIN qcells ON qcells.cell = cells.cell
+           |CROSS JOIN qv
+           |WHERE e.vec_id <> 0
+           |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin)),
 
     // Grouped ANN via the custom TopKAgg Aggregator: top-3 neighbours
     // for EACH of 5 query vectors in one pass — partial+final aggregation
