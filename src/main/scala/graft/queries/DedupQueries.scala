@@ -104,7 +104,7 @@ object DedupQueries {
         size(array_intersect(col("sa"), col("sb"))))  // O(n+m), not O(n*m)
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("inter")))
+          greatest(size(col("sa")) + size(col("sb")) - col("inter"), lit(1)))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
@@ -134,7 +134,7 @@ object DedupQueries {
        |    CASE WHEN len(tok) >= 3
        |      THEN list_transform(range(1, len(tok) - 1),
        |             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
-       |      ELSE [array_to_string(tok, ' ')] END AS sh
+       |      ELSE [coalesce(array_to_string(tok, ' '), '')] END AS sh
        |  FROM toksrc
        |), sval AS (
        |  SELECT doc_id, sh,
@@ -161,9 +161,9 @@ object DedupQueries {
        |  JOIN sets sb ON sb.doc_id = c.b_id
        |)
        |SELECT a_id, b_id,
-       |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+       |  round(CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1), 6) AS jaccard
        |FROM j
-       |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+       |WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
   }
 
@@ -229,7 +229,7 @@ object DedupQueries {
            |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
            |)
            |SELECT count(*) AS n_docs,
-           |  count(DISTINCT md5(array_to_string(tok, ' '))) AS n_unique
+           |  count(DISTINCT md5(coalesce(array_to_string(tok, ' '), ''))) AS n_unique
            |FROM toksrc""".stripMargin)),
 
     // MinHash + LSH banding near-dup pairs, exact-Jaccard verified
@@ -331,7 +331,7 @@ object DedupQueries {
             size(array_intersect(col("ga"), col("gb"))))
           .withColumn("jaccard",
             col("inter").cast("double") /
-              (size(col("ga")) + size(col("gb")) - col("inter")))
+              greatest(size(col("ga")) + size(col("gb")) - col("inter"), lit(1)))
           .filter(col("jaccard") >= 0.4)
           .select(col("a_id"), col("b_id"),
             round(col("jaccard"), 6).as("jaccard"))
@@ -357,9 +357,9 @@ object DedupQueries {
            |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
            |)
            |SELECT a_id, b_id,
-           |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+           |  round(CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1), 6) AS jaccard
            |FROM j
-           |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.4
+           |WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.4
            |ORDER BY a_id, b_id""".stripMargin))
   )
 }

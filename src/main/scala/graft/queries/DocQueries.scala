@@ -227,7 +227,7 @@ object DocQueries {
           .orderBy("doc_id"),
       Some(
         s"""$cte2 SELECT doc_id,
-           |  md5(array_to_string(tok, ' ')) AS fingerprint
+           |  md5(coalesce(array_to_string(tok, ' '), '')) AS fingerprint
            |FROM toks ORDER BY doc_id""".stripMargin))
   )
 

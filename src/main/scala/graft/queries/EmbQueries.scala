@@ -28,7 +28,12 @@ object EmbQueries {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** zero-norm inputs yield 0.0 (ANSI division would throw; the DuckDB
+    * twin's x/0 would yield NULL) */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm2(a) * norm2(b)
+    when(den === 0.0, 0.0).otherwise(dot(a, b) / den)
+  }
 
   /** DuckDB twins — explicit fold, not list_cosine_similarity, so the
     * accumulation order/width provably matches the Spark side.
@@ -36,6 +41,11 @@ object EmbQueries {
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** rounded safe cosine, matching the Spark-side zero-norm convention */
+  def cosSql(a: String, b: String): String =
+    s"round(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN 0.0 " +
+      s"ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END, 6)"
 
   /** 8-bit sign bucket from 8 fixed integer hyperplanes (shared by the
     * ANN query and the embedding near-dup pair query).
@@ -86,9 +96,7 @@ object EmbQueries {
       },
       Some(
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-           |SELECT vec_id,
-           |  round(${dotSql("embedding", "qv")} /
-           |        (${normSql("embedding")} * ${normSql("qv")}), 6) AS sim
+           |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
            |FROM embeddings, q WHERE vec_id <> 0
            |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
@@ -134,9 +142,7 @@ object EmbQueries {
            |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
            |  FROM embeddings
            |), q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
-           |SELECT vec_id,
-           |  round(${dotSql("embedding", "qv")} /
-           |        (${normSql("embedding")} * ${normSql("qv")}), 6) AS sim
+           |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
            |FROM b, q WHERE vec_id <> 0 AND bucket = qb
            |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
       }),
@@ -223,9 +229,7 @@ object EmbQueries {
            |), qv AS (
            |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
            |)
-           |SELECT e.vec_id,
-           |  round(${dotSql("e.embedding", "qv.qv")} /
-           |        (${normSql("e.embedding")} * ${normSql("qv.qv")}), 6) AS sim
+           |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qv")} AS sim
            |FROM embeddings e
            |JOIN cells ON cells.vec_id = e.vec_id
            |JOIN qcells ON qcells.cell = cells.cell
@@ -265,9 +269,7 @@ object EmbQueries {
         s"""WITH q AS (
            |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
            |), scored AS (
-           |  SELECT q.q_id, e.vec_id,
-           |    round(${dotSql("e.embedding", "q.qv")} /
-           |          (${normSql("e.embedding")} * ${normSql("q.qv")}), 6) AS sim
+           |  SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim
            |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5
            |), r AS (
            |  SELECT q_id, vec_id, sim,
@@ -302,8 +304,7 @@ object EmbQueries {
            |  FROM embeddings
            |)
            |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
-           |  round(${dotSql("x.embedding", "y.embedding")} /
-           |        (${normSql("x.embedding")} * ${normSql("y.embedding")}), 6) AS sim
+           |  ${cosSql("x.embedding", "y.embedding")} AS sim
            |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
            |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin))
   )

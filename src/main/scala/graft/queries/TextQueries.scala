@@ -154,18 +154,36 @@ object TextQueries {
       Some(polarityOracleSql))
   )
 
-  /** DuckDB twin of Sentiment.polarityDouble over this corpus. The float
-    * lexicon values are embedded WIDENED to double (0.7f widens to
-    * 0.699999988…) so both engines accumulate identical doubles.
+  /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match
+    * base polarity, scaled by an intensifier directly before the match
+    * and flipped*damped (× -0.5) by a negator in the two tokens before
+    * it, averaged and clamped. Float lexicon values are embedded WIDENED
+    * to double (0.7f widens to 0.699999988…) and the multiplication
+    * order (base × intensifier × negation) matches the Scala scorer so
+    * both engines accumulate identical doubles. Out-of-range list
+    * indexing (tok[0]) yields NULL in DuckDB, which the CASEs treat as
+    * "no modifier" — same as the Scala bounds checks.
     */
   private lazy val polarityOracleSql: String = {
-    val arms = Lexicon.polarity.toSeq.sortBy(_._1).map { case (w, p) =>
-      s"WHEN x = '$w' THEN CAST(${p.toDouble} AS DOUBLE)"
+    val baseArms = Lexicon.polarity.toSeq.sortBy(_._1).map { case (w, p) =>
+      s"WHEN '$w' THEN CAST(${p.toDouble} AS DOUBLE)"
     }.mkString(" ")
+    val intensArms = Lexicon.intensifiers.toSeq.sortBy(_._1).map { case (w, f) =>
+      s"WHEN '$w' THEN CAST(${f.toDouble} AS DOUBLE)"
+    }.mkString(" ")
+    val negList = Lexicon.negators.toSeq.sorted.map(w => s"'$w'")
+      .mkString("(", ",", ")")
     s"""$tokCte, scored AS (
        |  SELECT doc_id,
-       |    list_filter(list_transform(tok,
-       |      x -> CASE $arms ELSE NULL END), v -> v IS NOT NULL) AS ps
+       |    list_filter(list_transform(range(1, len(tok) + 1), i ->
+       |      CASE WHEN (CASE tok[i] $baseArms ELSE NULL END) IS NULL THEN NULL
+       |        ELSE (CASE tok[i] $baseArms ELSE NULL END)
+       |          * (CASE WHEN i > 1 THEN
+       |               (CASE tok[i-1] $intensArms ELSE 1.0 END) ELSE 1.0 END)
+       |          * (CASE WHEN (i > 1 AND tok[i-1] IN $negList)
+       |                    OR (i > 2 AND tok[i-2] IN $negList)
+       |             THEN -0.5 ELSE 1.0 END)
+       |      END), v -> v IS NOT NULL) AS ps
        |  FROM t)
        |SELECT doc_id,
        |  (CASE WHEN len(ps) = 0 THEN 0.0

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Build an edge-case testdata dir (documents/events/embeddings with the
+fixture families FIXTURES.md lists but the pinned testdata never
+exercises), copying the star tables from sf0.001. Run the normal gate
+against it:
+
+    python3 tools/make_edge_data.py /tmp/edge_sf
+    sbt "runMain graft.Verify /tmp/edge_sf /tmp/edge_out"
+    python3 tools/local_verify.py /tmp/edge_sf /tmp/edge_out
+"""
+import shutil, sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edge_sf"
+import os
+os.makedirs(out, exist_ok=True)
+
+# star tables unchanged
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"]:
+    shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{out}/{t}.parquet")
+
+# --- documents: edge families ------------------------------------------
+texts = [
+    (0, "the quick fast win is a good sign", "en", "src0"),      # nominal
+    (1, "", "en", "src0"),                                       # empty
+    (2, "   ", "en", "src1"),                                    # whitespace
+    (3, "1234 !!! ??? 5678", "en", "src1"),                      # punct/digits only
+    (4, "word", "en", "src2"),                                   # single token
+    (5, "slow slow slow bad error failure", "en", "src2"),       # all negative
+    (6, "the quick fast win is a good sign", "en", "src3"),      # exact dup of 0
+    (7, "the quick fast win is a good sign dup", "en", "src3"),  # near dup of 0
+    (8, "très café naïve 中文 good", "fr", "src4"),  # unicode
+    (9, "a " * 500 + "fast", "en", "src4"),                      # very long
+    (10, "NOT not NoT good", "en", "src5"),                      # negation casing
+    (11, "le la les et un dans", "fr", "src5"),                  # french markers
+    (12, "der die das und ein nicht gut", "de", "src6"),         # german markers
+    (13, "tab\tand\nnewline  spaced", "en", "src6"),             # mixed whitespace
+    (14, "very good but not very bad", "en", "src7"),            # intensifier+negator
+]
+doc = pa.table({
+    "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+    "text": pa.array([t[1] for t in texts], pa.string()),
+    "lang": pa.array([t[2] for t in texts], pa.string()),
+    "source": pa.array([t[3] for t in texts], pa.string()),
+    "n_chars": pa.array([len(t[1]) for t in texts], pa.int64()),
+})
+pq.write_table(doc, f"{out}/documents.parquet")
+
+# --- events: ties, null json keys, same-microsecond ns values ----------
+base = 1704067200_000_000_000  # 2024-01-01 UTC in ns
+rows = []
+for i in range(200):
+    ts = base + (i // 4) * 60_000_000_000 + (i % 4) * 250  # 4 events per
+    # minute, 250ns apart (same microsecond!)
+    props = '{"k": %d}' % (i % 5) if i % 7 else '{"other": 1}'  # null $.k
+    rows.append((i, ts, i % 3, ["view", "click", "error"][i % 3],
+                 round(0.25 * (i % 40), 2), props))
+ev = pa.table({
+    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+    "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+    "event_type": pa.array([r[3] for r in rows], pa.string()),
+    "value": pa.array([r[4] for r in rows], pa.float64()),
+    "props": pa.array([r[5] for r in rows], pa.string()),
+})
+pq.write_table(ev, f"{out}/events.parquet")
+
+# --- embeddings: include a zero vector and exact duplicates ------------
+import struct
+def vec(seed):
+    return [((seed * 31 + j * 7) % 97 - 48) / 97.0 for j in range(64)]
+vecs = [vec(i) for i in range(50)]
+vecs[7] = vecs[3][:]          # exact duplicate pair
+vecs[9] = [0.0] * 64          # zero vector (norm 0 -> div by zero paths!)
+emb = pa.table({
+    "vec_id": pa.array(list(range(50)), pa.int64()),
+    "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                          pa.list_(pa.float32())),
+    "label": pa.array([i % 10 for i in range(50)], pa.int32()),
+})
+pq.write_table(emb, f"{out}/embeddings.parquet")
+print(f"edge data written to {out}")
