@@ -148,16 +148,19 @@ object DocQueries {
       "doc_dedup_keepfirst",
       (s, d) =>
         scored(s, d)
+          // partition on md5(text), not text: the shuffle key is 32 bytes
+          // instead of the full document — at 100 TB that is the
+          // difference between shuffling hashes and shuffling the corpus
           .withColumn("rn",
             row_number().over(
-              Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+              Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
           .filter(col("rn") === 1)
           .select("doc_id", "n_chars")
           .orderBy("doc_id"),
       Some(
         s"""WITH r AS (
            |  SELECT doc_id, n_chars,
-           |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            |  FROM documents)
            |SELECT doc_id, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 

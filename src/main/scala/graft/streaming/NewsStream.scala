@@ -119,6 +119,17 @@ object NewsStream {
       .withWatermark("event_ts", "30 minutes")
       .dropDuplicatesWithinWatermark("title")
 
+  /** Beyond-reference: stream-static enrichment join — the streaming
+    * articles joined to a static dimension (e.g. per-source metadata).
+    * Catalyst broadcasts the static side into every micro-batch: no
+    * shuffle of the stream, and the join works in append mode with no
+    * watermark requirement (unlike stream-stream joins).
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      key: String = "sentiment"): DataFrame =
+    stream.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Beyond-reference: arbitrary stateful processing via
     * mapGroupsWithState — cumulative per-sentiment totals maintained in
     * the state store across micro-batches (the custom-state API surface

@@ -33,6 +33,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(n("star_q1_pricing") == 6)
     assert(n("emb_centroid_by_label") == 640) // 10 labels x 64 dims
     assert(n("ev_distinct_users") == 1)
+    assert(n("emb_ivf_ann") == 5)
+    assert(n("emb_multi_knn") == 15) // 5 query vectors x top-3
+    assert(n("dedup_minhash_pairs") == 28) // sf0.001's near-dup pairs
+    assert(n("dedup_minhash_survivors") == 1)
+    assert(n("star_pivot") == 3) // returnflag values A/N/R
   }
 
   test("flagship entry returns data") {

@@ -134,6 +134,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally qs.foreach(_.stop())
   }
 
+  test("stream-static broadcast enrichment join") {
+    import spark.implicits._
+    val in = tmp("enrich_in")
+    val ckpt = tmp("enrich_ckpt")
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 6)
+    val dim = Seq(("Positive", 1), ("Negative", -1), ("Neutral", 0))
+      .toDF("sentiment", "score_sign")
+    val enriched = NewsStream.enrichWithDim(
+      NewsStream.pipeline(spark, in), dim)
+    val q = enriched.writeStream.format("memory").queryName("t_enrich")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/e")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("t_enrich")
+        .select("sentiment", "score_sign").distinct().collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(rows == Map("Positive" -> 1, "Negative" -> -1, "Neutral" -> 0))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates totals across micro-batches") {
     val in = tmp("state_in")
     val ckpt = tmp("state_ckpt")
