@@ -130,6 +130,35 @@ object NewsStream {
     stream.join(
       org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Beyond-reference: watermarked stream-stream inner join — e.g.
+    * matching a corrections/updates stream to the original articles by
+    * title within a bounded event-time window. Both sides carry
+    * watermarks and the join predicate bounds event-time distance, so
+    * state is evictable (the unbounded-state hazard of naive
+    * stream-stream joins). Output columns: title, left id, right id,
+    * and both event times.
+    */
+  def joinStreamsWithinWindow(
+      left: DataFrame, right: DataFrame,
+      watermark: String = "30 minutes",
+      maxLagSeconds: Long = 600): DataFrame = {
+    val l = left
+      .withColumn("l_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("l_ts").isNotNull)
+      .withWatermark("l_ts", watermark)
+      .select(col("title"), col("id").as("l_id"), col("l_ts"))
+    val r = right
+      .withColumn("r_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("r_ts").isNotNull)
+      .withWatermark("r_ts", watermark)
+      .select(col("title").as("r_title"), col("id").as("r_id"), col("r_ts"))
+    l.join(r,
+      col("title") === col("r_title") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxLagSeconds seconds"))
+      .select("title", "l_id", "r_id", "l_ts", "r_ts")
+  }
+
   /** Beyond-reference: arbitrary stateful processing via
     * mapGroupsWithState — cumulative per-sentiment totals maintained in
     * the state store across micro-batches (the custom-state API surface

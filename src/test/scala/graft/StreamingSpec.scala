@@ -134,6 +134,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally qs.foreach(_.stop())
   }
 
+  test("watermarked stream-stream join matches rows within the time bound") {
+    val inL = tmp("ssj_l")
+    val inR = tmp("ssj_r")
+    val ckpt = tmp("ssj_ckpt")
+    // same batchId => identical titles; generator stamps publishedAt
+    // minute = batchId, second = row index, so matching rows are seconds
+    // apart (within the 600 s bound)
+    NewsStream.writeSampleBatch(inL, batchId = 0, rows = 4)
+    NewsStream.writeSampleBatch(inR, batchId = 0, rows = 4)
+    val joined = NewsStream.joinStreamsWithinWindow(
+      NewsStream.source(spark, inL), NewsStream.source(spark, inR))
+    val q = joined.writeStream.format("memory").queryName("t_ssj")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/j")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("t_ssj").collect()
+      assert(rows.length == 4) // each title matches its twin exactly once
+      assert(rows.forall(r => r.getAs[String]("l_id") == r.getAs[String]("r_id")))
+      // a right-side row with a MATCHING title but 40 minutes later is
+      // outside the 600 s lag bound -> no new matches
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inR, "late.json"),
+        ("""{"id":"late","title":"headline 0","description":"x","url":"u",""" +
+          """"publishedAt":"2024-01-01T00:40:00Z","lang":"en","fetched_at":"f"}""" + "\n")
+          .getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(spark.table("t_ssj").count() == 4)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join") {
     import spark.implicits._
     val in = tmp("enrich_in")
