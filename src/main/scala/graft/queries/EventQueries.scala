@@ -205,6 +205,58 @@ object EventQueries {
           |SELECT user_id, event_id, value, event_type
           |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // AS-OF join (an operator Spark lacks natively), expressed by
+    // composing built-ins per the preference order: bounded range join
+    // (same user, click within 1 h BEFORE the purchase) + row_number
+    // keep-latest. The time bound keeps the range join's fan-out
+    // proportional to events-per-hour-per-user, not the full history —
+    // the same bound a custom as-of SparkPlan would exploit.
+    Q(
+      "ev_asof_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        val w = Window.partitionBy(col("p_id"))
+          .orderBy(col("c_ts").desc, col("c_id"))
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") <= col("p_ts") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("p_id"), col("user_id"), col("c_id"),
+            epochS(col("p_ts")).as("p_ts_s"), epochS(col("c_ts")).as("c_ts_s"))
+          .orderBy("p_id")
+      },
+      Some(
+        """WITH ev_us AS (
+          |  SELECT event_id, user_id, event_type,
+          |         make_timestamp(epoch_us(ts)) AS ts
+          |  FROM events),
+          |p AS (
+          |  SELECT event_id AS p_id, user_id, ts AS p_ts
+          |  FROM ev_us WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+          |  FROM ev_us WHERE event_type = 'click'),
+          |j AS (
+          |  SELECT p.p_id, p.user_id, c.c_id, p.p_ts, c.c_ts,
+          |    row_number() OVER (PARTITION BY p.p_id
+          |                       ORDER BY c.c_ts DESC, c.c_id) AS rn
+          |  FROM p JOIN c
+          |    ON p.user_id = c.c_user
+          |   AND c.c_ts <= p.p_ts
+          |   AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR)
+          |SELECT p_id, user_id, c_id,
+          |  CAST(floor(epoch(p_ts)) AS BIGINT) AS p_ts_s,
+          |  CAST(floor(epoch(c_ts)) AS BIGINT) AS c_ts_s
+          |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
     // Exact distinct (oracle-checkable twin of the approx query below)
     Q(
       "ev_distinct_users",
