@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Sentiment {
 
+  /** precompiled — String.split("\\s+") would recompile the pattern per
+    * row, which dominates at millions of articles/s
+    */
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   /** Score cleaned, lowercased text. Semantics pinned by golden tests:
     *  - null/empty/no-lexicon-match => 0.0f (reference
     *    streaming_pipeline.py:50–55)
@@ -23,7 +28,7 @@ object Sentiment {
     */
   def polarity(text: String): Float = {
     if (text == null) return 0.0f
-    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val toks = Whitespace.split(text).filter(_.nonEmpty)
     if (toks.isEmpty) return 0.0f
     var sum = 0.0f
     var n = 0
@@ -62,7 +67,7 @@ object Sentiment {
     */
   def polarityDouble(text: String): Double = {
     if (text == null) return 0.0
-    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val toks = Whitespace.split(text).filter(_.nonEmpty)
     var sum = 0.0
     var n = 0
     var i = 0
