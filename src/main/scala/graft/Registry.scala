@@ -28,7 +28,8 @@ object Registry {
       queries.EventQueries.qs ++
       queries.StarQueries.qs ++
       queries.EmbQueries.qs ++
-      queries.DedupQueries.qs
+      queries.DedupQueries.qs ++
+      queries.MlQueries.qs
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

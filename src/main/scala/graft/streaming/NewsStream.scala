@@ -159,6 +159,33 @@ object NewsStream {
       .select("title", "l_id", "r_id", "l_ts", "r_ts")
   }
 
+  /** Left-outer variant: articles with no correction within the lag
+    * window are EMITTED WITH NULLS once the watermark passes their join
+    * window (unlike the inner join, which emits matches immediately) —
+    * the "unmatched after timeout" pattern.
+    */
+  def joinStreamsLeftOuter(
+      left: DataFrame, right: DataFrame,
+      watermark: String = "30 minutes",
+      maxLagSeconds: Long = 600): DataFrame = {
+    val l = left
+      .withColumn("l_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("l_ts").isNotNull)
+      .withWatermark("l_ts", watermark)
+      .select(col("title"), col("id").as("l_id"), col("l_ts"))
+    val r = right
+      .withColumn("r_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("r_ts").isNotNull)
+      .withWatermark("r_ts", watermark)
+      .select(col("title").as("r_title"), col("id").as("r_id"), col("r_ts"))
+    l.join(r,
+      col("title") === col("r_title") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxLagSeconds seconds"),
+      "left_outer")
+      .select("title", "l_id", "r_id", "l_ts", "r_ts")
+  }
+
   /** Beyond-reference: arbitrary stateful processing via
     * mapGroupsWithState — cumulative per-sentiment totals maintained in
     * the state store across micro-batches (the custom-state API surface

@@ -13,7 +13,8 @@ class RegistrySpec extends AnyFunSuite {
     assert(Registry.byName.size == Registry.all.size)
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
     // only engine-specific-value ops may skip the oracle
-    assert(noOracle.toSet.subsetOf(Set("ev_approx_distinct_users")))
+    assert(noOracle.toSet.subsetOf(
+      Set("ev_approx_distinct_users", "doc_sentiment_ml_counts")))
   }
 
   test("every query executes at sf0.001") {

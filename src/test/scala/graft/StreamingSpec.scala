@@ -167,6 +167,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched rows after watermark") {
+    val inL = tmp("ssjo_l")
+    val inR = tmp("ssjo_r")
+    val ckpt = tmp("ssjo_ckpt")
+    NewsStream.writeSampleBatch(inL, batchId = 0, rows = 2) // titles 0,1
+    // right side matches only title 0
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inR))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(inR, "r0.json"),
+      ("""{"id":"m","title":"headline 0","description":"x","url":"u",""" +
+        """"publishedAt":"2024-01-01T00:01:00Z","lang":"en","fetched_at":"f"}""" + "\n")
+        .getBytes("UTF-8"))
+    val joined = NewsStream.joinStreamsLeftOuter(
+      NewsStream.source(spark, inL), NewsStream.source(spark, inR))
+    val q = joined.writeStream.format("memory").queryName("t_ssjo")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/j")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // matched row emits promptly; the unmatched one must wait
+      val matched = spark.table("t_ssjo")
+        .collect().map(r => r.getAs[String]("l_id") ->
+          Option(r.getAs[String]("r_id"))).toMap
+      assert(matched("0").contains("m"))
+      assert(!matched.contains("1")) // still held in state
+      // advance event time far past watermark + lag on BOTH sides
+      NewsStream.writeSampleBatch(inL, batchId = 50, rows = 1)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inR, "r_late.json"),
+        ("""{"id":"w","title":"zzz","description":"x","url":"u",""" +
+          """"publishedAt":"2024-01-01T00:50:00Z","lang":"en","fetched_at":"f"}""" + "\n")
+          .getBytes("UTF-8"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val after = spark.table("t_ssjo")
+        .collect().map(r => r.getAs[String]("l_id") ->
+          Option(r.getAs[String]("r_id"))).toMap
+      assert(after("1").isEmpty, after.toString) // emitted with NULL r_id
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join") {
     import spark.implicits._
     val in = tmp("enrich_in")
