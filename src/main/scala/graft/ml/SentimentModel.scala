@@ -24,7 +24,10 @@ import graft.sentiment.Lexicon
   */
 object SentimentModel {
 
-  val NumFeatures: Int = 1 << 15
+  /** 4096 is plenty for the ~60-word lexicon vocabulary (collision odds
+    * negligible) and keeps LR's per-iteration dense-coefficient
+    * aggregation cheap — training cost scales with this. */
+  val NumFeatures: Int = 1 << 12
 
   def buildPipeline(): Pipeline = {
     val tok = new RegexTokenizer()
@@ -34,7 +37,7 @@ object SentimentModel {
       .setInputCol("words").setOutputCol("features")
       .setNumFeatures(NumFeatures)
     val lr = new LogisticRegression()
-      .setMaxIter(50).setRegParam(0.01)
+      .setMaxIter(10).setRegParam(0.01)
       .setFeaturesCol("features").setLabelCol("label")
     new Pipeline().setStages(Array(tok, tf, lr))
   }
