@@ -205,6 +205,44 @@ object EventQueries {
           |SELECT user_id, event_id, value, event_type
           |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Distribution stats per type: exact decimal sum/avg plus sample
+    // stddev (rounded — variance accumulation is order-dependent) and
+    // min/max (exact)
+    Q(
+      "ev_value_stats",
+      (s, d) =>
+        ev(s, d).groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"),
+            dsum(col("value")).as("sum_v"),
+            round(stddev_samp(col("value")), 6).as("sd_v"))
+          .orderBy("event_type"),
+      Some(
+        s"""SELECT event_type, count(*) AS n,
+           |  min(value) AS min_v, max(value) AS max_v,
+           |  ${dsumSql("value")} AS sum_v,
+           |  round(stddev_samp(value), 6) AS sd_v
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Exact interpolated percentiles (the reference has no percentile
+    // surface at all — SURVEY §2.5 negative finding); Spark `percentile`
+    // and DuckDB `quantile_cont` share the standard interpolation
+    Q(
+      "ev_value_percentiles",
+      (s, d) =>
+        ev(s, d).groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.95)"), 6).as("p95"))
+          .orderBy("event_type"),
+      Some(
+        """SELECT event_type,
+          |  round(quantile_cont(value, 0.5), 6) AS p50,
+          |  round(quantile_cont(value, 0.95), 6) AS p95
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // AS-OF join (an operator Spark lacks natively), expressed by
     // composing built-ins per the preference order: bounded range join
     // (same user, click within 1 h BEFORE the purchase) + row_number

@@ -127,6 +127,28 @@ object TextQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // Corpus-wide top terms after stopword removal — the canonical
+    // word-count: explode + hash agg (partial-combined) + top-k
+    Q(
+      "doc_top_terms",
+      (s, d) => {
+        val stop = LangMarkers.flatMap(_._2).distinct
+        toks(s, d)
+          .select(explode(col("tok")).as("term"))
+          .filter(!col("term").isin(stop: _*))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term"))
+          .limit(20)
+      },
+      Some {
+        val stop = sqlIn(LangMarkers.flatMap(_._2).distinct)
+        s"""$tokCte
+           |SELECT t.term, count(*) AS n
+           |FROM (SELECT unnest(tok) AS term FROM t) t
+           |WHERE t.term NOT IN $stop
+           |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin
+      }),
+
     // The full pattern-lexicon scorer (Sentiment.polarity UDF) applied to
     // the corpus; oracle = CASE-average from the same lexicon (valid here
     // because no negators/intensifiers occur in this corpus)
