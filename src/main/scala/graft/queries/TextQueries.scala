@@ -127,6 +127,25 @@ object TextQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // BPE-style pre-tokenization count: letter runs / digit runs /
+    // punctuation runs (the standard byte-pair-encoding pre-split),
+    // counted straight off the RAW text — complements the whitespace
+    // token count in doc_token_count. Char-class-only regex so Java and
+    // RE2 agree exactly.
+    Q(
+      "doc_token_count_bpe",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .withColumn("n_bpe",
+            size(expr(
+              "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)")))
+          .select("doc_id", "n_bpe")
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0)) AS n_bpe
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Corpus-wide top terms after stopword removal — the canonical
     // word-count: explode + hash agg (partial-combined) + top-k
     Q(
