@@ -20,15 +20,21 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        // A noop-sink write materializes EVERY column of the result, so
+        // Catalyst cannot prune projected compute (UDF/expression columns)
+        // or drop terminal sorts the way it can under a bare count().
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
           // a failed query must be visible, not silently averaged in
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

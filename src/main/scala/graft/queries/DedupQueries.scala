@@ -169,45 +169,78 @@ object DedupQueries {
 
   // ---- SimHash -------------------------------------------------------
 
-  /** 24-bit SimHash over the token multiset, computed as a pure per-row
-    * array fold — no explode, no shuffle: token hash = first 6 hex chars
-    * of md5 (portable strpos arithmetic), per-bit ±1 sums via
-    * aggregate() over the token-value array, sign => fingerprint bit.
+  /** 64-bit SimHash over the token multiset, computed as a pure per-row
+    * array fold — no explode, no shuffle. Token hash = all 32 hex chars
+    * of md5 would overflow signed-64 arithmetic in the oracle, so each
+    * token carries TWO portable 32-bit values (md5 chars 1-8 and 9-16);
+    * fingerprint bits 0-31 come from the low half, 32-63 from the high
+    * half. Per-bit ±1 sums via aggregate() over the value arrays, sign
+    * => fingerprint bit. The bit-63 weight is Long.MinValue and is added
+    * LAST so every partial sum stays within signed-64 range on both
+    * engines (bits 0..62 sum to at most 2^63-1 exactly; DuckDB checks
+    * bigint overflow, Spark under ANSI does too).
+    *
+    * 64 bits (vs a narrower fingerprint) is what makes the banding below
+    * scale: 4 bands x 16 bits = 65536 keys per band, so candidate volume
+    * is ~n²/65536 per band instead of n²/256 — the difference between a
+    * workable 100 TB pre-filter and a quadratic blowup.
     */
-  private val SimBits = 24
+  private val SimBits = 64
+  private val SimBands = 4
+  private val SimBandBits = SimBits / SimBands // 16 -> 65536 keys/band
+  private val SimBandMask = (1L << SimBandBits) - 1
+  /** pigeonhole: <= SimBands-1 differing bits => some band identical */
+  private val MaxHamming = SimBands - 1
 
-  private val tokHexToLong6: String = (1 to 6).map(k =>
-    s"(locate(substring(x, $k, 1), '0123456789abcdef') - 1) * ${1 << (4 * (6 - k))}")
+  /** 8 hex chars -> 32-bit value (max 2^32-1, overflow-safe in a long;
+    * multipliers are bigint literals so int32 math never overflows) */
+  private def sparkHex8(x: String): String = (1 to 8).map(k =>
+    s"(locate(substring($x, $k, 1), '0123456789abcdef') - 1) * ${1L << (4 * (8 - k))}L")
+    .mkString("(", " + ", ")")
+  private def duckHex8(x: String): String = (1 to 8).map(k =>
+    s"(strpos('0123456789abcdef', substr($x, $k, 1)) - 1) * CAST(${1L << (4 * (8 - k))} AS BIGINT)")
     .mkString("(", " + ", ")")
 
+  /** additive weight of fingerprint bit b; bit 63 is the sign bit */
+  private def bitWeight(b: Int): Long = 1L << b // wraps to MinValue at 63
+
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val withVals = toks(s, dir).withColumn("tv", expr(
-      s"transform(tok, t -> ${tokHexToLong6.replace("x", "substring(md5(t), 1, 6)")})"))
-    val fp = (0 until SimBits).map(b =>
-      when(expr(s"aggregate(tv, bigint(0), (acc, v) -> acc + ((v >> $b) & 1) * 2 - 1)") >= 0,
-        lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
+    val withVals = toks(s, dir)
+      .withColumn("tvl", expr(
+        s"transform(tok, t -> ${sparkHex8("substring(md5(t), 1, 8)")})"))
+      .withColumn("tvh", expr(
+        s"transform(tok, t -> ${sparkHex8("substring(md5(t), 9, 8)")})"))
+    val fp = (0 until SimBits).map { b =>
+      val (arr, sh) = if (b < 32) ("tvl", b) else ("tvh", b - 32)
+      when(expr(s"aggregate($arr, bigint(0), (acc, v) -> acc + ((v >> $sh) & 1) * 2 - 1)") >= 0,
+        lit(bitWeight(b))).otherwise(lit(0L))
+    }.reduce(_ + _) // left-assoc, bit order 0..63: MinValue term added last
     // zero-token docs: Spark's empty-array fold yields 0 per bit (every
     // `>= 0` test passes -> all bits set) while the oracle's list_sum([])
     // is NULL -> 0. Pin simhash = 0 for empty docs on both engines.
     withVals.select(col("doc_id"),
-      when(size(col("tok")) > 0, fp).otherwise(lit(0)).as("simhash"))
+      when(size(col("tok")) > 0, fp).otherwise(lit(0L)).as("simhash"))
   }
 
   private val simhashCte: String = {
-    val hexVal = (1 to 6).map(k =>
-      s"(strpos('0123456789abcdef', substr(substr(md5(t), 1, 6), $k, 1)) - 1) * ${1 << (4 * (6 - k))}")
-      .mkString("(", " + ", ")")
-    val fp = (0 until SimBits).map(b =>
-      s"(CASE WHEN list_sum(list_transform(tv, v -> ((v >> $b) & 1) * 2 - 1)) >= 0 THEN ${1 << b} ELSE 0 END)")
-      .mkString(" + ")
+    val fp = (0 until SimBits).map { b =>
+      val (arr, sh) = if (b < 32) ("tvl", b) else ("tvh", b - 32)
+      val w = if (b == 63) "(-9223372036854775807 - 1)" else bitWeight(b).toString
+      s"(CASE WHEN list_sum(list_transform($arr, v -> ((v >> $sh) & 1) * 2 - 1)) >= 0 THEN $w ELSE 0 END)"
+    }.mkString(" + ")
     s"""WITH cleaned AS (
        |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
        |), toksrc AS (
        |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
        |), tvals AS (
-       |  SELECT doc_id, list_transform(tok, t -> $hexVal) AS tv FROM toksrc
+       |  SELECT doc_id, tok,
+       |    list_transform(tok, t -> ${duckHex8("substr(md5(t), 1, 8)")}) AS tvl,
+       |    list_transform(tok, t -> ${duckHex8("substr(md5(t), 9, 8)")}) AS tvh
+       |  FROM toksrc
        |), fp AS (
-       |  SELECT doc_id, $fp AS simhash FROM tvals
+       |  SELECT doc_id,
+       |    CASE WHEN len(tok) > 0 THEN $fp ELSE 0 END AS simhash
+       |  FROM tvals
        |)""".stripMargin
   }
 
@@ -258,58 +291,61 @@ object DedupQueries {
       (s, d) => simhashes(s, d).orderBy("doc_id"),
       Some(s"$simhashCte SELECT doc_id, simhash FROM fp ORDER BY doc_id")),
 
-    // SimHash near-pairs: hamming <= 2 over the fingerprints. EXACT but
-    // banded: 24 bits split into 3 bytes — two fingerprints within
-    // hamming 2 must agree on at least one byte (pigeonhole), so
-    // candidates come from an equality join on (band, byte), never an
-    // O(n²) cross join. Same banding in the oracle.
+    // SimHash near-pairs: hamming <= 3 over the 64-bit fingerprints.
+    // EXACT but banded: 64 bits split into 4 x 16-bit bands — two
+    // fingerprints within hamming 3 must agree on at least one band
+    // (pigeonhole), so candidates come from an equality join on
+    // (band, key) with 65536 keys per band, never an O(n²) cross join.
+    // Same banding in the oracle. (Arithmetic >> sign-extends the
+    // negative half of the fingerprint space on both engines, but the
+    // & mask makes band extraction shift-type-agnostic.)
     Q(
       "dedup_simhash_pairs",
       (s, d) => {
+        def bandOf(c: Column, b: Int): Column =
+          shiftright(c, SimBandBits * b).bitwiseAND(lit(SimBandMask))
         val f = simhashes(s, d)
         val bands = f.select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until 3).map(b =>
-            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255))): _*))
+          posexplode(array((0 until SimBands).map(b =>
+            bandOf(col("simhash"), b)): _*))
             .as(Seq("band", "key")))
         val a = bands.select(col("band"), col("key"),
           col("doc_id").as("a_id"), col("simhash").as("fa"))
         val b = bands.select(col("band"), col("key"),
           col("doc_id").as("b_id"), col("simhash").as("fb"))
         // dedup across bands WITHOUT a distinct: keep a pair only in its
-        // FIRST matching band (earlier bands must differ)
-        val firstMatch =
-          col("band") === 0 ||
-            (col("band") === 1 &&
-              col("fa").bitwiseAND(lit(255)) =!= col("fb").bitwiseAND(lit(255))) ||
-            (col("band") === 2 &&
-              col("fa").bitwiseAND(lit(255)) =!= col("fb").bitwiseAND(lit(255)) &&
-              shiftright(col("fa"), 8).bitwiseAND(lit(255)) =!=
-                shiftright(col("fb"), 8).bitwiseAND(lit(255)))
+        // FIRST matching band (all earlier bands must differ)
+        val firstMatch = (0 until SimBands).map { i =>
+          (0 until i).map(j => bandOf(col("fa"), j) =!= bandOf(col("fb"), j))
+            .foldLeft(col("band") === i)(_ && _)
+        }.reduce(_ || _)
         a.join(b, Seq("band", "key"))
           .filter(col("a_id") < col("b_id") && firstMatch)
           .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
-          .filter(col("hamming") <= 2)
+          .filter(col("hamming") <= MaxHamming)
           .select("a_id", "b_id", "hamming")
           .orderBy("a_id", "b_id")
       },
-      Some(
+      Some {
+        val bandsSql = (0 until SimBands).map(b =>
+          s"SELECT doc_id, simhash, $b AS band, (simhash >> ${SimBandBits * b}) & $SimBandMask AS key FROM fp")
+          .mkString("\n  UNION ALL\n  ")
+        val firstMatchSql = (0 until SimBands).map { i =>
+          val earlier = (0 until i).map(j =>
+            s"((a.simhash >> ${SimBandBits * j}) & $SimBandMask) <> ((b.simhash >> ${SimBandBits * j}) & $SimBandMask)")
+          (s"a.band = $i" +: earlier).mkString("(", " AND ", ")")
+        }.mkString("(", "\n    OR ", ")")
         s"""$simhashCte, bands AS (
-           |  SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 255 AS key FROM fp
-           |  UNION ALL
-           |  SELECT doc_id, simhash, 1 AS band, (simhash >> 8) & 255 AS key FROM fp
-           |  UNION ALL
-           |  SELECT doc_id, simhash, 2 AS band, (simhash >> 16) & 255 AS key FROM fp
+           |  $bandsSql
            |)
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            |  bit_count(xor(a.simhash, b.simhash)) AS hamming
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-           |  AND (a.band = 0
-           |    OR (a.band = 1 AND (a.simhash & 255) <> (b.simhash & 255))
-           |    OR (a.band = 2 AND (a.simhash & 255) <> (b.simhash & 255)
-           |        AND ((a.simhash >> 8) & 255) <> ((b.simhash >> 8) & 255)))
-           |ORDER BY a_id, b_id""".stripMargin)),
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+           |  AND $firstMatchSql
+           |ORDER BY a_id, b_id""".stripMargin
+      }),
 
     // n-gram (token bigram) Jaccard over a bounded candidate block —
     // the exact quadratic baseline the LSH path approximates

@@ -47,26 +47,49 @@ object EmbQueries {
     s"round(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN 0.0 " +
       s"ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END, 6)"
 
-  /** 8-bit sign bucket from 8 fixed integer hyperplanes (shared by the
-    * ANN query and the embedding near-dup pair query).
+  /** Sign-LSH signature shared by the ANN query and the embedding
+    * near-dup pair query: SigBits fixed integer hyperplanes, banded into
+    * SigBands bands for candidate generation (a truly-similar pair
+    * agrees on at least one full band with high probability; candidate
+    * volume is ~n²/2^SigBandBits per band, never O(n²)).
+    *
+    * The hyperplane weight at (dim i, plane j) is
+    * ((i*73 + j*151 + i*j*31) % 997) % 5 - 2 — the i*j cross term is
+    * what keeps hyperplanes distinct for EVERY j: any weight pattern
+    * affine in j modulo m repeats with period m (the round-1 formula
+    * (i*7 + j*13) % 5 made planes j and j+5 identical, collapsing the
+    * "8-bit" bucket to 32 effective buckets). At a larger corpus raise
+    * SigBits/SigBands (e.g. 32 bits, 2x16 bands -> 65536 keys/band);
+    * every consumer below derives from these two constants.
     */
-  def bucket(v: Column): Column =
-    (0 until 8).map { j =>
+  val SigBits = 16
+  val SigBands = 2
+  val SigBandBits: Int = SigBits / SigBands // 8 -> 256 keys per band
+  val SigBandMask: Int = (1 << SigBandBits) - 1
+
+  def signature(v: Column): Column =
+    (0 until SigBits).map { j =>
       val dotJ = aggregate(
         transform(sequence(lit(1), lit(64)), i =>
           element_at(v, i).cast("double") *
-            (((i * 7 + lit(j * 13)) % 5) - 2).cast("double")),
+            ((((i * (73 + j * 31) + lit(j * 151)) % 997) % 5) - 2).cast("double")),
         lit(0.0), (a, x) => a + x)
       when(dotJ >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  def bucketSql(v: String): String = {
+  def signatureSql(v: String): String = {
     def dotJSql(j: Int): String =
-      s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST(((i * 7 + ${j * 13}) % 5) - 2 AS DOUBLE)))"
-    (0 until 8).map(j =>
+      s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * " +
+        s"CAST(((i * ${73 + j * 31} + ${j * 151}) % 997) % 5 - 2 AS DOUBLE)))"
+    (0 until SigBits).map(j =>
       s"(CASE WHEN ${dotJSql(j)} >= 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
   }
+
+  def bandOf(c: Column, b: Int): Column =
+    shiftright(c, SigBandBits * b).bitwiseAND(lit(SigBandMask))
+  def bandOfSql(c: String, b: Int): String =
+    s"(($c >> ${SigBandBits * b}) & $SigBandMask)"
 
   val qs: Seq[Q] = Seq(
     // L2 norm per vector — exercises the array math end to end
@@ -119,31 +142,36 @@ object EmbQueries {
           |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
 
     // LSH-bucketed approximate NN — the scale path for similarity search.
-    // 8 deterministic integer hyperplanes hash each vector to an 8-bit
-    // sign bucket; search touches only the query's bucket (~1/256 of the
-    // corpus at scale) instead of everything. Fully oracle-checkable
+    // SigBits deterministic integer hyperplanes hash each vector to a
+    // sign signature; a vector is a candidate iff it shares at least one
+    // SigBandBits-bit band with the query, so the expensive cosine runs
+    // on ~SigBands/2^SigBandBits of the corpus. Fully oracle-checkable
     // because the hyperplanes are a fixed arithmetic pattern, not RNG.
     Q(
       "emb_lsh_ann",
       (s, d) => {
         val e = emb(s, d)
-        val withB = e.withColumn("bucket", bucket(col("embedding")))
-        val qRow = broadcast(withB.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv"), col("bucket").as("qb")))
-        withB.crossJoin(qRow)
-          .filter(col("vec_id") =!= 0 && col("bucket") === col("qb"))
+        val withSig = e.withColumn("sig", signature(col("embedding")))
+        val qRow = broadcast(withSig.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("sig").as("qsig")))
+        val anyBand = (0 until SigBands).map(b =>
+          bandOf(col("sig"), b) === bandOf(col("qsig"), b)).reduce(_ || _)
+        withSig.crossJoin(qRow)
+          .filter(col("vec_id") =!= 0 && anyBand)
           .select(col("vec_id"),
             round(cosine(col("embedding"), col("qv")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
       Some {
+        val anyBand = (0 until SigBands).map(b =>
+          s"${bandOfSql("sig", b)} = ${bandOfSql("qsig", b)}").mkString(" OR ")
         s"""WITH b AS (
-           |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+           |  SELECT vec_id, embedding, ${signatureSql("embedding")} AS sig
            |  FROM embeddings
-           |), q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+           |), q AS (SELECT embedding AS qv, sig AS qsig FROM b WHERE vec_id = 0)
            |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
-           |FROM b, q WHERE vec_id <> 0 AND bucket = qb
+           |FROM b, q WHERE vec_id <> 0 AND ($anyBand)
            |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
       }),
 
@@ -280,32 +308,55 @@ object EmbQueries {
            |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
 
     // Embedding-cosine near-dup: top-10 most-similar pairs among
-    // bucket-colocated vectors — the banded (never O(n²)) form of
-    // embedding dedup, sharing the LSH bucket with emb_lsh_ann
+    // band-colocated vectors — the banded (never O(n²)) form of
+    // embedding dedup, sharing the LSH signature with emb_lsh_ann.
+    // Candidates come from an equality join on (band, key); a pair is
+    // kept only in its FIRST matching band (earlier band keys must
+    // differ), so no distinct pass is needed across bands.
     Q(
       "emb_near_dup_pairs",
       (s, d) => {
-        val withB = emb(s, d)
-          .withColumn("bucket", bucket(col("embedding")))
-        val a = withB.select(col("bucket"), col("vec_id").as("a_id"),
-          col("embedding").as("ea"))
-        val b = withB.select(col("bucket"), col("vec_id").as("b_id"),
-          col("embedding").as("eb"))
-        a.join(b, Seq("bucket"))
-          .filter(col("a_id") < col("b_id"))
+        val withSig = emb(s, d)
+          .withColumn("sig", signature(col("embedding")))
+        val bands = withSig.select(col("vec_id"), col("sig"), col("embedding"),
+          posexplode(array((0 until SigBands).map(b =>
+            bandOf(col("sig"), b)): _*)).as(Seq("band", "key")))
+        val a = bands.select(col("band"), col("key"),
+          col("vec_id").as("a_id"), col("sig").as("sa"), col("embedding").as("ea"))
+        val b = bands.select(col("band"), col("key"),
+          col("vec_id").as("b_id"), col("sig").as("sb"), col("embedding").as("eb"))
+        val firstMatch = (0 until SigBands).map { i =>
+          (0 until i).map(j => bandOf(col("sa"), j) =!= bandOf(col("sb"), j))
+            .foldLeft(col("band") === i)(_ && _)
+        }.reduce(_ || _)
+        a.join(b, Seq("band", "key"))
+          .filter(col("a_id") < col("b_id") && firstMatch)
           .select(col("a_id"), col("b_id"),
             round(cosine(col("ea"), col("eb")), 6).as("sim"))
           .orderBy(col("sim").desc, col("a_id"), col("b_id"))
           .limit(10)
       },
-      Some(
+      Some {
+        val bandsSql = (0 until SigBands).map(b =>
+          s"SELECT vec_id, embedding, sig, $b AS band, ${bandOfSql("sig", b)} AS key FROM b")
+          .mkString("\n  UNION ALL\n  ")
+        val firstMatchSql = (0 until SigBands).map { i =>
+          val earlier = (0 until i).map(j =>
+            s"${bandOfSql("x.sig", j)} <> ${bandOfSql("y.sig", j)}")
+          (s"x.band = $i" +: earlier).mkString("(", " AND ", ")")
+        }.mkString("(", " OR ", ")")
         s"""WITH b AS (
-           |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+           |  SELECT vec_id, embedding, ${signatureSql("embedding")} AS sig
            |  FROM embeddings
+           |), bands AS (
+           |  $bandsSql
            |)
            |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
            |  ${cosSql("x.embedding", "y.embedding")} AS sim
-           |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-           |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin))
+           |FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+           |WHERE $firstMatchSql
+           |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin
+      })
   )
 }

@@ -21,7 +21,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # 17 significant digits round-trips IEEE doubles exactly, matching
+        # the driver's bit-level comparison (10g was looser than the gate)
+        return f"{v:.17g}"
     return str(v)
 
 
