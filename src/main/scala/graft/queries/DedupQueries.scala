@@ -69,22 +69,41 @@ object DedupQueries {
     md5(concat_ws("|",
       (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*))
 
+  /** Band buckets bigger than this are dropped from candidate
+    * generation (standard LSH practice: an oversized bucket means the
+    * band carries no discriminating power for those rows, and exploding
+    * it is quadratic). With the exact-dup pre-pass below, buckets hold
+    * at most one entry per DISTINCT content, so real corpora never get
+    * near the cap — it is a guard against adversarial many-distinct-
+    * but-band-identical inputs, mirrored in the oracle.
+    */
+  val MaxBucket = 64
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = toks(s, dir).withColumn("sh", shingleCol)
+    val t = toks(s, dir)
+    // exact-dup pre-pass: content-identical docs (same token sequence)
+    // collapse to their lowest doc_id BEFORE signatures, so a
+    // duplicate-heavy corpus (the very target of dedup) cannot
+    // concentrate one band bucket. Identical docs pair trivially at
+    // jaccard 1.0 via the fp self-join below; LSH runs on canonicals.
+    val fpr = t.withColumn("fp", md5(array_join(col("tok"), " ")))
+    val canon = fpr.groupBy("fp").agg(min(col("doc_id")).as("canon_id"))
+    val members = fpr.join(canon, "fp").select(col("doc_id"), col("canon_id"))
+    val sh = t.join(canon.select(col("canon_id").as("doc_id")), "doc_id")
+      .withColumn("sh", shingleCol)
       .withColumn("sv", shingleVals)
     val sigs = sh.select(col("doc_id") +: col("sh") +:
       (0 until NumHashes).map(minhash): _*)
-    // one row per (doc, band) — candidates come from grouping the band
-    // key and exploding pairs out of the collected bucket (minhash band
-    // buckets are near-unique, so no skew concern here, unlike the
-    // simhash variant below), keeping the candidate stage to one pass
-    // over the signature lineage instead of a self-join of it
+    // one row per (canonical doc, band) — candidates come from grouping
+    // the band key and exploding pairs out of the collected bucket,
+    // keeping the candidate stage to one pass over the signature lineage
+    // instead of a self-join of it; buckets past MaxBucket are dropped
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bandKey): _*))
         .as(Seq("band", "bk")))
     val cand = bands.groupBy("band", "bk")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
           |  transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
@@ -94,10 +113,10 @@ object DedupQueries {
     // persist the distinct-shingle sets: the two verify joins below would
     // otherwise each re-derive clean/tokenize/shingle/md5 from the scan.
     // (At 100 TB this materialization is the signature store you would
-    // write to disk anyway.) Small: distinct shingles only.
+    // write to disk anyway.) Small: distinct shingles of canonicals only.
     val sets = sh.select(col("doc_id"), array_distinct(col("sh")).as("st"))
       .persist()
-    cand
+    val canonPairs = cand
       .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")
       .withColumn("inter", // inputs are distinct arrays => hash-based
@@ -106,6 +125,22 @@ object DedupQueries {
         col("inter").cast("double") /
           greatest(size(col("sa")) + size(col("sb")) - col("inter"), lit(1)))
       .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    // expand back to ALL doc pairs (output contract unchanged):
+    // (1) within an exact-dup group every pair is a dup at jaccard 1.0 —
+    //     a plain self-join on fp, no arrays, AQE handles any skew;
+    // (2) a near-dup canonical pair expands to every cross pair of the
+    //     two groups (identical content => identical jaccard).
+    val within = fpr.select(col("fp"), col("doc_id").as("a_id"))
+      .join(fpr.select(col("fp"), col("doc_id").as("b_id")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    val cross = canonPairs
+      .join(members.select(col("canon_id").as("a_id"), col("doc_id").as("ma")), "a_id")
+      .join(members.select(col("canon_id").as("b_id"), col("doc_id").as("mb")), "b_id")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    within.unionByName(cross)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
@@ -129,13 +164,20 @@ object DedupQueries {
        |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
        |), toksrc AS (
        |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+       |), fpr AS (
+       |  SELECT doc_id, md5(coalesce(array_to_string(tok, ' '), '')) AS fp
+       |  FROM toksrc
+       |), canon AS (
+       |  SELECT fp, min(doc_id) AS canon_id FROM fpr GROUP BY fp
+       |), members AS (
+       |  SELECT f.doc_id, c.canon_id FROM fpr f JOIN canon c USING (fp)
        |), shingled AS (
-       |  SELECT doc_id,
+       |  SELECT t.doc_id,
        |    CASE WHEN len(tok) >= 3
        |      THEN list_transform(range(1, len(tok) - 1),
        |             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
        |      ELSE [coalesce(array_to_string(tok, ' '), '')] END AS sh
-       |  FROM toksrc
+       |  FROM toksrc t JOIN canon c ON t.doc_id = c.canon_id
        |), sval AS (
        |  SELECT doc_id, sh,
        |    list_transform(sh, s -> ${duckHexToLong("substr(md5(s), 1, 12)")} % $P) AS sv
@@ -146,10 +188,14 @@ object DedupQueries {
        |  FROM sval
        |), bands AS (
        |  $bandSelects
+       |), bsz AS (
+       |  SELECT band, bk, count(*) AS n FROM bands GROUP BY 1, 2
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |  JOIN bsz z ON z.band = a.band AND z.bk = a.bk
+       |  WHERE z.n <= $MaxBucket
        |), sets AS (
        |  SELECT doc_id, list_distinct(sh) AS st FROM shingled
        |), j AS (
@@ -159,11 +205,23 @@ object DedupQueries {
        |  FROM cand c
        |  JOIN sets sa ON sa.doc_id = c.a_id
        |  JOIN sets sb ON sb.doc_id = c.b_id
+       |), canon_pairs AS (
+       |  SELECT a_id, b_id,
+       |    CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) AS jaccard
+       |  FROM j
+       |  WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.5
+       |), within AS (
+       |  SELECT f1.doc_id AS a_id, f2.doc_id AS b_id, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM fpr f1 JOIN fpr f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+       |), cross_exp AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS a_id,
+       |    greatest(ma.doc_id, mb.doc_id) AS b_id, p.jaccard
+       |  FROM canon_pairs p
+       |  JOIN members ma ON ma.canon_id = p.a_id
+       |  JOIN members mb ON mb.canon_id = p.b_id
        |)
-       |SELECT a_id, b_id,
-       |  round(CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1), 6) AS jaccard
-       |FROM j
-       |WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.5
+       |SELECT a_id, b_id, round(jaccard, 6) AS jaccard
+       |FROM (SELECT * FROM within UNION ALL SELECT * FROM cross_exp)
        |ORDER BY a_id, b_id""".stripMargin
   }
 

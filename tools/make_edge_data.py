@@ -40,6 +40,14 @@ texts = [
     (13, "tab\tand\nnewline  spaced", "en", "src6"),             # mixed whitespace
     (14, "very good but not very bad", "en", "src7"),            # intensifier+negator
 ]
+# duplicate-heavy block: 120 exact copies of one doc plus 30 of another —
+# the minhash hot-bucket scenario (all copies land in the same band
+# buckets); the exact-dup pre-pass must collapse them before LSH and the
+# pair expansion must still emit all 120*119/2 + 30*29/2 pairs
+texts += [(100 + i, "breaking news markets rally on strong earnings report today",
+           "en", "dup0") for i in range(120)]
+texts += [(300 + i, "weather alert heavy rain expected across the region tonight",
+           "en", "dup1") for i in range(30)]
 doc = pa.table({
     "doc_id": pa.array([t[0] for t in texts], pa.int64()),
     "text": pa.array([t[1] for t in texts], pa.string()),
