@@ -102,4 +102,50 @@ class NewsPipelineSpec extends AnyFunSuite {
     val json = spark.read.json(s"$outDir/json")
     assert(json.count() == 6)
   }
+
+  test("reference-fixture golden parity: 10-article run end to end") {
+    // Modeled on the reference's committed golden set (news_data.json ->
+    // sentiment_output/sentiment_results.csv + consolidated.json: 10
+    // articles in, 10 rows out, CSV + NDJSON mirrors). Polarity values
+    // are pinned against THIS engine's lexicon (SURVEY.md §5.2: TextBlob
+    // numeric parity is impossible without its lexicon); thresholds and
+    // shape are the reference's.
+    val fixture = getClass.getResource("/news_fixture.ndjson").getPath
+    val outDir = Files.createTempDirectory("news_golden").toFile.getAbsolutePath
+    val res = NewsPipeline.runOnce(spark, fixture, outDir)
+
+    val golden = Map(
+      "a1f0" -> ((0.375f, "Positive", "Medium")),
+      "b2e1" -> ((-0.6f, "Negative", "High")),
+      "c3d2" -> ((0.0f, "Neutral", "Low")),
+      "d4c3" -> ((-0.35f, "Negative", "Medium")),
+      "e5b4" -> ((0.48f, "Positive", "Medium")),
+      "f6a5" -> ((0.15f, "Positive", "Low")),
+      "0797" -> ((-0.64f, "Negative", "High")),
+      "1888" -> ((0.26666668f, "Positive", "Medium")),
+      "2979" -> ((0.26666668f, "Positive", "Medium")),
+      "3a6a" -> ((-0.075f, "Neutral", "Low")))
+    val got = res
+      .select("id", "polarity", "sentiment", "sentiment_confidence")
+      .collect().map(r => r.getString(0) ->
+        ((r.getFloat(1), r.getString(2), r.getString(3)))).toMap
+    assert(got == golden)
+
+    // CSV sink: one file (reference's single consolidated CSV), pinned
+    // header order, 10 data rows
+    val csvFiles = new java.io.File(s"$outDir/csv").listFiles
+      .filter(_.getName.endsWith(".csv"))
+    assert(csvFiles.length == 1)
+    val lines = Files.readAllLines(csvFiles.head.toPath)
+    assert(lines.get(0) == "id,title,description,url,publishedAt," +
+      "fetched_at,processing_time,polarity,sentiment,sentiment_confidence")
+    assert(lines.size == 11)
+
+    // NDJSON sink mirrors the same 10 rows (consolidated.json shape)
+    val json = spark.read.json(s"$outDir/json")
+    assert(json.count() == 10)
+    val jsonLabels = json.select("id", "sentiment").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(jsonLabels == golden.map { case (k, (_, s, _)) => k -> s })
+  }
 }
