@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as partition-mapped batch
   * transforms (the Scala equivalent of pandas-UDF `mapInPandas`).
   *
-  * The actual codecs are STUBBED — image/audio libraries are not in this
-  * container — behind `StubCodec`, a deterministic content-hash fake.
+  * The IMAGE codec is real: `ImageCodec` decodes PNG/JPEG bytes with
+  * javax.imageio (JDK built-in) into genuine pixel-luma features. Audio/
+  * video codecs remain STUBBED behind `StubCodec`, a deterministic
+  * content-hash fake (their libraries are not in this container).
   * Everything Spark-side is real and tested: schema, encoders, batch
   * shape (one codec call per partition-batch, not per row), partition
   * mapping, and the explode for frame sampling. Swapping StubCodec for a
@@ -38,19 +40,67 @@ object Multimodal {
       media_id: Long, kind: String, embedding: Array[Float],
       decode_batch: Int)
 
-  /** ???-equivalent stub codec: deterministic pseudo-features from the
-    * content bytes. A real implementation would decode pixels/samples
-    * here; the signature (batch of byte arrays in, batch of features
+  /** ???-equivalent stub codec for AUDIO/VIDEO (their libraries are not
+    * in this container): deterministic pseudo-features from the content
+    * bytes. The signature (batch of byte arrays in, batch of features
     * out) is what a vectorized codec needs.
     */
   object StubCodec {
+    def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val h = if (bytes == null) 0 else java.util.Arrays.hashCode(bytes)
+      Array.tabulate(dim)(i =>
+        (((h * 31 + i * 2654435761L) % 1000).toFloat / 1000.0f))
+    }
     def embedBatch(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
-      batch.map { bytes =>
-        val h = if (bytes == null) 0 else java.util.Arrays.hashCode(bytes)
-        Array.tabulate(dim)(i =>
-          (((h * 31 + i * 2654435761L) % 1000).toFloat / 1000.0f))
-      }
+      batch.map(embed(_, dim))
   }
+
+  /** REAL image decode via javax.imageio (ships in the JDK, headless-
+    * safe for PNG/JPEG/GIF/BMP): feature = mean luma (Rec.601 weights,
+    * scaled to [0,1]) over `dim` vertical strips of the image — a crude
+    * but genuine pixel statistic. Undecodable bytes (null, corrupt, or a
+    * format ImageIO lacks) fall back to the stub features so a bad asset
+    * degrades instead of failing the partition.
+    */
+  object ImageCodec {
+    def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img =
+        try {
+          if (bytes == null) null
+          else javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+        } catch { case _: java.io.IOException => null }
+      if (img == null) StubCodec.embed(bytes, dim)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 255
+            val g = (rgb >> 8) & 255
+            val b = rgb & 255
+            val cell = math.min(dim - 1, x * dim / w)
+            sums(cell) += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(dim)(i =>
+          if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+      }
+    }
+  }
+
+  /** per-kind dispatch: real pixels for images, stub for audio/video */
+  private def embedRow(kind: String, bytes: Array[Byte], dim: Int): Array[Float] =
+    if (kind == "image") ImageCodec.embed(bytes, dim)
+    else StubCodec.embed(bytes, dim)
 
   /** Feature extraction over the binary column, batched per partition —
     * the `mapInPandas` shape: the codec sees BatchSize rows at a time
@@ -68,7 +118,7 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.grouped(BatchSize).zipWithIndex.flatMap { case (batch, bi) =>
-          val feats = StubCodec.embedBatch(batch.map(_.bytes), dim)
+          val feats = batch.map(r => embedRow(r.kind, r.bytes, dim))
           batch.lazyZip(feats).map { (r, f) =>
             MediaFeatures(r.media_id, r.kind, f, bi)
           }

@@ -243,6 +243,32 @@ object EventQueries {
           |  round(quantile_cont(value, 0.95), 6) AS p95
           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // approx_percentile (KLL-style sketch) — the 100 TB path where the
+    // sort-based exact `percentile` above stops scaling. The sketch value
+    // is engine-specific, so the checkable contract is the rank-error
+    // bound: the approx result must land within the exact [q-0.01, q+0.01]
+    // quantile envelope, emitted as oracle-hashable booleans
+    Q(
+      "ev_value_percentiles_approx",
+      (s, d) =>
+        ev(s, d).groupBy("event_type")
+          .agg(
+            expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+            expr("approx_percentile(value, 0.95, 10000)").as("ap95"),
+            expr("percentile(value, 0.49)").as("lo50"),
+            expr("percentile(value, 0.51)").as("hi50"),
+            expr("percentile(value, 0.94)").as("lo95"),
+            expr("percentile(value, 0.96)").as("hi95"))
+          .select(col("event_type"),
+            (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+              .as("p50_in_bounds"),
+            (col("ap95") >= col("lo95") && col("ap95") <= col("hi95"))
+              .as("p95_in_bounds"))
+          .orderBy("event_type"),
+      Some(
+        """SELECT event_type, true AS p50_in_bounds, true AS p95_in_bounds
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // AS-OF join (an operator Spark lacks natively), expressed by
     // composing built-ins per the preference order: bounded range join
     // (same user, click within 1 h BEFORE the purchase) + row_number
@@ -302,13 +328,23 @@ object EventQueries {
         ev(s, d).agg(countDistinct(col("user_id")).as("n_users")),
       Some("SELECT count(DISTINCT user_id) AS n_users FROM events")),
 
-    // approx_count_distinct: HLL values are engine-specific → rows-only check
+    // approx_count_distinct: the HLL estimate itself is engine-specific,
+    // so the checkable contract is the ERROR BOUND — emit the exact twin
+    // plus a boolean pinning |approx-exact|/exact <= 5% (the default
+    // rsd), which the oracle can hash-match instead of a rows-only pass
     Q(
       "ev_approx_distinct_users",
       (s, d) =>
-        ev(s, d).agg(
-          approx_count_distinct(col("user_id")).as("approx_users")),
-      None),
+        ev(s, d)
+          .agg(
+            countDistinct(col("user_id")).as("n_exact"),
+            approx_count_distinct(col("user_id")).as("approx"))
+          .select(col("n_exact"),
+            (abs(col("approx") - col("n_exact")).cast("double") /
+              col("n_exact") <= 0.05).as("within_5pct")),
+      Some(
+        """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
+          |FROM events""".stripMargin)),
 
     // C7: timestamp display formatting (streamlit_app.py:157,164)
     Q(

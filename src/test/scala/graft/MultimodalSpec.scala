@@ -46,6 +46,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.count() == 300)
   }
 
+  test("image decode is real: a generated PNG yields pixel-luma features") {
+    import java.awt.image.BufferedImage
+    // 64x8 PNG: left half pure black, right half pure white
+    val img = new BufferedImage(64, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val feats = Multimodal.ImageCodec.embed(png, dim = 8)
+    // 8 vertical strips: first 4 all-black (luma 0), last 4 all-white
+    // (luma 1) — values only a genuine pixel decode can produce
+    assert(feats.take(4).forall(v => math.abs(v) < 1e-3), feats.toSeq)
+    assert(feats.drop(4).forall(v => math.abs(v - 1.0f) < 1e-3), feats.toSeq)
+
+    // and through the Spark lineage: an image row carrying the PNG bytes
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "image", png,
+          org.apache.spark.sql.Row(Int.box(64), Int.box(8), null, null)),
+        // corrupt bytes must fall back to stub features, not fail
+        org.apache.spark.sql.Row(1L, "image", Array[Byte](1, 2, 3),
+          org.apache.spark.sql.Row(null, null, null, null))), 1),
+      Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(df, dim = 8).collect()
+      .sortBy(_.media_id)
+    assert(out(0).embedding.toSeq == feats.toSeq)
+    assert(out(1).embedding.toSeq ==
+      Multimodal.StubCodec.embed(Array[Byte](1, 2, 3), 8).toSeq)
+  }
+
   test("frame sampling explodes videos into frame rows") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
     val nVideos = media.filter(col("kind") === "video").count()
