@@ -17,10 +17,17 @@ import graft.ml.SentimentModel
   */
 object MlQueries {
 
-  /** one training run per JVM — Verify/Bench invoke many queries */
-  private val cache = new ConcurrentHashMap[String, PipelineModel]()
-  private def model(s: SparkSession): PipelineModel =
-    cache.computeIfAbsent("m", _ => SentimentModel.train(s))
+  /** one training run per SparkSession — Verify/Bench invoke many
+    * queries. Keyed on the session (not a JVM-wide constant) so a
+    * stop-and-recreate cycle retrains instead of transforming through a
+    * model bound to a dead SparkContext; dead-session entries are
+    * dropped on the way in.
+    */
+  private val cache = new ConcurrentHashMap[SparkSession, PipelineModel]()
+  private def model(s: SparkSession): PipelineModel = {
+    cache.keySet.removeIf(k => k.sparkContext.isStopped)
+    cache.computeIfAbsent(s, k => SentimentModel.train(k))
+  }
 
   val qs: Seq[Q] = Seq(
     Q(

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.when
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regression guard: the properties SCALE.md claims must stay
@@ -43,5 +44,47 @@ class PlanSpec extends AnyFunSuite {
   test("column pruning: sentiment counts scan reads only text") {
     val p = plan("doc_sentiment_counts")
     assert(p.contains("ReadSchema: struct<text:string>"), p.take(600))
+  }
+
+  test("AQE splits a skewed fact-fact sort-merge join at runtime") {
+    // Complements the salted-agg pattern: for JOIN skew you don't salt by
+    // hand — you let AQE's OptimizeSkewedJoin split the oversized
+    // partition. Thresholds are forced low so a local[..] toy exhibits
+    // what a 100 TB hot key would.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // hot key 0 carries 50k of 60k left rows; right side is uniform
+      val left = spark.range(60000)
+        .select(when($"id" < 50000, 0L).otherwise($"id").as("k"),
+          $"id".as("lv"))
+      val right = spark.range(10000).select(($"id" % 100).as("k"),
+        $"id".as("rv"))
+      val joined = left.join(right, "k")
+      // execute THIS QueryExecution (a .write/.count would plan its own),
+      // so the adaptive plan below is the final, post-runtime-replan one
+      joined.queryExecution.toRdd.count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 }

@@ -53,9 +53,17 @@ class PolarityExpressionSpec extends AnyFunSuite {
       org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_polarity",
-      exprs => graft.functions.PolarityScore(exprs.head), "built-in")
+      graft.GraftExtensions.polarityBuilder, "built-in")
     val r = spark.sql(
       "SELECT graft_polarity('great success story') AS p").collect()
     assert(math.abs(r.head.getDouble(0) - 0.7) < 1e-6)
+    // wrong arity fails analysis instead of silently dropping arguments
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_polarity('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("graft_polarity"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_polarity()").collect()
+    }
   }
 }
