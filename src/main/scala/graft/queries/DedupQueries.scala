@@ -50,20 +50,14 @@ object DedupQueries {
           element_at(col("tok"), i + 1), element_at(col("tok"), i + 2))))
       .otherwise(array(array_join(col("tok"), " ")))
 
-  /** 12 hex chars of md5 -> 48-bit integer, as portable arithmetic
-    * (generated inline expression; identical formula in the SQL twin).
+  /** all 16 minima in ONE pass via the native codegen'd kernel
+    * (graft.functions.MinHashSig): one md5 per shingle, affine mins in a
+    * tight JVM loop — h_i(v) = (v*(2i+3) + 104729i + 12345) mod P, the
+    * aCoef/bCoef family, bit-identical to the oracle's positional-hex
+    * arithmetic (DedupSpec pins kernel == SQL-expression equality)
     */
-  private val hexToLongSql: String = (1 to 12).map(k =>
-    s"(locate(substring(x, $k, 1), '0123456789abcdef') - 1) * ${1L << (4 * (12 - k))}L")
-    .mkString("(", " + ", ")")
-
-  /** shingle values: one md5 per shingle, reduced mod P */
-  private val shingleVals: Column =
-    expr(s"transform(sh, s -> ${hexToLongSql.replace("x", "substring(md5(s), 1, 12)")} % ${P}L)")
-
   private def minhash(i: Int): Column =
-    array_min(transform(col("sv"),
-      v => (v * aCoef(i) + bCoef(i)) % P)).as(s"h$i")
+    element_at(col("mh"), i + 1).as(s"h$i")
 
   private def bandKey(b: Int): Column =
     md5(concat_ws("|",
@@ -86,14 +80,19 @@ object DedupQueries {
     // duplicate-heavy corpus (the very target of dedup) cannot
     // concentrate one band bucket. Identical docs pair trivially at
     // jaccard 1.0 via the fp self-join below; LSH runs on canonicals.
+    // persist the tiny (doc_id, fp) projection: canon, members and the
+    // within self-join all branch from it, and without the persist each
+    // branch would re-run clean/tokenize/md5 over the full scan
     val fpr = t.withColumn("fp", md5(array_join(col("tok"), " ")))
+      .select("doc_id", "fp").persist()
     val canon = fpr.groupBy("fp").agg(min(col("doc_id")).as("canon_id"))
     val members = fpr.join(canon, "fp").select(col("doc_id"), col("canon_id"))
     val sh = t.join(canon.select(col("canon_id").as("doc_id")), "doc_id")
       .withColumn("sh", shingleCol)
-      .withColumn("sv", shingleVals)
-    val sigs = sh.select(col("doc_id") +: col("sh") +:
-      (0 until NumHashes).map(minhash): _*)
+    val sigs = sh
+      .withColumn("mh", graft.functions.MinHashSig.column(col("sh")))
+      .select(col("doc_id") +: col("sh") +:
+        (0 until NumHashes).map(minhash): _*)
     // one row per (canonical doc, band) — candidates come from grouping
     // the band key and exploding pairs out of the collected bucket,
     // keeping the candidate stage to one pass over the signature lineage
@@ -252,9 +251,6 @@ object DedupQueries {
 
   /** 8 hex chars -> 32-bit value (max 2^32-1, overflow-safe in a long;
     * multipliers are bigint literals so int32 math never overflows) */
-  private def sparkHex8(x: String): String = (1 to 8).map(k =>
-    s"(locate(substring($x, $k, 1), '0123456789abcdef') - 1) * ${1L << (4 * (8 - k))}L")
-    .mkString("(", " + ", ")")
   private def duckHex8(x: String): String = (1 to 8).map(k =>
     s"(strpos('0123456789abcdef', substr($x, $k, 1)) - 1) * CAST(${1L << (4 * (8 - k))} AS BIGINT)")
     .mkString("(", " + ", ")")
@@ -262,23 +258,15 @@ object DedupQueries {
   /** additive weight of fingerprint bit b; bit 63 is the sign bit */
   private def bitWeight(b: Int): Long = 1L << b // wraps to MinValue at 63
 
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val withVals = toks(s, dir)
-      .withColumn("tvl", expr(
-        s"transform(tok, t -> ${sparkHex8("substring(md5(t), 1, 8)")})"))
-      .withColumn("tvh", expr(
-        s"transform(tok, t -> ${sparkHex8("substring(md5(t), 9, 8)")})"))
-    val fp = (0 until SimBits).map { b =>
-      val (arr, sh) = if (b < 32) ("tvl", b) else ("tvh", b - 32)
-      when(expr(s"aggregate($arr, bigint(0), (acc, v) -> acc + ((v >> $sh) & 1) * 2 - 1)") >= 0,
-        lit(bitWeight(b))).otherwise(lit(0L))
-    }.reduce(_ + _) // left-assoc, bit order 0..63: MinValue term added last
-    // zero-token docs: Spark's empty-array fold yields 0 per bit (every
-    // `>= 0` test passes -> all bits set) while the oracle's list_sum([])
-    // is NULL -> 0. Pin simhash = 0 for empty docs on both engines.
-    withVals.select(col("doc_id"),
-      when(size(col("tok")) > 0, fp).otherwise(lit(0L)).as("simhash"))
-  }
+  /** Fingerprints come from the native codegen'd kernel
+    * (graft.functions.SimHash64): one md5 per token, per-bit ±1 sums in
+    * a tight JVM loop, digest bytes 0-3/4-7 = the oracle's hex chars
+    * 1-8/9-16. The kernel pins empty/null token arrays to 0, matching
+    * the oracle's list_sum([]) IS NULL -> 0 convention.
+    */
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir).select(col("doc_id"),
+      graft.functions.SimHash64.column(col("tok")).as("simhash"))
 
   private val simhashCte: String = {
     val fp = (0 until SimBits).map { b =>
