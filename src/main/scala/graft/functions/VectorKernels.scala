@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native vector math for the embedding queries — the codegen'd
+  * replacement for aggregate(zip_with(...)) folds, which evaluate
+  * interpreted per element. Accumulation is double, LEFT-TO-RIGHT IN
+  * ARRAY ORDER, exactly like the SQL-expression twins the DuckDB oracle
+  * checks (EmbQueries.dotSql: list_sum over in-order products), so
+  * results are bit-identical; VectorKernelsSpec pins the equality.
+  */
+object VectorKernels {
+
+  /** sum_i a[i]*b[i], floats widened to double per element */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** sum_i (a[i]-b[i])^2 with a float (widened) and b double */
+  def l2FD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `graft_lsh_sig(array<float>) -> int`, codegen'd: the 16-plane sign
+  * signature of EmbQueries (weight at dim i, plane j =
+  * ((i*(73+31j) + 151j) % 997) % 5 - 2, i 1-based), summed in-order in
+  * double like the SQL twin.
+  */
+case class LshSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any): Any =
+    LshSig.sig16(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshSig.sig16($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lsh_sig"
+}
+
+object LshSig {
+  def sig16(a: ArrayData): Int = {
+    val n = math.min(64, a.numElements())
+    var sig = 0
+    var j = 0
+    while (j < 16) {
+      var acc = 0.0
+      var i = 1
+      while (i <= n) {
+        val w = ((i * (73 + 31 * j) + 151 * j) % 997) % 5 - 2
+        acc += a.getFloat(i - 1).toDouble * w
+        i += 1
+      }
+      if (acc >= 0) sig |= 1 << j
+      j += 1
+    }
+    sig
+  }
+
+  def column(c: Column): Column =
+    GraftSqlBridge.column(LshSig(GraftSqlBridge.expression(c)))
+}
+
+/** `graft_dot(array<float>, array<float>) -> double`, codegen'd. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.dotFF($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+object VecDot {
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
+/** `graft_l2sq(array<float>, array<double>) -> double`, codegen'd. */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2FD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.l2FD($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_l2sq"
+}
+
+object VecL2Sq {
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      VecL2Sq(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -20,11 +20,13 @@ object EmbQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings")
 
-  /** sum of a[i]*b[i] accumulated in double, left-to-right */
+  /** sum of a[i]*b[i] accumulated in double, left-to-right — the native
+    * codegen'd kernel (graft.functions.VecDot); identical order/width to
+    * the aggregate(zip_with(...)) fold the oracle SQL expresses, so
+    * results stay bit-for-bit (VectorKernelsSpec pins it)
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecDot.column(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
@@ -67,15 +69,10 @@ object EmbQueries {
   val SigBandBits: Int = SigBits / SigBands // 8 -> 256 keys per band
   val SigBandMask: Int = (1 << SigBandBits) - 1
 
-  def signature(v: Column): Column =
-    (0 until SigBits).map { j =>
-      val dotJ = aggregate(
-        transform(sequence(lit(1), lit(64)), i =>
-          element_at(v, i).cast("double") *
-            ((((i * (73 + j * 31) + lit(j * 151)) % 997) % 5) - 2).cast("double")),
-        lit(0.0), (a, x) => a + x)
-      when(dotJ >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** native codegen'd kernel (graft.functions.LshSig) — all 16 plane
+    * dots in one pass; same weights/order as signatureSql below
+    */
+  def signature(v: Column): Column = graft.functions.LshSig.column(v)
 
   def signatureSql(v: String): String = {
     def dotJSql(j: Int): String =
@@ -204,10 +201,8 @@ object EmbQueries {
           .withColumnRenamed("label", "c_label") // avoid clash with e.label
         // cell assignment: nearest centroid per vector (tie -> low label)
         val dists = e.crossJoin(broadcast(cent))
-          .withColumn("d2",
-            aggregate(zip_with(col("embedding"), col("cvec"),
-              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-              lit(0.0), (acc, x) => acc + x))
+          .withColumn("d2", // codegen'd kernel, same in-order double fold
+            graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("d2"), col("c_label"))
         val ranked = dists.withColumn("rn", row_number().over(w))

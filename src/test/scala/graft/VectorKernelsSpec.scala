@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{LshSig, VecDot, VecL2Sq}
+
+/** The native vector kernels must be bit-identical to the HOF/SQL fold
+  * the DuckDB oracle expresses (in-order double accumulation). Inputs
+  * come from the real embeddings table so the comparison covers actual
+  * float data, not toy values.
+  */
+class VectorKernelsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val pairs = {
+    val e = Tables.t(spark, TestSpark.sf0001, "embeddings")
+    val a = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+      .select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    a.crossJoin(b)
+  }
+
+  private def hofDot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("VecDot == the in-order aggregate(zip_with) fold, bit for bit") {
+    val rows = pairs.select(
+      VecDot.column(col("va"), col("vb")).as("k"),
+      hofDot(col("va"), col("vb")).as("h")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r))
+  }
+
+  test("VecL2Sq == the in-order squared-difference fold, bit for bit") {
+    // double-typed second operand, as in the IVF centroid distance
+    val withC = pairs.withColumn("vc",
+      transform(col("vb"), x => x.cast("double")))
+    val rows = withC.select(
+      VecL2Sq.column(col("va"), col("vc")).as("k"),
+      aggregate(zip_with(col("va"), col("vc"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x).as("h")).collect()
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r))
+  }
+
+  test("LshSig == the 16 per-plane HOF sign dots") {
+    val e = Tables.t(spark, TestSpark.sf0001, "embeddings")
+    val hofSig = (0 until 16).map { j =>
+      val dotJ = aggregate(
+        transform(sequence(lit(1), lit(64)), i =>
+          element_at(col("embedding"), i).cast("double") *
+            ((((i * (73 + j * 31) + lit(j * 151)) % 997) % 5) - 2)
+              .cast("double")),
+        lit(0.0), (a, x) => a + x)
+      when(dotJ >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val rows = e.select(LshSig.column(col("embedding")).as("k"),
+      hofSig.as("h")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+  }
+}
