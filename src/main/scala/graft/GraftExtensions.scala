@@ -1,39 +1,62 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.PolarityScore
+import graft.functions.{LshSig, MinHashSig, PolarityScore, SimHash64, VecDot, VecL2Sq}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Attach with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`; after that
-  * `SELECT graft_polarity(text) FROM …` works from plain SQL.
+  * `SELECT graft_polarity(text), graft_simhash64(tokens) FROM …` works
+  * from plain SQL.
   */
 object GraftExtensions {
-  /** builder with an explicit arity check: `graft_polarity(a, b)` must
-    * fail analysis, not silently score only the first argument
+
+  /** arity-checked builder: wrong argument counts must fail analysis,
+    * not silently drop arguments
     */
-  val polarityBuilder: Seq[Expression] => Expression = { exprs =>
-    if (exprs.length != 1) {
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> "`graft_polarity`",
-          "expectedNum" -> "1",
-          "actualNum" -> exprs.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    }
-    PolarityScore(exprs.head)
+  private def checked(name: String, arity: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    exprs =>
+      if (exprs.length != arity) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> arity.toString,
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      build(exprs)
   }
+
+  val polarityBuilder: Seq[Expression] => Expression =
+    checked("graft_polarity", 1)(e => PolarityScore(e.head))
+
+  /** every registered function: name -> (impl class, builder) */
+  val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_polarity", classOf[PolarityScore], polarityBuilder),
+    ("graft_simhash64", classOf[SimHash64],
+      checked("graft_simhash64", 1)(e => SimHash64(e.head))),
+    ("graft_minhash16", classOf[MinHashSig],
+      checked("graft_minhash16", 1)(e => MinHashSig(e.head))),
+    ("graft_lsh_sig", classOf[LshSig],
+      checked("graft_lsh_sig", 1)(e => LshSig(e.head))),
+    ("graft_dot", classOf[VecDot],
+      checked("graft_dot", 2)(e => VecDot(e(0), e(1)))),
+    ("graft_l2sq", classOf[VecL2Sq],
+      checked("graft_l2sq", 2)(e => VecL2Sq(e(0), e(1)))))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_polarity"),
-      new ExpressionInfo(classOf[PolarityScore].getName, "graft_polarity"),
-      GraftExtensions.polarityBuilder))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
 }

@@ -87,8 +87,14 @@ object DedupQueries {
       .select("doc_id", "fp").persist()
     val canon = fpr.groupBy("fp").agg(min(col("doc_id")).as("canon_id"))
     val members = fpr.join(canon, "fp").select(col("doc_id"), col("canon_id"))
+    // persist the canonical shingle table ONCE: both the signature
+    // lineage and the exact-Jaccard verify sets below derive from it,
+    // and each would otherwise re-run clean/tokenize/shingle over the
+    // scan. (At 100 TB this materialization is the signature store you
+    // would write to disk anyway.)
     val sh = t.join(canon.select(col("canon_id").as("doc_id")), "doc_id")
       .withColumn("sh", shingleCol)
+      .select("doc_id", "sh").persist()
     val sigs = sh
       .withColumn("mh", graft.functions.MinHashSig.column(col("sh")))
       .select(col("doc_id") +: col("sh") +:
@@ -109,12 +115,10 @@ object DedupQueries {
           .stripMargin)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
-    // persist the distinct-shingle sets: the two verify joins below would
-    // otherwise each re-derive clean/tokenize/shingle/md5 from the scan.
-    // (At 100 TB this materialization is the signature store you would
-    // write to disk anyway.) Small: distinct shingles of canonicals only.
+    // verify sets derive from the cached shingle table — array_distinct
+    // re-runs per consumer but that is array work over cached rows, not
+    // a rescan of the document lineage
     val sets = sh.select(col("doc_id"), array_distinct(col("sh")).as("st"))
-      .persist()
     val canonPairs = cand
       .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")

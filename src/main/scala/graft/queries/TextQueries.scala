@@ -192,7 +192,62 @@ object TextQueries {
               .polarityNative(col("text_clean")), 6) + lit(0.0))
           .select("doc_id", "polarity")
           .orderBy("doc_id"),
-      Some(polarityOracleSql))
+      Some(polarityOracleSql)),
+
+    // TF-IDF top terms per document (linear-idf variant: score =
+    // tf * N / (doc_len * df) — all-rational arithmetic, so both engines
+    // agree bit-for-bit; ln-idf differs only monotonically per term and
+    // would hinge on libm rounding). Scale shape: one shuffle on
+    // (doc_id, term) for tf, one on term for df (both partial-agg'd),
+    // scalar N broadcast, top-k per doc via window — every stage is
+    // linear in corpus size.
+    Q(
+      "doc_tfidf_top_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = toks(s, d)
+          .select(col("doc_id"), explode(col("tok")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        val dl = tf.groupBy("doc_id").agg(sum(col("c")).as("len"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = toks(s, d).agg(count(lit(1)).as("n"))
+        val scored = tf.join(dl, "doc_id").join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("c").cast("double") * col("n") / (col("len") * col("df")))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"),
+            round(col("score"), 6).as("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some(
+        s"""$tokCte, ex AS (
+           |  SELECT doc_id, unnest(tok) AS term FROM t
+           |), tf AS (
+           |  SELECT doc_id, term, count(*) AS c FROM ex GROUP BY 1, 2
+           |), dl AS (
+           |  SELECT doc_id, sum(c) AS len FROM tf GROUP BY 1
+           |), df AS (
+           |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+           |), n AS (
+           |  SELECT count(*) AS n FROM t
+           |), scored AS (
+           |  SELECT tf.doc_id, tf.term,
+           |    CAST(tf.c AS DOUBLE) * n.n / (dl.len * df.df) AS score
+           |  FROM tf
+           |  JOIN dl USING (doc_id)
+           |  JOIN df USING (term)
+           |  CROSS JOIN n
+           |), r AS (
+           |  SELECT doc_id, term, score,
+           |    row_number() OVER (PARTITION BY doc_id
+           |                       ORDER BY score DESC, term) AS rk
+           |  FROM scored)
+           |SELECT doc_id, rk, term, round(score, 6) AS score
+           |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
   )
 
   /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match

@@ -66,4 +66,24 @@ class PolarityExpressionSpec extends AnyFunSuite {
       spark.sql("SELECT graft_polarity()").collect()
     }
   }
+
+  test("all GraftExtensions functions register and evaluate from SQL") {
+    val classic =
+      org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+    graft.GraftExtensions.functions.foreach { case (name, _, builder) =>
+      classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    val r = spark.sql(
+      """SELECT graft_simhash64(array('a', 'b')) AS s,
+        |  graft_minhash16(array('a b c')) AS m,
+        |  graft_lsh_sig(array_repeat(float(0.5), 64)) AS g,
+        |  graft_dot(array(float(1), float(2)), array(float(3), float(4))) AS d,
+        |  graft_l2sq(array(float(1)), array(double(3))) AS l""".stripMargin)
+      .collect().head
+    assert(r.getAs[Long]("s") != 0L)
+    assert(r.getSeq[Long](1).length == 16)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Double]("l") == 4.0)
+  }
 }
