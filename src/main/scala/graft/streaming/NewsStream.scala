@@ -119,6 +119,25 @@ object NewsStream {
       .withWatermark("event_ts", "30 minutes")
       .dropDuplicatesWithinWatermark("title")
 
+  /** Beyond-reference: streaming NEAR-dup dedup — drops articles whose
+    * cleaned token multiset has the same 64-bit SimHash fingerprint as
+    * one already seen inside the watermark (catches re-syndications that
+    * reorder or lightly rewrap the same words, which the exact title
+    * dedup above misses). The fingerprint is the codegen'd SimHash64
+    * kernel, so the scorer adds a narrow per-row column — no extra
+    * shuffle beyond dropDuplicates' own state store, and state is
+    * watermark-bounded like every stateful op here.
+    */
+  def dedupBySimhashWithinWatermark(df: DataFrame): DataFrame =
+    df.withColumn("event_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("event_ts").isNotNull)
+      .withColumn("content_simhash",
+        graft.functions.SimHash64.column(
+          graft.functions.TextFns.tokens(graft.functions.TextFns.clean(
+            concat_ws(" ", col("title"), col("description"))))))
+      .withWatermark("event_ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("content_simhash")
+
   /** Beyond-reference: stream-static enrichment join — the streaming
     * articles joined to a static dimension (e.g. per-source metadata).
     * Catalyst broadcasts the static side into every micro-batch: no

@@ -283,4 +283,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("t_dd").count() == 4)
     } finally q.stop()
   }
+
+  test("simhash dedup drops reordered same-content articles, keeps others") {
+    val in = tmp("sd_in")
+    val ckpt = tmp("sd_ckpt")
+    def art(id: String, title: String, desc: String) =
+      s"""{"id":"$id","title":"$title","description":"$desc","url":"u$id","publishedAt":"2024-01-01T10:00:0${id.last}Z","lang":"en","fetched_at":"2024-01-01T10:05:00"}"""
+    Files.write(new java.io.File(in, "b0.json").toPath, Seq(
+      art("1", "Markets rally on strong earnings", "growth beats forecasts"),
+      // same words, different order + different title case/punct =>
+      // identical cleaned token MULTISET => identical simhash => dropped
+      art("2", "on strong earnings MARKETS rally!", "forecasts beats growth"),
+      // genuinely different content => kept
+      art("3", "Storm hits the coast", "heavy rain expected")
+    ).mkString("\n").getBytes("UTF-8"))
+    val dd = NewsStream.dedupBySimhashWithinWatermark(
+      NewsStream.pipeline(spark, in))
+    val q = dd.writeStream.format("memory").queryName("t_sd")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/sd")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("t_sd").select("id").collect()
+        .map(_.getString(0)).toSet
+      assert(ids.size == 2 && ids.contains("3"), ids)
+      assert(ids("1") || ids("2")) // exactly one of the near-dups survives
+    } finally q.stop()
+  }
 }
