@@ -321,6 +321,32 @@ object EventQueries {
           |  CAST(floor(epoch(c_ts)) AS BIGINT) AS c_ts_s
           |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin)),
 
+    // Pure range join (no equality key) via the banded RangeJoin
+    // operator: overlapping value bands against the event stream. The
+    // naive predicate would plan BroadcastNestedLoopJoin — O(n*m) when
+    // both sides grow; banding turns it into a hash join on the band id
+    // (RangeJoinSpec pins both the equivalence and the plan shapes).
+    Q(
+      "ev_value_range_join",
+      (s, d) => {
+        val bands = s.range(20).select(col("id").as("range_id"),
+          (col("id") * lit(5)).cast("double").as("lo"),
+          (col("id") * lit(5)).cast("double") + 7.5).toDF(
+          "range_id", "lo", "hi")
+        graft.operators.RangeJoin
+          .bucketed(ev(s, d).select(col("value")), bands,
+            "value", "lo", "hi", width = 5.0)
+          .groupBy("range_id").agg(count(lit(1)).as("n"))
+          .orderBy("range_id")
+      },
+      Some(
+        """WITH bands AS (
+          |  SELECT i AS range_id, i * 5.0 AS lo, i * 5.0 + 7.5 AS hi
+          |  FROM range(20) r(i))
+          |SELECT range_id, count(*) AS n
+          |FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+          |GROUP BY 1 ORDER BY range_id""".stripMargin)),
+
     // Exact distinct (oracle-checkable twin of the approx query below)
     Q(
       "ev_distinct_users",
