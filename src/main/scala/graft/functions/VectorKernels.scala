@@ -16,24 +16,35 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object VectorKernels {
 
-  /** sum_i a[i]*b[i], floats widened to double per element */
-  def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** sum_i a[i]*b[i], floats widened to double per element. Returns
+    * null (boxed) on length mismatch or a null element — matching the
+    * aggregate(zip_with(...)) fold, where zip_with null-pads the shorter
+    * array and a null product nulls the sum. A ragged/corrupt embedding
+    * must surface as NULL, not flow through as a plausible partial dot.
+    */
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
     acc
   }
 
-  /** sum_i (a[i]-b[i])^2 with a float (widened) and b double */
-  def l2FD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** sum_i (a[i]-b[i])^2 with a float (widened) and b double; same null
+    * semantics as dotFF
+    */
+  def l2FD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getFloat(i).toDouble - b.getDouble(i)
       acc += d * d
       i += 1
@@ -87,17 +98,24 @@ object LshSig {
     GraftSqlBridge.column(LshSig(GraftSqlBridge.expression(c)))
 }
 
-/** `graft_dot(array<float>, array<float>) -> double`, codegen'd. */
+/** `graft_dot(array<float>, array<float>) -> double`, codegen'd.
+  * Nullable beyond its inputs: ragged or null-element arrays yield NULL
+  * (see VectorKernels.dotFF).
+  */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorKernels.dotFF($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.dotFF($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -112,17 +130,23 @@ object VecDot {
       VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
-/** `graft_l2sq(array<float>, array<double>) -> double`, codegen'd. */
+/** `graft_l2sq(array<float>, array<double>) -> double`, codegen'd.
+  * Same extra-null semantics as VecDot.
+  */
 case class VecL2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.l2FD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorKernels.l2FD($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.l2FD($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecL2Sq =

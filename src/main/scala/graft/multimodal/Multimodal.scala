@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * video codecs remain STUBBED behind `StubCodec`, a deterministic
   * content-hash fake (their libraries are not in this container).
   * Everything Spark-side is real and tested: schema, encoders, batch
-  * shape (one codec call per partition-batch, not per row), partition
+  * shape (rows decoded in bounded per-partition batches), partition
   * mapping, and the explode for frame sampling. Swapping StubCodec for a
   * real decoder changes no plan shape.
   */
@@ -51,8 +51,6 @@ object Multimodal {
       Array.tabulate(dim)(i =>
         (((h * 31 + i * 2654435761L) % 1000).toFloat / 1000.0f))
     }
-    def embedBatch(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
-      batch.map(embed(_, dim))
   }
 
   /** REAL image decode via javax.imageio (ships in the JDK, headless-
@@ -69,7 +67,12 @@ object Multimodal {
           if (bytes == null) null
           else javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
-        } catch { case _: java.io.IOException => null }
+        } catch {
+          // JDK decoders throw RuntimeExceptions too (CMMException on a
+          // corrupt ICC profile, AIOOBE on truncated scanlines) — a bad
+          // asset must degrade to stub features, never fail the task
+          case scala.util.control.NonFatal(_) => null
+        }
       if (img == null) StubCodec.embed(bytes, dim)
       else {
         val w = img.getWidth
@@ -103,8 +106,10 @@ object Multimodal {
     else StubCodec.embed(bytes, dim)
 
   /** Feature extraction over the binary column, batched per partition —
-    * the `mapInPandas` shape: the codec sees BatchSize rows at a time
-    * (amortizing per-call overhead), never the whole partition in memory.
+    * the `mapInPandas` shape: rows are pulled BatchSize at a time (never
+    * the whole partition in memory) and decoded per asset within the
+    * batch, with per-kind dispatch; the grouped iteration is what bounds
+    * memory and amortizes per-row iterator overhead.
     */
   val BatchSize = 64
 

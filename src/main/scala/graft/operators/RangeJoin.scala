@@ -33,7 +33,14 @@ object RangeJoin {
       point: String, lo: String, hi: String, width: Double): DataFrame = {
     require(width > 0, "band width must be positive")
     val lb = left.withColumn("__band", floor(col(point) / width))
-    val rb = right.withColumn("__band",
+    // inverted intervals (lo > hi) match nothing under BETWEEN — drop
+    // them BEFORE explode, where sequence() would otherwise generate a
+    // full descending band list that is shuffled and then filtered away.
+    // NOTE on fan-out: a single interval explodes into
+    // (hi-lo)/width + 1 bands; size `width` near the median interval
+    // width so outlier-wide intervals don't dominate (Spark caps a
+    // generated sequence at ~2^31 elements and errors past it).
+    val rb = right.filter(col(lo) <= col(hi)).withColumn("__band",
       explode(sequence(floor(col(lo) / width), floor(col(hi) / width))))
     lb.join(rb, "__band")
       .filter(col(point) >= col(lo) && col(point) <= col(hi))

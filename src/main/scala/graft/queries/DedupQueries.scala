@@ -73,7 +73,22 @@ object DedupQueries {
     */
   val MaxBucket = 64
 
+  /** memoized per (session, dir): dedup_minhash_pairs and
+    * dedup_minhash_survivors both consume this lineage, and the persisted
+    * fpr/shingle tables inside it must be shared, not re-created per
+    * call (unreleased duplicate cache entries would otherwise accumulate
+    * for the JVM lifetime). Dead-session entries are evicted on entry.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pairsCache.computeIfAbsent((s, dir),
+      k => buildMinhashPairs(k._1, k._2))
+  }
+
+  private def buildMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val t = toks(s, dir)
     // exact-dup pre-pass: content-identical docs (same token sequence)
     // collapse to their lowest doc_id BEFORE signatures, so a

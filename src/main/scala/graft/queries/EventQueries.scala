@@ -252,17 +252,15 @@ object EventQueries {
       "ev_value_percentiles_approx",
       (s, d) =>
         ev(s, d).groupBy("event_type")
-          .agg(
-            expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
-            expr("approx_percentile(value, 0.95, 10000)").as("ap95"),
-            expr("percentile(value, 0.49)").as("lo50"),
-            expr("percentile(value, 0.51)").as("hi50"),
-            expr("percentile(value, 0.94)").as("lo95"),
-            expr("percentile(value, 0.96)").as("hi95"))
+          .agg( // array forms: ONE sketch + ONE sort instead of 2 + 4
+            expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("ap"),
+            expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))").as("ex"))
           .select(col("event_type"),
-            (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+            (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+              element_at(col("ap"), 1) <= element_at(col("ex"), 2))
               .as("p50_in_bounds"),
-            (col("ap95") >= col("lo95") && col("ap95") <= col("hi95"))
+            (element_at(col("ap"), 2) >= element_at(col("ex"), 3) &&
+              element_at(col("ap"), 2) <= element_at(col("ex"), 4))
               .as("p95_in_bounds"))
           .orderBy("event_type"),
       Some(
@@ -285,14 +283,10 @@ object EventQueries {
         val clicks = e.filter(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
             col("ts").as("c_ts"))
-        val w = Window.partitionBy(col("p_id"))
-          .orderBy(col("c_ts").desc, col("c_id"))
-        purchases.join(clicks,
-            col("user_id") === col("c_user") &&
-              col("c_ts") <= col("p_ts") &&
-              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        graft.operators.AsOfJoin.asOf(purchases, clicks,
+            leftKey = "user_id", rightKey = "c_user",
+            leftId = "p_id", leftTs = "p_ts", rightTs = "c_ts",
+            tolerance = "1 HOUR", rightTie = "c_id")
           .select(col("p_id"), col("user_id"), col("c_id"),
             epochS(col("p_ts")).as("p_ts_s"), epochS(col("c_ts")).as("c_ts_s"))
           .orderBy("p_id")

@@ -25,6 +25,19 @@ object HttpFetcher {
 
   private val mapper = new ObjectMapper()
 
+  /** one client for the object's lifetime — each HttpClient owns a
+    * selector thread + connection pool, so a per-call client would leak
+    * a thread per poll until GC
+    */
+  private lazy val client =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  /** monotonic suffix: two fetches in the same millisecond (or with the
+    * same explicit fetchedAt) must not collide — ATOMIC_MOVE would
+    * silently replace a batch the stream already recorded as processed
+    */
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
   /** GET `endpoint`, expect `{"articles": [...]}` (the GNews response
     * shape), stamp each article with `fetched_at`, and write all of them
     * as one NDJSON file into `watchDir` (temp file + atomic move, so the
@@ -34,7 +47,6 @@ object HttpFetcher {
   def fetchOnce(endpoint: URI, watchDir: String,
       fetchedAt: java.time.Instant = java.time.Instant.now(),
       timeout: Duration = Duration.ofSeconds(10)): Option[Path] = {
-    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
     val req = HttpRequest.newBuilder(endpoint).timeout(timeout).GET().build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
@@ -59,7 +71,7 @@ object HttpFetcher {
     }
     val dir = Paths.get(watchDir)
     Files.createDirectories(dir)
-    val name = s"fetch_${fetchedAt.toEpochMilli}.json"
+    val name = s"fetch_${fetchedAt.toEpochMilli}_${seq.incrementAndGet()}.json"
     val tmp = Files.createTempFile(dir, ".fetch", ".tmp")
     Files.write(tmp, sb.toString.getBytes("UTF-8"))
     Some(Files.move(tmp, dir.resolve(name),

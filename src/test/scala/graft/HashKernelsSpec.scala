@@ -23,7 +23,7 @@ class HashKernelsSpec extends AnyFunSuite {
       Seq("a"),
       Seq.empty[String],
       Seq("repeat", "repeat", "repeat", "other"),
-      Seq("unicode", "caf", "zrich"),
+      Seq("unicode", "café", "zürich", "中文", "emojié"),
       (1 to 500).map(i => s"tok$i")
     ).toDF("tok")
   }

@@ -50,6 +50,20 @@ class VectorKernelsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)), r))
   }
 
+  test("ragged and null-element arrays yield NULL, matching the HOF fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f)),          // length mismatch
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)))    // clean
+      .toDF("a", "b")
+      .union(Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+        .select(col("a"), array(col("b")(0), lit(null).cast("float")).as("b")))
+    val rows = df.select(VecDot.column(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) == 11.0)
+    assert(rows(2).isNullAt(0))
+  }
+
   test("LshSig == the 16 per-plane HOF sign dots") {
     val e = Tables.t(spark, TestSpark.sf0001, "embeddings")
     val hofSig = (0 until 16).map { j =>
