@@ -31,6 +31,36 @@ object DocQueries {
   private val cte = docPolarityCte // DuckDB twin of `scored`
 
   val qs: Seq[Q] = Seq(
+    // Deterministic hash split (train/val/test): bucket = first 4 md5
+    // hex chars of the STABLE doc key, mod 100 -> 80/10/10. This is the
+    // production answer to reproducible sampling at 100 TB — seeded
+    // rand()/sampleBy is partitioning-order-dependent and not
+    // cross-engine checkable; a content-key hash is stable under
+    // repartition, re-runs, and engine swaps, and docs never migrate
+    // between splits when the corpus grows. Narrow per-row compute +
+    // one small hash agg.
+    Q(
+      "doc_hash_split_counts",
+      (s, d) => {
+        val bucket =
+          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
+            .cast("long") % 100
+        docs(s, d)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+          .groupBy("split").agg(count(lit(1)).as("n"))
+          .orderBy("split")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT CASE
+          |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+          |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+          |    ELSE 'test' END AS split
+          |  FROM documents)
+          |SELECT split, count(*) AS n FROM b GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // P1: column projection (reference streaming_pipeline.py:114–121)
     Q(
       "doc_project",

