@@ -412,6 +412,58 @@ object DedupQueries {
            |ORDER BY a_id, b_id""".stripMargin
       }),
 
+    // Split-contamination check: how many distinct token bigrams of the
+    // TEST split also occur in the TRAIN split (benchmark-contamination
+    // detection, a standard training-data hygiene op). Splits are the
+    // same deterministic md5 buckets as doc_hash_split_counts. Scale
+    // shape: distinct (split, gram) pairs via hash agg, then an equality
+    // join on the gram — linear in corpus, shuffles carry grams once.
+    Q(
+      "dedup_split_contamination",
+      (s, d) => {
+        val bucket =
+          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
+            .cast("long") % 100
+        val grams = toks(s, d)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+          .select(col("split"), explode(when(size(col("tok")) >= 2,
+            transform(sequence(lit(1), size(col("tok")) - 1), i =>
+              concat_ws(" ", element_at(col("tok"), i),
+                element_at(col("tok"), i + 1))))
+            .otherwise(col("tok"))).as("g"))
+          .distinct()
+        val test = grams.filter(col("split") === "test").select("g")
+        val train = grams.filter(col("split") === "train")
+          .select(col("g").as("gt"))
+        test.join(train, col("g") === col("gt"), "left")
+          .agg(count(lit(1)).as("n_test_grams"),
+            count(col("gt")).as("n_contaminated"))
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), split AS (
+           |  SELECT doc_id, tok, CASE
+           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+           |    ELSE 'test' END AS split
+           |  FROM toksrc
+           |), grams AS (
+           |  SELECT DISTINCT split, g FROM (
+           |    SELECT split, unnest(CASE WHEN len(tok) >= 2
+           |      THEN list_transform(range(1, len(tok)),
+           |             i -> tok[i] || ' ' || tok[i+1])
+           |      ELSE tok END) AS g
+           |    FROM split)
+           |), test AS (SELECT g FROM grams WHERE split = 'test'),
+           |train AS (SELECT g AS gt FROM grams WHERE split = 'train')
+           |SELECT count(*) AS n_test_grams, count(gt) AS n_contaminated
+           |FROM test LEFT JOIN train ON g = gt""".stripMargin)),
+
     // n-gram (token bigram) Jaccard over a bounded candidate block —
     // the exact quadratic baseline the LSH path approximates
     Q(
