@@ -416,15 +416,15 @@ object DedupQueries {
     // TEST split also occur in the TRAIN split (benchmark-contamination
     // detection, a standard training-data hygiene op). Splits are the
     // same deterministic md5 buckets as doc_hash_split_counts. Scale
-    // shape: distinct (split, gram) pairs via hash agg, then an equality
-    // join on the gram — linear in corpus, shuffles carry grams once.
+    // shape: ONE scan, ONE shuffle — per-gram membership flags via a
+    // grouped bool-or (partial-agg'd), no join and no distinct pass.
     Q(
       "dedup_split_contamination",
       (s, d) => {
         val bucket =
           expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
             .cast("long") % 100
-        val grams = toks(s, d)
+        toks(s, d)
           .withColumn("split",
             when(bucket < 80, "train").when(bucket < 90, "val")
               .otherwise("test"))
@@ -433,13 +433,12 @@ object DedupQueries {
               concat_ws(" ", element_at(col("tok"), i),
                 element_at(col("tok"), i + 1))))
             .otherwise(col("tok"))).as("g"))
-          .distinct()
-        val test = grams.filter(col("split") === "test").select("g")
-        val train = grams.filter(col("split") === "train")
-          .select(col("g").as("gt"))
-        test.join(train, col("g") === col("gt"), "left")
+          .groupBy("g")
+          .agg(max(col("split") === "test").as("has_test"),
+            max(col("split") === "train").as("has_train"))
+          .filter(col("has_test"))
           .agg(count(lit(1)).as("n_test_grams"),
-            count(col("gt")).as("n_contaminated"))
+            count(when(col("has_train"), 1)).as("n_contaminated"))
       },
       Some(
         s"""WITH cleaned AS (
@@ -452,17 +451,20 @@ object DedupQueries {
            |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
            |    ELSE 'test' END AS split
            |  FROM toksrc
-           |), grams AS (
-           |  SELECT DISTINCT split, g FROM (
-           |    SELECT split, unnest(CASE WHEN len(tok) >= 2
-           |      THEN list_transform(range(1, len(tok)),
-           |             i -> tok[i] || ' ' || tok[i+1])
-           |      ELSE tok END) AS g
-           |    FROM split)
-           |), test AS (SELECT g FROM grams WHERE split = 'test'),
-           |train AS (SELECT g AS gt FROM grams WHERE split = 'train')
-           |SELECT count(*) AS n_test_grams, count(gt) AS n_contaminated
-           |FROM test LEFT JOIN train ON g = gt""".stripMargin)),
+           |), ex AS (
+           |  SELECT split, unnest(CASE WHEN len(tok) >= 2
+           |    THEN list_transform(range(1, len(tok)),
+           |           i -> tok[i] || ' ' || tok[i+1])
+           |    ELSE tok END) AS g
+           |  FROM split
+           |), flags AS (
+           |  SELECT g, bool_or(split = 'test') AS has_test,
+           |    bool_or(split = 'train') AS has_train
+           |  FROM ex GROUP BY g
+           |)
+           |SELECT count(*) AS n_test_grams,
+           |  count(CASE WHEN has_train THEN 1 END) AS n_contaminated
+           |FROM flags WHERE has_test""".stripMargin)),
 
     // n-gram (token bigram) Jaccard over a bounded candidate block —
     // the exact quadratic baseline the LSH path approximates

@@ -51,6 +51,16 @@ class HttpFetcherSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("same-fetchedAt batches land as distinct files, never replaced") {
+    val dir = Files.createTempDirectory("fetch_seq").toString
+    val at = java.time.Instant.parse("2024-01-01T12:00:00Z")
+    val p1 = HttpFetcher.writeArticles(payload, dir, at)
+    val p2 = HttpFetcher.writeArticles(payload, dir, at)
+    assert(p1.isDefined && p2.isDefined && p1.get != p2.get)
+    assert(new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".json")) == 2)
+  }
+
   test("non-200 responses raise; empty article lists write nothing") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/limit", { exchange =>
