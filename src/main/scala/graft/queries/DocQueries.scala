@@ -132,6 +132,12 @@ object DocQueries {
         scored(s, d)
           .withColumn("sentiment", label(col("polarity")))
           .groupBy("sentiment").agg(count(lit(1)).as("n"))
+          // the unpartitioned window (and its "No Partition Defined"
+          // warning) is deliberate AND scale-safe: its input is the
+          // POST-AGGREGATION frame — one row per sentiment label, never
+          // the corpus — so "all data to a single partition" means 3
+          // rows. The alternative (cross-join a scalar total) would
+          // re-run the scan+scoring lineage for the total.
           .withColumn("pct",
             col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()))
           .orderBy("sentiment"),

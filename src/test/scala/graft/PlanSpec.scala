@@ -46,6 +46,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<text:string>"), p.take(600))
   }
 
+  test("hash-split scan reads only the key column") {
+    val p = plan("doc_hash_split_counts")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(600))
+  }
+
+  test("contamination check is one scan, no join") {
+    val p = plan("dedup_split_contamination")
+    assert(!p.contains("Join"), p.take(600))
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(600))
+  }
+
   test("AQE splits a skewed fact-fact sort-merge join at runtime") {
     // Complements the salted-agg pattern: for JOIN skew you don't salt by
     // hand — you let AQE's OptimizeSkewedJoin split the oversized
