@@ -199,12 +199,14 @@ object TextQueries {
     // agree bit-for-bit; ln-idf differs only monotonically per term and
     // would hinge on libm rounding). Scale shape: one shuffle on
     // (doc_id, term) for tf, one on term for df (both partial-agg'd),
-    // scalar N broadcast, top-k per doc via window — every stage is
-    // linear in corpus size.
+    // scalar N broadcast, and per-doc top-k via the bounded TopKTermAgg
+    // aggregator — partial+final with an O(k) buffer instead of a
+    // row_number window's per-doc sort. Every stage is linear in corpus
+    // size. The oracle expresses the same semantics as a window.
     Q(
       "doc_tfidf_top_terms",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.functions.{ScoredTerm, TopKTermAgg}
         val tf = toks(s, d)
           .select(col("doc_id"), explode(col("tok")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -215,12 +217,17 @@ object TextQueries {
           .crossJoin(broadcast(n))
           .withColumn("score",
             col("c").cast("double") * col("n") / (col("len") * col("df")))
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("term"))
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("doc_id"), col("rk"), col("term"),
-            round(col("score"), 6).as("score"))
+        import s.implicits._
+        val topK = new TopKTermAgg(3).toColumn
+        scored.select(col("doc_id"), col("score"), col("term"))
+          .as[(Long, Double, String)]
+          .groupByKey(_._1)
+          .mapValues(t => ScoredTerm(t._2, t._3))
+          .agg(topK.name("top"))
+          .toDF("doc_id", "top")
+          .select(col("doc_id"), posexplode(col("top")).as(Seq("rk0", "t")))
+          .select(col("doc_id"), (col("rk0") + 1).as("rk"),
+            col("t.term").as("term"), round(col("t.score"), 6).as("score"))
           .orderBy("doc_id", "rk")
       },
       Some(
