@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{LshSig, MinHashSig, PolarityScore, SimHash64, VecDot, VecL2Sq}
+import graft.functions.{LshSig, MinHashSig, PolarityScore, SimHash64, VecCosine, VecDot, VecL2Sq}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Attach with
@@ -47,6 +47,8 @@ object GraftExtensions {
       checked("graft_lsh_sig", 1)(e => LshSig(e.head))),
     ("graft_dot", classOf[VecDot],
       checked("graft_dot", 2)(e => VecDot(e(0), e(1)))),
+    ("graft_cosine", classOf[VecCosine],
+      checked("graft_cosine", 2)(e => VecCosine(e(0), e(1)))),
     ("graft_l2sq", classOf[VecL2Sq],
       checked("graft_l2sq", 2)(e => VecL2Sq(e(0), e(1)))))
 }

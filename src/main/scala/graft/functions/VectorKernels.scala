@@ -35,6 +35,34 @@ object VectorKernels {
     acc
   }
 
+  /** Safe cosine in ONE pass: the three sums (a·b, a·a, b·b) accumulate
+    * independently in array order, so each is bit-identical to its own
+    * dotFF; sqrt/multiply/divide are IEEE-exact, so the result equals
+    * the compose-of-dots form the oracle SQL expresses. Zero-norm
+    * inputs yield 0.0 (the pinned convention — ANSI division would
+    * throw, the oracle's x/0 would be NULL). Same extra-null semantics
+    * as dotFF.
+    */
+  def cosineFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      ab += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    val den = math.sqrt(aa) * math.sqrt(bb)
+    if (den == 0.0) 0.0 else ab / den
+  }
+
   /** sum_i (a[i]-b[i])^2 with a float (widened) and b double; same null
     * semantics as dotFF
     */
@@ -128,6 +156,38 @@ object VecDot {
   def column(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
+/** `graft_cosine(array<float>, array<float>) -> double`, codegen'd:
+  * one-pass safe cosine (see VectorKernels.cosineFF). Same extra-null
+  * semantics as VecDot.
+  */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.cosineFF($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_cosine"
+}
+
+object VecCosine {
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      VecCosine(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
 /** `graft_l2sq(array<float>, array<double>) -> double`, codegen'd.

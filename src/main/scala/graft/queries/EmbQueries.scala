@@ -31,11 +31,12 @@ object EmbQueries {
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** zero-norm inputs yield 0.0 (ANSI division would throw; the DuckDB
-    * twin's x/0 would yield NULL) */
-  def cosine(a: Column, b: Column): Column = {
-    val den = norm2(a) * norm2(b)
-    when(den === 0.0, 0.0).otherwise(dot(a, b) / den)
-  }
+    * twin's x/0 would yield NULL). One-pass fused kernel — the three
+    * sums accumulate independently in array order, bit-identical to the
+    * compose-of-dots form the oracle expresses.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecCosine.column(a, b)
 
   /** DuckDB twins — explicit fold, not list_cosine_similarity, so the
     * accumulation order/width provably matches the Spark side.

@@ -350,15 +350,18 @@ object EventQueries {
 
     // approx_count_distinct: the HLL estimate itself is engine-specific,
     // so the checkable contract is the ERROR BOUND — emit the exact twin
-    // plus a boolean pinning |approx-exact|/exact <= 5% (the default
-    // rsd), which the oracle can hash-match instead of a rows-only pass
+    // plus a boolean pinning |approx-exact|/exact <= 5%, which the
+    // oracle can hash-match instead of a rows-only pass. The sketch runs
+    // at rsd=0.01 (one standard deviation = 1%), giving the 5σ headroom
+    // the boolean needs to hold at EVERY scale factor — at the default
+    // rsd=0.05 the bound is a coin flip (observed failing at sf0.1).
     Q(
       "ev_approx_distinct_users",
       (s, d) =>
         ev(s, d)
           .agg(
             countDistinct(col("user_id")).as("n_exact"),
-            approx_count_distinct(col("user_id")).as("approx"))
+            approx_count_distinct(col("user_id"), 0.01).as("approx"))
           .select(col("n_exact"),
             (abs(col("approx") - col("n_exact")).cast("double") /
               col("n_exact") <= 0.05).as("within_5pct")),

@@ -50,6 +50,27 @@ class VectorKernelsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)), r))
   }
 
+  test("VecCosine == the compose-of-dots form, bit for bit") {
+    def hofNorm(a: org.apache.spark.sql.Column) = sqrt(hofDot(a, a))
+    val composed = {
+      val den = hofNorm(col("va")) * hofNorm(col("vb"))
+      when(den === 0.0, 0.0).otherwise(hofDot(col("va"), col("vb")) / den)
+    }
+    val rows = pairs.select(
+      graft.functions.VecCosine.column(col("va"), col("vb")).as("k"),
+      composed.as("h")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r))
+    // zero-norm convention
+    import spark.implicits._
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(graft.functions.VecCosine.column(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(z == 0.0)
+  }
+
   test("ragged and null-element arrays yield NULL, matching the HOF fold") {
     import spark.implicits._
     val df = Seq(
