@@ -39,6 +39,10 @@ class RegistrySpec extends AnyFunSuite {
     assert(n("dedup_minhash_pairs") == 28) // sf0.001's near-dup pairs
     assert(n("dedup_minhash_survivors") == 1)
     assert(n("star_pivot") == 3) // returnflag values A/N/R
+    assert(n("doc_hash_split_counts") == 3) // train/val/test
+    assert(n("ev_value_range_join") == 20) // one row per value band
+    assert(n("dedup_split_contamination") == 1)
+    assert(n("doc_tfidf_top_terms") == 1500) // 500 docs x top-3
   }
 
   test("flagship entry returns data") {
