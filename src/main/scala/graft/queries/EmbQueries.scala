@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.functions.TextFns.{cleanSql, tokensSql}
 
 /** Similarity search over the `embeddings` table (ArrayType(FloatType),
   * 64-dim). Brute-force cosine is the exact baseline: at 100 TB the same
@@ -311,48 +312,115 @@ object EmbQueries {
     // differ), so no distinct pass is needed across bands.
     Q(
       "emb_near_dup_pairs",
+      (s, d) => nearDupPairs(s, d),
+      Some(nearDupPairsSql)),
+
+    // Cross-modal verification: the embedding near-dup candidates above
+    // cross-checked against the TEXT of the same corpus (doc_id ==
+    // vec_id): token-bigram jaccard per pair. The production dedup
+    // workflow — cheap vector candidates, content-level confirmation —
+    // and the join shape is two broadcast-able lookups of a 10-row pair
+    // set into the documents table, so the text side is touched only
+    // for candidates, never pairwise.
+    Q(
+      "emb_text_crosscheck",
       (s, d) => {
-        val withSig = emb(s, d)
-          .withColumn("sig", signature(col("embedding")))
-        val bands = withSig.select(col("vec_id"), col("sig"), col("embedding"),
-          posexplode(array((0 until SigBands).map(b =>
-            bandOf(col("sig"), b)): _*)).as(Seq("band", "key")))
-        val a = bands.select(col("band"), col("key"),
-          col("vec_id").as("a_id"), col("sig").as("sa"), col("embedding").as("ea"))
-        val b = bands.select(col("band"), col("key"),
-          col("vec_id").as("b_id"), col("sig").as("sb"), col("embedding").as("eb"))
-        val firstMatch = (0 until SigBands).map { i =>
-          (0 until i).map(j => bandOf(col("sa"), j) =!= bandOf(col("sb"), j))
-            .foldLeft(col("band") === i)(_ && _)
-        }.reduce(_ || _)
-        a.join(b, Seq("band", "key"))
-          .filter(col("a_id") < col("b_id") && firstMatch)
-          .select(col("a_id"), col("b_id"),
-            round(cosine(col("ea"), col("eb")), 6).as("sim"))
-          .orderBy(col("sim").desc, col("a_id"), col("b_id"))
-          .limit(10)
+        import graft.functions.TextFns._
+        val grams = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            tokens(clean(col("text"))).as("tok"))
+          .select(col("doc_id"),
+            array_distinct(when(size(col("tok")) >= 2,
+              transform(sequence(lit(1), size(col("tok")) - 1), i =>
+                concat_ws(" ", element_at(col("tok"), i),
+                  element_at(col("tok"), i + 1))))
+              .otherwise(col("tok"))).as("g"))
+        nearDupPairs(s, d)
+          .join(grams.select(col("doc_id").as("a_id"), col("g").as("ga")), "a_id")
+          .join(grams.select(col("doc_id").as("b_id"), col("g").as("gb")), "b_id")
+          .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+          .withColumn("text_jaccard",
+            col("inter").cast("double") /
+              greatest(size(col("ga")) + size(col("gb")) - col("inter"), lit(1)))
+          .select(col("a_id"), col("b_id"), col("sim"),
+            round(col("text_jaccard"), 6).as("text_jaccard"))
+          .orderBy("a_id", "b_id")
       },
-      Some {
-        val bandsSql = (0 until SigBands).map(b =>
-          s"SELECT vec_id, embedding, sig, $b AS band, ${bandOfSql("sig", b)} AS key FROM b")
-          .mkString("\n  UNION ALL\n  ")
-        val firstMatchSql = (0 until SigBands).map { i =>
-          val earlier = (0 until i).map(j =>
-            s"${bandOfSql("x.sig", j)} <> ${bandOfSql("y.sig", j)}")
-          (s"x.band = $i" +: earlier).mkString("(", " AND ", ")")
-        }.mkString("(", " OR ", ")")
-        s"""WITH b AS (
-           |  SELECT vec_id, embedding, ${signatureSql("embedding")} AS sig
-           |  FROM embeddings
-           |), bands AS (
-           |  $bandsSql
+      Some(
+        s"""WITH pairs AS (
+           |  $nearDupPairsSql
+           |), cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), grams AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(tok) >= 2
+           |      THEN list_transform(range(1, len(tok)),
+           |             i -> tok[i] || ' ' || tok[i+1])
+           |      ELSE tok END) AS g
+           |  FROM toksrc
+           |), j AS (
+           |  SELECT p.a_id, p.b_id, p.sim,
+           |    len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
+           |    len(ga.g) AS la, len(gb.g) AS lb
+           |  FROM pairs p
+           |  JOIN grams ga ON ga.doc_id = p.a_id
+           |  JOIN grams gb ON gb.doc_id = p.b_id
            |)
-           |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
-           |  ${cosSql("x.embedding", "y.embedding")} AS sim
-           |FROM bands x JOIN bands y
-           |  ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
-           |WHERE $firstMatchSql
-           |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin
-      })
+           |SELECT a_id, b_id, sim,
+           |  round(CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1), 6)
+           |    AS text_jaccard
+           |FROM j ORDER BY a_id, b_id""".stripMargin))
   )
+
+  /** top-10 most-similar band-colocated pairs (shared by the near-dup
+    * query and the cross-modal check)
+    */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val withSig = emb(s, d)
+      .withColumn("sig", signature(col("embedding")))
+    val bands = withSig.select(col("vec_id"), col("sig"), col("embedding"),
+      posexplode(array((0 until SigBands).map(b =>
+        bandOf(col("sig"), b)): _*)).as(Seq("band", "key")))
+    val a = bands.select(col("band"), col("key"),
+      col("vec_id").as("a_id"), col("sig").as("sa"), col("embedding").as("ea"))
+    val b = bands.select(col("band"), col("key"),
+      col("vec_id").as("b_id"), col("sig").as("sb"), col("embedding").as("eb"))
+    val firstMatch = (0 until SigBands).map { i =>
+      (0 until i).map(j => bandOf(col("sa"), j) =!= bandOf(col("sb"), j))
+        .foldLeft(col("band") === i)(_ && _)
+    }.reduce(_ || _)
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id") && firstMatch)
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(10)
+  }
+
+  // lazy: referenced from the qs initializer above — a plain val would
+  // be a null forward reference at object init
+  private lazy val nearDupPairsSql: String = {
+    val bandsSql = (0 until SigBands).map(b =>
+      s"SELECT vec_id, embedding, sig, $b AS band, ${bandOfSql("sig", b)} AS key FROM b")
+      .mkString("\n  UNION ALL\n  ")
+    val firstMatchSql = (0 until SigBands).map { i =>
+      val earlier = (0 until i).map(j =>
+        s"${bandOfSql("x.sig", j)} <> ${bandOfSql("y.sig", j)}")
+      (s"x.band = $i" +: earlier).mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${signatureSql("embedding")} AS sig
+       |  FROM embeddings
+       |), bands AS (
+       |  $bandsSql
+       |)
+       |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+       |  ${cosSql("x.embedding", "y.embedding")} AS sim
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+       |WHERE $firstMatchSql
+       |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin
+  }
 }
