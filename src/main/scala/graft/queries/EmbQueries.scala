@@ -375,9 +375,18 @@ object EmbQueries {
   )
 
   /** top-10 most-similar band-colocated pairs (shared by the near-dup
-    * query and the cross-modal check)
+    * query and the cross-modal check) — memoized per (session, dir) so
+    * both consumers share one lineage; dead-session entries evicted
     */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pairsCache.computeIfAbsent((s, d), k => buildNearDupPairs(k._1, k._2))
+  }
+
+  private def buildNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val withSig = emb(s, d)
       .withColumn("sig", signature(col("embedding")))
     val bands = withSig.select(col("vec_id"), col("sig"), col("embedding"),
