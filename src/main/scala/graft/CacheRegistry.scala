@@ -1,0 +1,65 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central registry for the engine's memoized + persisted lineages
+  * (minhash/embedding pair sets and their intermediate materializations).
+  *
+  * Why central: several query families share one expensive lineage
+  * (dedup_minhash_pairs / dedup_minhash_survivors; emb_near_dup_pairs /
+  * emb_text_crosscheck). Sharing is by memoized DataFrame + persist() of
+  * the bounded results, so the SECOND consumer reuses materialized rows,
+  * not just a plan. That storage must also be releasable: the harness
+  * (Verify/Bench) calls [[clear]] before stopping its session, so no
+  * pinned blocks outlive a verify+bench cycle, and a long-lived session
+  * can evict explicitly between scale factors.
+  *
+  * ASSUMPTION (documented contract): the parquet tables under a given
+  * `dir` are immutable for the lifetime of a session's cache entry.
+  * Rewriting an input dir mid-session without calling [[clear]] would
+  * serve stale cached pair results — the bench/verify flow never does
+  * this; interactive users get `clear(session)`.
+  */
+object CacheRegistry {
+
+  private val memos =
+    new ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
+  private val tracked =
+    new ConcurrentHashMap[SparkSession, java.util.List[DataFrame]]()
+
+  /** Memoize `build` per (tag, session, dir). Dead-session entries are
+    * evicted on the way in (their cached blocks died with the executor,
+    * so only the map entry needs dropping).
+    */
+  def memo(tag: String, s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    memos.keySet.removeIf(k => k._2.sparkContext.isStopped)
+    tracked.keySet.removeIf(k => k.sparkContext.isStopped)
+    memos.computeIfAbsent((tag, s, dir), _ => build)
+  }
+
+  /** Persist `df` and record the handle so [[clear]] can unpersist it. */
+  def track(s: SparkSession, df: DataFrame): DataFrame = {
+    df.persist()
+    tracked
+      .computeIfAbsent(s,
+        _ => java.util.Collections.synchronizedList(
+          new java.util.ArrayList[DataFrame]()))
+      .add(df)
+    df
+  }
+
+  /** Unpersist every tracked lineage of `s` and drop its memo entries —
+    * the eviction hook the harness calls between scale factors / before
+    * session stop.
+    */
+  def clear(s: SparkSession): Unit = {
+    val dfs = tracked.remove(s)
+    if (dfs != null && !s.sparkContext.isStopped) {
+      dfs.forEach(df => df.unpersist())
+    }
+    memos.keySet.removeIf(k => k._2 == s)
+  }
+}

@@ -78,30 +78,74 @@ object HashKernels {
     fp
   }
 
-  /** 16 affine minhashes over a shingle array in one pass: shingle value
-    * = digest bytes 0-5 (48-bit) mod P; h_i = min over shingles of
-    * (v*(2i+3) + 104729i + 12345) mod P — the same family as
-    * DedupQueries.aCoef/bCoef. Empty/null array => all-P signature (the
-    * fold's init value; unreachable, the shingler always emits >= 1).
+  /** shingle value = digest bytes 0-5 (48-bit) mod P; folds the value
+    * into all 16 running affine minima — h_i = min over shingles of
+    * (v*(2i+3) + 104729i + 12345) mod P, the DedupQueries.aCoef/bCoef
+    * family
+    */
+  private def foldShingle(s: org.apache.spark.unsafe.types.UTF8String,
+      mins: Array[Long]): Unit = {
+    val h = digest(s)
+    val v = ((be32(h, 0) << 16) | ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)) % P
+    var j = 0
+    while (j < 16) {
+      val x = (v * (2 * j + 3) + 104729L * j + 12345L) % P
+      if (x < mins(j)) mins(j) = x
+      j += 1
+    }
+  }
+
+  /** 16 affine minhashes over a shingle array in one pass. Empty/null
+    * array => NULL, matching the oracle/HOF formulation (array_min over
+    * an empty transform yields NULL) — unreachable from the shingler,
+    * which always emits >= 1 shingle, but reachable through the
+    * registered SQL function graft_minhash16(array()).
     */
   def minhash16(arr: ArrayData): ArrayData = {
+    if (arr == null || arr.numElements() == 0) return null
     val mins = Array.fill(16)(P)
-    if (arr != null) {
-      val n = arr.numElements()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) foldShingle(arr.getUTF8String(i), mins)
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** The shingler FUSED into minhash16: 16 affine minhashes over the
+    * 3-token shingles of a token array, built in place — per-doc shingle
+    * string arrays never materialize through an interpreted transform()
+    * (which is what made the standalone pipeline the round-2 bench tail).
+    * Shingle text is identical to DedupQueries.shingleCol and its oracle
+    * twin: tok[i]+" "+tok[i+1]+" "+tok[i+2] for n >= 3, else ONE shingle
+    * = all tokens joined by " " ("" for an empty or null token array —
+    * the oracle's coalesce(array_to_string(tok,' '),'') branch). Null
+    * tokens are skipped within a shingle, like concat_ws.
+    */
+  def minhash16Shingles(arr: ArrayData): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val mins = Array.fill(16)(P)
+    val n = if (arr == null) 0 else arr.numElements()
+    // null slots read as null (concatWs skips them) — never read an
+    // unsafe array's bytes at a null position
+    def tokAt(i: Int): UTF8String =
+      if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+    if (n >= 3) {
       var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = digest(arr.getUTF8String(i))
-          val v = ((be32(h, 0) << 16) | ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)) % P
-          var j = 0
-          while (j < 16) {
-            val x = (v * (2 * j + 3) + 104729L * j + 12345L) % P
-            if (x < mins(j)) mins(j) = x
-            j += 1
-          }
-        }
+      while (i + 2 < n) {
+        foldShingle(
+          UTF8String.concatWs(Space, tokAt(i), tokAt(i + 1), tokAt(i + 2)),
+          mins)
         i += 1
       }
+    } else {
+      val toks = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { toks(i) = tokAt(i); i += 1 }
+      foldShingle(UTF8String.concatWs(Space, toks: _*), mins)
     }
     new GenericArrayData(mins)
   }
@@ -137,10 +181,13 @@ object SimHash64 {
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(c)))
 }
 
-/** `graft_minhash16(array<string>) -> array<bigint>`, codegen'd. */
+/** `graft_minhash16(array<string>) -> array<bigint>`, codegen'd.
+  * NULL for an empty/null shingle array (the oracle's array_min-over-
+  * empty convention).
+  */
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
 
   override def eval(input: InternalRow): Any =
     HashKernels.minhash16(child.eval(input).asInstanceOf[ArrayData])
@@ -153,8 +200,8 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.functions.HashKernels.minhash16(
             ${c.isNull} ? null : ${c.value});
-      """,
-      isNull = FalseLiteral)
+        boolean ${ev.isNull} = ${ev.value} == null;
+      """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -166,4 +213,39 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 object MinHashSig {
   def column(c: Column): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(c)))
+}
+
+/** `graft_minhash16_shingle(array<string>) -> array<bigint>`, codegen'd:
+  * the 3-token shingler fused into the 16-way minhash (see
+  * HashKernels.minhash16Shingles). Total, never NULL — empty/null token
+  * arrays hash the single empty shingle "".
+  */
+case class MinHashShingleSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    HashKernels.minhash16Shingles(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.HashKernels.minhash16Shingles(
+            ${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingleSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash16_shingle"
+}
+
+object MinHashShingleSig {
+  def column(c: Column): Column =
+    GraftSqlBridge.column(MinHashShingleSig(GraftSqlBridge.expression(c)))
 }

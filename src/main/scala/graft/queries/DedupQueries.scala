@@ -42,13 +42,18 @@ object DedupQueries {
       .select(col("doc_id"),
         tokens(clean(col("text"))).as("tok"))
 
-  /** 3-token shingles; whole text as a single shingle when too short. */
+  /** 3-token shingles; whole text as a single shingle when too short
+    * (coalesce: a NULL token array yields the single empty shingle, the
+    * oracle's coalesce(array_to_string(tok,' '),'') branch). Only used
+    * for the bounded candidate-verify sets — the corpus-wide signature
+    * pass fuses shingling into the MinHashShingleSig kernel instead.
+    */
   private val shingleCol: Column =
     when(size(col("tok")) >= 3,
       transform(sequence(lit(1), size(col("tok")) - 2), i =>
         concat_ws(" ", element_at(col("tok"), i),
           element_at(col("tok"), i + 1), element_at(col("tok"), i + 2))))
-      .otherwise(array(array_join(col("tok"), " ")))
+      .otherwise(array(coalesce(array_join(col("tok"), " "), lit(""))))
 
   /** all 16 minima in ONE pass via the native codegen'd kernel
     * (graft.functions.MinHashSig): one md5 per shingle, affine mins in a
@@ -73,55 +78,54 @@ object DedupQueries {
     */
   val MaxBucket = 64
 
-  /** memoized per (session, dir): dedup_minhash_pairs and
-    * dedup_minhash_survivors both consume this lineage, and the persisted
-    * fpr/shingle tables inside it must be shared, not re-created per
-    * call (unreleased duplicate cache entries would otherwise accumulate
-    * for the JVM lifetime). Dead-session entries are evicted on entry.
+  /** memoized + persisted per (session, dir) via CacheRegistry:
+    * dedup_minhash_pairs and dedup_minhash_survivors both consume this
+    * lineage, and the FINAL pair set is persisted so the second consumer
+    * reuses materialized rows, not just a plan (a write action re-plans
+    * its own RDD lineage, so plan-level memoization alone reuses
+    * nothing). Input dirs are assumed immutable for the cache lifetime;
+    * the harness releases everything via CacheRegistry.clear.
     */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    pairsCache.computeIfAbsent((s, dir),
-      k => buildMinhashPairs(k._1, k._2))
-  }
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.memo("dedup_minhash_pairs", s, dir)(
+      buildMinhashPairs(s, dir))
 
   private def buildMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(s, dir)
+    import graft.CacheRegistry.track
+    // ONE scan+clean+tokenize, cached: the fingerprint pass, the
+    // signature pass and the candidate-verify pass all branch from it.
+    // (At 100 TB this materialization is the tokenized corpus a real
+    // pipeline would stage to disk anyway.)
+    val t = track(s, toks(s, dir))
     // exact-dup pre-pass: content-identical docs (same token sequence)
     // collapse to their lowest doc_id BEFORE signatures, so a
     // duplicate-heavy corpus (the very target of dedup) cannot
     // concentrate one band bucket. Identical docs pair trivially at
     // jaccard 1.0 via the fp self-join below; LSH runs on canonicals.
-    // persist the tiny (doc_id, fp) projection: canon, members and the
-    // within self-join all branch from it, and without the persist each
-    // branch would re-run clean/tokenize/md5 over the full scan
-    val fpr = t.withColumn("fp", md5(array_join(col("tok"), " ")))
-      .select("doc_id", "fp").persist()
+    // coalesce mirrors the oracle: a NULL-token doc fingerprints like an
+    // empty-token doc instead of disappearing into a NULL fp.
+    val fpr = t
+      .withColumn("fp", md5(coalesce(array_join(col("tok"), " "), lit(""))))
+      .select("doc_id", "fp")
     val canon = fpr.groupBy("fp").agg(min(col("doc_id")).as("canon_id"))
     val members = fpr.join(canon, "fp").select(col("doc_id"), col("canon_id"))
-    // persist the canonical shingle table ONCE: both the signature
-    // lineage and the exact-Jaccard verify sets below derive from it,
-    // and each would otherwise re-run clean/tokenize/shingle over the
-    // scan. (At 100 TB this materialization is the signature store you
-    // would write to disk anyway.)
-    val sh = t.join(canon.select(col("canon_id").as("doc_id")), "doc_id")
-      .withColumn("sh", shingleCol)
-      .select("doc_id", "sh").persist()
-    val sigs = sh
-      .withColumn("mh", graft.functions.MinHashSig.column(col("sh")))
-      .select(col("doc_id") +: col("sh") +:
-        (0 until NumHashes).map(minhash): _*)
+    // canonical docs + tokens; signatures come from the FUSED
+    // shingle+minhash kernel — one codegen'd pass over the cached token
+    // arrays, no per-doc shingle arrays materialized (the interpreted
+    // transform() shingler was the round-2 bench tail)
+    val ct = t.join(canon.select(col("canon_id").as("doc_id")), "doc_id")
+    val sigs = ct
+      .withColumn("mh", graft.functions.MinHashShingleSig.column(col("tok")))
+      .select(col("doc_id") +: (0 until NumHashes).map(minhash): _*)
     // one row per (canonical doc, band) — candidates come from grouping
     // the band key and exploding pairs out of the collected bucket,
     // keeping the candidate stage to one pass over the signature lineage
-    // instead of a self-join of it; buckets past MaxBucket are dropped
+    // instead of a self-join of it; buckets past MaxBucket are dropped.
+    // cand is persisted: the verify prune below consumes it three times
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bandKey): _*))
         .as(Seq("band", "bk")))
-    val cand = bands.groupBy("band", "bk")
+    val cand = track(s, bands.groupBy("band", "bk")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
       .select(explode(expr(
@@ -129,11 +133,15 @@ object DedupQueries {
           |  transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
           .stripMargin)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
-      .distinct()
-    // verify sets derive from the cached shingle table — array_distinct
-    // re-runs per consumer but that is array work over cached rows, not
-    // a rescan of the document lineage
-    val sets = sh.select(col("doc_id"), array_distinct(col("sh")).as("st"))
+      .distinct())
+    // exact-Jaccard verify sets are built ONLY for candidate docs — a
+    // broadcast semi-join prunes the corpus to the bounded candidate id
+    // set BEFORE the interpreted shingle/array_distinct work runs
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sets = ct.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .withColumn("sh", shingleCol)
+      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
     val canonPairs = cand
       .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")
@@ -158,9 +166,12 @@ object DedupQueries {
       .join(members.select(col("canon_id").as("b_id"), col("doc_id").as("mb")), "b_id")
       .select(least(col("ma"), col("mb")).as("a_id"),
         greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
-    within.unionByName(cross)
+    // persist the bounded final pair set: dedup_minhash_survivors (and
+    // any later consumer) reuses materialized rows instead of re-running
+    // the banding lineage under its own write action
+    track(s, within.unionByName(cross)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("a_id", "b_id")
+      .orderBy("a_id", "b_id"))
   }
 
   // ---- DuckDB twin ---------------------------------------------------
@@ -319,7 +330,8 @@ object DedupQueries {
         toks(s, d)
           .agg(
             count(lit(1)).as("n_docs"),
-            countDistinct(md5(array_join(col("tok"), " "))).as("n_unique")),
+            countDistinct(md5(coalesce(array_join(col("tok"), " "), lit(""))))
+              .as("n_unique")),
       Some(
         s"""WITH cleaned AS (
            |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents

@@ -318,15 +318,21 @@ object EmbQueries {
     // Cross-modal verification: the embedding near-dup candidates above
     // cross-checked against the TEXT of the same corpus (doc_id ==
     // vec_id): token-bigram jaccard per pair. The production dedup
-    // workflow — cheap vector candidates, content-level confirmation —
-    // and the join shape is two broadcast-able lookups of a 10-row pair
-    // set into the documents table, so the text side is touched only
-    // for candidates, never pairwise.
+    // workflow — cheap vector candidates, content-level confirmation.
+    // Scale shape: the pair set is a persisted 10-row frame, its id set
+    // is broadcast-semi-joined into the documents scan BEFORE any
+    // tokenize/bigram work, and the pair set itself broadcasts into both
+    // lookups — the text stage costs one pruned scan plus array work on
+    // <= 2*pairs rows, scaling with candidates, never with the corpus.
     Q(
       "emb_text_crosscheck",
       (s, d) => {
         import graft.functions.TextFns._
+        val pairs = nearDupPairs(s, d)
+        val candIds = pairs.select(col("a_id").as("doc_id"))
+          .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
         val grams = Tables.t(s, d, "documents")
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
             tokens(clean(col("text"))).as("tok"))
           .select(col("doc_id"),
@@ -335,7 +341,7 @@ object EmbQueries {
                 concat_ws(" ", element_at(col("tok"), i),
                   element_at(col("tok"), i + 1))))
               .otherwise(col("tok"))).as("g"))
-        nearDupPairs(s, d)
+        broadcast(pairs)
           .join(grams.select(col("doc_id").as("a_id"), col("g").as("ga")), "a_id")
           .join(grams.select(col("doc_id").as("b_id"), col("g").as("gb")), "b_id")
           .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
@@ -375,16 +381,16 @@ object EmbQueries {
   )
 
   /** top-10 most-similar band-colocated pairs (shared by the near-dup
-    * query and the cross-modal check) — memoized per (session, dir) so
-    * both consumers share one lineage; dead-session entries evicted
+    * query and the cross-modal check) — memoized per (session, dir) AND
+    * persisted: the bounded 10-row result is materialized once, so the
+    * second consumer reuses rows, not just a plan (each write action
+    * re-plans its own lineage, so plan sharing alone reuses nothing).
+    * Input dirs are assumed immutable for the cache lifetime; the
+    * harness releases storage via CacheRegistry.clear.
     */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    pairsCache.computeIfAbsent((s, d), k => buildNearDupPairs(k._1, k._2))
-  }
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("emb_near_dup_pairs", s, d)(
+      graft.CacheRegistry.track(s, buildNearDupPairs(s, d)))
 
   private def buildNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val withSig = emb(s, d)

@@ -355,12 +355,17 @@ object EventQueries {
     // at rsd=0.01 (one standard deviation = 1%), giving the 5σ headroom
     // the boolean needs to hold at EVERY scale factor — at the default
     // rsd=0.05 the bound is a coin flip (observed failing at sf0.1).
+    // Shape: pre-aggregate to distinct user_ids (partial-agg'd, one
+    // shuffle), then count + ONE HLL over the distinct set — mixing
+    // countDistinct with another aggregate in one agg plans an Expand
+    // (row duplication) that cost 5 s at sf0.1 for a 0.2 s question.
     Q(
       "ev_approx_distinct_users",
       (s, d) =>
         ev(s, d)
+          .select("user_id").distinct()
           .agg(
-            countDistinct(col("user_id")).as("n_exact"),
+            count(lit(1)).as("n_exact"),
             approx_count_distinct(col("user_id"), 0.01).as("approx"))
           .select(col("n_exact"),
             (abs(col("approx") - col("n_exact")).cast("double") /

@@ -10,10 +10,16 @@ import graft.ml.SentimentModel
 
 /** MLlib-scored sentiment over the corpus — the north star's
   * "Structured Streaming + MLlib" surface exposed through the driver
-  * contract. No DuckDB oracle: LogisticRegression weights are not
-  * reproducible in SQL, so the driver records a rows-only check
-  * (deterministic nonetheless: training data is enumerated, optimizer
-  * seeds are fixed by MLlib defaults).
+  * contract.
+  *
+  * LogisticRegression weights are not SQL-reproducible, so the
+  * hash-checkable contract is the set of INVARIANTS the scoring must
+  * satisfy (the same pattern as the approx-sketch queries in
+  * EventQueries): the label set is within {Negative, Neutral, Positive}
+  * (reference work.py:96-105 label domain), the per-label counts sum to
+  * the corpus size, and scoring is deterministic (two independent
+  * scoring passes produce identical per-label counts). The oracle
+  * expresses each as a constant plus count(*).
   */
 object MlQueries {
 
@@ -32,9 +38,22 @@ object MlQueries {
   val qs: Seq[Q] = Seq(
     Q(
       "doc_sentiment_ml_counts",
-      (s, d) =>
-        SentimentModel.score(model(s), Tables.t(s, d, "documents"), "text")
-          .groupBy("sentiment_ml").agg(count(lit(1)).as("n"))
-          .orderBy("sentiment_ml"),
-      None))
+      (s, d) => {
+        val m = model(s)
+        def counts(alias: String) =
+          SentimentModel.score(m, Tables.t(s, d, "documents"), "text")
+            .groupBy("sentiment_ml").agg(count(lit(1)).as(alias))
+        // full outer: a label appearing in only one pass must fail the
+        // stability check, not vanish from the join
+        counts("n1").join(counts("n2"), Seq("sentiment_ml"), "full_outer")
+          .agg(
+            expr("bool_and(coalesce(n1 = n2, false))").as("counts_stable"),
+            expr("bool_and(sentiment_ml IN ('Negative','Neutral','Positive'))")
+              .as("labels_ok"),
+            sum(col("n1")).as("n_docs"))
+      },
+      Some(
+        """SELECT true AS counts_stable, true AS labels_ok,
+          |  count(*) AS n_docs
+          |FROM documents""".stripMargin)))
 }

@@ -17,12 +17,11 @@ import graft.sentiment.{Lexicon, Sentiment}
   */
 object TextQueries {
 
-  /** stopword marker lists per language (public stopword heads) */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in"),
-    "fr" -> Seq("le", "la", "les", "et", "un", "dans"),
-    "es" -> Seq("el", "los", "las", "y", "una", "en"),
-    "de" -> Seq("der", "die", "das", "und", "ein", "nicht"))
+  /** stopword marker lists per language — single source of truth lives
+    * next to the single-pass kernel in [[graft.functions.LangMarkers]]
+    */
+  val LangMarkers: Seq[(String, Seq[String])] =
+    graft.functions.LangMarkers.markers
 
   private def toks(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
@@ -57,18 +56,19 @@ object TextQueries {
   }
 
   val qs: Seq[Q] = Seq(
-    // Language ID via stopword-marker counting
+    // Language ID via stopword-marker counting — ALL per-language counts
+    // come from ONE codegen'd pass over the token array (the
+    // LangMarkerCounts kernel); the per-language filter(isin) form ran
+    // 24 interpreted membership passes per row
     Q(
       "doc_lang_id",
       (s, d) => {
         val base = toks(s, d)
-        val withCounts = LangMarkers.foldLeft(base) { case (df, (l, ws)) =>
-          df.withColumn(s"c_$l", countIn(col("tok"), ws))
-        }
-        val counts = LangMarkers.map { case (l, _) =>
-          l -> col(s"c_$l")
+          .withColumn("mc", graft.functions.LangMarkerCounts.column(col("tok")))
+        val counts = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+          l -> element_at(col("mc"), i + 1)
         }.toMap
-        withCounts
+        base
           .withColumn("lang_pred", langPred(counts))
           .select("doc_id", "lang", "lang_pred")
           .orderBy("doc_id")

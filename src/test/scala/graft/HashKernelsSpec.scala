@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{HashKernels, MinHashSig, SimHash64}
+import graft.functions.{HashKernels, MinHashShingleSig, MinHashSig, SimHash64}
 
 /** The native hash kernels must be BIT-IDENTICAL to the SQL-expression
   * formulation the DuckDB oracle checks (positional hex arithmetic over
@@ -67,6 +67,34 @@ class HashKernelsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val k = r.getSeq[Long](0)
       (0 until 16).foreach(i => assert(k(i) == r.getLong(i + 1), s"h$i of $r"))
+    }
+  }
+
+  test("minhash16 yields NULL for an empty shingle array (oracle's array_min-over-empty convention)") {
+    import spark.implicits._
+    val rows = Seq(Seq.empty[String], Seq("one"))
+      .toDF("sh").select(MinHashSig.column(col("sh")).as("m")).collect()
+    assert(rows(0).isNullAt(0))
+    assert(!rows(1).isNullAt(0))
+  }
+
+  test("MinHashShingleSig fused kernel == shingler + MinHashSig composition") {
+    // the exact shingleCol form from DedupQueries (incl. the coalesce
+    // empty/NULL branch) composed with the plain minhash kernel must
+    // equal the fused kernel on every input shape
+    val shingleCol = when(size(col("tok")) >= 3,
+      expr("""transform(sequence(1, size(tok) - 2),
+             |  i -> concat_ws(' ', tok[i-1], tok[i], tok[i+1]))""".stripMargin))
+      .otherwise(array(coalesce(array_join(col("tok"), " "), lit(""))))
+    val rows = sample
+      .withColumn("sh", shingleCol)
+      .select(
+        MinHashShingleSig.column(col("tok")).as("fused"),
+        MinHashSig.column(col("sh")).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), r)
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r)
     }
   }
 
