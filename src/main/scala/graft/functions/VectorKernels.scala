@@ -81,21 +81,28 @@ object VectorKernels {
   }
 }
 
-/** `graft_lsh_sig(array<float>) -> int`, codegen'd: the 16-plane sign
-  * signature of EmbQueries (weight at dim i, plane j =
-  * ((i*(73+31j) + 151j) % 997) % 5 - 2, i 1-based), summed in-order in
-  * double like the SQL twin.
+/** `graft_lsh_sig(array<float>) -> int`, codegen'd: the LshSig.Bits-plane
+  * sign signature of EmbQueries (weight at dim i, plane j =
+  * ((i*(73+31j) + 151j) % 997) % 5 - 2, i 1-based), each plane dot
+  * summed in-order in double like the SQL twin. NULL unless the input
+  * is exactly LshSig.Dims non-null floats — ragged or null-element
+  * input must surface as NULL (the VecDot convention), not as a
+  * plausible signature.
   */
 case class LshSig(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any): Any =
-    LshSig.sig16(a.asInstanceOf[ArrayData])
+    LshSig.sig(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.LshSig.sig16($a);")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Integer ${ev.value}_r = graft.functions.LshSig.sig($a);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.intValue(); }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): LshSig =
     copy(child = newChild)
@@ -104,22 +111,47 @@ case class LshSig(child: Expression)
 }
 
 object LshSig {
-  def sig16(a: ArrayData): Int = {
-    val n = math.min(64, a.numElements())
-    var sig = 0
+  /** hyperplane count — THE tuning point: EmbQueries.SigBits derives
+    * from here, so widening the signature changes kernel, banding and
+    * oracle SQL together. 32 planes over 2x16-bit bands = 65,536 keys
+    * per band (round 2 ran 16 planes / 2x8 bands = 256 keys; the wider
+    * signature is the constants-scale-with-corpus demonstration).
+    * Bit 31 makes the int signature negative half the time — every
+    * band extraction must mask after shifting (shift-type-agnostic).
+    */
+  val Bits = 32
+
+  /** fixed input dimensionality of the registered function */
+  val Dims = 64
+
+  /** weight table, precomputed once: W(j)(i-1) for plane j, dim i
+    * (1-based i, the i*j cross term keeps planes distinct for every j)
+    */
+  private val W: Array[Array[Double]] =
+    Array.tabulate(Bits, Dims)((j, i0) =>
+      ((((i0 + 1) * (73 + 31 * j) + 151 * j) % 997) % 5 - 2).toDouble)
+
+  def sig(a: ArrayData): java.lang.Integer = {
+    if (a.numElements() != Dims) return null
+    var i = 0
+    while (i < Dims) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    var s = 0
     var j = 0
-    while (j < 16) {
+    while (j < Bits) {
+      val w = W(j)
       var acc = 0.0
-      var i = 1
-      while (i <= n) {
-        val w = ((i * (73 + 31 * j) + 151 * j) % 997) % 5 - 2
-        acc += a.getFloat(i - 1).toDouble * w
-        i += 1
+      var k = 0
+      while (k < Dims) {
+        acc += a.getFloat(k).toDouble * w(k)
+        k += 1
       }
-      if (acc >= 0) sig |= 1 << j
+      if (acc >= 0) s |= 1 << j
       j += 1
     }
-    sig
+    s
   }
 
   def column(c: Column): Column =

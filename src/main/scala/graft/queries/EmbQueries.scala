@@ -62,17 +62,22 @@ object EmbQueries {
     * what keeps hyperplanes distinct for EVERY j: any weight pattern
     * affine in j modulo m repeats with period m (the round-1 formula
     * (i*7 + j*13) % 5 made planes j and j+5 identical, collapsing the
-    * "8-bit" bucket to 32 effective buckets). At a larger corpus raise
-    * SigBits/SigBands (e.g. 32 bits, 2x16 bands -> 65536 keys/band);
-    * every consumer below derives from these two constants.
+    * "8-bit" bucket to 32 effective buckets).
+    *
+    * SigBits derives from the kernel (LshSig.Bits = 32, 2x16-bit bands
+    * -> 65,536 keys per band; round 2 ran 16 bits / 2x8 bands = 256
+    * keys) — candidate volume per band is ~n²/2^SigBandBits, so wider
+    * bands are what keep the candidate stage linear as the corpus
+    * grows. Bit 31 makes signatures negative half the time; every band
+    * extraction masks after shifting, so the sign bit is harmless.
     */
-  val SigBits = 16
+  val SigBits: Int = graft.functions.LshSig.Bits
   val SigBands = 2
-  val SigBandBits: Int = SigBits / SigBands // 8 -> 256 keys per band
+  val SigBandBits: Int = SigBits / SigBands // 16 -> 65,536 keys per band
   val SigBandMask: Int = (1 << SigBandBits) - 1
 
-  /** native codegen'd kernel (graft.functions.LshSig) — all 16 plane
-    * dots in one pass; same weights/order as signatureSql below
+  /** native codegen'd kernel (graft.functions.LshSig) — all SigBits
+    * plane dots in one pass; same weights/order as signatureSql below
     */
   def signature(v: Column): Column = graft.functions.LshSig.column(v)
 
@@ -89,6 +94,22 @@ object EmbQueries {
     shiftright(c, SigBandBits * b).bitwiseAND(lit(SigBandMask))
   def bandOfSql(c: String, b: Int): String =
     s"(($c >> ${SigBandBits * b}) & $SigBandMask)"
+
+  /** ANN probing layout: the SAME 32-bit signature read as 4x8-bit
+    * bands. Pair MINING wants precision (2x16 above: candidate volume
+    * ~n²/65,536 — the linear-at-scale argument), but single-query ANN
+    * wants recall: a query shares a full 16-bit band with almost
+    * nothing, while 4 chances at an 8-bit match yield ~4n/256
+    * candidates — a 1.5 % scan instead of a miss. One signature, two
+    * read patterns; no second hashing pass.
+    */
+  val AnnBands = 4
+  val AnnBandBits: Int = SigBits / AnnBands // 8 -> 256 keys per band
+  val AnnBandMask: Int = (1 << AnnBandBits) - 1
+  def annBandOf(c: Column, b: Int): Column =
+    shiftright(c, AnnBandBits * b).bitwiseAND(lit(AnnBandMask))
+  def annBandOfSql(c: String, b: Int): String =
+    s"(($c >> ${AnnBandBits * b}) & $AnnBandMask)"
 
   val qs: Seq[Q] = Seq(
     // L2 norm per vector — exercises the array math end to end
@@ -143,8 +164,9 @@ object EmbQueries {
     // LSH-bucketed approximate NN — the scale path for similarity search.
     // SigBits deterministic integer hyperplanes hash each vector to a
     // sign signature; a vector is a candidate iff it shares at least one
-    // SigBandBits-bit band with the query, so the expensive cosine runs
-    // on ~SigBands/2^SigBandBits of the corpus. Fully oracle-checkable
+    // AnnBandBits-bit band with the query (the recall-first 4x8 read of
+    // the signature — see annBandOf), so the expensive cosine runs on
+    // ~AnnBands/2^AnnBandBits of the corpus. Fully oracle-checkable
     // because the hyperplanes are a fixed arithmetic pattern, not RNG.
     Q(
       "emb_lsh_ann",
@@ -153,8 +175,8 @@ object EmbQueries {
         val withSig = e.withColumn("sig", signature(col("embedding")))
         val qRow = broadcast(withSig.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), col("sig").as("qsig")))
-        val anyBand = (0 until SigBands).map(b =>
-          bandOf(col("sig"), b) === bandOf(col("qsig"), b)).reduce(_ || _)
+        val anyBand = (0 until AnnBands).map(b =>
+          annBandOf(col("sig"), b) === annBandOf(col("qsig"), b)).reduce(_ || _)
         withSig.crossJoin(qRow)
           .filter(col("vec_id") =!= 0 && anyBand)
           .select(col("vec_id"),
@@ -163,8 +185,8 @@ object EmbQueries {
           .limit(5)
       },
       Some {
-        val anyBand = (0 until SigBands).map(b =>
-          s"${bandOfSql("sig", b)} = ${bandOfSql("qsig", b)}").mkString(" OR ")
+        val anyBand = (0 until AnnBands).map(b =>
+          s"${annBandOfSql("sig", b)} = ${annBandOfSql("qsig", b)}").mkString(" OR ")
         s"""WITH b AS (
            |  SELECT vec_id, embedding, ${signatureSql("embedding")} AS sig
            |  FROM embeddings

@@ -85,9 +85,9 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(0))
   }
 
-  test("LshSig == the 16 per-plane HOF sign dots") {
+  test("LshSig == the per-plane HOF sign dots (all LshSig.Bits planes)") {
     val e = Tables.t(spark, TestSpark.sf0001, "embeddings")
-    val hofSig = (0 until 16).map { j =>
+    val hofSig = (0 until LshSig.Bits).map { j =>
       val dotJ = aggregate(
         transform(sequence(lit(1), lit(64)), i =>
           element_at(col("embedding"), i).cast("double") *
@@ -100,5 +100,20 @@ class VectorKernelsSpec extends AnyFunSuite {
       hofSig.as("h")).collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+    // the sign bit (plane 31) must actually fire on real data for the
+    // widened signature to be exercised end to end
+    assert(rows.exists(_.getInt(0) < 0))
+  }
+
+  test("LshSig yields NULL for ragged or null-element input (registered-function contract)") {
+    import spark.implicits._
+    val df = Seq(Array.fill(63)(0.5f), Array.fill(64)(0.5f)).toDF("v")
+      .union(Seq(Array.fill(64)(0.5f)).toDF("v")
+        .select(concat(slice(col("v"), 1, 63),
+          array(lit(null).cast("float"))).as("v")))
+    val rows = df.select(LshSig.column(col("v"))).collect()
+    assert(rows(0).isNullAt(0))   // 63 dims
+    assert(!rows(1).isNullAt(0))  // clean 64 dims
+    assert(rows(2).isNullAt(0))   // null element
   }
 }
