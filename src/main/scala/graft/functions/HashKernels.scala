@@ -151,6 +151,23 @@ object HashKernels {
   }
 }
 
+/** Shared SimHash banding policy — the batch near-pair query
+  * (DedupQueries dedup_simhash_pairs) and its streaming twin
+  * (NewsStream.dedupNearSimhashWithinWatermark) both derive from these
+  * constants, so the two surfaces can never drift: 64-bit fingerprints,
+  * 4 x 16-bit bands (65,536 keys per band), and the pigeonhole bound —
+  * two fingerprints within hamming Bands-1 must agree on at least one
+  * band, so band-keyed candidate generation is EXACT at hamming <=
+  * MaxHamming, never O(n²).
+  */
+object SimHashBands {
+  val Bits = 64
+  val Bands = 4
+  val BandBits: Int = Bits / Bands // 16 -> 65,536 keys per band
+  val BandMask: Long = (1L << BandBits) - 1
+  val MaxHamming: Int = Bands - 1
+}
+
 /** `graft_simhash64(array<string>) -> bigint`, codegen'd. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

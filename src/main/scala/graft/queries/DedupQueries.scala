@@ -272,12 +272,14 @@ object DedupQueries {
     * is ~n²/65536 per band instead of n²/256 — the difference between a
     * workable 100 TB pre-filter and a quadratic blowup.
     */
-  private val SimBits = 64
-  private val SimBands = 4
-  private val SimBandBits = SimBits / SimBands // 16 -> 65536 keys/band
-  private val SimBandMask = (1L << SimBandBits) - 1
+  // single source of truth shared with the STREAMING near-dup twin
+  // (NewsStream.dedupNearSimhashWithinWatermark) — see SimHashBands
+  private val SimBits = graft.functions.SimHashBands.Bits
+  private val SimBands = graft.functions.SimHashBands.Bands
+  private val SimBandBits = graft.functions.SimHashBands.BandBits
+  private val SimBandMask = graft.functions.SimHashBands.BandMask
   /** pigeonhole: <= SimBands-1 differing bits => some band identical */
-  private val MaxHamming = SimBands - 1
+  private val MaxHamming = graft.functions.SimHashBands.MaxHamming
 
   /** 8 hex chars -> 32-bit value (max 2^32-1, overflow-safe in a long;
     * multipliers are bigint literals so int32 math never overflows) */

@@ -18,6 +18,14 @@ import graft.schema.NewsArticle
   * `startFanOutSink` is the idiomatic alternative — one query, one source
   * read, all sink work inside a single foreachBatch (SURVEY.md §7.3.5).
   */
+/** row/state shapes for the hamming-tolerant streaming near-dup */
+private[streaming] case class FpBandRow(
+    id: String, event_ts: java.sql.Timestamp, fp: Long, band: Int, key: Long)
+private[streaming] case class BandVerdict(
+    id: String, event_ts: java.sql.Timestamp, fp: Long, dup: Boolean)
+/** parallel lists (encoder-friendly): fingerprint + event-time millis */
+private[streaming] case class BandBucket(fps: Seq[Long], tss: Seq[Long])
+
 object NewsStream {
 
   /** S1: watched-directory NDJSON source with explicit schema. */
@@ -137,6 +145,101 @@ object NewsStream {
             concat_ws(" ", col("title"), col("description"))))))
       .withWatermark("event_ts", "30 minutes")
       .dropDuplicatesWithinWatermark("content_simhash")
+
+  /** Beyond-reference: HAMMING-TOLERANT streaming near-dup dedup — the
+    * streaming twin of the batch `dedup_simhash_pairs` semantics. The
+    * exact variant above only drops identical fingerprints; a
+    * 1-bit-different rewrite (the case SimHash exists for) passes
+    * through it. Here an article is suppressed when ANY of its
+    * SimHashBands.Bands 16-bit band buckets has seen, inside the
+    * watermark, a fingerprint within hamming SimHashBands.MaxHamming —
+    * the same pigeonhole banding as the batch query (a near-dup at
+    * hamming <= 3 MUST share a band, so band-keyed state finds every
+    * one without O(n²) comparisons; state per bucket only holds
+    * fingerprints that collide on 16 bits, so buckets stay tiny).
+    *
+    * Two stateful stages: band-keyed flatMapGroupsWithState emits a
+    * per-band verdict, then a per-article event-time aggregation keeps
+    * articles no band flagged. Both stages are watermark-bounded
+    * (event-time timeout prunes band buckets; the consensus agg
+    * finalizes once the watermark passes the article's event time —
+    * delayed emission is the price of cross-band consensus, the exact
+    * variant above emits immediately).
+    */
+  def dedupNearSimhashWithinWatermark(df: DataFrame,
+      delayMs: Long = 30L * 60 * 1000): DataFrame =
+    dedupNearFingerprint(
+      df.withColumn("event_ts", try_to_timestamp(col("publishedAt")))
+        .filter(col("event_ts").isNotNull)
+        .withColumn("fp",
+          graft.functions.SimHash64.column(
+            graft.functions.TextFns.tokens(graft.functions.TextFns.clean(
+              concat_ws(" ", col("title"), col("description"))))))
+        .select("id", "event_ts", "fp"),
+      delayMs)
+
+  /** Core of the hamming-tolerant near-dup (also the unit-test surface):
+    * input carries (id string, event_ts timestamp, fp bigint). Output =
+    * surviving (id, event_ts, fp), emitted once the watermark passes
+    * event_ts. Within a batch, earlier (event_ts, id) order wins — the
+    * keep-first convention of every dedup surface here.
+    *
+    * NOTE: requires `spark.sql.streaming.statefulOperator
+    * .checkCorrectness.enabled=false`. Spark's static check flags EVERY
+    * flatMapGroupsWithState feeding a stateful aggregation, because a
+    * generic FMGWS could emit rows with event times older than the
+    * watermark (late for the downstream agg). This one cannot: each
+    * verdict copies the event_ts of a CURRENT-batch input row
+    * unchanged, and current-batch rows are >= the watermark by
+    * construction — so no emitted row is ever late downstream. The
+    * check is a conservative pattern match, not a semantic analysis;
+    * disabling it here is safe by the argument above.
+    */
+  def dedupNearFingerprint(fpDf: DataFrame, delayMs: Long): DataFrame = {
+    import graft.functions.SimHashBands._
+    val spark = fpDf.sparkSession
+    import spark.implicits._
+    val bands = fpDf
+      .withWatermark("event_ts", s"$delayMs milliseconds")
+      .select(col("id"), col("event_ts"), col("fp"),
+        posexplode(array((0 until Bands).map(b =>
+          shiftright(col("fp"), BandBits * b).bitwiseAND(lit(BandMask))): _*))
+          .as(Seq("band", "key")))
+    val verdicts = bands.as[FpBandRow]
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BandBucket, BandVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // prune bucket entries the watermark has passed, then test
+            // each arrival against the survivors (and earlier same-batch
+            // rows, in deterministic keep-first order)
+            val wm = state.getCurrentWatermarkMs()
+            val st = state.getOption.getOrElse(BandBucket(Nil, Nil))
+            var entries = st.fps.zip(st.tss).filter(_._2 >= wm).toList
+            val out = rows.toSeq.sortBy(r => (r.event_ts.getTime, r.id)).map { r =>
+              val dup = entries.exists { case (f, _) =>
+                java.lang.Long.bitCount(f ^ r.fp) <= MaxHamming }
+              entries = (r.fp, r.event_ts.getTime) :: entries
+              BandVerdict(r.id, r.event_ts, r.fp, dup)
+            }
+            state.update(BandBucket(entries.map(_._1), entries.map(_._2)))
+            state.setTimeoutTimestamp(entries.map(_._2).max + delayMs)
+            out.iterator
+          }
+      }
+    // cross-band consensus: an article survives iff NO band flagged it.
+    // Grouping on the watermarked event-time column finalizes each
+    // article in append mode once the watermark passes it.
+    verdicts.toDF()
+      .withWatermark("event_ts", s"$delayMs milliseconds")
+      .groupBy(col("id"), col("event_ts"), col("fp"))
+      .agg(max(col("dup")).as("dup"))
+      .filter(!col("dup"))
+      .select("id", "event_ts", "fp")
+  }
 
   /** Beyond-reference: stream-static enrichment join — the streaming
     * articles joined to a static dimension (e.g. per-source metadata).

@@ -321,6 +321,108 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  // ---- hamming-tolerant near-dup (dedupNearFingerprint core) ---------
+
+  private val fpSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "id STRING, event_ts TIMESTAMP, fp BIGINT")
+
+  private def fpRow(id: String, hms: String, fp: Long): String =
+    s"""{"id":"$id","event_ts":"2024-01-01T$hms:00Z","fp":$fp}"""
+
+  private def startNearDedup(in: String, ckpt: String, table: String,
+      delayMs: Long) = {
+    val src = spark.readStream.schema(fpSchema).json(in)
+    NewsStream.dedupNearFingerprint(src, delayMs).writeStream
+      .format("memory").queryName(table).outputMode("append")
+      .option("checkpointLocation", s"$ckpt/q")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+
+  /** FMGWS -> agg chains trip Spark's conservative global-watermark
+    * pattern check; dedupNearFingerprint is provably safe (see its
+    * scaladoc), so these tests scope the documented opt-out.
+    */
+  private def withChainedStatefulOps[A](body: => A): A = {
+    val k = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  private val F = 0x0123456789abcdefL
+
+  test("near-dup dedup suppresses 1-bit and 2-bit perturbed fingerprints, keeps far ones") {
+    withChainedStatefulOps {
+    val in = tmp("nd_in")
+    val ckpt = tmp("nd_ckpt")
+    // batch 1: original, a 1-bit rewrite, a 2-bit rewrite (both must be
+    // suppressed — the exact-match dedup would pass them), a far
+    // fingerprint (kept), and an exact dup (kept-first applies)
+    Files.write(new java.io.File(in, "b0.json").toPath, Seq(
+      fpRow("orig", "10:00", F),
+      fpRow("near1", "10:01", F ^ 1L),                      // hamming 1
+      fpRow("near2", "10:02", F ^ 0x8000000000000001L),     // hamming 2
+      fpRow("far", "10:03", 0x1111111111111111L),
+      fpRow("exact", "10:04", F)                            // hamming 0
+    ).mkString("\n").getBytes("UTF-8"))
+    val q = startNearDedup(in, ckpt, "t_nd", delayMs = 10L * 60 * 1000)
+    try {
+      q.processAllAvailable()
+      // nothing finalizes until the watermark passes the events
+      Files.write(new java.io.File(in, "b1.json").toPath, Seq(
+        fpRow("flush", "10:30", 4L)).mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      val ids = spark.table("t_nd").select("id").collect()
+        .map(_.getString(0)).toSet
+      assert(ids == Set("orig", "far"), ids)
+    } finally q.stop()
+    }
+  }
+
+  test("near-dup band state survives a checkpoint restart") {
+    withChainedStatefulOps {
+    val in = tmp("ndr_in")
+    val ckpt = tmp("ndr_ckpt")
+    val out = tmp("ndr_out")
+    // memory sink refuses checkpoint recovery — the file sink is the
+    // restart surface
+    def start() = NewsStream.dedupNearFingerprint(
+      spark.readStream.schema(fpSchema).json(in), delayMs = 10L * 60 * 1000)
+      .writeStream.format("json").outputMode("append")
+      .option("path", s"$out/json")
+      .option("checkpointLocation", s"$ckpt/q")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    Files.write(new java.io.File(in, "b0.json").toPath, Seq(
+      fpRow("orig", "10:00", F),
+      fpRow("other", "10:04", 0x1111111111111111L)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while down: a 1-bit near-dup of a PRE-restart article, a genuinely
+    // new fingerprint, and a late flush row to advance the watermark
+    Files.write(new java.io.File(in, "b1.json").toPath, Seq(
+      fpRow("near", "10:03", F ^ 2L),
+      fpRow("new", "10:05", 0x7777777777777777L),
+      fpRow("flush", "10:30", 4L)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.read.schema(fpSchema).json(s"$out/json")
+        .select("id").collect().map(_.getString(0)).toSet
+      // band state was restored: the near-dup of a pre-restart article
+      // is suppressed even though the original arrived before the stop
+      assert(ids == Set("orig", "other", "new"), ids)
+    } finally q2.stop()
+    }
+  }
+
   test("simhash dedup drops reordered same-content articles, keeps others") {
     val in = tmp("sd_in")
     val ckpt = tmp("sd_ckpt")
