@@ -30,8 +30,16 @@ object TextFns {
 
   // ---- Spark side ----------------------------------------------------
 
-  /** P3: lower + strip non-letters (reference streaming_pipeline.py:122–128). */
-  def clean(c: Column): Column = lower(regexp_replace(c, "[^a-zA-Z\\s]", ""))
+  /** P3: lower + strip non-letters (reference streaming_pipeline.py:122–128).
+    * NULL text normalizes to '' HERE, at the single entry point of every
+    * text lineage — Spark and DuckDB propagate NULL through
+    * regexp/split/list functions differently, so letting a NULL survive
+    * past this point means engine-specific downstream semantics. A NULL
+    * doc therefore behaves exactly like an empty doc everywhere
+    * (fingerprints, quality ratios, polarity 0.0, dedup grouping).
+    */
+  def clean(c: Column): Column =
+    lower(regexp_replace(coalesce(c, lit("")), "[^a-zA-Z\\s]", ""))
 
   /** Whitespace tokenization of a cleaned string; no empty tokens. */
   def tokens(c: Column): Column =
@@ -67,7 +75,7 @@ object TextFns {
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
   def cleanSql(e: String): String =
-    s"lower(regexp_replace($e, '[^a-zA-Z\\s]', '', 'g'))"
+    s"lower(regexp_replace(coalesce($e, ''), '[^a-zA-Z\\s]', '', 'g'))"
 
   def tokensSql(e: String): String =
     s"list_filter(string_split_regex($e, '\\s+'), x -> x <> '')"

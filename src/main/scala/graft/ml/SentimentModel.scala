@@ -69,8 +69,9 @@ object SentimentModel {
     */
   def score(model: PipelineModel, df: DataFrame,
       textCol: String = "text"): DataFrame = {
-    val base = if (textCol == "text") df
-      else df.withColumn("text", col(textCol))
+    // NULL text scores like empty text (RegexTokenizer NPEs on null) —
+    // the same null-normalization convention as TextFns.clean
+    val base = df.withColumn("text", coalesce(col(textCol), lit("")))
     model.transform(base)
       .withColumn("polarity_ml",
         vector_to_array(col("probability")).getItem(1) * 2 - 1)

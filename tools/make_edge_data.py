@@ -39,6 +39,7 @@ texts = [
     (12, "der die das und ein nicht gut", "de", "src6"),         # german markers
     (13, "tab\tand\nnewline  spaced", "en", "src6"),             # mixed whitespace
     (14, "very good but not very bad", "en", "src7"),            # intensifier+negator
+    (15, None, "en", "src7"),  # NULL text: must fingerprint/group like empty
 ]
 # duplicate-heavy block: 120 exact copies of one doc plus 30 of another —
 # the minhash hot-bucket scenario (all copies land in the same band
@@ -53,7 +54,8 @@ doc = pa.table({
     "text": pa.array([t[1] for t in texts], pa.string()),
     "lang": pa.array([t[2] for t in texts], pa.string()),
     "source": pa.array([t[3] for t in texts], pa.string()),
-    "n_chars": pa.array([len(t[1]) for t in texts], pa.int64()),
+    "n_chars": pa.array([len(t[1]) if t[1] is not None else 0 for t in texts],
+                        pa.int64()),
 })
 pq.write_table(doc, f"{out}/documents.parquet")
 
