@@ -90,56 +90,56 @@ object DedupQueries {
     graft.CacheRegistry.memo("dedup_minhash_pairs", s, dir)(
       buildMinhashPairs(s, dir))
 
+  /** bucket ids -> ordered (a, b) pairs, shared by the band-candidate
+    * and exact-dup-group expansions
+    */
+  private val pairExpansion =
+    """flatten(transform(ids, (a, i) ->
+      |  transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
+      .stripMargin
+
   private def buildMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.CacheRegistry.track
-    // ONE scan+clean+tokenize, cached: the fingerprint pass, the
-    // signature pass and the candidate-verify pass all branch from it.
-    // (At 100 TB this materialization is the tokenized corpus a real
-    // pipeline would stage to disk anyway.)
-    val t = track(s, toks(s, dir))
-    // exact-dup pre-pass: content-identical docs (same token sequence)
-    // collapse to their lowest doc_id BEFORE signatures, so a
-    // duplicate-heavy corpus (the very target of dedup) cannot
-    // concentrate one band bucket. Identical docs pair trivially at
-    // jaccard 1.0 via the fp self-join below; LSH runs on canonicals.
-    // coalesce mirrors the oracle: a NULL-token doc fingerprints like an
-    // empty-token doc instead of disappearing into a NULL fp.
-    val fpr = t
+    // ONE pass over the corpus: tokenize once, emit the exact-dup
+    // fingerprint AND the fused shingle+minhash signature side by side
+    // (the kernel builds shingles in place — no per-doc shingle arrays
+    // materialize). The persisted frame is 18 small values per doc, not
+    // token arrays; at 100 TB this is the signature store a real
+    // pipeline stages to disk. coalesce mirrors the oracle: a
+    // NULL-token doc fingerprints like an empty-token doc.
+    val sig = track(s, toks(s, dir)
       .withColumn("fp", md5(coalesce(array_join(col("tok"), " "), lit(""))))
-      .select("doc_id", "fp")
-    val canon = fpr.groupBy("fp").agg(min(col("doc_id")).as("canon_id"))
-    val members = fpr.join(canon, "fp").select(col("doc_id"), col("canon_id"))
-    // canonical docs + tokens; signatures come from the FUSED
-    // shingle+minhash kernel — one codegen'd pass over the cached token
-    // arrays, no per-doc shingle arrays materialized (the interpreted
-    // transform() shingler was the round-2 bench tail)
-    val ct = t.join(canon.select(col("canon_id").as("doc_id")), "doc_id")
-    val sigs = ct
       .withColumn("mh", graft.functions.MinHashShingleSig.column(col("tok")))
-      .select(col("doc_id") +: (0 until NumHashes).map(minhash): _*)
+      .select("doc_id", "fp", "mh"))
+    // exact-dup pre-pass from ONE window shuffle: canon_id = lowest
+    // doc_id sharing the fingerprint. LSH then runs on canonicals only,
+    // so a duplicate-heavy corpus (the very target of dedup) cannot
+    // concentrate one band bucket; identical docs pair trivially at
+    // jaccard 1.0 via the grouped expansion below.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val withCanon = sig.withColumn("canon_id", min(col("doc_id")).over(w))
     // one row per (canonical doc, band) — candidates come from grouping
     // the band key and exploding pairs out of the collected bucket,
     // keeping the candidate stage to one pass over the signature lineage
     // instead of a self-join of it; buckets past MaxBucket are dropped.
     // cand is persisted: the verify prune below consumes it three times
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(bandKey): _*))
-        .as(Seq("band", "bk")))
+    val bands = withCanon.filter(col("doc_id") === col("canon_id"))
+      .select(col("doc_id") +: (0 until NumHashes).map(minhash): _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(bandKey): _*))
+          .as(Seq("band", "bk")))
     val cand = track(s, bands.groupBy("band", "bk")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
-          .stripMargin)).as("p"))
+      .select(explode(expr(pairExpansion)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct())
-    // exact-Jaccard verify sets are built ONLY for candidate docs — a
-    // broadcast semi-join prunes the corpus to the bounded candidate id
-    // set BEFORE the interpreted shingle/array_distinct work runs
+    // exact-Jaccard verify sets are built ONLY for candidate docs — the
+    // broadcast semi-join prunes the scan to the bounded candidate id
+    // set BEFORE any tokenize/shingle/array_distinct work runs
     val candIds = cand.select(col("a_id").as("doc_id"))
       .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
-    val sets = ct.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sets = toks(s, dir).join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .withColumn("sh", shingleCol)
       .select(col("doc_id"), array_distinct(col("sh")).as("st"))
     val canonPairs = cand
@@ -154,13 +154,17 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"), col("jaccard"))
     // expand back to ALL doc pairs (output contract unchanged):
     // (1) within an exact-dup group every pair is a dup at jaccard 1.0 —
-    //     a plain self-join on fp, no arrays, AQE handles any skew;
+    //     the same grouped bucket-explosion as the band candidates (one
+    //     shuffle over the cached signature frame, no self-join);
     // (2) a near-dup canonical pair expands to every cross pair of the
     //     two groups (identical content => identical jaccard).
-    val within = fpr.select(col("fp"), col("doc_id").as("a_id"))
-      .join(fpr.select(col("fp"), col("doc_id").as("b_id")), "fp")
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    val within = sig.groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(pairExpansion)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        lit(1.0).as("jaccard"))
+    val members = withCanon.select(col("doc_id"), col("canon_id"))
     val cross = canonPairs
       .join(members.select(col("canon_id").as("a_id"), col("doc_id").as("ma")), "a_id")
       .join(members.select(col("canon_id").as("b_id"), col("doc_id").as("mb")), "b_id")
@@ -295,10 +299,18 @@ object DedupQueries {
     * a tight JVM loop, digest bytes 0-3/4-7 = the oracle's hex chars
     * 1-8/9-16. The kernel pins empty/null token arrays to 0, matching
     * the oracle's list_sum([]) IS NULL -> 0 convention.
+    *
+    * Memoized + persisted per (session, dir): the fingerprint table is
+    * the PRODUCE side (dedup_simhash dumps it) and the pair query is
+    * its consumer — the same disclosed sharing as the minhash lineage;
+    * whichever runs first pays the scan+tokenize+kernel pass. Two longs
+    * per doc, released via CacheRegistry.clear.
     */
   private def simhashes(s: SparkSession, dir: String): DataFrame =
-    toks(s, dir).select(col("doc_id"),
-      graft.functions.SimHash64.column(col("tok")).as("simhash"))
+    graft.CacheRegistry.memo("dedup_simhash_fps", s, dir)(
+      graft.CacheRegistry.track(s,
+        toks(s, dir).select(col("doc_id"),
+          graft.functions.SimHash64.column(col("tok")).as("simhash"))))
 
   private val simhashCte: String = {
     val fp = (0 until SimBits).map { b =>

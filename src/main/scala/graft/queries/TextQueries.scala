@@ -212,7 +212,10 @@ object TextQueries {
           .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
         val dl = tf.groupBy("doc_id").agg(sum(col("c")).as("len"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val n = toks(s, d).agg(count(lit(1)).as("n"))
+        // corpus size straight off the parquet scan — re-deriving it
+        // through the tokenize lineage would clean/tokenize the whole
+        // corpus a second time for one scalar
+        val n = Tables.t(s, d, "documents").agg(count(lit(1)).as("n"))
         val scored = tf.join(dl, "doc_id").join(df, "term")
           .crossJoin(broadcast(n))
           .withColumn("score",

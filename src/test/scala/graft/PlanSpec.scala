@@ -57,6 +57,26 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(p).size == 1, p.take(600))
   }
 
+  test("crosscheck prunes the text side to candidate ids via broadcast joins") {
+    // the round-2 tail: this query once bigrammed the WHOLE corpus to
+    // verify 10 pairs. The pinned shape: the documents scan feeds a
+    // broadcast LEFT SEMI join on the candidate id set BEFORE any
+    // tokenize/bigram work, and the pair set broadcasts into the final
+    // lookups — so the text stage scales with candidates, not corpus
+    val p = plan("emb_text_crosscheck")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("minhash verify stage prunes to banded candidates via a semi join") {
+    val p = plan("dedup_minhash_pairs")
+    assert(p.contains("LeftSemi"), p.take(800))
+    // the corpus-wide signature pass runs the fused kernel, never the
+    // interpreted shingle transform (which only touches candidate rows)
+    assert(p.contains("graft_minhash16_shingle"), p.take(800))
+  }
+
   test("AQE splits a skewed fact-fact sort-merge join at runtime") {
     // Complements the salted-agg pattern: for JOIN skew you don't salt by
     // hand — you let AQE's OptimizeSkewedJoin split the oversized
