@@ -61,8 +61,14 @@ object SentimentModel {
     (posRows ++ negRows).toDF("text", "label")
   }
 
+  /** coalesce(1): the enumerated training set is ~60 rows — left at
+    * default parallelism every LR iteration schedules one near-empty
+    * task per core (10 iterations x 32 tasks of 2 rows), which is pure
+    * scheduler overhead. One slice, one task per iteration. A real
+    * corpus-sized training set would keep its natural partitioning.
+    */
   def train(spark: SparkSession): PipelineModel =
-    buildPipeline().fit(trainingData(spark))
+    buildPipeline().fit(trainingData(spark).coalesce(1))
 
   /** Adds `polarity_ml` in [-1, 1] (2·P(positive) − 1) and
     * `sentiment_ml`. Works identically on batch and streaming frames.
