@@ -61,6 +61,40 @@ object DocQueries {
           |  FROM documents)
           |SELECT split, count(*) AS n FROM b GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // Deterministic stratified sampling — the data-mixing op of a
+    // training pipeline: each language keeps a different fraction via
+    // the same md5-bucket arithmetic as the hash split (repartition-
+    // stable, re-run-stable; a doc's keep/drop never changes as the
+    // corpus grows — what seeded rand()/sampleBy cannot guarantee).
+    // One scan + one partial-agg'd shuffle on lang.
+    Q(
+      "doc_stratified_sample",
+      (s, d) => {
+        val rates = Seq("en" -> 30, "fr" -> 50, "es" -> 50, "de" -> 70)
+        val bucket =
+          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
+            .cast("long") % 100
+        val rate = rates.foldLeft(lit(50)) { case (acc, (l, r)) =>
+          when(col("lang") === l, lit(r)).otherwise(acc)
+        }
+        docs(s, d)
+          .withColumn("keep", bucket < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("keep"), 1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT lang,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+          |  FROM documents)
+          |SELECT lang, count(*) AS n_total,
+          |  count(CASE WHEN bucket < (CASE lang WHEN 'en' THEN 30
+          |    WHEN 'fr' THEN 50 WHEN 'es' THEN 50 WHEN 'de' THEN 70
+          |    ELSE 50 END) THEN 1 END) AS n_sampled
+          |FROM b GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     // P1: column projection (reference streaming_pipeline.py:114–121)
     Q(
       "doc_project",

@@ -168,6 +168,75 @@ object TextQueries {
            |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin
       }),
 
+    // PII-style redaction — a standard training-data hygiene pass:
+    // emails, then URLs, then digit runs are rewritten to placeholder
+    // tags (in that order — emails/URLs contain digits, so digit
+    // redaction must run last). Pure char-class regexes, so Java and
+    // RE2 agree match-for-match; one narrow codegen'd map, no shuffle.
+    Q(
+      "doc_redact",
+      (s, d) => {
+        val raw = coalesce(col("text"), lit(""))
+        val red = regexp_replace(
+          regexp_replace(
+            regexp_replace(raw,
+              "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+            "https?://[^\\s]+", "<URL>"),
+          "[0-9]+", "<NUM>")
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            size(expr(
+              "regexp_extract_all(coalesce(text, ''), '[0-9]+', 0)"))
+              .as("n_nums"),
+            red.as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  len(regexp_extract_all(coalesce(text, ''), '[0-9]+')) AS n_nums,
+          |  regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+          |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+          |    'https?://[^\s]+', '<URL>', 'g'),
+          |    '[0-9]+', '<NUM>', 'g') AS redacted
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-window token chunking with overlap — the context-window
+    // prep op of an LLM training pipeline (chunk 64 tokens, stride 48
+    // => 16-token overlap). Per doc: ceil chunks covering every token,
+    // chunk k = tokens [k*48+1, k*48+64]. One narrow map + explode; the
+    // fan-out is len/stride per doc, bounded by the overlap ratio, and
+    // chunks are emitted as md5 digests so the output stays compact.
+    Q(
+      "doc_chunk",
+      (s, d) =>
+        toks(s, d)
+          .withColumn("len", size(col("tok")))
+          .filter(col("len") > 0)
+          .select(col("doc_id"), col("tok"),
+            posexplode(sequence(lit(0),
+              expr("CAST(floor((len - 1) / 48) AS INT)")))
+              .as(Seq("chunk_id", "k")))
+          .withColumn("chunk",
+            slice(col("tok"), col("k") * 48 + 1, lit(64)))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("chunk")).as("n_chunk_tokens"),
+            md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id"),
+      Some(
+        s"""$tokCte, nz AS (
+           |  SELECT doc_id, tok, len(tok) AS len FROM t WHERE len(tok) > 0
+           |), ex AS (
+           |  SELECT doc_id, tok, len,
+           |    unnest(range(0, CAST(floor((len - 1) / 48.0) AS INT) + 1)) AS chunk_id
+           |  FROM nz
+           |)
+           |SELECT doc_id, chunk_id,
+           |  len(list_slice(tok, chunk_id * 48 + 1,
+           |      least(chunk_id * 48 + 64, len))) AS n_chunk_tokens,
+           |  md5(array_to_string(list_slice(tok, chunk_id * 48 + 1,
+           |      least(chunk_id * 48 + 64, len)), ' ')) AS chunk_md5
+           |FROM ex ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // The full pattern-lexicon scorer (Sentiment.polarity UDF) applied to
     // the corpus; oracle = CASE-average from the same lexicon (valid here
     // because no negators/intensifiers occur in this corpus)
