@@ -154,16 +154,18 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"), col("jaccard"))
     // expand back to ALL doc pairs (output contract unchanged):
     // (1) within an exact-dup group every pair is a dup at jaccard 1.0 —
-    //     the same grouped bucket-explosion as the band candidates (one
-    //     shuffle over the cached signature frame, no self-join);
+    //     a plain self-join on fp over the small persisted frame:
+    //     UNLIKE the band buckets (bounded by MaxBucket), exact-dup
+    //     groups are unbounded, so a collect_list explosion would
+    //     materialize a whole hot group's id array in ONE task; the
+    //     self-join keeps the quadratic OUTPUT but distributes the work,
+    //     and AQE splits any skewed fp partition;
     // (2) a near-dup canonical pair expands to every cross pair of the
     //     two groups (identical content => identical jaccard).
-    val within = sig.groupBy("fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(pairExpansion)).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
-        lit(1.0).as("jaccard"))
+    val within = sig.select(col("fp"), col("doc_id").as("a_id"))
+      .join(sig.select(col("fp"), col("doc_id").as("b_id")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
     val members = withCanon.select(col("doc_id"), col("canon_id"))
     val cross = canonPairs
       .join(members.select(col("canon_id").as("a_id"), col("doc_id").as("ma")), "a_id")
