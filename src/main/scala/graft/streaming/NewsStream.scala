@@ -23,8 +23,56 @@ private[streaming] case class FpBandRow(
     id: String, event_ts: java.sql.Timestamp, fp: Long, band: Int, key: Long)
 private[streaming] case class BandVerdict(
     id: String, event_ts: java.sql.Timestamp, fp: Long, dup: Boolean)
-/** parallel lists (encoder-friendly): fingerprint + event-time millis */
-private[streaming] case class BandBucket(fps: Seq[Long], tss: Seq[Long])
+/** one band-bucket state entry: fingerprint + its event-time millis */
+private[streaming] case class BandEntry(fp: Long, tsMs: Long)
+/** The band stage of the hamming-tolerant near-dup as a Spark 4
+  * StatefulProcessor (transformWithState): state per (band, key) bucket
+  * is the list of fingerprints seen inside the watermark; an arrival is
+  * flagged dup when any bucket entry is within hamming
+  * SimHashBands.MaxHamming. Event-time timers expire whole buckets once
+  * the watermark passes their newest entry + delay. transformWithState
+  * (unlike flatMapGroupsWithState) declares its output event-time
+  * column, so the downstream consensus aggregation chains without
+  * disabling any correctness check — the reason this API replaced the
+  * FMGWS form here. Requires the RocksDB state store provider.
+  */
+private[streaming] class BandDedupProcessor(delayMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Int, Long), FpBandRow, BandVerdict] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var bucket: ListState[BandEntry] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    bucket = getHandle.getListState[BandEntry]("bucket",
+      org.apache.spark.sql.Encoders.product[BandEntry], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[FpBandRow],
+      timerValues: TimerValues): Iterator[BandVerdict] = {
+    // prune entries the watermark has passed, then test each arrival
+    // against the survivors (and earlier same-batch rows, in
+    // deterministic keep-first order)
+    val wm = timerValues.getCurrentWatermarkInMs()
+    var entries = bucket.get().filter(_.tsMs >= wm).toList
+    val out = rows.toSeq.sortBy(r => (r.event_ts.getTime, r.id)).map { r =>
+      val dup = entries.exists(e =>
+        java.lang.Long.bitCount(e.fp ^ r.fp) <= graft.functions.SimHashBands.MaxHamming)
+      entries = BandEntry(r.fp, r.event_ts.getTime) :: entries
+      BandVerdict(r.id, r.event_ts, r.fp, dup)
+    }
+    bucket.put(entries.toArray)
+    getHandle.registerTimer(entries.map(_.tsMs).max + delayMs)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: (Int, Long), timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[BandVerdict] = {
+    val wm = timerValues.getCurrentWatermarkInMs()
+    val live = bucket.get().filter(_.tsMs >= wm).toArray
+    if (live.isEmpty) bucket.clear() else bucket.put(live)
+    Iterator.empty
+  }
+}
 
 object NewsStream {
 
@@ -184,16 +232,16 @@ object NewsStream {
     * event_ts. Within a batch, earlier (event_ts, id) order wins — the
     * keep-first convention of every dedup surface here.
     *
-    * NOTE: requires `spark.sql.streaming.statefulOperator
-    * .checkCorrectness.enabled=false`. Spark's static check flags EVERY
-    * flatMapGroupsWithState feeding a stateful aggregation, because a
-    * generic FMGWS could emit rows with event times older than the
-    * watermark (late for the downstream agg). This one cannot: each
-    * verdict copies the event_ts of a CURRENT-batch input row
-    * unchanged, and current-batch rows are >= the watermark by
-    * construction — so no emitted row is ever late downstream. The
-    * check is a conservative pattern match, not a semantic analysis;
-    * disabling it here is safe by the argument above.
+    * The band stage is a transformWithState StatefulProcessor
+    * ([[BandDedupProcessor]]) using the event-time-column variant, so
+    * the downstream consensus aggregation is an OFFICIALLY supported
+    * stateful chain (flatMapGroupsWithState would trip Spark's
+    * conservative global-watermark pattern check). Requires the RocksDB
+    * state store provider
+    * (`spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state
+    * .RocksDBStateStoreProvider`) — transformWithState's backing store,
+    * and the production-grade choice at scale anyway.
     */
   def dedupNearFingerprint(fpDf: DataFrame, delayMs: Long): DataFrame = {
     import graft.functions.SimHashBands._
@@ -207,34 +255,14 @@ object NewsStream {
           .as(Seq("band", "key")))
     val verdicts = bands.as[FpBandRow]
       .groupByKey(r => (r.band, r.key))
-      .flatMapGroupsWithState[BandBucket, BandVerdict](
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
-        (_, rows, state) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // prune bucket entries the watermark has passed, then test
-            // each arrival against the survivors (and earlier same-batch
-            // rows, in deterministic keep-first order)
-            val wm = state.getCurrentWatermarkMs()
-            val st = state.getOption.getOrElse(BandBucket(Nil, Nil))
-            var entries = st.fps.zip(st.tss).filter(_._2 >= wm).toList
-            val out = rows.toSeq.sortBy(r => (r.event_ts.getTime, r.id)).map { r =>
-              val dup = entries.exists { case (f, _) =>
-                java.lang.Long.bitCount(f ^ r.fp) <= MaxHamming }
-              entries = (r.fp, r.event_ts.getTime) :: entries
-              BandVerdict(r.id, r.event_ts, r.fp, dup)
-            }
-            state.update(BandBucket(entries.map(_._1), entries.map(_._2)))
-            state.setTimeoutTimestamp(entries.map(_._2).max + delayMs)
-            out.iterator
-          }
-      }
+      .transformWithState(new BandDedupProcessor(delayMs),
+        "event_ts", org.apache.spark.sql.streaming.OutputMode.Append)
     // cross-band consensus: an article survives iff NO band flagged it.
-    // Grouping on the watermarked event-time column finalizes each
-    // article in append mode once the watermark passes it.
+    // transformWithState's event-time-column variant already carries the
+    // watermark on event_ts (re-declaring it is an error), so grouping
+    // on that column finalizes each article in append mode once the
+    // watermark passes it.
     verdicts.toDF()
-      .withWatermark("event_ts", s"$delayMs milliseconds")
       .groupBy(col("id"), col("event_ts"), col("fp"))
       .agg(max(col("dup")).as("dup"))
       .filter(!col("dup"))

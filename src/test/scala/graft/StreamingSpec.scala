@@ -339,14 +339,15 @@ class StreamingSpec extends AnyFunSuite {
       .start()
   }
 
-  /** FMGWS -> agg chains trip Spark's conservative global-watermark
-    * pattern check; dedupNearFingerprint is provably safe (see its
-    * scaladoc), so these tests scope the documented opt-out.
+  /** transformWithState requires the RocksDB state store provider (its
+    * backing store, and the production-grade choice anyway); scope it to
+    * these tests so the rest of the suite keeps the default provider.
     */
   private def withChainedStatefulOps[A](body: => A): A = {
-    val k = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val k = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(k)
-    spark.conf.set(k, "false")
+    spark.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try body
     finally prev match {
       case Some(v) => spark.conf.set(k, v)
