@@ -168,6 +168,41 @@ object TextQueries {
            |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin
       }),
 
+    // Corpus-statistics quality filter: per doc, the fraction of its
+    // DISTINCT tokens that are corpus-rare (document frequency <= 2) —
+    // the OCR-garbage/typo detector that per-doc features (doc_quality)
+    // cannot express, because rarity is a property of the corpus. Shape:
+    // one shuffle for df over distinct (doc, term) pairs, one join back,
+    // one per-doc agg — all partial-agg'd and linear in corpus size.
+    Q(
+      "doc_rare_token_ratio",
+      (s, d) => {
+        val ex = toks(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(col("tok"))).as("term"))
+        val df = ex.groupBy("term").agg(count(lit(1)).as("df"))
+        ex.join(df, "term")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_distinct"),
+            count(when(col("df") <= 2, 1)).as("n_rare"))
+          .select(col("doc_id"), col("n_distinct"), col("n_rare"),
+            round(col("n_rare").cast("double") / col("n_distinct"), 6)
+              .as("rare_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$tokCte, ex AS (
+           |  SELECT doc_id, unnest(list_distinct(tok)) AS term FROM t
+           |), df AS (
+           |  SELECT term, count(*) AS df FROM ex GROUP BY 1
+           |)
+           |SELECT ex.doc_id, count(*) AS n_distinct,
+           |  count(CASE WHEN df.df <= 2 THEN 1 END) AS n_rare,
+           |  round(CAST(count(CASE WHEN df.df <= 2 THEN 1 END) AS DOUBLE)
+           |    / count(*), 6) AS rare_ratio
+           |FROM ex JOIN df USING (term)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // PII-style redaction — a standard training-data hygiene pass:
     // emails, then URLs, then digit runs are rewritten to placeholder
     // tags (in that order — emails/URLs contain digits, so digit
