@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextFns._
@@ -180,8 +181,10 @@ object TextQueries {
         val ex = toks(s, d)
           .select(col("doc_id"),
             explode(array_distinct(col("tok"))).as("term"))
-        val df = ex.groupBy("term").agg(count(lit(1)).as("df"))
-        ex.join(df, "term")
+        // df as a window over the one explode — a groupBy+join form
+        // would re-run the scan+tokenize lineage for each consumer
+        ex.withColumn("df",
+            count(lit(1)).over(Window.partitionBy("term")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_distinct"),
             count(when(col("df") <= 2, 1)).as("n_rare"))
@@ -314,13 +317,20 @@ object TextQueries {
         val tf = toks(s, d)
           .select(col("doc_id"), explode(col("tok")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-        val dl = tf.groupBy("doc_id").agg(sum(col("c")).as("len"))
-        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // doc length and term df as WINDOWS over the one tf computation —
+        // the groupBy+join form re-ran the whole scan+tokenize+explode
+        // lineage once per consumer (the three branches prune different
+        // columns, so exchange reuse never fires). Both are integer
+        // aggregates, so values are bit-identical to the join form.
+        val wDoc = Window.partitionBy("doc_id")
+        val wTerm = Window.partitionBy("term")
         // corpus size straight off the parquet scan — re-deriving it
         // through the tokenize lineage would clean/tokenize the whole
         // corpus a second time for one scalar
         val n = Tables.t(s, d, "documents").agg(count(lit(1)).as("n"))
-        val scored = tf.join(dl, "doc_id").join(df, "term")
+        val scored = tf
+          .withColumn("len", sum(col("c")).over(wDoc))
+          .withColumn("df", count(lit(1)).over(wTerm))
           .crossJoin(broadcast(n))
           .withColumn("score",
             col("c").cast("double") * col("n") / (col("len") * col("df")))
