@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   * transforms (the Scala equivalent of pandas-UDF `mapInPandas`).
   *
   * The IMAGE codec is real: `ImageCodec` decodes PNG/JPEG bytes with
-  * javax.imageio (JDK built-in) into genuine pixel-luma features. Audio/
-  * video codecs remain STUBBED behind `StubCodec`, a deterministic
-  * content-hash fake (their libraries are not in this container).
-  * Everything Spark-side is real and tested: schema, encoders, batch
-  * shape (rows decoded in bounded per-partition batches), partition
-  * mapping, and the explode for frame sampling. Swapping StubCodec for a
-  * real decoder changes no plan shape.
+  * javax.imageio (JDK built-in) into genuine pixel-luma features. The
+  * AUDIO codec is real for WAV/PCM: `AudioCodec` decodes with
+  * javax.sound.sampled (also JDK built-in) into per-window RMS-energy
+  * features. Only VIDEO remains STUBBED behind `StubCodec`, a
+  * deterministic content-hash fake (no video codec ships with the JDK
+  * and the container has no external media libraries). Everything
+  * Spark-side is real and tested: schema, encoders, batch shape (rows
+  * decoded in bounded per-partition batches), partition mapping, and
+  * the explode for frame sampling. Swapping StubCodec for a real
+  * decoder changes no plan shape.
   */
 object Multimodal {
 
@@ -40,10 +43,12 @@ object Multimodal {
       media_id: Long, kind: String, embedding: Array[Float],
       decode_batch: Int)
 
-  /** ???-equivalent stub codec for AUDIO/VIDEO (their libraries are not
-    * in this container): deterministic pseudo-features from the content
-    * bytes. The signature (batch of byte arrays in, batch of features
-    * out) is what a vectorized codec needs.
+  /** ???-equivalent stub codec for VIDEO (no video codec ships with the
+    * JDK and the container has no external media libraries), and the
+    * degraded-asset fallback for the real codecs: deterministic
+    * pseudo-features from the content bytes. The signature (batch of
+    * byte arrays in, batch of features out) is what a vectorized codec
+    * needs.
     */
   object StubCodec {
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -100,10 +105,70 @@ object Multimodal {
     }
   }
 
-  /** per-kind dispatch: real pixels for images, stub for audio/video */
+  /** REAL audio decode via javax.sound.sampled (ships in the JDK;
+    * WAV/AIFF/AU containers, any PCM layout the JDK can convert):
+    * feature = RMS energy (samples normalized to [-1,1]) over `dim`
+    * equal time windows — the audio analog of the image luma strips.
+    * Undecodable bytes (null, corrupt, or a compressed format the JDK
+    * lacks, e.g. MP3) fall back to the stub features so a bad asset
+    * degrades instead of failing the partition.
+    */
+  object AudioCodec {
+    def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val samples: Array[Double] =
+        try {
+          if (bytes == null) null
+          else {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            // normalize every input to 16-bit signed little-endian PCM
+            val fmt = ais.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              fmt.getSampleRate, 16, fmt.getChannels, true, false)
+            val pcm = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(target, ais)
+            val raw = pcm.readAllBytes()
+            val n = raw.length / 2
+            val out = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              val lo = raw(2 * i) & 0xff
+              val hi = raw(2 * i + 1).toInt
+              out(i) = ((hi << 8) | lo) / 32768.0
+              i += 1
+            }
+            out
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => null
+        }
+      if (samples == null || samples.length == 0) StubCodec.embed(bytes, dim)
+      else {
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        var i = 0
+        while (i < samples.length) {
+          val cell = math.min(dim - 1, (i.toLong * dim / samples.length).toInt)
+          sums(cell) += samples(i) * samples(i)
+          counts(cell) += 1
+          i += 1
+        }
+        Array.tabulate(dim)(i =>
+          if (counts(i) == 0) 0.0f
+          else math.sqrt(sums(i) / counts(i)).toFloat)
+      }
+    }
+  }
+
+  /** per-kind dispatch: real pixels for images, real PCM for audio,
+    * stub for video
+    */
   private def embedRow(kind: String, bytes: Array[Byte], dim: Int): Array[Float] =
-    if (kind == "image") ImageCodec.embed(bytes, dim)
-    else StubCodec.embed(bytes, dim)
+    kind match {
+      case "image" => ImageCodec.embed(bytes, dim)
+      case "audio" => AudioCodec.embed(bytes, dim)
+      case _ => StubCodec.embed(bytes, dim)
+    }
 
   /** Feature extraction over the binary column, batched per partition —
     * the `mapInPandas` shape: rows are pulled BatchSize at a time (never

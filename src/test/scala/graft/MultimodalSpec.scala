@@ -46,6 +46,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.count() == 300)
   }
 
+  test("audio decode is real: a generated WAV yields RMS-energy features") {
+    // 16 kHz mono 16-bit PCM, 8000 samples: silent first half, loud
+    // 440 Hz square wave second half
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    (n / 2 until n).foreach { i =>
+      val v: Int = if ((i * 440 * 2 / 16000) % 2 == 0) 16000 else -16000
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val feats = Multimodal.AudioCodec.embed(wav, dim = 8)
+    assert(feats.length == 8)
+    // silent windows ~0 energy; loud windows ~0.49 (16000/32768 square)
+    assert(feats.take(4).forall(_ < 0.01f), feats.toSeq)
+    assert(feats.drop(4).forall(_ > 0.4f), feats.toSeq)
+    // corrupt bytes degrade to the deterministic stub, never throw
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    assert(Multimodal.AudioCodec.embed(junk, 8).toSeq ==
+      Multimodal.StubCodec.embed(junk, 8).toSeq)
+    // and through the Spark lineage: an audio row carrying the WAV bytes
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "audio", wav,
+          org.apache.spark.sql.Row(null, null, Int.box(16000), null))), 1),
+      Multimodal.mediaSchema)
+    val viaSpark = Multimodal.extractFeatures(df, dim = 8).collect().head
+    assert(viaSpark.embedding.toSeq == feats.toSeq)
+  }
+
   test("image decode is real: a generated PNG yields pixel-luma features") {
     import java.awt.image.BufferedImage
     // 64x8 PNG: left half pure black, right half pure white
