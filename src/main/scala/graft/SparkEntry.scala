@@ -26,4 +26,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Release every memoized + persisted shared lineage of `spark`
+    * (minhash/simhash/embedding pair caches). Call between scale
+    * factors or before reusing a session against rewritten input dirs;
+    * Verify/Bench call it before stopping their sessions.
+    */
+  def clearCaches(spark: SparkSession): Unit = CacheRegistry.clear(spark)
 }
