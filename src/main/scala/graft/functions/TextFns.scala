@@ -55,6 +55,26 @@ object TextFns {
     (countIn(toks, Pos) - countIn(toks, Neg)).cast(DoubleType) /
       greatest(size(toks), lit(1))
 
+  /** PII-style redaction: emails, then URLs, then digit runs rewritten
+    * to placeholder tags — in that order, because emails/URLs contain
+    * digits, so digit redaction must run last. Char-class-only regexes
+    * (no backrefs/lookaround), so Java and DuckDB's RE2 match
+    * identically; NULL normalizes to '' like clean().
+    */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(coalesce(c, lit("")),
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "[0-9]+", "<NUM>")
+
+  def redactSql(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(coalesce($e, ''),
+       |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+       |    'https?://[^\\s]+', '<URL>', 'g'),
+       |    '[0-9]+', '<NUM>', 'g')""".stripMargin
+
   /** U2 thresholds (reference streaming_pipeline.py:57–66): never a UDF.
     * NOTE: deliberately a twin of Sentiment.label, not a delegate — this
     * one compares against DOUBLE literals for the double-typed oracle

@@ -213,30 +213,19 @@ object TextQueries {
     // RE2 agree match-for-match; one narrow codegen'd map, no shuffle.
     Q(
       "doc_redact",
-      (s, d) => {
-        val raw = coalesce(col("text"), lit(""))
-        val red = regexp_replace(
-          regexp_replace(
-            regexp_replace(raw,
-              "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
-            "https?://[^\\s]+", "<URL>"),
-          "[0-9]+", "<NUM>")
+      (s, d) =>
         Tables.t(s, d, "documents")
           .select(col("doc_id"),
             size(expr(
               "regexp_extract_all(coalesce(text, ''), '[0-9]+', 0)"))
               .as("n_nums"),
-            red.as("redacted"))
-          .orderBy("doc_id")
-      },
+            redact(col("text")).as("redacted"))
+          .orderBy("doc_id"),
       Some(
-        """SELECT doc_id,
-          |  len(regexp_extract_all(coalesce(text, ''), '[0-9]+')) AS n_nums,
-          |  regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
-          |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
-          |    'https?://[^\s]+', '<URL>', 'g'),
-          |    '[0-9]+', '<NUM>', 'g') AS redacted
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+        s"""SELECT doc_id,
+           |  len(regexp_extract_all(coalesce(text, ''), '[0-9]+')) AS n_nums,
+           |  ${redactSql("text")} AS redacted
+           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Fixed-window token chunking with overlap — the context-window
     // prep op of an LLM training pipeline (chunk 64 tokens, stride 48

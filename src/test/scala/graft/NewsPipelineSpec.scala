@@ -80,6 +80,29 @@ class NewsPipelineSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("redaction rewrites emails, URLs, then digit runs, in that order") {
+    import spark.implicits._
+    val rows = Seq(
+      "contact bob.smith+x@example.invalid now",
+      "see https://example.invalid/a?b=1 today",
+      "call 555 0100 x42",
+      "mixed a1@b.c https://d.e/2 f3",
+      "clean words only",
+      null.asInstanceOf[String], // NULL normalizes to ''
+      "")
+      .toDF("text")
+      .select(graft.functions.TextFns.redact(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "contact <EMAIL> now")
+    assert(rows(1) == "see <URL> today")
+    assert(rows(2) == "call <NUM> <NUM> x<NUM>")
+    // the email/URL placeholders must survive digit redaction, and the
+    // email match must win over the URL/digit matches inside it
+    assert(rows(3) == "mixed <EMAIL> <URL> f<NUM>")
+    assert(rows(4) == "clean words only")
+    assert(rows(5) == "" && rows(6) == "")
+  }
+
   test("timestamp parse-at-edge coerces bad values to null") {
     // Spark 4 ANSI mode: to_timestamp THROWS on malformed input;
     // try_to_timestamp is the errors="coerce" equivalent

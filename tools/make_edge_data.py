@@ -40,6 +40,8 @@ texts = [
     (13, "tab\tand\nnewline  spaced", "en", "src6"),             # mixed whitespace
     (14, "very good but not very bad", "en", "src7"),            # intensifier+negator
     (15, None, "en", "src7"),  # NULL text: must fingerprint/group like empty
+    # PII shapes: exercises every doc_redact branch (email, URL, digits)
+    (16, "contact bob.smith+x@example.invalid or https://example.invalid/a?b=1 or call 555 0100", "en", "src8"),
 ]
 # duplicate-heavy block: 120 exact copies of one doc plus 30 of another —
 # the minhash hot-bucket scenario (all copies land in the same band
