@@ -98,6 +98,24 @@ class HashKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused kernel == composition on 200 seeded-random token arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "word", "café", "x1", "the", "zz", "中")
+    val arrays = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))))
+    val shingleCol = when(size(col("tok")) >= 3,
+      expr("""transform(sequence(1, size(tok) - 2),
+             |  i -> concat_ws(' ', tok[i-1], tok[i], tok[i+1]))""".stripMargin))
+      .otherwise(array(coalesce(array_join(col("tok"), " "), lit(""))))
+    val rows = arrays.toDF("tok")
+      .withColumn("sh", shingleCol)
+      .select(MinHashShingleSig.column(col("tok")).as("fused"),
+        MinHashSig.column(col("sh")).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+  }
+
   test("kernels run inside whole-stage codegen") {
     // range-backed, not a local Seq: ConvertToLocalRelation would fold a
     // LocalTableScan and hide the codegen stage being asserted
