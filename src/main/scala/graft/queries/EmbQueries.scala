@@ -85,9 +85,14 @@ object EmbQueries {
     def dotJSql(j: Int): String =
       s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * " +
         s"CAST(((i * ${73 + j * 31} + ${j * 151}) % 997) % 5 - 2 AS DOUBLE)))"
-    (0 until SigBits).map(j =>
+    val sig = (0 until SigBits).map(j =>
       s"(CASE WHEN ${dotJSql(j)} >= 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
+    // mirror the kernel's strict 64-dim contract (LshSig.sig null-poisons
+    // ragged or null-element vectors); off-contract inputs must be NULL on
+    // BOTH engines, not a DuckDB-only partial signature
+    s"(CASE WHEN len($v) <> ${graft.functions.LshSig.Dims} OR " +
+      s"len(list_filter($v, x -> x IS NULL)) > 0 THEN NULL ELSE $sig END)"
   }
 
   def bandOf(c: Column, b: Int): Column =

@@ -363,6 +363,10 @@ object EventQueries {
       "ev_approx_distinct_users",
       (s, d) =>
         ev(s, d)
+          // NULL user_ids must not count as a distinct user: the oracle's
+          // count(DISTINCT …) and approx_count_distinct both skip NULLs,
+          // but the count(lit(1)) over the distinct set below would not.
+          .filter(col("user_id").isNotNull)
           .select("user_id").distinct()
           .agg(
             count(lit(1)).as("n_exact"),

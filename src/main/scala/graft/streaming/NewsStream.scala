@@ -39,13 +39,21 @@ private[streaming] case class BandEntry(fp: Long, tsMs: Long)
 private[streaming] class BandDedupProcessor(delayMs: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       (Int, Long), FpBandRow, BandVerdict] {
-  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
 
   @transient private var bucket: ListState[BandEntry] = _
+  /** expiry of the ONE pending cleanup timer for this bucket — tracked so
+    * each batch can delete-then-advance it instead of piling up a fresh
+    * timer per batch (state-store bloat on hot keys)
+    */
+  @transient private var timerAt: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     bucket = getHandle.getListState[BandEntry]("bucket",
       org.apache.spark.sql.Encoders.product[BandEntry], TTLConfig.NONE)
+    timerAt = getHandle.getValueState[Long]("timerAt",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: (Int, Long), rows: Iterator[FpBandRow],
       timerValues: TimerValues): Iterator[BandVerdict] = {
@@ -61,7 +69,18 @@ private[streaming] class BandDedupProcessor(delayMs: Long)
       BandVerdict(r.id, r.event_ts, r.fp, dup)
     }
     bucket.put(entries.toArray)
-    getHandle.registerTimer(entries.map(_.tsMs).max + delayMs)
+    // one live timer per bucket: advance (delete + re-register) rather
+    // than stacking a new timer every batch — a hot key would otherwise
+    // accumulate one pending timer per micro-batch until each expires
+    val expiry = entries.map(_.tsMs).max + delayMs
+    if (!timerAt.exists()) {
+      getHandle.registerTimer(expiry)
+      timerAt.update(expiry)
+    } else if (expiry > timerAt.get()) {
+      getHandle.deleteTimer(timerAt.get())
+      getHandle.registerTimer(expiry)
+      timerAt.update(expiry)
+    }
     out.iterator
   }
 
@@ -69,7 +88,15 @@ private[streaming] class BandDedupProcessor(delayMs: Long)
       expiredTimerInfo: ExpiredTimerInfo): Iterator[BandVerdict] = {
     val wm = timerValues.getCurrentWatermarkInMs()
     val live = bucket.get().filter(_.tsMs >= wm).toArray
-    if (live.isEmpty) bucket.clear() else bucket.put(live)
+    timerAt.clear() // the fired timer is gone; next batch re-registers
+    if (live.isEmpty) bucket.clear()
+    else {
+      bucket.put(live)
+      // entries the watermark hasn't reached yet still need a cleanup pass
+      val expiry = live.map(_.tsMs).max + delayMs
+      getHandle.registerTimer(expiry)
+      timerAt.update(expiry)
+    }
     Iterator.empty
   }
 }
@@ -206,7 +233,8 @@ object NewsStream {
     * one without O(n²) comparisons; state per bucket only holds
     * fingerprints that collide on 16 bits, so buckets stay tiny).
     *
-    * Two stateful stages: band-keyed flatMapGroupsWithState emits a
+    * Two stateful stages: a band-keyed transformWithState
+    * StatefulProcessor ([[BandDedupProcessor]]) emits a
     * per-band verdict, then a per-article event-time aggregation keeps
     * articles no band flagged. Both stages are watermark-bounded
     * (event-time timeout prunes band buckets; the consensus agg
