@@ -58,11 +58,16 @@ object GraftExtensions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, cls, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),
         builder))
     }
+    // whole-operator extension: the grouped top-k physical strategy
+    // (graft.plans.GroupedTopK). Also self-registers per session via
+    // experimental.extraStrategies for sessions built without extensions.
+    e.injectPlannerStrategy(_ => new graft.plans.GroupedTopKStrategy)
+  }
 }

@@ -205,6 +205,30 @@ object EventQueries {
           |SELECT user_id, event_id, value, event_type
           |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Grouped top-k through the CUSTOM CATALYST OPERATOR
+    // (graft.plans.GroupedTopK: LogicalPlan + SparkStrategy + two-phase
+    // SparkPlan). Same answer as the row_number() window form the oracle
+    // uses, but each map partition is reduced to <= k rows per group
+    // BEFORE the exchange and no full group is ever sorted — the
+    // window form shuffles and sorts every row of every group.
+    // GroupedTopKSpec pins plan shape and window-parity.
+    Q(
+      "ev_grouped_topk",
+      (s, d) => {
+        val e = ev(s, d).select("event_type", "event_id", "value")
+        graft.plans.GroupedTopK(
+          e, Seq("event_type"), Seq(e("value").desc, e("event_id")), k = 3)
+          .orderBy("event_type", "event_id")
+      },
+      Some(
+        """WITH r AS (
+          |  SELECT event_type, event_id, value,
+          |    row_number() OVER (PARTITION BY event_type
+          |                       ORDER BY value DESC, event_id) AS rn
+          |  FROM events)
+          |SELECT event_type, event_id, value
+          |FROM r WHERE rn <= 3 ORDER BY event_type, event_id""".stripMargin)),
+
     // Distribution stats per type: exact decimal sum/avg plus sample
     // stddev (rounded — variance accumulation is order-dependent) and
     // min/max (exact)

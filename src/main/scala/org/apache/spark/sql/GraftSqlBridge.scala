@@ -10,4 +10,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom LogicalPlan (graft.plans operators) —
+    * `Dataset.ofRows` moved behind private[sql] with the classic/connect
+    * split, same story as the Column converters above.
+    */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** the session's ExperimentalMethods (extraStrategies hook) — public
+    * API on the classic session, absent from the unified facade
+    */
+  def experimental(spark: SparkSession): ExperimentalMethods =
+    spark.asInstanceOf[classic.SparkSession].experimental
+
+  /** Full ColumnNode conversion — unlike `expression` above, this maps a
+    * `.desc`/`.asc_nulls_last` column's internal SortOrder node to a
+    * catalyst SortOrder instead of wrapping it opaquely (needed when a
+    * sort column is consumed as an ORDERING, e.g. graft.plans operators).
+    */
+  def sortExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
