@@ -494,6 +494,74 @@ object DedupQueries {
            |  count(CASE WHEN has_train THEN 1 END) AS n_contaminated
            |FROM flags WHERE has_test""".stripMargin)),
 
+    // Benchmark DECONTAMINATION at document granularity: flag every
+    // TRAIN-split document that shares an 8-token shingle with any
+    // TEST-split document (the standard n-gram-overlap decontamination
+    // of LLM training corpora; 8 tokens is in the usual 8–13 range).
+    // Scale shape: the test/benchmark side is small by definition, so
+    // its distinct shingle digests BROADCAST — the train corpus is
+    // scanned once, its shingles checked map-side (left-semi against
+    // the broadcast set), and only matching doc_ids reach the one
+    // distinct-shuffle. Shingles travel as md5 digests, not strings.
+    Q(
+      "doc_decontaminate",
+      (s, d) => {
+        val bucket =
+          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
+            .cast("long") % 100
+        val base = toks(s, d)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+        val sh8 = when(size(col("tok")) >= 8,
+          transform(sequence(lit(1), size(col("tok")) - 7), i =>
+            md5(concat_ws(" ",
+              (0 until 8).map(o => element_at(col("tok"), i + o)): _*))))
+          .otherwise(array(md5(coalesce(array_join(col("tok"), " "), lit("")))))
+        val testSh = base.filter(col("split") === "test")
+          .select(explode(sh8).as("g")).distinct()
+        val trainSh = base.filter(col("split") === "train")
+          .select(col("doc_id"), explode(sh8).as("g"))
+        val hit = trainSh
+          .join(broadcast(testSh), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("contaminated", lit(true))
+        base.filter(col("split") === "train").select("doc_id")
+          .join(hit, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("contaminated"), lit(false)).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), split AS (
+           |  SELECT doc_id, tok, CASE
+           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+           |    ELSE 'test' END AS split
+           |  FROM toksrc
+           |), sh AS (
+           |  SELECT doc_id, split,
+           |    CASE WHEN len(tok) >= 8
+           |      THEN list_transform(range(1, len(tok) - 6),
+           |             i -> md5(array_to_string(tok[i:i+7], ' ')))
+           |      ELSE [md5(coalesce(array_to_string(tok, ' '), ''))] END AS shl
+           |  FROM split
+           |), ex AS (
+           |  SELECT DISTINCT unnest(shl) AS g FROM sh WHERE split = 'test'
+           |), tru AS (
+           |  SELECT doc_id, unnest(shl) AS g FROM sh WHERE split = 'train'
+           |), hit AS (
+           |  SELECT DISTINCT t.doc_id FROM tru t JOIN ex e USING (g)
+           |)
+           |SELECT s.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+           |FROM sh s LEFT JOIN hit h USING (doc_id)
+           |WHERE s.split = 'train'
+           |ORDER BY doc_id""".stripMargin)),
+
     // n-gram (token bigram) Jaccard over a bounded candidate block —
     // the exact quadratic baseline the LSH path approximates
     Q(

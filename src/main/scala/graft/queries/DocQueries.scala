@@ -301,7 +301,41 @@ object DocQueries {
       Some(
         s"""$cte2 SELECT doc_id,
            |  md5(coalesce(array_to_string(tok, ' '), '')) AS fingerprint
-           |FROM toks ORDER BY doc_id""".stripMargin))
+           |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget sampling: take documents per language in stable
+    // doc_id order until each language's cumulative token count reaches
+    // the budget — the "give me N tokens per language" selection step of
+    // corpus assembly. The running sum is a window over (lang, doc_id):
+    // ONE shuffle on lang, partial-agg-free but sort-bounded per
+    // language. At 100 TB the same contract (deterministic, stable under
+    // re-runs) comes from pre-bucketing by doc_id range per language so
+    // each bucket computes its offset from per-bucket totals — the
+    // window form here is the single-stage equivalent; determinism
+    // (stable key order, no rand()) is what makes the sample
+    // reproducible either way.
+    Q(
+      "doc_token_budget_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        scored(s, d)
+          .select(col("lang"), col("doc_id"), col("n_tokens"))
+          .withColumn("cum_tokens",
+            sum(col("n_tokens")).over(w).cast("long"))
+          .filter(col("cum_tokens") <= 5000)
+          .orderBy("lang", "doc_id")
+      },
+      Some(
+        s"""$cte, c AS (
+           |  SELECT lang, doc_id, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_tokens
+           |  FROM scored)
+           |SELECT lang, doc_id, n_tokens, cum_tokens FROM c
+           |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin))
   )
 
   /** CTE variant exposing the token list itself (fingerprint needs `tok`,

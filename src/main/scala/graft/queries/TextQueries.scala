@@ -360,7 +360,62 @@ object TextQueries {
            |                       ORDER BY score DESC, term) AS rk
            |  FROM scored)
            |SELECT doc_id, rk, term, round(score, 6) AS score
-           |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+           |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // Repetition quality signals (the duplicate-text heuristics of
+    // LLM-corpus quality filtering, e.g. Gopher's repetition rules):
+    // dup_token_ratio = 1 - distinct/total tokens, top_bigram_frac =
+    // share of bigram slots taken by the single most frequent bigram.
+    // Scale shape: a pure narrow map — per-row higher-order functions,
+    // no shuffle at all; cost is O(distinct-bigrams x bigrams) per doc,
+    // bounded by document length, so the stage is embarrassingly
+    // parallel at any corpus size.
+    Q(
+      "doc_repetition",
+      (s, d) =>
+        toks(s, d)
+          .withColumn("n_tokens", size(col("tok")))
+          .withColumn("dup_token_ratio",
+            round(when(col("n_tokens") > 0,
+              lit(1.0) - size(array_distinct(col("tok"))).cast("double") /
+                col("n_tokens")).otherwise(lit(0.0)) + lit(0.0), 6))
+          .withColumn("bg",
+            when(col("n_tokens") >= 2,
+              transform(sequence(lit(1), col("n_tokens") - 1), i =>
+                concat_ws(" ", element_at(col("tok"), i),
+                  element_at(col("tok"), i + 1)))))
+          .withColumn("top_bigram_frac",
+            round(when(col("n_tokens") >= 2,
+              array_max(transform(array_distinct(col("bg")), b =>
+                size(filter(col("bg"), x => x === b)))).cast("double") /
+                (col("n_tokens") - 1)).otherwise(lit(0.0)) + lit(0.0), 6))
+          .withColumn("repetitive",
+            col("dup_token_ratio") > 0.6 || col("top_bigram_frac") > 0.1)
+          .select("doc_id", "n_tokens", "dup_token_ratio",
+            "top_bigram_frac", "repetitive")
+          .orderBy("doc_id"),
+      Some(
+        s"""$tokCte, m AS (
+           |  SELECT doc_id, tok, len(tok) AS n_tokens,
+           |    CASE WHEN len(tok) >= 2
+           |      THEN list_transform(range(1, len(tok)),
+           |             i -> tok[i] || ' ' || tok[i+1]) END AS bg
+           |  FROM t
+           |), r AS (
+           |  SELECT doc_id, n_tokens,
+           |    round(CASE WHEN n_tokens > 0
+           |      THEN CAST(1.0 AS DOUBLE) -
+           |           CAST(len(list_distinct(tok)) AS DOUBLE) / n_tokens
+           |      ELSE 0.0 END + 0.0, 6) AS dup_token_ratio,
+           |    round(CASE WHEN n_tokens >= 2
+           |      THEN CAST(list_max(list_transform(list_distinct(bg),
+           |             b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) /
+           |           (n_tokens - 1)
+           |      ELSE 0.0 END + 0.0, 6) AS top_bigram_frac
+           |  FROM m)
+           |SELECT doc_id, n_tokens, dup_token_ratio, top_bigram_frac,
+           |  (dup_token_ratio > 0.6 OR top_bigram_frac > 0.1) AS repetitive
+           |FROM r ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match
