@@ -116,6 +116,9 @@ object EmbQueries {
   def annBandOfSql(c: String, b: Int): String =
     s"(($c >> ${AnnBandBits * b}) & $AnnBandMask)"
 
+  /** k-means cluster count (emb_kmeans / emb_semantic_dedup) */
+  private val K = 8
+
   val qs: Seq[Q] = Seq(
     // L2 norm per vector — exercises the array math end to end
     Q(
@@ -404,8 +407,164 @@ object EmbQueries {
            |SELECT a_id, b_id, sim,
            |  round(CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1), 6)
            |    AS text_jaccard
-           |FROM j ORDER BY a_id, b_id""".stripMargin))
+           |FROM j ORDER BY a_id, b_id""".stripMargin)),
+
+    // K-means over the embedding corpus (K=8, deterministic seeding with
+    // vec_id 0..7, two Lloyd rounds) — the clustering stage of semantic
+    // dedup / corpus curation. Everything is oracle-exact by
+    // construction: init centroids and per-round means are rounded to 6
+    // decimals on BOTH engines before any distance compare, distances
+    // are the same in-order double fold as the VecL2Sq kernel, and
+    // argmin ties break on cluster id. Scale shape: centroids are K x 64
+    // values — broadcast; each round is one narrow crossJoin pass plus
+    // one (cluster, dim)-cell aggregation whose output size is K x 64
+    // regardless of corpus size. (A production loop would iterate to
+    // convergence with the K x 64 codebook collected per round, exactly
+    // like MLlib; two fixed rounds keep the lineage SQL-reproducible.)
+    Q(
+      "emb_kmeans",
+      (s, d) =>
+        kmeansFinal(s, d)
+          .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("d2"))
+          .orderBy("vec_id"),
+      Some(s"""$kmeansCte
+           |SELECT vec_id, cid AS cluster, round(d2, 6) AS d2
+           |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // SemDeDup-style semantic dedup: within each k-means cluster the
+    // lowest-vec_id member is the representative; every other member is
+    // DROPPED when its cosine to the representative clears the
+    // threshold (near-duplicate semantics by meaning, not bytes).
+    // Reuses the memoized+persisted k-means assignment (500 small rows)
+    // — the second consumer reads materialized rows, and the per-cluster
+    // representative join is a broadcast of K rows, so the corpus is
+    // scanned once. Emits every vector's verdict, so the oracle checks
+    // keeps AND drops.
+    Q(
+      "emb_semantic_dedup",
+      (s, d) => {
+        val e = emb(s, d)
+        val assign = kmeansAssign(s, d)
+        val reps = broadcast(
+          assign.groupBy(col("cluster")).agg(min(col("vec_id")).as("rep_id"))
+            .join(e.select(col("vec_id").as("rep_id"),
+              col("embedding").as("rep_v")), Seq("rep_id")))
+        e.join(assign, Seq("vec_id"))
+          .join(reps, Seq("cluster"))
+          .withColumn("sim_to_rep",
+            round(cosine(col("embedding"), col("rep_v")), 6))
+          .withColumn("drop",
+            col("vec_id") =!= col("rep_id") && col("sim_to_rep") >= 0.2)
+          .select(col("vec_id"), col("cluster"), col("rep_id"),
+            col("sim_to_rep"), col("drop"))
+          .orderBy("vec_id")
+      },
+      Some(s"""$kmeansCte, assign AS (
+           |  SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1
+           |), reps AS (
+           |  SELECT a.cluster, min(a.vec_id) AS rep_id
+           |  FROM assign a GROUP BY a.cluster
+           |), repv AS (
+           |  SELECT r.cluster, r.rep_id, e.embedding AS rep_v
+           |  FROM reps r JOIN embeddings e ON e.vec_id = r.rep_id
+           |)
+           |SELECT a.vec_id, a.cluster, rv.rep_id,
+           |  ${cosSql("e.embedding", "rv.rep_v")} AS sim_to_rep,
+           |  (a.vec_id <> rv.rep_id AND
+           |   ${cosSql("e.embedding", "rv.rep_v")} >= 0.2) AS "drop"
+           |FROM assign a
+           |JOIN embeddings e ON e.vec_id = a.vec_id
+           |JOIN repv rv ON rv.cluster = a.cluster
+           |ORDER BY a.vec_id""".stripMargin))
   )
+
+  // ---- k-means lineage (emb_kmeans + emb_semantic_dedup) -------------
+  // (cluster count K lives ABOVE qs: the oracle strings interpolate it
+  // eagerly during object init, and a forward val reference reads 0)
+
+  /** nearest centroid per vector: broadcast K-row codebook, kernel L2²,
+    * argmin with (d2, cid) tie-break
+    */
+  private def nearest(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** K x 64 codebook from member vectors: rounded per-dim means */
+  private def centroidsOf(members: DataFrame): DataFrame =
+    members
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+
+  /** final-round assignment rows (vec_id, embedding, cluster=cid, d2) */
+  private def kmeansFinal(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val cent0 = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"),
+        transform(col("embedding"), v => round(v.cast("double"), 6)).as("cvec"))
+    val round1 = nearest(e, cent0).select(col("cid"), col("embedding"))
+    nearest(e, centroidsOf(round1))
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
+  }
+
+  /** memoized + persisted (vec_id, cluster) — shared by emb_kmeans and
+    * emb_semantic_dedup; 2 small columns per vector, released via
+    * CacheRegistry.clear
+    */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("emb_kmeans_assign", s, d)(
+      graft.CacheRegistry.track(s,
+        kmeansFinal(s, d).select("vec_id", "cluster")))
+
+  /** DuckDB twin of [[kmeansFinal]]: c0 seeds, one reassignment, final
+    * ranked distances in `a2` (consumers read `WHERE rn = 1`)
+    */
+  private def kmeansCte: String = {
+    def l2(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> (CAST($a[i] AS DOUBLE) - $b[i]) *
+         |           (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid,
+       |    list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS cvec
+       |  FROM embeddings WHERE vec_id < $K
+       |), d1 AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ${l2("e.embedding", "c.cvec")} AS d2
+       |  FROM embeddings e CROSS JOIN c0 c
+       |), a1 AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d1
+       |), m1 AS (
+       |  SELECT cid, embedding FROM a1 WHERE rn = 1
+       |), cd AS (
+       |  SELECT cid, CAST(i - 1 AS INT) AS dim,
+       |    round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+       |  FROM m1 CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT cid,
+       |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))),
+       |      x -> x.cv) AS cvec
+       |  FROM cd GROUP BY cid
+       |), d2t AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${l2("e.embedding", "c.cvec")} AS d2
+       |  FROM embeddings e CROSS JOIN c1 c
+       |), a2 AS (
+       |  SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d2t
+       |)""".stripMargin
+  }
 
   /** top-10 most-similar band-colocated pairs (shared by the near-dup
     * query and the cross-modal check) — memoized per (session, dir) AND
