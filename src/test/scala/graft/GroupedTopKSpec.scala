@@ -79,14 +79,24 @@ class GroupedTopKSpec extends AnyFunSuite {
   }
 
   test("strategy arrives via SparkSessionExtensions too") {
+    // force the builder past the shared default session: with active +
+    // default cleared it builds a NEW SparkSession instance on the live
+    // SparkContext (getOrCreate would otherwise hand back the shared
+    // session, extensions unapplied). The config-string form of
+    // spark.sql.extensions only loads on SparkContext creation, so with a
+    // reused context the class must arrive via withExtensions — same
+    // GraftExtensions code path a fresh cluster session gets from config.
+    spark.sparkContext // ensure the shared context exists first
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder()
-      .master("local[2]")
       .appName("graft-ext-topk")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
+      assert(s2 ne spark, "builder must hand back a fresh session instance")
       // a fresh plan in the extensions session, NOT via the self-
       // registering API object — the strategy must come from extensions
       val df = s2.range(100).select(
@@ -100,6 +110,13 @@ class GroupedTopKSpec extends AnyFunSuite {
       val out = org.apache.spark.sql.GraftSqlBridge.ofRows(s2, plan)
       assert(out.count() == 6)
       assert(out.queryExecution.executedPlan.toString.contains("GroupedTopKFinal"))
-    } finally s2.close() // shared context stays up for the other suites
+    } finally {
+      // do NOT stop s2 — it shares the one test SparkContext; just put the
+      // shared session back as active/default for the remaining suites
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+      prior.foreach(SparkSession.setActiveSession)
+    }
   }
 }
