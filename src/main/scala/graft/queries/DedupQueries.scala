@@ -378,6 +378,45 @@ object DedupQueries {
            |CROSS JOIN (SELECT count(DISTINCT b_id) AS n_dupes
            |            FROM ($minhashSql))""".stripMargin)),
 
+    // Duplicate CLUSTERS: connected components over the near-dup pair
+    // graph (pairs only relate docs two at a time; transitive closure is
+    // what a dedup resolution actually keeps/drops — e.g. A~B, B~C must
+    // collapse to ONE cluster even when A,C never paired). Spark side is
+    // the O(log n)-round label-propagation + pointer-jumping operator
+    // (graft.operators.ConnectedComponents) over the persisted pair set;
+    // the oracle replays it as a recursive min-label closure in DuckDB.
+    Q(
+      "dedup_cc_clusters",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+        graft.CacheRegistry.memo("dedup_cc_labels", s, d)(
+          graft.operators.ConnectedComponents.run(
+            minhashPairs(s, d).select(col("a_id"), col("b_id"))))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .withColumn("n_members", count(lit(1)).over(w))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE pairs AS (
+           |  $minhashSql
+           |), edges AS (
+           |  SELECT a_id AS u, b_id AS v FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |), nodes AS (
+           |  SELECT DISTINCT u AS id FROM edges
+           |), reach(id, lab) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+           |), comp AS (
+           |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+           |)
+           |SELECT doc_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+           |FROM comp ORDER BY doc_id""".stripMargin)),
+
     // SimHash fingerprints (portable bit arithmetic, oracle-checked)
     Q(
       "dedup_simhash",

@@ -24,6 +24,22 @@ object GraftSqlBridge {
   def experimental(spark: SparkSession): ExperimentalMethods =
     spark.asInstanceOf[classic.SparkSession].experimental
 
+  /** Rebuild `df` as a flat scan over its own (lazily evaluated)
+    * InternalRow RDD. Iterative algorithms that feed a DataFrame back
+    * into joins each round otherwise nest the previous round's plan
+    * several times per iteration — exponential Catalyst-plan growth even
+    * when persist() keeps the EXECUTION linear. Wrapping the round in a
+    * LogicalRDD truncates the plan the way checkpoint() would, without
+    * writing anything; pair with persist()+an action so the RDD reads
+    * cached blocks instead of recomputing.
+    */
+  def truncateLineage(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = classicDf.sparkSession
+    ofRows(spark, execution.LogicalRDD.fromDataset(
+      classicDf.queryExecution.toRdd, classicDf, isStreaming = false))
+  }
+
   /** Full ColumnNode conversion — unlike `expression` above, this maps a
     * `.desc`/`.asc_nulls_last` column's internal SortOrder node to a
     * catalyst SortOrder instead of wrapping it opaquely (needed when a
