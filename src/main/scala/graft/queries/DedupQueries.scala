@@ -601,6 +601,98 @@ object DedupQueries {
            |WHERE s.split = 'train'
            |ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-filter decontamination — the sketch path for when even the
+    // DIGEST set of the benchmark side outgrows a broadcast hash set
+    // (a few GB of md5s): a bits-only Bloom filter over the test-split
+    // shingle digests is built distributed (partial sketches OR-merged,
+    // Spark's stat.bloomFilter), shipped to every executor, and the
+    // train corpus probes it map-side — zero shuffle on the big side,
+    // same shape as the exact variant above. The filter's bit pattern is
+    // engine-specific, so the oracle-checkable contract is the Bloom
+    // GUARANTEE, emitted as booleans: no false negatives (every exactly-
+    // contaminated shingle occurrence is flagged), and the shingle-level
+    // false-positive rate within 5x the configured fpp (+100 absolute
+    // slack so tiny corpora don't flake a probabilistic bound).
+    Q(
+      "doc_decontaminate_bloom",
+      (s, d) => {
+        val fpp = 0.01
+        val bucket =
+          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
+            .cast("long") % 100
+        val base = toks(s, d)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+        val sh8 = when(size(col("tok")) >= 8,
+          transform(sequence(lit(1), size(col("tok")) - 7), i =>
+            md5(concat_ws(" ",
+              (0 until 8).map(o => element_at(col("tok"), i + o)): _*))))
+          .otherwise(array(md5(coalesce(array_join(col("tok"), " "), lit("")))))
+        val testSh = base.filter(col("split") === "test")
+          .select(explode(sh8).as("g")).distinct()
+        val bloom = testSh.stat.bloomFilter(
+          "g", math.max(testSh.count(), 1000L), fpp)
+        val bf = s.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((g: String) => bf.value.mightContainString(g))
+        val probes = base.filter(col("split") === "train")
+          .select(col("doc_id"), explode(sh8).as("g"))
+          .join(broadcast(testSh.withColumn("hit", lit(true))), Seq("g"), "left")
+          .select(col("doc_id"),
+            coalesce(col("hit"), lit(false)).as("exact"),
+            mightContain(col("g")).as("bloom"))
+        val perDoc = probes.groupBy("doc_id")
+          .agg(max(col("exact")).as("exact"), max(col("bloom")).as("bloom"))
+        val shingleStats = probes.agg(
+          count(lit(1)).as("t_probes"),
+          count(when(col("bloom") && !col("exact"), 1)).as("n_fp"),
+          coalesce(bool_and(!col("exact") || col("bloom")), lit(true))
+            .as("sh_no_fn"))
+        perDoc
+          .agg(
+            count(lit(1)).as("n_train"),
+            count(when(col("exact"), 1)).as("n_contaminated"),
+            coalesce(bool_and(!col("exact") || col("bloom")), lit(true))
+              .as("doc_no_fn"))
+          .crossJoin(shingleStats)
+          .select(
+            col("n_train"), col("n_contaminated"),
+            (col("doc_no_fn") && col("sh_no_fn")).as("no_false_negatives"),
+            (col("n_fp").cast("double") <=
+              col("t_probes") * (5 * fpp) + 100).as("fp_within_bound"))
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), split AS (
+           |  SELECT doc_id, tok, CASE
+           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+           |    ELSE 'test' END AS split
+           |  FROM toksrc
+           |), sh AS (
+           |  SELECT doc_id, split,
+           |    CASE WHEN len(tok) >= 8
+           |      THEN list_transform(range(1, len(tok) - 6),
+           |             i -> md5(array_to_string(tok[i:i+7], ' ')))
+           |      ELSE [md5(coalesce(array_to_string(tok, ' '), ''))] END AS shl
+           |  FROM split
+           |), ex AS (
+           |  SELECT DISTINCT unnest(shl) AS g FROM sh WHERE split = 'test'
+           |), tru AS (
+           |  SELECT doc_id, unnest(shl) AS g FROM sh WHERE split = 'train'
+           |), hit AS (
+           |  SELECT DISTINCT t.doc_id FROM tru t JOIN ex e USING (g)
+           |)
+           |SELECT
+           |  (SELECT count(*) FROM sh WHERE split = 'train') AS n_train,
+           |  (SELECT count(*) FROM hit) AS n_contaminated,
+           |  TRUE AS no_false_negatives,
+           |  TRUE AS fp_within_bound""".stripMargin)),
+
     // n-gram (token bigram) Jaccard over a bounded candidate block —
     // the exact quadratic baseline the LSH path approximates
     Q(

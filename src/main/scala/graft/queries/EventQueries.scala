@@ -229,6 +229,45 @@ object EventQueries {
           |SELECT event_type, event_id, value
           |FROM r WHERE rn <= 3 ORDER BY event_type, event_id""".stripMargin)),
 
+    // Z-order layout audit: every event mapped onto the 32-bit Morton
+    // curve over (user_id, epoch-second) 16-bit keys, then aggregated
+    // per top-8-bit z-range. Each output row is one would-be file of a
+    // z-ordered write (`repartitionByRange(zorder32).sortWithinPartitions`)
+    // and its min/max per dimension IS the file-stats footer a scan
+    // would prune on — tight u/t ranges per bucket are the locality the
+    // layout exists to buy. Pure codegen'd bit arithmetic; the oracle
+    // replays identical masks and shifts.
+    Q(
+      "ev_zorder_layout",
+      (s, d) => {
+        import graft.functions.ZOrder
+        ev(s, d)
+          .select(
+            col("user_id").bitwiseAND(lit(0xFFFFL)).as("u"),
+            epochS(col("ts")).bitwiseAND(lit(0xFFFFL)).as("t"))
+          .withColumn("z", ZOrder.zorder32(col("u"), col("t")))
+          .groupBy(shiftright(col("z"), 24).as("z_bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("u")).as("u_min"), max(col("u")).as("u_max"),
+            min(col("t")).as("t_min"), max(col("t")).as("t_max"))
+          .orderBy("z_bucket")
+      },
+      Some {
+        import graft.functions.ZOrder
+        s"""WITH dims AS (
+           |  SELECT user_id & 65535 AS u,
+           |    CAST(floor(epoch(ts)) AS BIGINT) & 65535 AS t
+           |  FROM events
+           |), zv AS (
+           |  SELECT u, t, ${ZOrder.zorder32Sql("u", "t")} AS z FROM dims
+           |)
+           |SELECT z >> 24 AS z_bucket, count(*) AS n,
+           |  min(u) AS u_min, max(u) AS u_max,
+           |  min(t) AS t_min, max(t) AS t_max
+           |FROM zv GROUP BY 1 ORDER BY z_bucket""".stripMargin
+      }),
+
     // Distribution stats per type: exact decimal sum/avg plus sample
     // stddev (rounded — variance accumulation is order-dependent) and
     // min/max (exact)
