@@ -385,9 +385,10 @@ object TextQueries {
                 concat_ws(" ", element_at(col("tok"), i),
                   element_at(col("tok"), i + 1)))))
           .withColumn("top_bigram_frac",
+            // single-pass native kernel; the HOF composition the oracle
+            // uses is O(distinct x n) interpreted string compares
             round(when(col("n_tokens") >= 2,
-              array_max(transform(array_distinct(col("bg")), b =>
-                size(filter(col("bg"), x => x === b)))).cast("double") /
+              graft.functions.MaxMultiplicity.column(col("bg")).cast("double") /
                 (col("n_tokens") - 1)).otherwise(lit(0.0)) + lit(0.0), 6))
           .withColumn("repetitive",
             col("dup_token_ratio") > 0.6 || col("top_bigram_frac") > 0.1)
