@@ -119,6 +119,15 @@ object EmbQueries {
   /** k-means cluster count (emb_kmeans / emb_semantic_dedup) */
   private val K = 8
 
+  /** product quantization (emb_pq_ann): PqSub x PqDim = 64 dims, PqK
+    * codebook entries per subspace. MUST sit above qs — the oracle
+    * strings interpolate these eagerly during object init, and a
+    * forward val reference reads 0 (same trap as K above).
+    */
+  private val PqSub = 8
+  private val PqDim = 8
+  private val PqK = 16
+
   val qs: Seq[Q] = Seq(
     // L2 norm per vector — exercises the array math end to end
     Q(
@@ -475,8 +484,124 @@ object EmbQueries {
            |FROM assign a
            |JOIN embeddings e ON e.vec_id = a.vec_id
            |JOIN repv rv ON rv.cluster = a.cluster
-           |ORDER BY a.vec_id""".stripMargin))
+           |ORDER BY a.vec_id""".stripMargin)),
+
+    // Product-quantization ANN (the FAISS IVFADC companion to emb_ivf_ann):
+    // 64 dims split into 8 subspaces x 8 dims; each subspace gets a
+    // 16-entry codebook (same seeded-Lloyd-round recipe as emb_kmeans,
+    // centroids rounded so both engines agree bit-for-bit), so every
+    // vector compresses to 8 one-byte codes — 32:1 vs float32. Search is
+    // asymmetric distance: the query's 8 x 16 partial-distance table is
+    // tiny and broadcast, and the scan touches only the CODES, never the
+    // vectors. Partial distances are rounded then decimal-summed, so the
+    // 8-way addition is order-independent across engines. At 100 TB this
+    // is the memory story that makes ANN feasible at all: the code table
+    // is ~1/32 the corpus, one narrow pass, top-k via per-partition heap.
+    Q(
+      "emb_pq_ann",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = emb(s, d).select("vec_id", "embedding")
+        val sub = pqSubspaces(e)
+        // seed codebooks: the first PqK vectors' subvectors, rounded
+        val c0 = sub.filter(col("vec_id") < PqK)
+          .select(col("j"), col("vec_id").cast("int").as("cid"),
+            transform(col("sv"), v => round(v.cast("double"), 6)).as("cvec"))
+        // one Lloyd round per subspace: reassign, then rounded means
+        val m1 = pqArgmin(sub, c0).select(col("j"), col("cid"), col("sv"))
+        val c1 = m1
+          .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+          .groupBy("j", "cid", "dim")
+          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+          .groupBy("j", "cid")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+        // encode: 8 codes per vector — all the search scan ever reads
+        val codes = pqArgmin(sub, c1).select(col("vec_id"), col("j"), col("cid"))
+        // ADC table: query subvector vs every codebook entry
+        val qsub = sub.filter(col("vec_id") === 0)
+          .select(col("j").as("qj"), col("sv").as("qsv"))
+        val adc = c1.join(broadcast(qsub), col("j") === col("qj"))
+          .select(col("j"), col("cid"),
+            round(graft.functions.VecL2Sq.column(col("qsv"), col("cvec")), 6)
+              .as("pd"))
+        codes.join(broadcast(adc), Seq("j", "cid"))
+          .groupBy("vec_id")
+          .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double").as("pq_d2"))
+          .orderBy(col("pq_d2"), col("vec_id"))
+          .limit(5)
+      },
+      Some {
+        def l2s(a: String, b: String): String =
+          s"""list_sum(list_transform(range(1, ${PqDim + 1}),
+             |      i -> (CAST($a[i] AS DOUBLE) - $b[i]) *
+             |           (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin
+        s"""WITH sub AS (
+           |  SELECT vec_id, j, embedding[j*$PqDim+1 : j*$PqDim+$PqDim] AS sv
+           |  FROM embeddings CROSS JOIN range(0, $PqSub) r(j)
+           |), c0 AS (
+           |  SELECT j, CAST(vec_id AS INT) AS cid,
+           |    list_transform(sv, v -> round(CAST(v AS DOUBLE), 6)) AS cvec
+           |  FROM sub WHERE vec_id < $PqK
+           |), d1 AS (
+           |  SELECT s.vec_id, s.j, s.sv, c.cid, ${l2s("s.sv", "c.cvec")} AS d2
+           |  FROM sub s JOIN c0 c ON c.j = s.j
+           |), a1 AS (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+           |                              ORDER BY d2, cid) AS rn
+           |  FROM d1
+           |), m1 AS (
+           |  SELECT j, cid, sv FROM a1 WHERE rn = 1
+           |), cd AS (
+           |  SELECT j, cid, CAST(i - 1 AS INT) AS dim,
+           |    round(avg(CAST(sv[i] AS DOUBLE)), 6) AS cv
+           |  FROM m1 CROSS JOIN range(1, ${PqDim + 1}) r(i) GROUP BY 1, 2, 3
+           |), c1 AS (
+           |  SELECT j, cid,
+           |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))),
+           |      x -> x.cv) AS cvec
+           |  FROM cd GROUP BY j, cid
+           |), d2t AS (
+           |  SELECT s.vec_id, s.j, c.cid, ${l2s("s.sv", "c.cvec")} AS d2
+           |  FROM sub s JOIN c1 c ON c.j = s.j
+           |), codes AS (
+           |  SELECT vec_id, j, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+           |                                ORDER BY d2, cid) AS rn
+           |    FROM d2t) WHERE rn = 1
+           |), adc AS (
+           |  SELECT c.j, c.cid, round(${l2s("q.sv", "c.cvec")}, 6) AS pd
+           |  FROM c1 c JOIN sub q ON q.j = c.j AND q.vec_id = 0
+           |)
+           |SELECT k.vec_id,
+           |  CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+           |FROM codes k JOIN adc a ON a.j = k.j AND a.cid = k.cid
+           |GROUP BY k.vec_id
+           |ORDER BY pq_d2, k.vec_id LIMIT 5""".stripMargin
+      })
   )
+
+  // ---- product-quantization lineage (emb_pq_ann) ---------------------
+
+  /** one row per (vector, subspace): the 8-dim subvector */
+  private def pqSubspaces(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(array((0 until PqSub).map(j =>
+        slice(col("embedding"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
+
+  /** nearest codebook entry per (vector, subspace); cb = (j, cid, cvec)
+    * broadcast, ties break on cid — the kernel L2² is the same in-order
+    * double fold the oracle's list_sum expresses
+    */
+  private def pqArgmin(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2"), col("cid"))
+    sub.join(broadcast(cb), Seq("j"))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("sv"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
 
   // ---- k-means lineage (emb_kmeans + emb_semantic_dedup) -------------
   // (cluster count K lives ABOVE qs: the oracle strings interpolate it
