@@ -37,7 +37,20 @@ object CacheRegistry {
       build: => DataFrame): DataFrame = {
     memos.keySet.removeIf(k => k._2.sparkContext.isStopped)
     tracked.keySet.removeIf(k => k.sparkContext.isStopped)
-    memos.computeIfAbsent((tag, s, dir), _ => build)
+    // NOT computeIfAbsent: memoized lineages nest (dedup_cc_labels
+    // builds on the dedup_minhash_pairs memo), and a computeIfAbsent
+    // whose mapping function re-enters the same ConcurrentHashMap
+    // throws "Recursive update" WHEN the two keys land in one bin — a
+    // hash-dependent intermittent failure. get + putIfAbsent tolerates
+    // re-entry; a concurrent race at worst builds a plan twice.
+    val key = (tag, s, dir)
+    val existing = memos.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = memos.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Persist `df` and record the handle so [[clear]] can unpersist it. */

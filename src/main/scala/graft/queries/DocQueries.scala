@@ -31,6 +31,49 @@ object DocQueries {
   private val cte = docPolarityCte // DuckDB twin of `scored`
 
   val qs: Seq[Q] = Seq(
+    // Dataset-card column profile: per column, the row/non-null/distinct
+    // counts and min/max — the schema-audit pass a pipeline runs before
+    // training on a new drop. Long format via ONE scan + a 5-way
+    // explode; the single distinct aggregate plans as a two-level agg
+    // (group by (col, value), then count), NOT the multi-distinct
+    // Expand that x-plodes rows — at 100 TB the wide-format
+    // one-row-per-table profile with k countDistincts would Expand the
+    // scan k times. String min/max compare as UTF-8 bytes, DuckDB's
+    // default binary collation — portable.
+    Q(
+      "doc_profile",
+      (s, d) => {
+        val lf = docs(s, d).select(
+          posexplode(array(
+            struct(lit("doc_id").as("col_name"),
+              col("doc_id").cast("string").as("v")),
+            struct(lit("lang").as("col_name"), col("lang").as("v")),
+            struct(lit("n_chars").as("col_name"),
+              col("n_chars").cast("string").as("v")),
+            struct(lit("source").as("col_name"), col("source").as("v")),
+            struct(lit("text").as("col_name"), col("text").as("v")))))
+          .select(col("col.col_name").as("col_name"), col("col.v").as("v"))
+        lf.groupBy("col_name")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("v")).as("n_nonnull"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .orderBy("col_name")
+      },
+      Some(
+        """WITH lf AS (
+          |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+          |  UNION ALL SELECT 'lang', lang FROM documents
+          |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+          |  UNION ALL SELECT 'source', source FROM documents
+          |  UNION ALL SELECT 'text', text FROM documents
+          |)
+          |SELECT col_name, count(*) AS n_rows, count(v) AS n_nonnull,
+          |  count(DISTINCT v) AS n_distinct, min(v) AS min_v, max(v) AS max_v
+          |FROM lf GROUP BY 1 ORDER BY col_name""".stripMargin)),
+
     // Deterministic hash split (train/val/test): bucket = first 4 md5
     // hex chars of the STABLE doc key, mod 100 -> 80/10/10. This is the
     // production answer to reproducible sampling at 100 TB — seeded
