@@ -229,6 +229,54 @@ object EventQueries {
           |SELECT event_type, event_id, value
           |FROM r WHERE rn <= 3 ORDER BY event_type, event_id""".stripMargin)),
 
+    // Strict-sequence funnel (view -> click -> purchase): a user counts
+    // for step k only with an event AT OR AFTER their step-(k-1) entry
+    // time — the standard product-analytics conversion query. Shape:
+    // ONE events scan feeds three per-user conditional min-aggregates;
+    // every groupBy/join keys on user_id, so a cluster run reuses one
+    // hash partitioning across the whole chain (no re-shuffle between
+    // steps), and each step's frame is one row per surviving user.
+    Q(
+      "ev_funnel",
+      (s, d) => {
+        val base = ev(s, d)
+          .select(col("user_id"), col("event_type"),
+            epochS(col("ts")).as("ts_s"))
+        val s1 = base.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_s")).as("t1"))
+        val s2 = base.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("ts_s") >= col("t1"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("t2"))
+        val s3 = base.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("ts_s") >= col("t2"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("t3"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT user_id, event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          |  FROM events
+          |), s1 AS (
+          |  SELECT user_id, min(ts_s) AS t1 FROM base
+          |  WHERE event_type = 'view' GROUP BY 1
+          |), s2 AS (
+          |  SELECT b.user_id, min(b.ts_s) AS t2
+          |  FROM base b JOIN s1 USING (user_id)
+          |  WHERE b.event_type = 'click' AND b.ts_s >= s1.t1 GROUP BY 1
+          |), s3 AS (
+          |  SELECT b.user_id, min(b.ts_s) AS t3
+          |  FROM base b JOIN s2 USING (user_id)
+          |  WHERE b.event_type = 'purchase' AND b.ts_s >= s2.t2 GROUP BY 1
+          |)
+          |SELECT (SELECT count(*) FROM s1) AS n_view,
+          |  (SELECT count(*) FROM s2) AS n_click,
+          |  (SELECT count(*) FROM s3) AS n_purchase""".stripMargin)),
+
     // Z-order layout audit: every event mapped onto the 32-bit Morton
     // curve over (user_id, epoch-second) 16-bit keys, then aggregated
     // per top-8-bit z-range. Each output row is one would-be file of a

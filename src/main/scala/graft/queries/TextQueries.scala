@@ -264,6 +264,67 @@ object TextQueries {
            |      least(chunk_id * 48 + 64, len)), ' ')) AS chunk_md5
            |FROM ex ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Collocation mining: top bigrams by LIFT — observed pair frequency
+    // over the independence expectation, p(ab)/(p(a)p(b)). Same ranking
+    // as PMI (log of it) but all-rational arithmetic: counts combine in
+    // one fixed left-parenthesized double chain, so both engines agree
+    // bit-for-bit where ln would hinge on libm rounding (the TF-IDF
+    // linear-idf trick). Scale shape: bigram + unigram counts are two
+    // partial-agg'd shuffles, totals broadcast, the count-table joins
+    // hash-partition on the term — every stage linear, min-count 5
+    // prunes the long tail before the top-k heap.
+    Q(
+      "doc_bigram_lift",
+      (s, d) => {
+        val tk = toks(s, d)
+        val uni = tk.select(explode(col("tok")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("cu"))
+        val bg = tk.filter(size(col("tok")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("tok")) - 1),
+            i => struct(element_at(col("tok"), i).as("w1"),
+              element_at(col("tok"), i + 1).as("w2")))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 5)
+        val tot = tk.agg(
+          sum(greatest(size(col("tok")), lit(0))).as("nu"),
+          sum(greatest(size(col("tok")) - 1, lit(0))).as("nb"))
+        bg
+          .join(uni.select(col("t").as("w1"), col("cu").as("c1")), "w1")
+          .join(uni.select(col("t").as("w2"), col("cu").as("c2")), "w2")
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("n_pair"),
+            round(col("n_pair").cast("double") * col("nu") * col("nu") /
+              col("nb") / col("c1") / col("c2"), 6).as("lift"))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some(
+        s"""$tokCte, uni AS (
+           |  SELECT unnest(tok) AS t FROM t
+           |), ucnt AS (
+           |  SELECT t AS w, count(*) AS cu FROM uni GROUP BY 1
+           |), bg AS (
+           |  SELECT unnest(list_transform(range(1, len(tok)),
+           |    i -> struct_pack(w1 := tok[i], w2 := tok[i+1]))) AS p
+           |  FROM t WHERE len(tok) >= 2
+           |), bcnt AS (
+           |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair FROM bg
+           |  GROUP BY 1, 2 HAVING count(*) >= 5
+           |), tot AS (
+           |  SELECT sum(greatest(coalesce(len(tok), 0), 0)) AS nu,
+           |    sum(greatest(coalesce(len(tok), 0) - 1, 0)) AS nb
+           |  FROM t
+           |)
+           |SELECT b.w1, b.w2, b.n_pair,
+           |  round(CAST(b.n_pair AS DOUBLE) * nu * nu / nb / u1.cu / u2.cu, 6)
+           |    AS lift
+           |FROM bcnt b
+           |JOIN ucnt u1 ON u1.w = b.w1
+           |JOIN ucnt u2 ON u2.w = b.w2
+           |CROSS JOIN tot
+           |ORDER BY lift DESC, b.w1, b.w2 LIMIT 20""".stripMargin)),
+
     // The full pattern-lexicon scorer (Sentiment.polarity UDF) applied to
     // the corpus; oracle = CASE-average from the same lexicon (valid here
     // because no negators/intensifiers occur in this corpus)
