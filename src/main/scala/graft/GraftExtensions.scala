@@ -71,5 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.plans.GroupedTopK). Also self-registers per session via
     // experimental.extraStrategies for sessions built without extensions.
     e.injectPlannerStrategy(_ => new graft.plans.GroupedTopKStrategy)
+    // optimizer leg: the row_number-filter-drop idiom rewrites into the
+    // bounded-state operator above (extensions sessions only — a plain
+    // session keeps stock window plans)
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }

@@ -73,27 +73,27 @@ object ConnectedComponents {
         .join(labels, bidir("src") === labels("id"))
         .groupBy(bidir("dst").as("nid"))
         .agg(min(col("lab")).as("nlab"))
+      // `prev` rides along so convergence detection below is a
+      // filter-count on the round's own (already materialized) frame —
+      // no extra join per round
       val stepped = labels
         .join(nbrMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lab").as("prev"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
       // 2. pointer jump: follow my label's label (labels are node ids,
       // so every label has a row in the table)
       val jump = stepped.select(col("id").as("jid"), col("lab").as("jlab"))
       val nextPersisted = tracked(stepped.alias("st")
         .join(jump, col("st.lab") === col("jid"), "left")
-        .select(col("st.id").as("id"),
+        .select(col("st.id").as("id"), col("st.prev").as("prev"),
           least(col("st.lab"), coalesce(col("jlab"), col("st.lab"))).as("lab")))
       val next = flat(nextPersisted)
       // the convergence count doubles as the action that materializes
       // this round's cache before the previous round is dropped
-      changed = next
-        .join(labels.select(col("id"), col("lab").as("prev")), "id")
-        .filter(col("lab") =!= col("prev"))
-        .count()
+      changed = next.filter(col("lab") =!= col("prev")).count()
       persisted.unpersist() // superseded round; clear() tolerates the no-op
       persisted = nextPersisted
-      labels = next
+      labels = next.select("id", "lab")
       iter += 1
     }
     bidir.unpersist()

@@ -110,6 +110,39 @@ class GroupedTopKSpec extends AnyFunSuite {
       val out = org.apache.spark.sql.GraftSqlBridge.ofRows(s2, plan)
       assert(out.count() == 6)
       assert(out.queryExecution.executedPlan.toString.contains("GroupedTopKFinal"))
+
+      // optimizer rule: the row_number-filter-drop idiom must silently
+      // re-plan into the operator in an extensions session — and return
+      // exactly what the window form returns in a stock session
+      val idiom = {
+        val base = s2.range(300).select(
+          (col("id") % 5).as("g"), col("id").as("rid"),
+          ((col("id") * 13) % 83).as("v"))
+        val w = Window.partitionBy("g").orderBy(col("v").desc, col("rid"))
+        base.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4).drop("rn")
+      }
+      val planStr = idiom.queryExecution.executedPlan.toString
+      assert(planStr.contains("GroupedTopKFinal"), planStr.take(800))
+      assert(!planStr.contains("Window"), planStr.take(800))
+      val stock = {
+        val base = spark.range(300).select(
+          (col("id") % 5).as("g"), col("id").as("rid"),
+          ((col("id") * 13) % 83).as("v"))
+        val w = Window.partitionBy("g").orderBy(col("v").desc, col("rid"))
+        base.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4).drop("rn")
+      }
+      assert(idiom.orderBy("g", "rid").collect().map(_.toSeq).toSeq ==
+        stock.orderBy("g", "rid").collect().map(_.toSeq).toSeq)
+
+      // rank column KEPT -> schema depends on rn -> must NOT rewrite
+      val kept = {
+        val base = s2.range(100).select((col("id") % 3).as("g"), col("id").as("rid"))
+        val w = Window.partitionBy("g").orderBy(col("rid"))
+        base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      }
+      assert(kept.queryExecution.executedPlan.toString.contains("Window"))
     } finally {
       // do NOT stop s2 — it shares the one test SparkContext; just put the
       // shared session back as active/default for the remaining suites
