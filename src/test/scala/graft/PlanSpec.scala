@@ -77,6 +77,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_minhash16_shingle"), p.take(800))
   }
 
+  test("doc_profile plans a two-level distinct agg, never an Expand") {
+    val p = plan("doc_profile")
+    assert(!p.contains("Expand"), p.take(800))
+    assert(p.contains("partial_count(distinct") ||
+      p.contains("count(distinct"), p.take(800))
+  }
+
+  test("ev_zorder_layout scan reads only the two dimension columns") {
+    val p = plan("ev_zorder_layout")
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
+      p.take(800))
+    assert(p.contains("partial_min"), p.take(800))
+  }
+
   test("AQE splits a skewed fact-fact sort-merge join at runtime") {
     // Complements the salted-agg pattern: for JOIN skew you don't salt by
     // hand — you let AQE's OptimizeSkewedJoin split the oversized
