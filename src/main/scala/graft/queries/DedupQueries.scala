@@ -287,6 +287,11 @@ object DedupQueries {
   /** pigeonhole: <= SimBands-1 differing bits => some band identical */
   private val MaxHamming = graft.functions.SimHashBands.MaxHamming
 
+  /** max entries per (band, key) bucket in the simhash pair join — see
+    * the dedup_simhash_pairs comment
+    */
+  val SimMaxBucket = 256
+
   /** 8 hex chars -> 32-bit value (max 2^32-1, overflow-safe in a long;
     * multipliers are bigint literals so int32 math never overflows) */
   private def duckHex8(x: String): String = (1 to 8).map(k =>
@@ -431,16 +436,36 @@ object DedupQueries {
     // Same banding in the oracle. (Arithmetic >> sign-extends the
     // negative half of the fingerprint space on both engines, but the
     // & mask makes band extraction shift-type-agnostic.)
+    //
+    // SimMaxBucket guards the self-join the same way MaxBucket guards
+    // the minhash banding: a band bucket holding > cap entries means
+    // thousands of documents share 16 fingerprint bits — on organic
+    // corpora that never happens (65536 keys/band), but a corpus whose
+    // token multisets are dominated by a few shared high-count tokens
+    // collapses fingerprints together and the uncapped join goes
+    // quadratic (found by the 10x scale probe, whose first salting
+    // scheme did exactly that). Inside an oversized bucket the PAIR
+    // OUTPUT itself would be quadratic, so no banding scheme saves it —
+    // dropping the bucket (mirrored in the oracle) is the standard
+    // trade; pigeonhole exactness holds for every pair whose matching
+    // band survives the cap.
     Q(
       "dedup_simhash_pairs",
       (s, d) => {
         def bandOf(c: Column, b: Int): Column =
           shiftright(c, SimBandBits * b).bitwiseAND(lit(SimBandMask))
         val f = simhashes(s, d)
+        // bucket-size window shares the (band, key) partitioning the
+        // self-join needs — no extra exchange
+        val wsz = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "key")
         val bands = f.select(col("doc_id"), col("simhash"),
           posexplode(array((0 until SimBands).map(b =>
             bandOf(col("simhash"), b)): _*))
             .as(Seq("band", "key")))
+          .withColumn("bsz", count(lit(1)).over(wsz))
+          .filter(col("bsz") <= SimMaxBucket)
+          .drop("bsz")
         val a = bands.select(col("band"), col("key"),
           col("doc_id").as("a_id"), col("simhash").as("fa"))
         val b = bands.select(col("band"), col("key"),
@@ -467,8 +492,14 @@ object DedupQueries {
             s"((a.simhash >> ${SimBandBits * j}) & $SimBandMask) <> ((b.simhash >> ${SimBandBits * j}) & $SimBandMask)")
           (s"a.band = $i" +: earlier).mkString("(", " AND ", ")")
         }.mkString("(", "\n    OR ", ")")
-        s"""$simhashCte, bands AS (
+        s"""$simhashCte, bands0 AS (
            |  $bandsSql
+           |), bsz AS (
+           |  SELECT band, key, count(*) AS n FROM bands0 GROUP BY 1, 2
+           |), bands AS (
+           |  SELECT b0.* FROM bands0 b0
+           |  JOIN bsz z ON z.band = b0.band AND z.key = b0.key
+           |  WHERE z.n <= $SimMaxBucket
            |)
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            |  bit_count(xor(a.simhash, b.simhash)) AS hamming
