@@ -192,6 +192,21 @@ object NewsStream {
       .groupBy(window(col("event_ts"), "5 minutes"), col("sentiment"))
       .agg(count(lit(1)).as("n"))
 
+  /** Beyond-reference: gap-based SESSION windows over the stream — the
+    * native stateful session operator (merging session state per key,
+    * watermark-bounded), the streaming twin of the batch `ev_sessionize`
+    * query. Sessions per source: articles closer than the gap extend the
+    * session; a session emits once the watermark passes its end.
+    */
+  def sessionizedCounts(df: DataFrame, gap: String = "5 minutes"): DataFrame =
+    df.withColumn("event_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("event_ts").isNotNull)
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(col("sentiment"), session_window(col("event_ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sentiment"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+
   /** Beyond-reference: streaming dedup by title with bounded state —
     * fixes the reference's unbounded dashboard-side dedup hazard
     * (SURVEY.md §7.3.6).

@@ -57,6 +57,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge across batches and close past the watermark") {
+    val in = tmp("sess_in")
+    val ckpt = tmp("sess_ckpt")
+    // batch 0: events at 00:00:00..02; batch 2: events at 00:02:00..02 —
+    // within the 5-min gap of batch 0's events, so per sentiment the two
+    // batches must MERGE into one session of n=2 (i % 3 fixes sentiment)
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 3)
+    NewsStream.writeSampleBatch(in, batchId = 2, rows = 3)
+    val agg = NewsStream.sessionizedCounts(NewsStream.pipeline(spark, in))
+    val q = agg.writeStream.format("memory").queryName("t_sess")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/sess")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // watermark still trails: no session closed yet
+      assert(spark.table("t_sess").count() == 0)
+      // 00:30 event -> watermark 00:20 -> sessions (ending 00:07:02) close
+      NewsStream.writeSampleBatch(in, batchId = 30, rows = 1)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("t_sess")
+        .select(col("sentiment"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n"))
+        .collect()
+      assert(rows.length == 3, rows.mkString("; "))
+      assert(rows.forall(_.getLong(3) == 2), rows.mkString("; "))
+      // merged session: starts at batch 0's event, ends gap after batch 2's
+      assert(rows.forall(_.getString(1).startsWith("2024-01-01 00:00:0")))
+      assert(rows.forall(_.getString(2).startsWith("2024-01-01 00:07:0")))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window emits closed windows in append mode") {
     val in = tmp("win_in")
     val ckpt = tmp("win_ckpt")
