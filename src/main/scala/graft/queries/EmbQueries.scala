@@ -354,6 +354,42 @@ object EmbQueries {
       (s, d) => nearDupPairs(s, d),
       Some(nearDupPairsSql)),
 
+    // Semantic duplicate CLUSTERS: the same ConnectedComponents operator
+    // the token-level dedup uses (dedup_cc_clusters), here over the
+    // embedding near-dup pair graph — pairwise vector similarity closed
+    // into transitive groups. Consumes the persisted 10-row pair set, so
+    // the expensive banding lineage is shared, not rebuilt.
+    Q(
+      "emb_cc_clusters",
+      (s, d) => {
+        val w = Window.partitionBy("cluster_id")
+        graft.CacheRegistry.memo("emb_cc_labels", s, d)(
+          graft.operators.ConnectedComponents.run(
+            nearDupPairs(s, d).select(col("a_id"), col("b_id"))))
+          .select(col("id").as("vec_id"), col("cluster_id"))
+          .withColumn("n_members", count(lit(1)).over(w))
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH RECURSIVE pairs AS (
+           |  $nearDupPairsSql
+           |), edges AS (
+           |  SELECT a_id AS u, b_id AS v FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |), nodes AS (
+           |  SELECT DISTINCT u AS id FROM edges
+           |), reach(id, lab) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+           |), comp AS (
+           |  SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+           |)
+           |SELECT vec_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+           |FROM comp ORDER BY vec_id""".stripMargin)),
+
     // Cross-modal verification: the embedding near-dup candidates above
     // cross-checked against the TEXT of the same corpus (doc_id ==
     // vec_id): token-bigram jaccard per pair. The production dedup
