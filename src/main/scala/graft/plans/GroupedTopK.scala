@@ -161,10 +161,18 @@ object GroupedTopK {
       GroupedTopKPlan(groupExprs, order, k, df.queryExecution.analyzed))
   }
 
-  /** idempotently append the planner strategy to the session */
-  def ensureRegistered(spark: SparkSession): Unit = {
+  /** idempotently append the planner strategy to the session — also a
+    * no-op when the session was built with GraftExtensions (whose
+    * injectPlannerStrategy already put one in the session-state planner;
+    * a second copy would pattern-match every node twice). Synchronized:
+    * the exists-then-assign on extraStrategies is a read-modify-write.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    def has(ss: Seq[_]): Boolean =
+      ss.exists(_.isInstanceOf[GroupedTopKStrategy])
     val exp = GraftSqlBridge.experimental(spark)
-    if (!exp.extraStrategies.exists(_.isInstanceOf[GroupedTopKStrategy]))
+    if (!has(exp.extraStrategies) &&
+      !has(GraftSqlBridge.plannerStrategies(spark)))
       exp.extraStrategies = exp.extraStrategies :+ new GroupedTopKStrategy
   }
 }

@@ -292,6 +292,63 @@ object DedupQueries {
     */
   val SimMaxBucket = 256
 
+  // ---- shared split + decontamination lineage ------------------------
+  // one definition each for the md5-bucket split, the 8-token shingle
+  // digests, and their oracle CTE chain: the exact and Bloom
+  // decontamination paths MUST stay in lockstep (same split, same
+  // shingle width), so neither may carry a private copy
+
+  /** deterministic 80/10/10 split on the md5 of the stable doc key */
+  private def splitCol: Column = {
+    val bucket =
+      expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
+        .cast("long") % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  private val splitCaseSql: String =
+    """CASE
+      |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+      |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+      |    ELSE 'test' END""".stripMargin
+
+  /** 8-token shingles as md5 digests; short docs fall back to the
+    * whole-text digest (8 is in the usual 8–13 decontamination range)
+    */
+  private def sh8Col: Column =
+    when(size(col("tok")) >= 8,
+      transform(sequence(lit(1), size(col("tok")) - 7), i =>
+        md5(concat_ws(" ",
+          (0 until 8).map(o => element_at(col("tok"), i + o)): _*))))
+      .otherwise(array(md5(coalesce(array_join(col("tok"), " "), lit("")))))
+
+  /** oracle chain shared by both decontamination queries: cleaned ->
+    * toksrc -> split -> sh (8-token digests) -> ex (distinct test
+    * digests) / tru (train doc digests) / hit (contaminated train docs)
+    */
+  private def decontamCte: String =
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+       |), toksrc AS (
+       |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+       |), split AS (
+       |  SELECT doc_id, tok, $splitCaseSql AS split
+       |  FROM toksrc
+       |), sh AS (
+       |  SELECT doc_id, split,
+       |    CASE WHEN len(tok) >= 8
+       |      THEN list_transform(range(1, len(tok) - 6),
+       |             i -> md5(array_to_string(tok[i:i+7], ' ')))
+       |      ELSE [md5(coalesce(array_to_string(tok, ' '), ''))] END AS shl
+       |  FROM split
+       |), ex AS (
+       |  SELECT DISTINCT unnest(shl) AS g FROM sh WHERE split = 'test'
+       |), tru AS (
+       |  SELECT doc_id, unnest(shl) AS g FROM sh WHERE split = 'train'
+       |), hit AS (
+       |  SELECT DISTINCT t.doc_id FROM tru t JOIN ex e USING (g)
+       |)""".stripMargin
+
   /** 8 hex chars -> 32-bit value (max 2^32-1, overflow-safe in a long;
     * multipliers are bigint literals so int32 math never overflows) */
   private def duckHex8(x: String): String = (1 to 8).map(k =>
@@ -447,8 +504,11 @@ object DedupQueries {
     // scheme did exactly that). Inside an oversized bucket the PAIR
     // OUTPUT itself would be quadratic, so no banding scheme saves it —
     // dropping the bucket (mirrored in the oracle) is the standard
-    // trade; pigeonhole exactness holds for every pair whose matching
-    // band survives the cap.
+    // trade. Recall caveat: the first-match dedup below tests raw
+    // fingerprint bands, not bucket survival, so a pair whose FIRST
+    // matching band is capped is dropped even if a later matching band
+    // survives — capping trades exactly that recall for boundedness,
+    // identically on both engines.
     Q(
       "dedup_simhash_pairs",
       (s, d) => {
@@ -519,13 +579,8 @@ object DedupQueries {
     Q(
       "dedup_split_contamination",
       (s, d) => {
-        val bucket =
-          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
-            .cast("long") % 100
         toks(s, d)
-          .withColumn("split",
-            when(bucket < 80, "train").when(bucket < 90, "val")
-              .otherwise("test"))
+          .withColumn("split", splitCol)
           .select(col("split"), explode(when(size(col("tok")) >= 2,
             transform(sequence(lit(1), size(col("tok")) - 1), i =>
               concat_ws(" ", element_at(col("tok"), i),
@@ -544,10 +599,7 @@ object DedupQueries {
            |), toksrc AS (
            |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
            |), split AS (
-           |  SELECT doc_id, tok, CASE
-           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
-           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
-           |    ELSE 'test' END AS split
+           |  SELECT doc_id, tok, $splitCaseSql AS split
            |  FROM toksrc
            |), ex AS (
            |  SELECT split, unnest(CASE WHEN len(tok) >= 2
@@ -576,22 +628,11 @@ object DedupQueries {
     Q(
       "doc_decontaminate",
       (s, d) => {
-        val bucket =
-          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
-            .cast("long") % 100
-        val base = toks(s, d)
-          .withColumn("split",
-            when(bucket < 80, "train").when(bucket < 90, "val")
-              .otherwise("test"))
-        val sh8 = when(size(col("tok")) >= 8,
-          transform(sequence(lit(1), size(col("tok")) - 7), i =>
-            md5(concat_ws(" ",
-              (0 until 8).map(o => element_at(col("tok"), i + o)): _*))))
-          .otherwise(array(md5(coalesce(array_join(col("tok"), " "), lit("")))))
+        val base = toks(s, d).withColumn("split", splitCol)
         val testSh = base.filter(col("split") === "test")
-          .select(explode(sh8).as("g")).distinct()
+          .select(explode(sh8Col).as("g")).distinct()
         val trainSh = base.filter(col("split") === "train")
-          .select(col("doc_id"), explode(sh8).as("g"))
+          .select(col("doc_id"), explode(sh8Col).as("g"))
         val hit = trainSh
           .join(broadcast(testSh), Seq("g"), "left_semi")
           .select("doc_id").distinct()
@@ -603,30 +644,7 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(
-        s"""WITH cleaned AS (
-           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
-           |), toksrc AS (
-           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
-           |), split AS (
-           |  SELECT doc_id, tok, CASE
-           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
-           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
-           |    ELSE 'test' END AS split
-           |  FROM toksrc
-           |), sh AS (
-           |  SELECT doc_id, split,
-           |    CASE WHEN len(tok) >= 8
-           |      THEN list_transform(range(1, len(tok) - 6),
-           |             i -> md5(array_to_string(tok[i:i+7], ' ')))
-           |      ELSE [md5(coalesce(array_to_string(tok, ' '), ''))] END AS shl
-           |  FROM split
-           |), ex AS (
-           |  SELECT DISTINCT unnest(shl) AS g FROM sh WHERE split = 'test'
-           |), tru AS (
-           |  SELECT doc_id, unnest(shl) AS g FROM sh WHERE split = 'train'
-           |), hit AS (
-           |  SELECT DISTINCT t.doc_id FROM tru t JOIN ex e USING (g)
-           |)
+        s"""$decontamCte
            |SELECT s.doc_id, (h.doc_id IS NOT NULL) AS contaminated
            |FROM sh s LEFT JOIN hit h USING (doc_id)
            |WHERE s.split = 'train'
@@ -648,27 +666,16 @@ object DedupQueries {
       "doc_decontaminate_bloom",
       (s, d) => {
         val fpp = 0.01
-        val bucket =
-          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
-            .cast("long") % 100
-        val base = toks(s, d)
-          .withColumn("split",
-            when(bucket < 80, "train").when(bucket < 90, "val")
-              .otherwise("test"))
-        val sh8 = when(size(col("tok")) >= 8,
-          transform(sequence(lit(1), size(col("tok")) - 7), i =>
-            md5(concat_ws(" ",
-              (0 until 8).map(o => element_at(col("tok"), i + o)): _*))))
-          .otherwise(array(md5(coalesce(array_join(col("tok"), " "), lit("")))))
+        val base = toks(s, d).withColumn("split", splitCol)
         val testSh = base.filter(col("split") === "test")
-          .select(explode(sh8).as("g")).distinct()
+          .select(explode(sh8Col).as("g")).distinct()
         val bloom = testSh.stat.bloomFilter(
           "g", math.max(testSh.count(), 1000L), fpp)
         val bf = s.sparkContext.broadcast(bloom)
         val mightContain =
           udf((g: String) => bf.value.mightContainString(g))
         val probes = base.filter(col("split") === "train")
-          .select(col("doc_id"), explode(sh8).as("g"))
+          .select(col("doc_id"), explode(sh8Col).as("g"))
           .join(broadcast(testSh.withColumn("hit", lit(true))), Seq("g"), "left")
           .select(col("doc_id"),
             coalesce(col("hit"), lit(false)).as("exact"),
@@ -694,30 +701,7 @@ object DedupQueries {
               col("t_probes") * (5 * fpp) + 100).as("fp_within_bound"))
       },
       Some(
-        s"""WITH cleaned AS (
-           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
-           |), toksrc AS (
-           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
-           |), split AS (
-           |  SELECT doc_id, tok, CASE
-           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
-           |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
-           |    ELSE 'test' END AS split
-           |  FROM toksrc
-           |), sh AS (
-           |  SELECT doc_id, split,
-           |    CASE WHEN len(tok) >= 8
-           |      THEN list_transform(range(1, len(tok) - 6),
-           |             i -> md5(array_to_string(tok[i:i+7], ' ')))
-           |      ELSE [md5(coalesce(array_to_string(tok, ' '), ''))] END AS shl
-           |  FROM split
-           |), ex AS (
-           |  SELECT DISTINCT unnest(shl) AS g FROM sh WHERE split = 'test'
-           |), tru AS (
-           |  SELECT doc_id, unnest(shl) AS g FROM sh WHERE split = 'train'
-           |), hit AS (
-           |  SELECT DISTINCT t.doc_id FROM tru t JOIN ex e USING (g)
-           |)
+        s"""$decontamCte
            |SELECT
            |  (SELECT count(*) FROM sh WHERE split = 'train') AS n_train,
            |  (SELECT count(*) FROM hit) AS n_contaminated,

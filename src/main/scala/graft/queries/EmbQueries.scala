@@ -39,11 +39,26 @@ object EmbQueries {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VecCosine.column(a, b)
 
+  /** Every native vector kernel (VecDot/VecCosine/VecL2Sq) NULL-poisons
+    * length-mismatched or null-element inputs; DuckDB's list_sum would
+    * instead SKIP the NULL terms and return a partial sum — the silent
+    * cross-engine divergence class the LshSig twin already guards
+    * against. Wrap every SQL distance fold so off-contract vectors are
+    * NULL on both engines.
+    */
+  private def strictVec(body: String, dims: Int, vs: String*): String = {
+    val bad = vs.map(v =>
+      s"len($v) <> $dims OR len(list_filter($v, x -> x IS NULL)) > 0")
+      .mkString(" OR ")
+    s"(CASE WHEN $bad THEN NULL ELSE $body END)"
+  }
+
   /** DuckDB twins — explicit fold, not list_cosine_similarity, so the
     * accumulation order/width provably matches the Spark side.
     */
-  def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  def dotSql(a: String, b: String): String = strictVec(
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))",
+    64, a, b)
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
   /** rounded safe cosine, matching the Spark-side zero-norm convention */
@@ -278,9 +293,11 @@ object EmbQueries {
            |  FROM cdim GROUP BY label
            |), dists AS (
            |  SELECT e.vec_id, c.label,
-           |    list_sum(list_transform(range(1, 65),
+           |    ${strictVec(
+        """list_sum(list_transform(range(1, 65),
            |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
-           |           (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS d2
+           |           (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))""".stripMargin,
+        64, "e.embedding", "c.cvec")} AS d2
            |  FROM embeddings e CROSS JOIN cent c
            |), ranked AS (
            |  SELECT vec_id, label,
@@ -568,10 +585,11 @@ object EmbQueries {
           .limit(5)
       },
       Some {
-        def l2s(a: String, b: String): String =
+        def l2s(a: String, b: String): String = strictVec(
           s"""list_sum(list_transform(range(1, ${PqDim + 1}),
              |      i -> (CAST($a[i] AS DOUBLE) - $b[i]) *
-             |           (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin
+             |           (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin,
+          PqDim, a, b)
         s"""WITH sub AS (
            |  SELECT vec_id, j, embedding[j*$PqDim+1 : j*$PqDim+$PqDim] AS sv
            |  FROM embeddings CROSS JOIN range(0, $PqSub) r(j)
@@ -689,10 +707,11 @@ object EmbQueries {
     * ranked distances in `a2` (consumers read `WHERE rn = 1`)
     */
   private def kmeansCte: String = {
-    def l2(a: String, b: String): String =
+    def l2(a: String, b: String): String = strictVec(
       s"""list_sum(list_transform(range(1, 65),
          |      i -> (CAST($a[i] AS DOUBLE) - $b[i]) *
-         |           (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin
+         |           (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin,
+      64, a, b)
     s"""WITH c0 AS (
        |  SELECT CAST(vec_id AS INT) AS cid,
        |    list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS cvec

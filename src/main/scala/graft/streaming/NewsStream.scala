@@ -195,8 +195,9 @@ object NewsStream {
   /** Beyond-reference: gap-based SESSION windows over the stream — the
     * native stateful session operator (merging session state per key,
     * watermark-bounded), the streaming twin of the batch `ev_sessionize`
-    * query. Sessions per source: articles closer than the gap extend the
-    * session; a session emits once the watermark passes its end.
+    * query. Sessions are keyed per sentiment label: articles closer
+    * than the gap extend the session; a session emits once the
+    * watermark passes its end.
     */
   def sessionizedCounts(df: DataFrame, gap: String = "5 minutes"): DataFrame =
     df.withColumn("event_ts", try_to_timestamp(col("publishedAt")))

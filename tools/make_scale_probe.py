@@ -43,6 +43,11 @@ def salt_text(text, r):
         out.append(t)
         if k % 2 == 1:
             out.append(salt)
+    if len(toks) < 2:
+        # short docs never hit the k % 2 == 1 branch; without a salt they
+        # replicate byte-identically, and factor copies of one doc are the
+        # factor^2 cross-replica dup workload the salting exists to avoid
+        out.append(salt)
     return " ".join(out)
 
 
