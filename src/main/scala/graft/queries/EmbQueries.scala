@@ -39,26 +39,37 @@ object EmbQueries {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VecCosine.column(a, b)
 
-  /** Every native vector kernel (VecDot/VecCosine/VecL2Sq) NULL-poisons
-    * length-mismatched or null-element inputs; DuckDB's list_sum would
-    * instead SKIP the NULL terms and return a partial sum — the silent
-    * cross-engine divergence class the LshSig twin already guards
-    * against. Wrap every SQL distance fold so off-contract vectors are
-    * NULL on both engines.
+  /** Every native vector kernel (VecDot/VecCosine/VecL2Sq) follows the
+    * same off-contract convention: NULL when the two lengths differ or
+    * any element is NULL, 0.0 for two empty vectors, and otherwise a
+    * fold over the COMMON length (a ragged vector against an
+    * equally-ragged one computes a real short sum). DuckDB's bare
+    * list_sum over a fixed range(1, 65) instead SKIPS the NULL terms
+    * and returns a partial sum — the silent cross-engine divergence
+    * class the LshSig twin guards against. Every SQL distance fold
+    * therefore goes through this helper, which mirrors the kernel
+    * semantics exactly: pairwise length guard, null-element guard,
+    * empty-pair zero, dynamic-length fold.
     */
-  private def strictVec(body: String, dims: Int, vs: String*): String = {
-    val bad = vs.map(v =>
-      s"len($v) <> $dims OR len(list_filter($v, x -> x IS NULL)) > 0")
-      .mkString(" OR ")
-    s"(CASE WHEN $bad THEN NULL ELSE $body END)"
-  }
+  private def strictFold(a: String, b: String, term: String): String =
+    s"""(CASE WHEN len($a) <> len($b)
+       |    OR len(list_filter($a, x -> x IS NULL)) > 0
+       |    OR len(list_filter($b, x -> x IS NULL)) > 0 THEN NULL
+       |  WHEN len($a) = 0 THEN 0.0
+       |  ELSE list_sum(list_transform(range(1, len($a) + 1), i -> $term))
+       |  END)""".stripMargin
 
   /** DuckDB twins — explicit fold, not list_cosine_similarity, so the
     * accumulation order/width provably matches the Spark side.
     */
-  def dotSql(a: String, b: String): String = strictVec(
-    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))",
-    64, a, b)
+  def dotSql(a: String, b: String): String =
+    strictFold(a, b, s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")
+
+  /** the VecL2Sq twin: same guard convention as [[dotSql]] */
+  def l2Sql(a: String, b: String): String =
+    strictFold(a, b,
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))")
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
   /** rounded safe cosine, matching the Spark-side zero-norm convention */
@@ -259,8 +270,9 @@ object EmbQueries {
         val dists = e.crossJoin(broadcast(cent))
           .withColumn("d2", // codegen'd kernel, same in-order double fold
             graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
+        // NULLS LAST: see pqArgmin — a NULL distance must never win argmin
         val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2"), col("c_label"))
+          .orderBy(col("d2").asc_nulls_last, col("c_label"))
         val ranked = dists.withColumn("rn", row_number().over(w))
         val cells = ranked.filter(col("rn") === 1)
           .select(col("vec_id"), col("c_label").as("cell"))
@@ -293,11 +305,7 @@ object EmbQueries {
            |  FROM cdim GROUP BY label
            |), dists AS (
            |  SELECT e.vec_id, c.label,
-           |    ${strictVec(
-        """list_sum(list_transform(range(1, 65),
-           |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
-           |           (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))""".stripMargin,
-        64, "e.embedding", "c.cvec")} AS d2
+           |    ${l2Sql("e.embedding", "c.cvec")} AS d2
            |  FROM embeddings e CROSS JOIN cent c
            |), ranked AS (
            |  SELECT vec_id, label,
@@ -334,6 +342,10 @@ object EmbQueries {
           .select(col("q_id"),
             round(cosine(col("embedding"), col("qv")), 6).as("sim"),
             col("vec_id"))
+          // off-contract vectors score NULL (kernel convention) and a
+          // null can't rank in a top-k — drop BEFORE the typed
+          // aggregator, whose non-nullable Double encoder would throw
+          .filter(col("sim").isNotNull)
         import s.implicits._
         val topK = new TopKAgg(3).toColumn
         scored.as[(Long, Double, Long)]
@@ -356,7 +368,7 @@ object EmbQueries {
            |  SELECT q_id, vec_id, sim,
            |    row_number() OVER (PARTITION BY q_id
            |                       ORDER BY sim DESC, vec_id) AS rk
-           |  FROM scored)
+           |  FROM scored WHERE sim IS NOT NULL)
            |SELECT q_id, rk, vec_id AS neighbor_id, sim
            |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
 
@@ -585,11 +597,7 @@ object EmbQueries {
           .limit(5)
       },
       Some {
-        def l2s(a: String, b: String): String = strictVec(
-          s"""list_sum(list_transform(range(1, ${PqDim + 1}),
-             |      i -> (CAST($a[i] AS DOUBLE) - $b[i]) *
-             |           (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin,
-          PqDim, a, b)
+        def l2s(a: String, b: String): String = l2Sql(a, b)
         s"""WITH sub AS (
            |  SELECT vec_id, j, embedding[j*$PqDim+1 : j*$PqDim+$PqDim] AS sv
            |  FROM embeddings CROSS JOIN range(0, $PqSub) r(j)
@@ -648,8 +656,12 @@ object EmbQueries {
     * double fold the oracle's list_sum expresses
     */
   private def pqArgmin(sub: DataFrame, cb: DataFrame): DataFrame = {
+    // NULLS LAST explicitly: Spark windows default to NULLS FIRST on
+    // asc, DuckDB to NULLS LAST — an off-contract codebook entry (NULL
+    // distance, e.g. seeded from a ragged vector) would otherwise rank
+    // FIRST here and collapse every vector's code onto it
     val w = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d2"), col("cid"))
+      .orderBy(col("d2").asc_nulls_last, col("cid"))
     sub.join(broadcast(cb), Seq("j"))
       .withColumn("d2",
         graft.functions.VecL2Sq.column(col("sv"), col("cvec")))
@@ -665,7 +677,9 @@ object EmbQueries {
     * argmin with (d2, cid) tie-break
     */
   private def nearest(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    // NULLS LAST: see pqArgmin — a NULL distance must never win argmin
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("cid"))
     e.crossJoin(broadcast(cent))
       .withColumn("d2",
         graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
@@ -707,11 +721,7 @@ object EmbQueries {
     * ranked distances in `a2` (consumers read `WHERE rn = 1`)
     */
   private def kmeansCte: String = {
-    def l2(a: String, b: String): String = strictVec(
-      s"""list_sum(list_transform(range(1, 65),
-         |      i -> (CAST($a[i] AS DOUBLE) - $b[i]) *
-         |           (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin,
-      64, a, b)
+    def l2(a: String, b: String): String = l2Sql(a, b)
     s"""WITH c0 AS (
        |  SELECT CAST(vec_id AS INT) AS cid,
        |    list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS cvec

@@ -87,9 +87,13 @@ def vec(seed):
 vecs = [vec(i) for i in range(50)]
 vecs[7] = vecs[3][:]          # exact duplicate pair
 vecs[9] = [0.0] * 64          # zero vector (norm 0 -> div by zero paths!)
+vecs[11] = vec(11)[:32]       # ragged short vector (off the 64-dim contract)
+vecs[13] = vec(13)            # null element mid-vector
+vecs[13][20] = None
 emb = pa.table({
     "vec_id": pa.array(list(range(50)), pa.int64()),
-    "embedding": pa.array([[float(x) for x in v] for v in vecs],
+    "embedding": pa.array([[float(x) if x is not None else None for x in v]
+                           for v in vecs],
                           pa.list_(pa.float32())),
     "label": pa.array([i % 10 for i in range(50)], pa.int32()),
 })
