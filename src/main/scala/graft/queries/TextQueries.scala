@@ -264,6 +264,48 @@ object TextQueries {
            |      least(chunk_id * 48 + 64, len)), ' ')) AS chunk_md5
            |FROM ex ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Approximate frequent items over the token stream — the sketch
+    // completing the family (HLL distinct, quantile sketch, Bloom):
+    // Spark's stat.freqItems is the Karp-Schenker-Papadimitriou
+    // one-pass counter, whose contract is a SUPERSET guarantee (every
+    // item with frequency > support*N is returned; false positives
+    // allowed). The sketch content is engine-specific, so the
+    // oracle-checkable output is the guarantee itself as a boolean,
+    // plus the exact heavy-hitter counts both engines can compute.
+    // Scale shape: the sketch pass is one narrow scan (per-partition
+    // counters merged on the driver, <= 1/support entries); the exact
+    // verification side is one partial-agg'd shuffle.
+    Q(
+      "doc_freq_items",
+      (s, d) => {
+        val support = 0.01
+        val tok = toks(s, d).select(explode(col("tok")).as("t"))
+        val sketch = tok.stat.freqItems(Seq("t"), support)
+          .collect()(0).getSeq[String](0).toSet
+        val tot = tok.agg(count(lit(1)).as("n_tokens"))
+        val heavy = tok.groupBy("t").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .filter(col("n") > col("n_tokens") * support)
+        heavy.agg(
+          count(lit(1)).as("n_heavy"),
+          coalesce(bool_and(col("t").isin(sketch.toSeq: _*)), lit(true))
+            .as("superset_ok"))
+          .crossJoin(broadcast(tot))
+          .select(col("n_tokens"), col("n_heavy"), col("superset_ok"))
+      },
+      Some(
+        s"""$tokCte, tokens AS (
+           |  SELECT unnest(tok) AS t FROM t
+           |), tot AS (
+           |  SELECT count(*) AS n_tokens FROM tokens
+           |), heavy AS (
+           |  SELECT t, count(*) AS n FROM tokens GROUP BY 1
+           |)
+           |SELECT (SELECT n_tokens FROM tot) AS n_tokens,
+           |  (SELECT count(*) FROM heavy CROSS JOIN tot
+           |   WHERE n > n_tokens * 0.01) AS n_heavy,
+           |  TRUE AS superset_ok""".stripMargin)),
+
     // Collocation mining: top bigrams by LIFT — observed pair frequency
     // over the independence expectation, p(ab)/(p(a)p(b)). Same ranking
     // as PMI (log of it) but all-rational arithmetic: counts combine in
