@@ -489,6 +489,55 @@ object EventQueries {
         """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
           |FROM events""".stripMargin)),
 
+    // Count-min sketch point lookups: like the HLL/quantile/Bloom
+    // sketches, the sketch content is engine-specific, so the checkable
+    // contract is the pair of CMS guarantees per key: estimate >= exact
+    // (one-sided error, always true) and estimate <= exact + eps*N
+    // (holds with prob >= confidence; deterministic here under the fixed
+    // seed, and comfortably true — width 2/eps = 2000 cells vs a handful
+    // of distinct event types). Scale shape: the sketch is a mergeable
+    // partial aggregate (per-partition sketches combine associatively —
+    // the same one-pass/one-shuffle shape as the exact agg), the driver
+    // holds only the w*d counter grid, and the probe side is O(#distinct
+    // types). N comes from the sketch's own totalCount — no extra scan.
+    Q(
+      "ev_count_min",
+      (s, d) => {
+        val eps = 0.001
+        val e = ev(s, d).filter(col("event_type").isNotNull)
+        val skBytes = e
+          .agg(count_min_sketch(col("event_type"),
+            lit(eps), lit(0.99), lit(42)).as("sk"))
+          .collect()(0).getAs[Array[Byte]]("sk")
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val bound = eps * cms.totalCount()
+        val exact = e.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+          .collect().toSeq
+        import scala.jdk.CollectionConverters._
+        val out = exact.map { r =>
+          val t = r.getString(0); val n = r.getLong(1)
+          val est = cms.estimateCount(t)
+          org.apache.spark.sql.Row(t, n, est >= n, est <= n + bound)
+        }
+        s.createDataFrame(out.asJava, org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_exact",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("lower_ok",
+              org.apache.spark.sql.types.BooleanType),
+            org.apache.spark.sql.types.StructField("upper_ok",
+              org.apache.spark.sql.types.BooleanType))))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_exact,
+          |  TRUE AS lower_ok, TRUE AS upper_ok
+          |FROM events WHERE event_type IS NOT NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // C7: timestamp display formatting (streamlit_app.py:157,164)
     Q(
       "ev_time_format",
