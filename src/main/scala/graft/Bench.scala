@@ -36,7 +36,7 @@ object Bench {
             .as("text"))
         .write.mode("overwrite").parquet(warmPath)
       spark.read.parquet(warmPath)
-        .select(TextFns.tokens(TextFns.clean(col("text"))).as("tok"))
+        .select(graft.functions.NormTokens.column(col("text")).as("tok"))
         .select(
           graft.functions.MinHashShingleSig.column(col("tok")).as("mh"),
           graft.functions.SimHash64.column(col("tok")).as("sh"),

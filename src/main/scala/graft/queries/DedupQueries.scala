@@ -40,7 +40,7 @@ object DedupQueries {
   private def toks(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
       .select(col("doc_id"),
-        tokens(clean(col("text"))).as("tok"))
+        graft.functions.NormTokens.column(col("text")).as("tok"))
 
   /** 3-token shingles; whole text as a single shingle when too short
     * (coalesce: a NULL token array yields the single empty shingle, the

@@ -24,7 +24,10 @@ object DocQueries {
   private def scored(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("text_clean", clean(col("text")))
-      .withColumn("tok", tokens(col("text_clean")))
+      // tok comes from the one-pass NormTokens kernel (== tokens(text_clean),
+      // property-spec'd); text_clean stays a separate column that Catalyst
+      // prunes away for the many queries consuming only tok
+      .withColumn("tok", graft.functions.NormTokens.column(col("text")))
       .withColumn("polarity", polarity(col("tok")))
       .withColumn("n_tokens", size(col("tok")))
 

@@ -438,7 +438,7 @@ object EmbQueries {
         val grams = Tables.t(s, d, "documents")
           .join(broadcast(candIds), Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
-            tokens(clean(col("text"))).as("tok"))
+            graft.functions.NormTokens.column(col("text")).as("tok"))
           .select(col("doc_id"),
             array_distinct(when(size(col("tok")) >= 2,
               transform(sequence(lit(1), size(col("tok")) - 1), i =>

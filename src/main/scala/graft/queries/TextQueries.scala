@@ -27,7 +27,8 @@ object TextQueries {
   private def toks(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
       .withColumn("text_clean", clean(col("text")))
-      .withColumn("tok", tokens(col("text_clean")))
+      // one-pass kernel; == tokens(text_clean) (see NormTokens scaladoc)
+      .withColumn("tok", graft.functions.NormTokens.column(col("text")))
 
   private val tokCte =
     s"""WITH cleaned AS (
