@@ -265,6 +265,39 @@ object TextQueries {
            |      least(chunk_id * 48 + 64, len)), ' ')) AS chunk_md5
            |FROM ex ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Tokenizer training, round 1: the BPE merge-candidate ranking —
+    // adjacent character-pair frequencies over the corpus, weighted by
+    // token frequency. Scale shape: the corpus-sized work is ONE
+    // partial-agg'd shuffle building the term-frequency table; the pair
+    // explode then runs over the DISTINCT vocabulary (orders of
+    // magnitude smaller than the token stream — at 100 TB the vocab is
+    // millions of rows, not trillions), so iterating further merge
+    // rounds re-uses the same tiny vocab table with symbols re-split.
+    // All-integer arithmetic: exact cross-engine.
+    Q(
+      "doc_bpe_merge_ranks",
+      (s, d) =>
+        toks(s, d)
+          .select(explode(col("tok")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("tf"))
+          .filter(length(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+            .as("pair"), col("tf"))
+          .groupBy("pair").agg(sum(col("tf")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20),
+      Some(
+        s"""$tokCte, tf AS (
+           |  SELECT t, count(*) AS tf
+           |  FROM (SELECT unnest(tok) AS t FROM t) GROUP BY 1
+           |), ex AS (
+           |  SELECT t, tf, unnest(range(1, length(t))) AS i
+           |  FROM tf WHERE length(t) >= 2
+           |)
+           |SELECT substring(t, CAST(i AS INT), 2) AS pair,
+           |  CAST(sum(tf) AS BIGINT) AS n
+           |FROM ex GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
     // Approximate frequent items over the token stream — the sketch
     // completing the family (HLL distinct, quantile sketch, Bloom):
     // Spark's stat.freqItems is the Karp-Schenker-Papadimitriou
