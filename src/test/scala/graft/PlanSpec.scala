@@ -91,6 +91,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p.take(800))
   }
 
+  test("doc_bpe_merge_ranks: pair explode runs over the vocab, not the stream") {
+    val p = plan("doc_bpe_merge_ranks")
+    // top-down: pair Generate ABOVE the tf exchange, token Generate below —
+    // the corpus-sized explode is the token one; the pair explode must see
+    // only the post-shuffle distinct vocabulary
+    val iPairGen = p.indexOf("Generate")
+    val iExchange = p.indexOf("Exchange hashpartitioning(t#", iPairGen)
+    val iTokGen = p.indexOf("Generate", iExchange)
+    assert(iPairGen >= 0 && iExchange > iPairGen && iTokGen > iExchange,
+      p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(p.contains("partial_count"), p.take(400))
+  }
+
+  test("token lineages run the one-pass kernel, no regex in the hot path") {
+    Seq("doc_fingerprint", "doc_token_count", "dedup_exact_stats").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("graft_norm_tokens"), s"$q: ${p.take(400)}")
+      assert(!p.contains("regexp_replace"), s"$q: ${p.take(400)}")
+    }
+  }
+
   test("AQE splits a skewed fact-fact sort-merge join at runtime") {
     // Complements the salted-agg pattern: for JOIN skew you don't salt by
     // hand — you let AQE's OptimizeSkewedJoin split the oversized
