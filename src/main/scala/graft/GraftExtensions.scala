@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{LangMarkerCounts, LshSig, MaxMultiplicity, MinHashShingleSig, MinHashSig, NormTokens, PolarityScore, SimHash64, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{CleanText, LangMarkerCounts, LshSig, MaxMultiplicity, MinHashShingleSig, MinHashSig, NormTokens, PolarityScore, SimHash64, VecCosine, VecDot, VecL2Sq}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Attach with
@@ -47,6 +47,8 @@ object GraftExtensions {
       checked("graft_minhash16_shingle", 1)(e => MinHashShingleSig(e.head))),
     ("graft_norm_tokens", classOf[NormTokens],
       checked("graft_norm_tokens", 1)(e => NormTokens(e.head))),
+    ("graft_clean_text", classOf[CleanText],
+      checked("graft_clean_text", 1)(e => CleanText(e.head))),
     ("graft_lang_counts", classOf[LangMarkerCounts],
       checked("graft_lang_counts", 1)(e => LangMarkerCounts(e.head))),
     ("graft_max_multiplicity", classOf[MaxMultiplicity],

@@ -37,8 +37,18 @@ object TextFns {
     * past this point means engine-specific downstream semantics. A NULL
     * doc therefore behaves exactly like an empty doc everywhere
     * (fingerprints, quality ratios, polarity 0.0, dedup grouping).
+    *
+    * Runs as the one-pass [[CleanText]] kernel; [[cleanRegex]] keeps the
+    * composed regexp form as the spec ground truth (CleanTextSpec pins
+    * kernel == regex over adversarial inputs and the test corpus).
     */
-  def clean(c: Column): Column =
+  def clean(c: Column): Column = CleanText.column(c)
+
+  /** The composed-builtin twin of [[clean]] — two engine passes
+    * (regex walk + lower) materializing an intermediate string. Kept as
+    * the property-spec ground truth; queries use the kernel.
+    */
+  def cleanRegex(c: Column): Column =
     lower(regexp_replace(coalesce(c, lit("")), "[^a-zA-Z\\s]", ""))
 
   /** Whitespace tokenization of a cleaned string; no empty tokens. */

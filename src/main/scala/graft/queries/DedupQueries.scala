@@ -757,6 +757,70 @@ object DedupQueries {
            |  round(CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1), 6) AS jaccard
            |FROM j
            |WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.4
-           |ORDER BY a_id, b_id""".stripMargin))
+           |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Exact SUBSTRING dedup at fixed window granularity — the
+    // document-level near-dup passes above miss the "same paragraph
+    // pasted into otherwise-different pages" case, the dominant
+    // duplication mode of web corpora (reference point: the
+    // suffix-array ExactSubstr dedup of Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", ACL'22; a
+    // distributed suffix array is replaced here by rolling w-token
+    // window digests, which find every duplicated run of >= w tokens).
+    // Per doc: how many of its distinct 12-token windows also occur in
+    // ANOTHER doc, as a duplicated-span ratio for downstream filtering.
+    // Scale shape: ~one window per token, so the explode is O(corpus
+    // tokens) — the same size as the token stream every text query
+    // already scans; windows travel as md5 digests (16 bytes), never
+    // token strings. Three linear shuffles: per-doc distinct, per-window
+    // doc-count (a whole-partition window count — no per-key state
+    // beyond a long), per-doc rollup. Nothing is quadratic: a window
+    // shared by k docs costs k rows, not k² pairs, because the output
+    // is per-doc ratios, not pairs.
+    Q(
+      "dedup_substring_windows",
+      (s, d) => {
+        val W = 12
+        val wcount = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+        toks(s, d)
+          .filter(size(col("tok")) >= W)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("tok")) - (W - 1)),
+              i => md5(array_join(slice(col("tok"), i, lit(W)), " "))))
+              .as("wh"))
+          .distinct()
+          .withColumn("n_docs", count(lit(1)).over(wcount))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            count(when(col("n_docs") >= 2, 1)).as("n_shared"))
+          .filter(col("n_shared") > 0)
+          .select(col("doc_id"), col("n_windows"), col("n_shared"),
+            round(col("n_shared").cast("double") / col("n_windows"), 6)
+              .as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), w AS (
+           |  SELECT doc_id, tok, len(tok) AS n FROM toksrc WHERE len(tok) >= 12
+           |), ex AS (
+           |  SELECT DISTINCT doc_id,
+           |    md5(array_to_string(list_slice(tok, CAST(i AS INT),
+           |      CAST(i AS INT) + 11), ' ')) AS wh
+           |  FROM (SELECT doc_id, tok, unnest(range(1, n - 10)) AS i FROM w)
+           |), c AS (
+           |  SELECT doc_id, wh, count(*) OVER (PARTITION BY wh) AS n_docs
+           |  FROM ex
+           |)
+           |SELECT doc_id, count(*) AS n_windows,
+           |  count(CASE WHEN n_docs >= 2 THEN 1 END) AS n_shared,
+           |  round(CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS DOUBLE)
+           |    / count(*), 6) AS dup_ratio
+           |FROM c GROUP BY doc_id
+           |HAVING count(CASE WHEN n_docs >= 2 THEN 1 END) > 0
+           |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -18,7 +18,7 @@ class NormTokensSpec extends AnyFunSuite {
   private def viaSpark(texts: Seq[Option[String]]): (Seq[Seq[String]], Seq[Seq[String]]) = {
     import spark.implicits._
     val df = texts.toDF("text").select(
-      TextFns.tokens(TextFns.clean(col("text"))).as("regex_tok"),
+      TextFns.tokens(TextFns.cleanRegex(col("text"))).as("regex_tok"),
       NormTokens.column(col("text")).as("kernel_tok"))
     val rows = df.collect()
     (rows.map(_.getSeq[String](0)).toSeq, rows.map(_.getSeq[String](1)).toSeq)
@@ -56,7 +56,7 @@ class NormTokensSpec extends AnyFunSuite {
   test("kernel == regex pipeline on the whole sf0.001 corpus") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val n = docs.filter(
-      !(TextFns.tokens(TextFns.clean(col("text"))) <=>
+      !(TextFns.tokens(TextFns.cleanRegex(col("text"))) <=>
         NormTokens.column(col("text")))).count()
     assert(n == 0)
   }
