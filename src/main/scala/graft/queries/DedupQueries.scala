@@ -570,6 +570,73 @@ object DedupQueries {
            |ORDER BY a_id, b_id""".stripMargin
       }),
 
+    // INCREMENTAL dedup: a NEW batch of documents arrives (here: the
+    // deterministic split's 'val' bucket plays the new crawl; 'train'
+    // plays the existing corpus) and each new doc is checked for a
+    // near-dup already in the corpus — the everyday shape of corpus
+    // maintenance, where re-running the full pairwise dedup on
+    // corpus+batch would redo work proportional to the CORPUS on every
+    // batch. This form touches the corpus once to band its (persisted,
+    // two-longs-per-doc) simhash fingerprints and joins only on
+    // (band, key): cost scales with batch x bucket, not corpus². A
+    // small daily batch would broadcast its banded side; the shuffle
+    // join here is the general-size path. Corpus buckets over
+    // SimMaxBucket are dropped exactly like the pair query (same
+    // adversarial-collapse guard, mirrored in the oracle). Hamming 0
+    // covers exact re-crawls; <= MaxHamming the re-syndications.
+    Q(
+      "dedup_incremental_batch",
+      (s, d) => {
+        def bandOf(c: Column, b: Int): Column =
+          shiftright(c, SimBandBits * b).bitwiseAND(lit(SimBandMask))
+        val f = simhashes(s, d).withColumn("split", splitCol)
+        def banded(df: DataFrame): DataFrame =
+          df.select(col("doc_id"), col("simhash"),
+            posexplode(array((0 until SimBands).map(b =>
+              bandOf(col("simhash"), b)): _*))
+              .as(Seq("band", "key")))
+        val wsz = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "key")
+        val corpus = banded(f.filter(col("split") === "train"))
+          .withColumn("bsz", count(lit(1)).over(wsz))
+          .filter(col("bsz") <= SimMaxBucket)
+          .select(col("band"), col("key"),
+            col("doc_id").as("c_id"), col("simhash").as("fc"))
+        banded(f.filter(col("split") === "val"))
+          .join(corpus, Seq("band", "key"))
+          .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("fc"))))
+          .filter(col("hamming") <= MaxHamming)
+          .groupBy(col("doc_id"))
+          .agg(min(col("c_id")).as("dup_of"),
+            min(col("hamming")).as("best_hamming"),
+            countDistinct(col("c_id")).as("n_matches"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def bandsSql(split: String): String = (0 until SimBands).map(b =>
+          s"SELECT doc_id, simhash, $b AS band, (simhash >> ${SimBandBits * b}) & $SimBandMask AS key FROM sp WHERE split = '$split'")
+          .mkString("\n  UNION ALL\n  ")
+        s"""$simhashCte, sp AS (
+           |  SELECT doc_id, simhash, $splitCaseSql AS split FROM fp
+           |), cb0 AS (
+           |  ${bandsSql("train")}
+           |), csz AS (
+           |  SELECT band, key, count(*) AS n FROM cb0 GROUP BY 1, 2
+           |), cb AS (
+           |  SELECT cb0.* FROM cb0 JOIN csz z
+           |  ON z.band = cb0.band AND z.key = cb0.key
+           |  WHERE z.n <= $SimMaxBucket
+           |), nb AS (
+           |  ${bandsSql("val")}
+           |)
+           |SELECT n.doc_id, min(c.doc_id) AS dup_of,
+           |  min(bit_count(xor(n.simhash, c.simhash))) AS best_hamming,
+           |  count(DISTINCT c.doc_id) AS n_matches
+           |FROM nb n JOIN cb c ON n.band = c.band AND n.key = c.key
+           |WHERE bit_count(xor(n.simhash, c.simhash)) <= $MaxHamming
+           |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+      }),
+
     // Split-contamination check: how many distinct token bigrams of the
     // TEST split also occur in the TRAIN split (benchmark-contamination
     // detection, a standard training-data hygiene op). Splits are the

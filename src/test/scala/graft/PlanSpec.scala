@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.when
+import org.apache.spark.sql.functions.{concat, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regression guard: the properties SCALE.md claims must stay
@@ -110,6 +110,60 @@ class PlanSpec extends AnyFunSuite {
       val p = plan(q)
       assert(p.contains("graft_norm_tokens"), s"$q: ${p.take(400)}")
       assert(!p.contains("regexp_replace"), s"$q: ${p.take(400)}")
+    }
+  }
+
+  test("dim filter prunes fact PARTITIONS at runtime (dynamic partition pruning)") {
+    // The static pruning twin lives in BucketingSpec (literal predicate ->
+    // PartitionFilters). This pins the RUNTIME variant a star join needs at
+    // 100 TB: the fact side is partition-laid-out on the join key, the dim
+    // filter is only known after planning, and Catalyst must inject a
+    // dynamicpruningexpression into the fact scan so only dim-surviving
+    // partitions are read — without it, a 1%-selective dim filter still
+    // scans 100% of the fact layout.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    spark.range(20000).select(($"id" % 20).as("k"), $"id".as("v"))
+      .write.partitionBy("k").mode("overwrite").parquet(s"$dir/fact")
+    spark.range(20).select($"id".as("k"), concat(lit("n"), $"id").as("name"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val joined = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter($"name" === "n3"), "k")
+    joined.queryExecution.toRdd.count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"), p.take(1200))
+  }
+
+  test("selective join side injects a runtime bloom filter into the big scan") {
+    // Shuffle joins where neither side broadcasts still shouldn't ship the
+    // whole big side: a bloom filter built from the selective side's keys
+    // filters the big side MAP-SIDE, before its shuffle write. Thresholds
+    // forced so the local toy takes the path a 100 TB shuffle join would.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.range(50000).select($"id".as("k"), $"id".as("w"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val selective = spark.read.parquet(s"$dir/fact")
+        .filter($"w" % 1000 === 0).select($"k".as("k2"))
+      val p = fact.join(selective, $"k" === $"k2")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg"), p.take(1200))
+      assert(p.contains("might_contain"), p.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
     }
   }
 
