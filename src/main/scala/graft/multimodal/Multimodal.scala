@@ -196,14 +196,81 @@ object Multimodal {
       }
   }
 
-  /** Resize: metadata-only transform (the stub keeps bytes opaque; a
-    * real kernel would also rewrite bytes). Pure column ops — codegen'd.
+  /** Resize: metadata-only transform (keeps bytes opaque — the cheap
+    * path when only downstream bookkeeping needs the new dimensions).
+    * Pure column ops — codegen'd. [[resizeImages]] is the real-pixels
+    * variant.
     */
   def resizeMeta(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("meta", struct(
       lit(w).as("width"), lit(h).as("height"),
       col("meta.sample_rate").as("sample_rate"),
       col("meta.duration_ms").as("duration_ms")))
+
+  /** REAL image resize: decodes image bytes (javax.imageio), scales the
+    * pixels with Graphics2D bilinear interpolation (java.awt, JDK
+    * built-in, headless-safe), re-encodes as PNG, and rewrites the meta
+    * dimensions. Non-image rows and undecodable assets pass through
+    * UNCHANGED (bytes and meta both) — a bad asset degrades, never
+    * fails the partition, mirroring the decode fallback above. Same
+    * bounded per-partition batching as [[extractFeatures]]; output rows
+    * keep the media schema, so the transform composes with everything
+    * downstream.
+    */
+  final case class MediaMeta(
+      width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], duration_ms: Option[Long])
+  final case class MediaAsset(
+      media_id: Long, kind: String, bytes: Array[Byte],
+      meta: Option[MediaMeta])
+
+  /** one asset: decoded-scaled-reencoded PNG, or None when the bytes
+    * aren't a decodable image
+    */
+  private def resizeOne(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val img =
+      try {
+        if (bytes == null) null
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      Some(baos.toByteArray)
+    }
+  }
+
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[MediaAsset] =
+      Encoders.product[MediaAsset]
+    df.as[MediaAsset]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { r =>
+            if (r.kind != "image") r
+            else resizeOne(r.bytes, w, h) match {
+              case Some(b) =>
+                r.copy(bytes = b, meta = Some(MediaMeta(
+                  Some(w), Some(h),
+                  r.meta.flatMap(_.sample_rate),
+                  r.meta.flatMap(_.duration_ms))))
+              case None => r // undecodable: pass through unchanged
+            }
+          }
+        }
+      }
+      .toDF()
+  }
 
   /** Frame sampling for video rows: one output row per sampled frame at
     * `everyMs` intervals, exploded from the duration metadata — the

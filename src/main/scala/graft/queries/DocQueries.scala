@@ -77,6 +77,40 @@ object DocQueries {
           |  count(DISTINCT v) AS n_distinct, min(v) AS min_v, max(v) AS max_v
           |FROM lf GROUP BY 1 ORDER BY col_name""".stripMargin)),
 
+    // Global-statistic-driven length filter: flag docs shorter than half
+    // the corpus MEAN token count or longer than 4x the mean — the
+    // length-outlier gate of a training-data pipeline, where the
+    // threshold is a corpus property computed in the same job, not a
+    // constant. The gate compares in cross-multiplied INTEGER form
+    // (2*n_tokens*n >= sum, not n_tokens >= sum/n/2), so it is exact on
+    // both engines — no float threshold for a boundary doc to straddle
+    // differently. Scale shape: one partial-agg'd scan for (sum, count),
+    // whose 1-row result broadcasts into the second scan's filter; the
+    // corpus itself never shuffles.
+    Q(
+      "doc_length_filter",
+      (s, d) => {
+        val stats = scored(s, d).agg(
+          sum(col("n_tokens")).as("s_tok"),
+          count(lit(1)).as("n_docs"))
+        scored(s, d).select("doc_id", "n_tokens")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") * 2 * col("n_docs") >= col("s_tok") &&
+              col("n_tokens") * col("n_docs") <= col("s_tok") * 4).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$cte, st AS (
+           |  SELECT CAST(sum(n_tokens) AS BIGINT) AS s_tok,
+           |    count(*) AS n_docs
+           |  FROM scored
+           |)
+           |SELECT doc_id, n_tokens,
+           |  (n_tokens * 2 * n_docs >= s_tok AND n_tokens * n_docs <= s_tok * 4) AS kept
+           |FROM scored CROSS JOIN st
+           |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic hash split (train/val/test): bucket = first 4 md5
     // hex chars of the STABLE doc key, mod 100 -> 80/10/10. This is the
     // production answer to reproducible sampling at 100 TB — seeded

@@ -114,6 +114,54 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.StubCodec.embed(Array[Byte](1, 2, 3), 8).toSeq)
   }
 
+  test("resizeImages rewrites pixels: output decodes at the target size") {
+    import java.awt.image.BufferedImage
+    // 64x8 black-left / white-right PNG, as in the decode test
+    val img = new BufferedImage(64, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val junk = Array[Byte](1, 2, 3)
+    val wav = Array[Byte](9, 9)
+
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "image", png,
+          org.apache.spark.sql.Row(Int.box(64), Int.box(8), null, null)),
+        org.apache.spark.sql.Row(1L, "image", junk,
+          org.apache.spark.sql.Row(null, null, null, null)),
+        org.apache.spark.sql.Row(2L, "audio", wav,
+          org.apache.spark.sql.Row(null, null, Int.box(16000), null))), 1),
+      Multimodal.mediaSchema)
+
+    implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaAsset] =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaAsset]
+    val out = Multimodal.resizeImages(df, 16, 16)
+      .as[Multimodal.MediaAsset].collect().sortBy(_.media_id)
+
+    // decodable image: bytes re-encoded, meta rewritten, pixels really 16x16
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).bytes))
+    assert(decoded.getWidth == 16 && decoded.getHeight == 16)
+    assert(out(0).meta.exists(m => m.width.contains(16) && m.height.contains(16)))
+    // content survives the scale: left columns dark, right columns light
+    def luma(rgb: Int): Double =
+      (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)) / 255.0
+    val left = (0 until 16).map(y => luma(decoded.getRGB(1, y))).sum / 16
+    val right = (0 until 16).map(y => luma(decoded.getRGB(14, y))).sum / 16
+    assert(left < 0.2 && right > 0.8, s"left=$left right=$right")
+    // undecodable image and non-image rows pass through untouched
+    assert(out(1).bytes.toSeq == junk.toSeq && out(1).meta.exists(_.width.isEmpty))
+    assert(out(2).bytes.toSeq == wav.toSeq && out(2).kind == "audio")
+    // plan shape: pure partition map, no shuffle
+    val plan = Multimodal.resizeImages(df, 16, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("frame sampling explodes videos into frame rows") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
     val nVideos = media.filter(col("kind") === "video").count()
