@@ -95,6 +95,8 @@ object ConnectedComponents {
       persisted = nextPersisted
       labels = next.select("id", "lab")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter changed=$changed t=${System.nanoTime()}")
     }
     bidir.unpersist()
     labels.select(col("id"), col("lab").as("cluster_id"))
