@@ -154,6 +154,15 @@ object EmbQueries {
   private val PqDim = 8
   private val PqK = 16
 
+  /** hybrid-retrieval constants (emb_hybrid_rrf): corpus-vocabulary
+    * query terms, channel depth, and the standard RRF smoothing
+    * constant K = 60. Declared BEFORE qs — the Q records capture them
+    * at object init.
+    */
+  val HybridTerms: Seq[String] = Seq("table", "hash", "merge", "sort")
+  val HybridTopN = 50
+  val HybridRrfK = 60
+
   val qs: Seq[Q] = Seq(
     // L2 norm per vector — exercises the array math end to end
     Q(
@@ -640,8 +649,99 @@ object EmbQueries {
            |FROM codes k JOIN adc a ON a.j = k.j AND a.cid = k.cid
            |GROUP BY k.vec_id
            |ORDER BY pq_d2, k.vec_id LIMIT 5""".stripMargin
+      }),
+
+    // HYBRID retrieval (the RAG serving shape): a keyword channel and a
+    // vector channel each produce a bounded ranked list, fused by
+    // reciprocal-rank fusion (Cormack et al., SIGIR'09):
+    // rrf(d) = sum over channels of 1/(K + rank_ch(d)), K = 60.
+    // Scale shape: each channel reduces the corpus with
+    // TakeOrderedAndProject (per-partition heaps, top-N rows cross to
+    // the driver merge) BEFORE any ranking window runs — the
+    // unpartitioned row_number sorts <= N pre-reduced rows in one task,
+    // never the corpus; the fusion join is N x N row frames. Rank
+    // arithmetic is integer; the RRF terms are the same IEEE double ops
+    // in the same order on both engines, rounded at 9 dp. The keyword
+    // channel scores distinct-token overlap with the query terms
+    // (integer, exact); the vector channel reuses the broadcast-query
+    // cosine of emb_knn_cosine. doc_id doubles as vec_id (1:1 aligned
+    // tables); the query doc (id 0) is excluded from both channels.
+    Q(
+      "emb_hybrid_rrf",
+      (s, d) => {
+        val kwTop = Tables.t(s, d, "documents")
+          .filter(col("doc_id") =!= 0)
+          .select(col("doc_id"),
+            graft.functions.NormTokens.column(col("text")).as("tok"))
+          .select(col("doc_id"),
+            size(array_intersect(array_distinct(col("tok")),
+              array(HybridTerms.map(lit): _*))).as("kw_score"))
+          .filter(col("kw_score") > 0)
+          .orderBy(col("kw_score").desc, col("doc_id"))
+          .limit(HybridTopN)
+        val kwRank = kwTop
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("kw_score").desc, col("doc_id"))))
+          .select("doc_id", "rk")
+        val e = emb(s, d)
+        val query = broadcast(
+          e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+        val vTop = e.filter(col("vec_id") =!= 0)
+          .crossJoin(query)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(HybridTopN)
+        val vRank = vTop
+          .withColumn("rv", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rv"))
+        kwRank.join(vRank, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(
+              coalesce(lit(1.0) / (lit(HybridRrfK) + col("rk")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(HybridRrfK) + col("rv")), lit(0.0)),
+              9).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some {
+        val termsSql = HybridTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), kw0 AS (
+           |  SELECT doc_id,
+           |    len(list_intersect(list_distinct(tok), $termsSql)) AS kw_score
+           |  FROM toksrc WHERE doc_id <> 0
+           |), kwtop AS (
+           |  SELECT doc_id, kw_score FROM kw0 WHERE kw_score > 0
+           |  ORDER BY kw_score DESC, doc_id LIMIT $HybridTopN
+           |), kwr AS (
+           |  SELECT doc_id,
+           |    row_number() OVER (ORDER BY kw_score DESC, doc_id) AS rk
+           |  FROM kwtop
+           |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |v0 AS (
+           |  SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |  FROM embeddings, q WHERE vec_id <> 0
+           |), vtop AS (
+           |  SELECT vec_id, sim FROM v0
+           |  ORDER BY sim DESC, vec_id LIMIT $HybridTopN
+           |), vr AS (
+           |  SELECT vec_id,
+           |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rv
+           |  FROM vtop
+           |)
+           |SELECT coalesce(k.doc_id, v.vec_id) AS doc_id,
+           |  round(coalesce(CAST(1.0 AS DOUBLE) / ($HybridRrfK + rk), 0) +
+           |        coalesce(CAST(1.0 AS DOUBLE) / ($HybridRrfK + rv), 0), 9) AS rrf
+           |FROM kwr k FULL JOIN vr v ON v.vec_id = k.doc_id
+           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
       })
   )
+
 
   // ---- product-quantization lineage (emb_pq_ann) ---------------------
 
