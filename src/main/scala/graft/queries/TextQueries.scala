@@ -207,6 +207,54 @@ object TextQueries {
            |FROM ex JOIN df USING (term)
            |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // Unigram-LM quality score (the CCNet language-model filter shape):
+    // rank documents by mean token SURPRISAL under the corpus's own
+    // unigram distribution — gibberish and boilerplate sit at the tails.
+    // Real LM filters sum -log p(token); a float ln() is not provably
+    // identical across engines, so surprisal here is the DYADIC log:
+    // floor(log2 T) - floor(log2 c) = length(bin(T)) - length(bin(c)),
+    // pure integer arithmetic on both engines (the same all-rational
+    // trick as the tf-idf and PMI orderings). The only float is the
+    // final mean, an exact-integer division rounded at 6 dp. Scale
+    // shape: term counts are one partial-agg'd shuffle over the token
+    // explode; the scalar total broadcasts; the per-token join keys on
+    // term (vocabulary-sized build side — AQE broadcasts it when it
+    // fits); the per-doc sum is a second partial-agg'd shuffle. Nothing
+    // is ever quadratic and no driver-side vocabulary materializes.
+    Q(
+      "doc_unigram_surprisal",
+      (s, d) => {
+        val ex = toks(s, d)
+          .select(col("doc_id"), explode(col("tok")).as("term"))
+        val tf = ex.groupBy("term").agg(count(lit(1)).as("c"))
+        val tot = tf.agg(sum(col("c")).as("tot"))
+        ex.join(tf, "term")
+          .crossJoin(broadcast(tot))
+          .withColumn("s", length(bin(col("tot"))) - length(bin(col("c"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("s")).as("sum_surprisal"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_surprisal"),
+            round(col("sum_surprisal").cast("double") / col("n_tokens"), 6)
+              .as("mean_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$tokCte, ex AS (
+           |  SELECT doc_id, unnest(tok) AS term FROM t
+           |), tf AS (
+           |  SELECT term, count(*) AS c FROM ex GROUP BY 1
+           |), tot AS (
+           |  SELECT CAST(sum(c) AS BIGINT) AS tot FROM tf
+           |)
+           |SELECT ex.doc_id, count(*) AS n_tokens,
+           |  CAST(sum(length(bin(tot)) - length(bin(c))) AS BIGINT)
+           |    AS sum_surprisal,
+           |  round(CAST(sum(length(bin(tot)) - length(bin(c))) AS DOUBLE)
+           |    / count(*), 6) AS mean_surprisal
+           |FROM ex JOIN tf USING (term) CROSS JOIN tot
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // PII-style redaction — a standard training-data hygiene pass:
     // emails, then URLs, then digit runs are rewritten to placeholder
     // tags (in that order — emails/URLs contain digits, so digit
