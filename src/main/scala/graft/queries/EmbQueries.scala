@@ -154,6 +154,89 @@ object EmbQueries {
   private val PqDim = 8
   private val PqK = 16
 
+  /** IVF-flavored ANN (emb_ivf_ann, reused by emb_recall_eval): coarse
+    * codebook = per-label centroids (rounded so both engines agree
+    * bit-for-bit), inverted lists = cell assignment by nearest
+    * centroid, probe = the query's 2 nearest cells. Search touches
+    * only ~2/10 of the corpus; at scale the codebook grows and the
+    * plan shape is unchanged (centroids broadcast, one narrow scan +
+    * cell-filtered top-k).
+    */
+  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    // codebook: label -> rounded centroid vector
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+      .withColumnRenamed("label", "c_label") // avoid clash with e.label
+    // cell assignment: nearest centroid per vector (tie -> low label)
+    val dists = e.crossJoin(broadcast(cent))
+      .withColumn("d2", // codegen'd kernel, same in-order double fold
+        graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
+    // NULLS LAST: see pqArgmin — a NULL distance must never win argmin
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("c_label"))
+    val ranked = dists.withColumn("rn", row_number().over(w))
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    // probe: the query vector's 2 nearest cells
+    val qCells = broadcast(ranked
+      .filter(col("vec_id") === 0 && col("rn") <= 2)
+      .select(col("c_label").as("cell")))
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+    e.join(cells, "vec_id")
+      .join(qCells, "cell")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(qv)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** DuckDB twin of [[ivfTop5]] — a complete WITH...SELECT, nestable as
+    * a parenthesized subquery (emb_recall_eval does)
+    */
+  private def ivfSql: String =
+    s"""WITH expl AS (
+       |  SELECT label, CAST(i - 1 AS INT) AS dim,
+       |    CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN range(1, 65) r(i)
+       |), cdim AS (
+       |  SELECT label, dim, round(avg(v), 6) AS cv
+       |  FROM expl GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label,
+       |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))), x -> x.cv) AS cvec
+       |  FROM cdim GROUP BY label
+       |), dists AS (
+       |  SELECT e.vec_id, c.label,
+       |    ${l2Sql("e.embedding", "c.cvec")} AS d2
+       |  FROM embeddings e CROSS JOIN cent c
+       |), ranked AS (
+       |  SELECT vec_id, label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |  FROM dists
+       |), cells AS (
+       |  SELECT vec_id, label AS cell FROM ranked WHERE rn = 1
+       |), qcells AS (
+       |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+       |), qv AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qv")} AS sim
+       |FROM embeddings e
+       |JOIN cells ON cells.vec_id = e.vec_id
+       |JOIN qcells ON qcells.cell = cells.cell
+       |CROSS JOIN qv
+       |WHERE e.vec_id <> 0
+       |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
+
   /** hybrid-retrieval constants (emb_hybrid_rrf): corpus-vocabulary
     * query terms, channel depth, and the standard RRF smoothing
     * constant K = 60. Declared BEFORE qs — the Q records capture them
@@ -262,78 +345,46 @@ object EmbQueries {
     // cells. Search touches only ~2/10 of the corpus; at scale the
     // codebook grows and the plan shape is unchanged (centroids
     // broadcast, one narrow scan + cell-filtered top-k).
+    Q("emb_ivf_ann", (s, d) => ivfTop5(s, d), Some(ivfSql)),
+
+    // ANN index EVALUATION: recall@5 of the IVF probe against the exact
+    // brute-force top-5 for the same query vector — the measurement a
+    // pipeline runs when tuning nprobe/codebook size. Both sides are
+    // bounded 5-row frames (TakeOrderedAndProject outputs); the overlap
+    // is a semi-join of 5 x 5 ids and all arithmetic is integer until
+    // the final exact division.
     Q(
-      "emb_ivf_ann",
+      "emb_recall_eval",
       (s, d) => {
         val e = emb(s, d)
-        // codebook: label -> rounded centroid vector
-        val cent = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy("label", "dim")
-          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-          .groupBy("label")
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-            x => x.getField("cv")).as("cvec"))
-          .withColumnRenamed("label", "c_label") // avoid clash with e.label
-        // cell assignment: nearest centroid per vector (tie -> low label)
-        val dists = e.crossJoin(broadcast(cent))
-          .withColumn("d2", // codegen'd kernel, same in-order double fold
-            graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
-        // NULLS LAST: see pqArgmin — a NULL distance must never win argmin
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2").asc_nulls_last, col("c_label"))
-        val ranked = dists.withColumn("rn", row_number().over(w))
-        val cells = ranked.filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_label").as("cell"))
-        // probe: the query vector's 2 nearest cells
-        val qCells = broadcast(ranked
-          .filter(col("vec_id") === 0 && col("rn") <= 2)
-          .select(col("c_label").as("cell")))
         val qv = broadcast(e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv")))
-        e.join(cells, "vec_id")
-          .join(qCells, "cell")
-          .filter(col("vec_id") =!= 0)
+        val exact = e.filter(col("vec_id") =!= 0)
           .crossJoin(qv)
           .select(col("vec_id"),
             round(cosine(col("embedding"), col("qv")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
+          .select("vec_id")
+        val approx = ivfTop5(s, d).select("vec_id")
+        exact.join(approx, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(5).as("k"), col("n_overlap"),
+            round(col("n_overlap").cast("double") / 5, 6).as("recall_at_k"))
       },
       Some(
-        s"""WITH expl AS (
-           |  SELECT label, CAST(i - 1 AS INT) AS dim,
-           |    CAST(embedding[i] AS DOUBLE) AS v
-           |  FROM embeddings CROSS JOIN range(1, 65) r(i)
-           |), cdim AS (
-           |  SELECT label, dim, round(avg(v), 6) AS cv
-           |  FROM expl GROUP BY 1, 2
-           |), cent AS (
-           |  SELECT label,
-           |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))), x -> x.cv) AS cvec
-           |  FROM cdim GROUP BY label
-           |), dists AS (
-           |  SELECT e.vec_id, c.label,
-           |    ${l2Sql("e.embedding", "c.cvec")} AS d2
-           |  FROM embeddings e CROSS JOIN cent c
-           |), ranked AS (
-           |  SELECT vec_id, label,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
-           |  FROM dists
-           |), cells AS (
-           |  SELECT vec_id, label AS cell FROM ranked WHERE rn = 1
-           |), qcells AS (
-           |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
-           |), qv AS (
-           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |exact AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |    FROM embeddings, q WHERE vec_id <> 0
+           |    ORDER BY sim DESC, vec_id LIMIT 5)
+           |), approx AS (
+           |  SELECT vec_id FROM ($ivfSql) ivf
            |)
-           |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qv")} AS sim
-           |FROM embeddings e
-           |JOIN cells ON cells.vec_id = e.vec_id
-           |JOIN qcells ON qcells.cell = cells.cell
-           |CROSS JOIN qv
-           |WHERE e.vec_id <> 0
-           |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin)),
+           |SELECT 5 AS k, count(*) AS n_overlap,
+           |  round(CAST(count(*) AS DOUBLE) / 5, 6) AS recall_at_k
+           |FROM exact JOIN approx USING (vec_id)""".stripMargin)),
 
     // Grouped ANN via the custom TopKAgg Aggregator: top-3 neighbours
     // for EACH of 5 query vectors in one pass — partial+final aggregation

@@ -277,6 +277,44 @@ object EventQueries {
           |  (SELECT count(*) FROM s2) AS n_click,
           |  (SELECT count(*) FROM s3) AS n_purchase""".stripMargin)),
 
+    // Retention cohorts: users grouped by their FIRST-seen epoch-day,
+    // counted on each later active day as an offset from it — the
+    // standard cohort-retention triangle. Day buckets are integer
+    // epoch-second division (micro/nano truncation can't move a day
+    // boundary), so every value is exact on both engines. Scale shape:
+    // the first-seen agg and the activity join both key on user_id —
+    // one partitioning reused across the two stages — and the final
+    // (cohort_day, day_offset) agg is a single-column countDistinct
+    // (two-level plan, no Expand). NULL user/ts rows are excluded
+    // explicitly, identically on both engines.
+    Q(
+      "ev_retention_cohorts",
+      (s, d) => {
+        val days = ev(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"),
+            expr("CAST(ts AS LONG) div 86400").as("day"))
+        val cohorts = days.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        days.join(cohorts, "user_id")
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some(
+        """WITH days AS (
+          |  SELECT user_id,
+          |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |), coh AS (
+          |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1
+          |)
+          |SELECT cohort_day, d.day - cohort_day AS day_offset,
+          |  count(DISTINCT d.user_id) AS n_users
+          |FROM days d JOIN coh USING (user_id)
+          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+
     // Z-order layout audit: every event mapped onto the 32-bit Morton
     // curve over (user_id, epoch-second) 16-bit keys, then aggregated
     // per top-8-bit z-range. Each output row is one would-be file of a
