@@ -415,7 +415,77 @@ object DocQueries {
            |      AS cum_tokens
            |  FROM scored)
            |SELECT lang, doc_id, n_tokens, cum_tokens FROM c
-           |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin))
+           |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin)),
+
+    // Sequence packing (concat-and-chunk): per language, documents are
+    // laid end-to-end in doc_id order and cut into fixed 2048-token
+    // training sequences; each doc lands in the bin where its first
+    // token falls (bin = floor(cum_before / B)). The per-(lang, bin)
+    // stats are the packing audit a training run does before writing
+    // shards — how many docs start in each sequence and how full it is.
+    // Shape at scale: the running sum is one shuffle on lang (the same
+    // partitioning doc_token_budget_sample reuses), and the bin agg is
+    // partial-agg'd on (lang, bin) — output is total_tokens/B rows, not
+    // corpus rows. A real shard-writer would range-partition on
+    // (lang, bin) and write in the same pass.
+    Q(
+      "doc_sequence_pack",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        scored(s, d)
+          .select(col("lang"), col("doc_id"), col("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+          .withColumn("bin", (col("cum_before") / lit(2048L)).cast("long"))
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("tokens_started"))
+          .orderBy("lang", "bin")
+      },
+      Some(
+        s"""$cte, c AS (
+           |  SELECT lang, doc_id, n_tokens,
+           |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+           |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM scored)
+           |SELECT lang, cum_before // 2048 AS bin, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS tokens_started
+           |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin)),
+
+    // Data-mixing weights: the per-(lang, source) upsampling factor that
+    // would flatten the corpus to a uniform mixture — weight =
+    // (N_total / n_groups) / n_group, emitted as an EXACT rational
+    // (w_num = N_total, w_den = n_groups · n_group) so both engines
+    // agree bit-for-bit with no float division. Shape at scale: one
+    // partial-agg'd shuffle to the group counts (|lang|·|source| rows),
+    // then the 2-number global stat joined back broadcast — the corpus
+    // is scanned once and never re-shuffled.
+    Q(
+      "doc_mixing_weights",
+      (s, d) => {
+        val groups = docs(s, d).groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"))
+        val stats = groups.agg(
+          sum(col("n")).cast("long").as("n_total"),
+          count(lit(1)).as("n_groups"))
+        groups.crossJoin(broadcast(stats))
+          .select(col("lang"), col("source"), col("n"),
+            col("n_total").as("w_num"),
+            (col("n_groups") * col("n")).as("w_den"))
+          .orderBy("lang", "source")
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT lang, source, count(*) AS n
+          |  FROM documents GROUP BY 1, 2),
+          |st AS (
+          |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+          |    count(*) AS n_groups FROM g)
+          |SELECT lang, source, n, n_total AS w_num,
+          |  n_groups * n AS w_den
+          |FROM g CROSS JOIN st ORDER BY lang, source""".stripMargin))
   )
 
   /** CTE variant exposing the token list itself (fingerprint needs `tok`,

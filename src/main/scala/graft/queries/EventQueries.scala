@@ -631,6 +631,95 @@ object EventQueries {
           |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
           |  count(*) AS n_events
           |FROM ids GROUP BY user_id, sid
-          |ORDER BY user_id, session_start_s""".stripMargin))
+          |ORDER BY user_id, session_start_s""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event sequences
+    // — the user-journey summary behind "what do users do after a
+    // click?". lead() within the user_id partition (one shuffle, the
+    // same user_id partitioning every sequence query reuses), then a
+    // count per (from, to) pair — at 100 TB the transition matrix is
+    // |event_type|² rows regardless of corpus size, so the second agg
+    // shuffles almost nothing. Ordering ties are resolved by event_id on
+    // BOTH engines at MICROsecond timestamps (Spark reads the nano
+    // parquet micro-truncated; DuckDB must truncate before ordering or
+    // sub-micro neighbors could swap).
+    Q(
+      "ev_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      Some(
+        """WITH ev_us AS (
+          |  SELECT event_id, user_id, event_type,
+          |    make_timestamp(epoch_us(ts)) AS ts
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |seq AS (
+          |  SELECT event_type AS from_type,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS to_type
+          |  FROM ev_us)
+          |SELECT from_type, to_type, count(*) AS n
+          |FROM seq WHERE to_type IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+
+    // Windowed anomaly detection: tumbling 5-min event counts flagged
+    // when they exceed mean + 3 sigma (sample stddev) over all windows.
+    // The 3-sigma test is evaluated as a cross-multiplied INTEGER
+    // comparison — (nW − S)²(W−1) > 9·W(W·SS − S²) with S=Σn, SS=Σn²,
+    // W=#windows — so both engines decide each flag exactly, with no
+    // float sqrt/division at the boundary. DECIMAL(38,0)/HUGEINT keeps
+    // the squared terms exact far past any realistic corpus (n up to
+    // ~1e12 events/window stays inside 38 digits). Shape at scale: one
+    // scan → partial-agg'd bucket counts, a 3-number global stat
+    // broadcast back over the bucket rows — the corpus never shuffles
+    // twice, and the flag evaluation is a narrow map.
+    Q(
+      "ev_anomaly_windows",
+      (s, d) => {
+        val buckets = ev(s, d)
+          .groupBy(window(col("ts"), "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(epochS(col("w.start")).as("bucket_s"),
+            col("n").cast("decimal(38,0)").as("n"))
+        val stats = buckets.agg(
+          count(lit(1)).cast("decimal(38,0)").as("w_cnt"),
+          sum(col("n")).cast("decimal(38,0)").as("s"),
+          sum(col("n") * col("n")).cast("decimal(38,0)").as("ss"))
+        buckets.crossJoin(broadcast(stats))
+          .select(col("bucket_s"), col("n").cast("long").as("n"),
+            ((col("n") * col("w_cnt") - col("s")) *
+              (col("n") * col("w_cnt") - col("s")) *
+              (col("w_cnt") - lit(1)) >
+              lit(9) * col("w_cnt") *
+                (col("w_cnt") * col("ss") - col("s") * col("s")))
+              .as("is_anomaly"))
+          .orderBy("bucket_s")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts)))
+          |      AS BIGINT) AS bucket_s,
+          |    CAST(count(*) AS HUGEINT) AS n
+          |  FROM events GROUP BY 1),
+          |st AS (
+          |  SELECT CAST(count(*) AS HUGEINT) AS w_cnt,
+          |    CAST(sum(n) AS HUGEINT) AS s,
+          |    CAST(sum(n * n) AS HUGEINT) AS ss
+          |  FROM b)
+          |SELECT bucket_s, CAST(n AS BIGINT) AS n,
+          |  (n * w_cnt - s) * (n * w_cnt - s) * (w_cnt - 1)
+          |    > 9 * w_cnt * (w_cnt * ss - s * s) AS is_anomaly
+          |FROM b CROSS JOIN st ORDER BY bucket_s""".stripMargin))
   )
 }

@@ -601,7 +601,41 @@ object TextQueries {
            |  FROM m)
            |SELECT doc_id, n_tokens, dup_token_ratio, top_bigram_frac,
            |  (dup_token_ratio > 0.6 OR top_bigram_frac > 0.1) AS repetitive
-           |FROM r ORDER BY doc_id""".stripMargin))
+           |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Inverted-index construction for the heavy vocabulary: term →
+    // sorted posting list of doc_ids + document frequency, kept to
+    // terms with df ≥ 20 (the keyword-retrieval index the hybrid RRF
+    // query would consult at scale instead of re-scanning text). Shape:
+    // explode the DISTINCT per-doc token set (array_distinct before the
+    // explode keeps the blow-up at unique-terms-per-doc, not raw
+    // tokens), one partial-agg'd shuffle on term, collect_list under an
+    // explicit sort_array so the list is deterministic on both engines.
+    // At 100 TB the posting lists of stop-like terms get large — a real
+    // index would range-bucket them; the df floor here is the
+    // demonstration that the head of the vocabulary is bounded
+    // (Heaps'-law sublinear), not a scan cost.
+    Q(
+      "doc_inverted_index",
+      (s, d) => {
+        import graft.functions.TextFns._
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(
+              graft.functions.NormTokens.column(col("text")))).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"),
+            sort_array(collect_list(col("doc_id"))).as("postings"))
+          .filter(col("df") >= 20)
+          .orderBy("term")
+      },
+      Some(
+        s"""$tokCte, posting AS (
+           |  SELECT doc_id, unnest(list_distinct(tok)) AS term FROM t)
+           |SELECT term, count(*) AS df,
+           |  list_sort(list(doc_id)) AS postings
+           |FROM posting GROUP BY term HAVING count(*) >= 20
+           |ORDER BY term""".stripMargin))
   )
 
   /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match
