@@ -222,4 +222,46 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("anomaly windows: AQE reuses the bucket stage — events scanned once") {
+    // The 3-number global stat derives from the SAME bucket-count
+    // aggregate the output rows come from; at plan time the subtree
+    // appears twice, and AQE must dedupe the shuffle stage at runtime so
+    // the corpus is scanned and window-aggregated exactly once.
+    val df = Registry.byName("ev_anomaly_windows")
+      .build(spark, TestSpark.sf0001)
+    df.queryExecution.toRdd.count()
+    val full = df.queryExecution.executedPlan.toString
+    // toString prints "== Final Plan ==" then "== Initial Plan =="; only
+    // the final section reflects what actually ran
+    val p = full.substring(0, math.max(full.indexOf("== Initial Plan =="), 0)
+      match { case 0 => full.length; case i => i })
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      p.take(1500))
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("transition matrix: one user_id exchange feeds the sequence window") {
+    val p = plan("ev_transition_matrix")
+    // the per-user ordering shuffle happens once; the (from, to) agg is
+    // partial-agg'd so the second exchange moves |event_type|^2 rows
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("inverted index: distinct-per-doc explode, partial term agg, pruned scan") {
+    val p = plan("doc_inverted_index")
+    // blow-up bounded by unique terms per doc: array_distinct runs
+    // UNDER the Generate (explode), never after it
+    val gen = p.indexOf("Generate")
+    val dis = p.indexOf("array_distinct")
+    assert(gen >= 0 && dis >= 0 && dis > gen, p.take(1500))
+    // collect_list aggregates partially (ObjectHashAggregate) before the
+    // term shuffle, and the scan reads only (doc_id, text)
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(1500))
+  }
 }
