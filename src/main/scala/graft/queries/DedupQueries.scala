@@ -888,6 +888,128 @@ object DedupQueries {
            |    / count(*), 6) AS dup_ratio
            |FROM c GROUP BY doc_id
            |HAVING count(CASE WHEN n_docs >= 2 THEN 1 END) > 0
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Asymmetric CONTAINMENT over the candidate pairs: Jaccard misses
+    // doc-in-doc duplication (a quote or a full article pasted into a
+    // longer page scores low symmetric overlap but ~1.0 containment on
+    // the smaller side). |A∩B| and both set sizes are emitted as exact
+    // integers and the >= 0.9 smaller-side flag as a cross-multiplied
+    // integer compare — no float at the boundary. Shape: the persisted
+    // pair set bounds everything — candidate ids broadcast-semi-join the
+    // corpus BEFORE any shingling, so the verify stage scales with
+    // candidates, not corpus (the emb_text_crosscheck lesson).
+    Q(
+      "dedup_containment",
+      (s, d) => {
+        val pairs = minhashPairs(s, d).select("a_id", "b_id")
+        val candIds = pairs.select(col("a_id").as("doc_id"))
+          .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+        val sets = toks(s, d)
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+          .withColumn("sh", shingleCol)
+          .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+        pairs
+          .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")),
+            "a_id")
+          .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")),
+            "b_id")
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("sa"), col("sb"))).as("inter"),
+            size(col("sa")).as("size_a"), size(col("sb")).as("size_b"))
+          .withColumn("contained",
+            col("inter") * 10 >= least(col("size_a"), col("size_b")) * 9)
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        s"""WITH pairs AS (
+           |  SELECT a_id, b_id FROM ($minhashSql)
+           |), cand_ids AS (
+           |  SELECT a_id AS doc_id FROM pairs
+           |  UNION SELECT b_id FROM pairs
+           |), cl AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |  WHERE doc_id IN (SELECT doc_id FROM cand_ids)
+           |), tk AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cl
+           |), sets AS (
+           |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
+           |    THEN list_transform(range(1, len(tok) - 1),
+           |           i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+           |    ELSE [coalesce(array_to_string(tok, ' '), '')] END) AS st
+           |  FROM tk
+           |), j AS (
+           |  SELECT p.a_id, p.b_id,
+           |    len(list_filter(sa.st, x -> list_contains(sb.st, x))) AS inter,
+           |    len(sa.st) AS size_a, len(sb.st) AS size_b
+           |  FROM pairs p
+           |  JOIN sets sa ON sa.doc_id = p.a_id
+           |  JOIN sets sb ON sb.doc_id = p.b_id
+           |)
+           |SELECT a_id, b_id, inter, size_a, size_b,
+           |  inter * 10 >= least(size_a, size_b) * 9 AS contained
+           |FROM j ORDER BY a_id, b_id""".stripMargin)),
+
+    // Canonical-document selection per duplicate cluster: the resolution
+    // policy a real pipeline applies after clustering — keep the most
+    // content-rich member (max token count, doc_id tie-break), not
+    // blindly the lowest id. Runs through the custom GroupedTopK
+    // operator (k=1 per cluster: at most one row per cluster crosses
+    // the exchange) over the SAME memoized cc-label lineage
+    // dedup_cc_clusters persists; labels are cluster-members only
+    // (bounded), so they broadcast into the token-count join and the
+    // corpus is never shuffled.
+    Q(
+      "dedup_cc_canonical",
+      (s, d) => {
+        val labels = graft.CacheRegistry.memo("dedup_cc_labels", s, d)(
+          graft.operators.ConnectedComponents.run(
+            minhashPairs(s, d).select(col("a_id"), col("b_id"))))
+        val nt = toks(s, d)
+          .select(col("doc_id"), size(col("tok")).as("n_tokens"))
+        val m = nt.join(
+          broadcast(labels.select(col("id").as("doc_id"), col("cluster_id"))),
+          "doc_id")
+        val best = graft.plans.GroupedTopK(
+          m, Seq("cluster_id"), Seq(m("n_tokens").desc, m("doc_id")), k = 1)
+        val sizes = labels.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"))
+        best.join(sizes, "cluster_id")
+          .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+            col("n_tokens"), col("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some(
+        s"""WITH RECURSIVE pairs AS (
+           |  $minhashSql
+           |), edges AS (
+           |  SELECT a_id AS u, b_id AS v FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |), nodes AS (
+           |  SELECT DISTINCT u AS id FROM edges
+           |), reach(id, lab) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+           |), comp AS (
+           |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+           |), cl AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |  WHERE doc_id IN (SELECT doc_id FROM comp)
+           |), tk AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cl
+           |), m AS (
+           |  SELECT c.cluster_id, c.doc_id, len(t.tok) AS n_tokens
+           |  FROM comp c JOIN tk t USING (doc_id)
+           |), r AS (
+           |  SELECT cluster_id, doc_id, n_tokens,
+           |    row_number() OVER (PARTITION BY cluster_id
+           |      ORDER BY n_tokens DESC, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+           |  FROM m
+           |)
+           |SELECT cluster_id, doc_id AS canonical_id, n_tokens, n_members
+           |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin))
   )
 }
