@@ -62,6 +62,29 @@ object NewsPipeline {
   def transform(df: DataFrame): DataFrame =
     finalProject(score(filterNonEmpty(clean(project(df)))))
 
+  /** Full lineage with SINGLE-PASS pipeline metrics: `observe` nodes at
+    * ingest and at the scored output collect row counts, the drop count
+    * and the polarity sum DURING whatever action the caller runs (a
+    * write, a count) — no second scan, no extra shuffle; the metrics
+    * ride the task results back to the driver. This is how a 100 TB
+    * write job reports "rows in / rows dropped / mean polarity" without
+    * re-reading 100 TB: `Observation.get` blocks until the action
+    * finishes and a data-quality gate can assert on the values before
+    * publishing the output. Works identically under streaming, where
+    * the named observations surface per-batch in
+    * `StreamingQueryProgress.observedMetrics`.
+    */
+  def transformObserved(df: DataFrame,
+      obsIn: org.apache.spark.sql.Observation,
+      obsOut: org.apache.spark.sql.Observation): DataFrame = {
+    val in = project(df).observe(obsIn, count(lit(1)).as("rows_in"))
+    val scored = score(filterNonEmpty(clean(in)))
+    finalProject(scored).observe(obsOut,
+      count(lit(1)).as("rows_kept"),
+      sum(col("polarity").cast("double")).as("polarity_sum"),
+      count(when(col("sentiment") === "Negative", 1)).as("n_negative"))
+  }
+
   /** X1 batch entry (work.py's `process → analyze → write` run,
     * §3.2): NDJSON in, CSV + NDJSON out. coalesce(1) mirrors the
     * reference's single-file outputs (K5/K6) — drop it for real

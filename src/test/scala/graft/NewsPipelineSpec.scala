@@ -50,6 +50,26 @@ class NewsPipelineSpec extends AnyFunSuite {
     NewsPipeline.transform(
       spark.read.schema(NewsArticle.schema).json(fixture))
 
+  test("observe collects pipeline metrics in the SAME pass as the action") {
+    val obsIn = org.apache.spark.sql.Observation("ingest")
+    val obsOut = org.apache.spark.sql.Observation("scored")
+    val observed = NewsPipeline.transformObserved(
+      spark.read.schema(NewsArticle.schema).json(fixture), obsIn, obsOut)
+    // ONE action drives the lineage; Observation.get then holds the
+    // metrics without any second scan of the input
+    assert(observed.count() == 6)
+    val in = obsIn.get
+    val outM = obsOut.get
+    // PERMISSIVE ingest keeps the malformed line as an all-null row at
+    // this point (it dies in filterNonEmpty), so ingest sees all 12
+    assert(in("rows_in") == 12L)
+    assert(outM("rows_kept") == 6L)
+    assert(outM("n_negative") == 1L) // id=2 only
+    // polarity sum rides back double-exact; the golden labels test pins
+    // per-row values, here we only need "metrics came from the real rows"
+    assert(outM("polarity_sum").asInstanceOf[Double].abs > 0.0)
+  }
+
   test("filter drops null/empty/whitespace/punct-only and malformed rows") {
     val ids = out.select("id").collect().map(_.getString(0)).toSet
     assert(ids == Set("1", "2", "3", "8", "9", "12"))
