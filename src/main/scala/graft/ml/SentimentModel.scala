@@ -67,8 +67,28 @@ object SentimentModel {
     * scheduler overhead. One slice, one task per iteration. A real
     * corpus-sized training set would keep its natural partitioning.
     */
-  def train(spark: SparkSession): PipelineModel =
-    buildPipeline().fit(trainingData(spark).coalesce(1))
+  def train(spark: SparkSession): PipelineModel = {
+    val fitted = buildPipeline().fit(trainingData(spark).coalesce(1))
+    // Save/load round-trip to shed the LR trainingSummary: the summary
+    // pins the training SparkSession, and a model cached for the
+    // session's lifetime then drags that session into every scoring
+    // task closure. That is a live grenade — the session serializes
+    // only while its lazily-initialized internals (e.g. the
+    // ObservationManager, once any observe() runs) happen to be
+    // untouched. Persisted-then-reloaded models carry weights only —
+    // the same shape a real deployment scores with.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sentiment_model").toFile
+    try {
+      fitted.write.overwrite().save(dir.getAbsolutePath)
+      PipelineModel.load(dir.getAbsolutePath)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
 
   /** Adds `polarity_ml` in [-1, 1] (2·P(positive) − 1) and
     * `sentiment_ml`. Works identically on batch and streaming frames.

@@ -635,7 +635,68 @@ object TextQueries {
            |SELECT term, count(*) AS df,
            |  list_sort(list(doc_id)) AS postings
            |FROM posting GROUP BY term HAVING count(*) >= 20
-           |ORDER BY term""".stripMargin))
+           |ORDER BY term""".stripMargin)),
+
+    // Composite QUALITY GATE — the final keep/drop decision of a corpus
+    // pipeline, with machine-readable drop reasons (bitmask: 1=length,
+    // 2=stopword-poor, 4=repetitive, 8=no-language). Every gate is an
+    // INTEGER comparison (ratio thresholds cross-multiplied: stop
+    // ratio > 1% ⟺ n_stop·100 > n_tokens; dup ratio > 0.6 ⟺
+    // (n−distinct)·5 > n·3), so both engines decide each bit exactly —
+    // no float at any boundary. Shape at scale: ONE tokenize pass, all
+    // signals narrow per-row maps (the single-pass LangMarkerCounts
+    // kernel gives all four language counts in one sweep), zero
+    // shuffles before the final ORDER BY — the gate is scan-speed.
+    Q(
+      "doc_quality_gate",
+      (s, d) => {
+        val base = toks(s, d)
+          .withColumn("n_tokens", size(col("tok")))
+          .withColumn("n_stop", countIn(col("tok"), LangMarkers.head._2))
+          .withColumn("n_distinct", size(array_distinct(col("tok"))))
+          .withColumn("mc",
+            graft.functions.LangMarkerCounts.column(col("tok")))
+        val counts = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+          l -> element_at(col("mc"), i + 1)
+        }.toMap
+        base
+          .withColumn("lang_pred", langPred(counts))
+          .withColumn("reasons",
+            (when(!col("n_tokens").between(5, 1000), 1).otherwise(0) +
+              when(col("n_stop") * 100 <= col("n_tokens"), 2).otherwise(0) +
+              when(col("n_tokens") > 0 &&
+                (col("n_tokens") - col("n_distinct")) * 5 >
+                  col("n_tokens") * 3, 4).otherwise(0) +
+              when(col("lang_pred") === "und", 8).otherwise(0)).cast("int"))
+          .select(col("doc_id"), col("n_tokens"), col("reasons"),
+            (col("reasons") === 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val langCounts = LangMarkers.map { case (l, ws) =>
+          s"${countInSql("tok", ws)} AS c_$l"
+        }.mkString(",\n    ")
+        s"""$tokCte, m AS (
+           |  SELECT doc_id, len(tok) AS n_tokens,
+           |    ${countInSql("tok", LangMarkers.head._2)} AS n_stop,
+           |    len(list_distinct(tok)) AS n_distinct,
+           |    $langCounts
+           |  FROM t
+           |), g AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(CASE WHEN NOT (n_tokens BETWEEN 5 AND 1000)
+           |           THEN 1 ELSE 0 END
+           |      + CASE WHEN n_stop * 100 <= n_tokens THEN 2 ELSE 0 END
+           |      + CASE WHEN n_tokens > 0
+           |               AND (n_tokens - n_distinct) * 5 > n_tokens * 3
+           |           THEN 4 ELSE 0 END
+           |      + CASE WHEN ($langPredSql) = 'und' THEN 8 ELSE 0 END
+           |      AS INT) AS reasons
+           |  FROM m
+           |)
+           |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep
+           |FROM g ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match
