@@ -485,7 +485,29 @@ object DocQueries {
           |    count(*) AS n_groups FROM g)
           |SELECT lang, source, n, n_total AS w_num,
           |  n_groups * n AS w_den
-          |FROM g CROSS JOIN st ORDER BY lang, source""".stripMargin))
+          |FROM g CROSS JOIN st ORDER BY lang, source""".stripMargin)),
+
+    // Length-quartile strata per language (ntile): the per-stratum
+    // assignment behind length-balanced eval sets and curriculum
+    // ordering. Ties are broken by doc_id so both engines assign
+    // identical quartiles. Shape: one shuffle on lang; each language
+    // sorts independently (range-partition within lang at cluster
+    // scale) — never a single global sort.
+    Q(
+      "doc_length_strata",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_tokens"), col("doc_id"))
+        scored(s, d)
+          .select(col("lang"), col("doc_id"), col("n_tokens"))
+          .withColumn("quartile", ntile(4).over(w))
+          .orderBy("lang", "doc_id")
+      },
+      Some(
+        s"""$cte SELECT lang, doc_id, n_tokens,
+           |  ntile(4) OVER (PARTITION BY lang
+           |    ORDER BY n_tokens, doc_id) AS quartile
+           |FROM scored ORDER BY lang, doc_id""".stripMargin))
   )
 
   /** CTE variant exposing the token list itself (fingerprint needs `tok`,

@@ -790,7 +790,53 @@ object EmbQueries {
            |        coalesce(CAST(1.0 AS DOUBLE) / ($HybridRrfK + rv), 0), 9) AS rrf
            |FROM kwr k FULL JOIN vr v ON v.vec_id = k.doc_id
            |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
-      })
+      }),
+
+    // Embedding DRIFT between deterministic halves (vec_id parity stands
+    // in for a train/serve or week-over-week split): per label, the
+    // squared-L2 distance between the two halves' per-dim centroids —
+    // the distribution-shift monitor a vector pipeline runs before
+    // trusting an index or a model refresh. Exactness: per-dim means
+    // round to 6 dp (bit-identical cross-engine, the proven
+    // emb_centroid_by_label contract), then are SCALED TO INTEGERS
+    // (x 1e6) so the 64-term sum of squared diffs is exact integer
+    // arithmetic — no float accumulation order can flip the result.
+    // Shape: one scan, one partial-agg'd shuffle on (label, dim), a
+    // |labels|-row re-agg — the corpus never moves twice.
+    Q(
+      "emb_drift_by_label",
+      (s, d) => {
+        val cent = emb(s, d)
+          .select(col("label"), (col("vec_id") % 2).as("half"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(
+            round(avg(when(col("half") === 0, col("v").cast("double"))), 6)
+              .as("ma"),
+            round(avg(when(col("half") === 1, col("v").cast("double"))), 6)
+              .as("mb"))
+          .select(col("label"),
+            round(col("ma") * 1e6, 0).cast("long").as("ma6"),
+            round(col("mb") * 1e6, 0).cast("long").as("mb6"))
+        cent.groupBy("label")
+          .agg(sum((col("ma6") - col("mb6")) * (col("ma6") - col("mb6")))
+            .as("drift_sq_um"))
+          .orderBy("label")
+      },
+      Some(
+        """WITH cent AS (
+          |  SELECT label, CAST(i - 1 AS INT) AS dim,
+          |    CAST(round(round(avg(CASE WHEN vec_id % 2 = 0
+          |        THEN CAST(embedding[i] AS DOUBLE) END), 6) * 1e6, 0)
+          |      AS BIGINT) AS ma6,
+          |    CAST(round(round(avg(CASE WHEN vec_id % 2 = 1
+          |        THEN CAST(embedding[i] AS DOUBLE) END), 6) * 1e6, 0)
+          |      AS BIGINT) AS mb6
+          |  FROM embeddings CROSS JOIN range(1, 65) r(i)
+          |  GROUP BY 1, 2
+          |)
+          |SELECT label, sum((ma6 - mb6) * (ma6 - mb6)) AS drift_sq_um
+          |FROM cent GROUP BY label ORDER BY label""".stripMargin))
   )
 
 
