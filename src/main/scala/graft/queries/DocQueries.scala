@@ -507,7 +507,58 @@ object DocQueries {
         s"""$cte SELECT lang, doc_id, n_tokens,
            |  ntile(4) OVER (PARTITION BY lang
            |    ORDER BY n_tokens, doc_id) AS quartile
-           |FROM scored ORDER BY lang, doc_id""".stripMargin))
+           |FROM scored ORDER BY lang, doc_id""".stripMargin)),
+
+    // TOKEN-WEIGHTED systematic sampling: k evenly spaced probe points
+    // on each language's cumulative token axis pick the documents whose
+    // token interval they land in — long docs are proportionally more
+    // likely, the "sample by token mass, not doc count" selection of
+    // corpus audits. Fully deterministic and EXACT: probe j sits at
+    // (2j+1)·W/(2k), and membership is decided by cross-multiplied
+    // integer inequalities — no float division anywhere, so both
+    // engines pick identical docs. Shape: ONE scan, ONE shuffle — the
+    // running sum and the language total are two frames over the SAME
+    // lang partitioning (no second lineage, no join: the probe index
+    // explodes k ways per row and filters, a narrow map) — zero-token
+    // docs have empty intervals and can never be picked on either
+    // engine.
+    Q(
+      "doc_weighted_sample",
+      (s, d) => {
+        val K = 4
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.partitionBy(col("lang"))
+        scored(s, d)
+          .select(col("lang"), col("doc_id"), col("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+          .withColumn("w_total",
+            sum(col("n_tokens")).over(wAll).cast("long"))
+          .withColumn("j", explode(sequence(lit(0), lit(K - 1))))
+          .filter(
+            lit(2 * K) * col("cum_before") <=
+              (lit(2) * col("j") + 1) * col("w_total") &&
+            (lit(2) * col("j") + 1) * col("w_total") <
+              lit(2 * K) * (col("cum_before") + col("n_tokens")))
+          .select(col("lang"), (col("j") + 1).cast("int").as("pick"),
+            col("doc_id"), col("n_tokens"))
+          .orderBy("lang", "pick")
+      },
+      Some(
+        s"""$cte, c AS (
+           |  SELECT lang, doc_id, n_tokens,
+           |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+           |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT)
+           |      AS w_total
+           |  FROM scored)
+           |SELECT lang, CAST(j + 1 AS INT) AS pick, doc_id, n_tokens
+           |FROM c CROSS JOIN range(0, 4) r(j)
+           |WHERE 8 * cum_before <= (2 * j + 1) * w_total
+           |  AND (2 * j + 1) * w_total < 8 * (cum_before + n_tokens)
+           |ORDER BY lang, pick""".stripMargin))
   )
 
   /** CTE variant exposing the token list itself (fingerprint needs `tok`,

@@ -251,6 +251,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("quality gate is scan-speed: one scan, only the final sort exchanges") {
+    val p = plan("doc_quality_gate")
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1200))
+    // the single Exchange is the output ORDER BY's range partitioning —
+    // every signal (incl. all four language counts) is a narrow map
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(1200))
+    assert(p.contains("rangepartitioning"), p.take(1200))
+  }
+
+  test("drift monitor: both half-centroids from ONE scan via conditional aggs") {
+    val p = plan("emb_drift_by_label")
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1200))
+    assert(p.contains("partial_"), p.take(1200))
+  }
+
+  test("weighted sample: one scan, one lang shuffle, no join") {
+    val p = plan("doc_weighted_sample")
+    // cum_before and w_total are frames over the SAME lang partitioning;
+    // the probe index explodes per row — no second lineage, no join
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1200))
+    assert("hashpartitioning\\(lang".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("inverted index: distinct-per-doc explode, partial term agg, pruned scan") {
     val p = plan("doc_inverted_index")
     // blow-up bounded by unique terms per doc: array_distinct runs
