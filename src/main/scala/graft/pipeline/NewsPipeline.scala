@@ -58,6 +58,29 @@ object NewsPipeline {
       "fetched_at", "processing_time", "polarity", "sentiment",
       "sentiment_confidence")
 
+  /** Schema of the final projection as written by the CSV/JSON sinks
+    * (processing_time is formatted to string at write time) — the
+    * contract NewsSources.readProcessedCsv reloads against.
+    */
+  lazy val processedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", StringType),
+      StructField("title", StringType),
+      StructField("description", StringType),
+      StructField("url", StringType),
+      StructField("publishedAt", StringType),
+      StructField("fetched_at", StringType),
+      StructField("processing_time", StringType),
+      // FloatType: the scorer pins the reference's FloatType output;
+      // a float's shortest decimal repr round-trips exactly to the
+      // same float, while a Double read would re-parse to a different
+      // wider value
+      StructField("polarity", FloatType),
+      StructField("sentiment", StringType),
+      StructField("sentiment_confidence", StringType)))
+  }
+
   /** Full lineage, batch or streaming. */
   def transform(df: DataFrame): DataFrame =
     finalProject(score(filterNonEmpty(clean(project(df)))))

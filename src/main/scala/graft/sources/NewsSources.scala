@@ -29,4 +29,17 @@ object NewsSources {
     */
   def readDirUnion(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(NewsArticle.schema).json(s"$dir/*.json")
+
+  /** Round-trip source for the pipeline's own CSV sink (K5): the
+    * dashboard-facing CSV written by NewsPipeline.runOnce reloads with
+    * an explicit schema (header match, no inference pass — an inference
+    * scan would read the data twice and can mistype sparse columns).
+    * Quotes/escapes follow Spark's CSV defaults on both sides, so
+    * write→read is lossless for the pipeline's string/double columns.
+    */
+  def readProcessedCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(graft.pipeline.NewsPipeline.processedSchema)
+      .option("header", "true")
+      .csv(path)
 }

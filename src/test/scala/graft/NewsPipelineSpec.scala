@@ -144,6 +144,22 @@ class NewsPipelineSpec extends AnyFunSuite {
     assert(csv.count() == 6)
     val json = spark.read.json(s"$outDir/json")
     assert(json.count() == 6)
+
+    // typed round-trip through the explicit-schema CSV source: every
+    // value the pipeline computed survives the write→read cycle
+    // losslessly (float polarity included — shortest-repr parsing)
+    val back = graft.sources.NewsSources.readProcessedCsv(
+      spark, s"$outDir/csv")
+    assert(back.schema == NewsPipeline.processedSchema)
+    val got = back
+      .select("id", "polarity", "sentiment", "sentiment_confidence")
+      .collect().map(r => (r.getString(0), r.getFloat(1),
+        r.getString(2), r.getString(3))).toSet
+    val want = res
+      .select("id", "polarity", "sentiment", "sentiment_confidence")
+      .collect().map(r => (r.getString(0), r.getFloat(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(got == want)
   }
 
   test("reference-fixture golden parity: 10-article run end to end") {
