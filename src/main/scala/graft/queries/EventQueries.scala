@@ -720,6 +720,50 @@ object EventQueries {
           |SELECT bucket_s, CAST(n AS BIGINT) AS n,
           |  (n * w_cnt - s) * (n * w_cnt - s) * (w_cnt - 1)
           |    > 9 * w_cnt * (w_cnt * ss - s * s) AS is_anomaly
-          |FROM b CROSS JOIN st ORDER BY bucket_s""".stripMargin))
+          |FROM b CROSS JOIN st ORDER BY bucket_s""".stripMargin)),
+
+    // User-lifetime distribution: users bucketed by ACTIVE DAYS with
+    // event volume and the longest first-to-last span per bucket — the
+    // engagement-depth profile behind retention analysis. The
+    // active-day count deliberately avoids the countDistinct-plus-
+    // aggregates Expand (the doc_profile lesson): a (user_id, day)
+    // pre-aggregate feeds a user_id rollup — two partial-agg'd shuffles
+    // on progressively coarser keys, all-integer outputs.
+    Q(
+      "ev_user_lifetime_stats",
+      (s, d) => {
+        val byDay = ev(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy(col("user_id"),
+            expr("CAST(ts AS LONG) div 86400").as("day"))
+          .agg(count(lit(1)).as("n"),
+            epochS(min(col("ts"))).as("f"), epochS(max(col("ts"))).as("l"))
+        val perUser = byDay.groupBy("user_id")
+          .agg(count(lit(1)).as("active_days"),
+            sum(col("n")).cast("long").as("n_events"),
+            min(col("f")).as("first_s"), max(col("l")).as("last_s"))
+        perUser.groupBy("active_days")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n_events")).cast("long").as("sum_events"),
+            max(col("last_s") - col("first_s")).as("max_span_s"))
+          .orderBy("active_days")
+      },
+      Some(
+        """WITH by_day AS (
+          |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+          |    count(*) AS n,
+          |    CAST(floor(epoch(min(ts))) AS BIGINT) AS f,
+          |    CAST(floor(epoch(max(ts))) AS BIGINT) AS l
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |  GROUP BY 1, 2),
+          |per_user AS (
+          |  SELECT user_id, count(*) AS active_days,
+          |    CAST(sum(n) AS BIGINT) AS n_events,
+          |    min(f) AS first_s, max(l) AS last_s
+          |  FROM by_day GROUP BY 1)
+          |SELECT active_days, count(*) AS n_users,
+          |  CAST(sum(n_events) AS BIGINT) AS sum_events,
+          |  max(last_s - first_s) AS max_span_s
+          |FROM per_user GROUP BY 1 ORDER BY active_days""".stripMargin))
   )
 }

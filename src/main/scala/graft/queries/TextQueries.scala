@@ -696,7 +696,50 @@ object TextQueries {
            |)
            |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep
            |FROM g ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Vocabulary coverage curve: what fraction of all token OCCURRENCES
+    // the top-{5,10,25} terms cover — the measurement behind vocab
+    // sizing and tokenizer design (a steep curve means a small vocab
+    // suffices). covered/total are exact integers; the ranking window
+    // runs over the DISTINCT vocabulary (Heaps-law sublinear in corpus
+    // size), never the token stream — the corpus-sized work is one
+    // partial-agg'd term count. Count ties rank deterministically by
+    // term on both engines.
+    Q(
+      "doc_vocab_coverage",
+      (s, d) => {
+        val tf = toks(s, d)
+          .select(explode(col("tok")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col("term"))
+        val ranked = tf
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cum", sum(col("c"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val total = tf.agg(sum(col("c")).cast("long").as("total"))
+        ranked.filter(col("rk").isin(5, 10, 25))
+          .crossJoin(broadcast(total))
+          .select(col("rk").as("top_k"), col("cum").cast("long").as("covered"),
+            col("total"))
+          .orderBy("top_k")
+      },
+      Some(
+        s"""$tokCte, ex AS (
+           |  SELECT unnest(tok) AS term FROM t
+           |), tf AS (
+           |  SELECT term, count(*) AS c FROM ex GROUP BY 1
+           |), r AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY c DESC, term) AS INT)
+           |      AS rk,
+           |    CAST(sum(c) OVER (ORDER BY c DESC, term
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum
+           |  FROM tf
+           |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf)
+           |SELECT rk AS top_k, cum AS covered, total
+           |FROM r CROSS JOIN tot
+           |WHERE rk IN (5, 10, 25) ORDER BY top_k""".stripMargin))
   )
 
   /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match
