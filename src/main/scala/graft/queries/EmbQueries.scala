@@ -162,7 +162,12 @@ object EmbQueries {
     * plan shape is unchanged (centroids broadcast, one narrow scan +
     * cell-filtered top-k).
     */
-  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+  /** shared IVF assignment lineage: every vector ranked against the
+    * per-label centroid codebook (rn = 1 is its cell). Consumed by
+    * ivfTop5 (search), emb_recall_eval (via ivfSql) and
+    * emb_cell_balance (index health).
+    */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     // codebook: label -> rounded centroid vector
     val cent = e
@@ -180,7 +185,12 @@ object EmbQueries {
     // NULLS LAST: see pqArgmin — a NULL distance must never win argmin
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc_nulls_last, col("c_label"))
-    val ranked = dists.withColumn("rn", row_number().over(w))
+    dists.withColumn("rn", row_number().over(w))
+  }
+
+  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val ranked = ivfRanked(s, d)
     val cells = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("c_label").as("cell"))
     // probe: the query vector's 2 nearest cells
@@ -199,11 +209,11 @@ object EmbQueries {
       .limit(5)
   }
 
-  /** DuckDB twin of [[ivfTop5]] — a complete WITH...SELECT, nestable as
-    * a parenthesized subquery (emb_recall_eval does)
+  /** shared CTE chain of [[ivfRanked]] + the cell assignment — the SQL
+    * twin every IVF consumer composes over
     */
-  private def ivfSql: String =
-    s"""WITH expl AS (
+  private def ivfCellsCte: String =
+    s"""expl AS (
        |  SELECT label, CAST(i - 1 AS INT) AS dim,
        |    CAST(embedding[i] AS DOUBLE) AS v
        |  FROM embeddings CROSS JOIN range(1, 65) r(i)
@@ -224,7 +234,13 @@ object EmbQueries {
        |  FROM dists
        |), cells AS (
        |  SELECT vec_id, label AS cell FROM ranked WHERE rn = 1
-       |), qcells AS (
+       |)""".stripMargin
+
+  /** DuckDB twin of [[ivfTop5]] — a complete WITH...SELECT, nestable as
+    * a parenthesized subquery (emb_recall_eval does)
+    */
+  private def ivfSql: String =
+    s"""WITH $ivfCellsCte, qcells AS (
        |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
        |), qv AS (
        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
@@ -836,7 +852,41 @@ object EmbQueries {
           |  GROUP BY 1, 2
           |)
           |SELECT label, sum((ma6 - mb6) * (ma6 - mb6)) AS drift_sq_um
-          |FROM cent GROUP BY label ORDER BY label""".stripMargin))
+          |FROM cent GROUP BY label ORDER BY label""".stripMargin)),
+
+    // IVF index health: per-cell population plus a balance flag (no
+    // cell holds more than 2x the fair share). A skewed cell makes
+    // probe cost unpredictable — this is the audit that decides whether
+    // the codebook needs re-training. All integer arithmetic
+    // (n · n_cells <= 2 · total cross-multiplies the fair-share ratio);
+    // reuses the SAME assignment lineage as emb_ivf_ann/emb_recall_eval
+    // on both engines, so the audit can never drift from the index it
+    // audits.
+    Q(
+      "emb_cell_balance",
+      (s, d) => {
+        val cells = ivfRanked(s, d).filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("cell"))
+        val sz = cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+        val tot = sz.agg(count(lit(1)).as("n_cells"),
+          sum(col("n_vectors")).cast("long").as("total"))
+        sz.crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vectors"),
+            (col("n_vectors") * col("n_cells") <= lit(2) * col("total"))
+              .as("balanced"))
+          .orderBy("cell")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, cellsz AS (
+           |  SELECT cell, count(*) AS n_vectors FROM cells GROUP BY 1
+           |), tot AS (
+           |  SELECT count(*) AS n_cells,
+           |    CAST(sum(n_vectors) AS BIGINT) AS total
+           |  FROM cellsz
+           |)
+           |SELECT cell, n_vectors,
+           |  n_vectors * n_cells <= 2 * total AS balanced
+           |FROM cellsz CROSS JOIN tot ORDER BY cell""".stripMargin))
   )
 
 
