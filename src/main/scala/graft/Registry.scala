@@ -29,7 +29,8 @@ object Registry {
       queries.StarQueries.qs ++
       queries.EmbQueries.qs ++
       queries.DedupQueries.qs ++
-      queries.MlQueries.qs
+      queries.MlQueries.qs ++
+      queries.FormatQueries.qs
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

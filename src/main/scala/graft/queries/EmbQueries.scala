@@ -262,6 +262,12 @@ object EmbQueries {
   val HybridTopN = 50
   val HybridRrfK = 60
 
+  /** emb_mrl_recall: how many leading dims the truncated rank uses */
+  val MrlDim = 16
+
+  /** emb_sq_ann: symmetric int8 quantization range (q ∈ [-127, 127]) */
+  val SqScale = 127
+
   val qs: Seq[Q] = Seq(
     // L2 norm per vector — exercises the array math end to end
     Q(
@@ -886,7 +892,133 @@ object EmbQueries {
            |)
            |SELECT cell, n_vectors,
            |  n_vectors * n_cells <= 2 * total AS balanced
-           |FROM cellsz CROSS JOIN tot ORDER BY cell""".stripMargin))
+           |FROM cellsz CROSS JOIN tot ORDER BY cell""".stripMargin)),
+
+    // Matryoshka-style dimension-truncation evaluation: recall@5 of
+    // cosine over only the FIRST MrlDim dims vs the full-width exact
+    // top-5 — the measurement that decides whether a cheaper truncated
+    // index (4x less scan bandwidth, 4x smaller cache footprint) is
+    // good enough to serve first-stage retrieval at 100 TB. Same
+    // bounded 5x5 semi-join shape as emb_recall_eval; both channels are
+    // broadcast-query narrow scans + TakeOrderedAndProject. Slicing is
+    // length-tolerant on both engines (a ragged vector slices short,
+    // scores NULL through the kernel's pairwise-length guard, and
+    // NULLS-LAST out of the top-k on both engines).
+    Q(
+      "emb_mrl_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val scored = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+        val exact = scored
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5).select("vec_id")
+        val trunc = scored
+          .select(col("vec_id"),
+            round(cosine(slice(col("embedding"), 1, MrlDim),
+              slice(col("qv"), 1, MrlDim)), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5).select("vec_id")
+        exact.join(trunc, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(5).as("k"), lit(MrlDim).as("dims"), col("n_overlap"),
+            round(col("n_overlap").cast("double") / 5, 6).as("recall_at_k"))
+      },
+      Some(
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |exact AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |    FROM embeddings, q WHERE vec_id <> 0
+           |    ORDER BY sim DESC, vec_id LIMIT 5)
+           |), trunc AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id,
+           |      ${cosSql(s"(embedding[1:$MrlDim])", s"(qv[1:$MrlDim])")} AS sim
+           |    FROM embeddings, q WHERE vec_id <> 0
+           |    ORDER BY sim DESC, vec_id LIMIT 5)
+           |)
+           |SELECT 5 AS k, $MrlDim AS dims, count(*) AS n_overlap,
+           |  round(CAST(count(*) AS DOUBLE) / 5, 6) AS recall_at_k
+           |FROM exact JOIN trunc USING (vec_id)""".stripMargin)),
+
+    // Scalar (int8) quantization ANN — the third quantization family
+    // next to IVF (emb_ivf_ann) and PQ (emb_pq_ann): each vector stores
+    // a per-vector max-abs scale + 64 int8 codes (16x less scan
+    // bandwidth than float32), search is an exact INTEGER dot product
+    // over codes reconstructed by two scale multiplies. All ranking
+    // arithmetic is integer-exact or a fixed-order IEEE product, so
+    // Spark and DuckDB agree bit-for-bit. Off-contract vectors (ragged
+    // or null-element) are excluded from the index by the same strict
+    // 64-dim contract as LshSig. At scale the codes are materialized
+    // once; here quantization fuses into the one narrow scan
+    // (broadcast query row, TakeOrderedAndProject top-k, no shuffle).
+    Q(
+      "emb_sq_ann",
+      (s, d) => {
+        val e = emb(s, d)
+        val base = e
+          .withColumn("ma",
+            when(size(col("embedding")) === 64 &&
+              !exists(col("embedding"), x => x.isNull),
+              array_max(transform(col("embedding"),
+                x => abs(x.cast("double"))))))
+          .withColumn("code",
+            when(col("ma").isNull, lit(null))
+              .when(col("ma") === 0d,
+                transform(col("embedding"), _ => lit(0)))
+              .otherwise(transform(col("embedding"),
+                x => round(x.cast("double") * SqScale / col("ma"), 0)
+                  .cast("int"))))
+          .filter(col("code").isNotNull)
+          .select(col("vec_id"), col("ma"), col("code"))
+        val qrow = broadcast(base.filter(col("vec_id") === 0)
+          .select(col("code").as("qcode"), col("ma").as("qma")))
+        base.filter(col("vec_id") =!= 0).crossJoin(qrow)
+          .select(col("vec_id"), col("ma"), col("qma"),
+            aggregate(
+              zip_with(col("code"), col("qcode"),
+                (x, y) => (x * y).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("qdot"))
+          .select(col("vec_id"), col("qdot"),
+            round(col("qdot").cast("double") * col("ma") * col("qma") /
+              lit((SqScale * SqScale).toDouble), 6).as("approx_dot"))
+          .orderBy(col("approx_dot").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    CASE WHEN len(embedding) = 64
+           |          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+           |         THEN list_max(list_transform(embedding,
+           |                x -> abs(CAST(x AS DOUBLE))))
+           |    END AS ma
+           |  FROM embeddings
+           |), c AS (
+           |  SELECT vec_id, ma,
+           |    CASE WHEN ma IS NULL THEN NULL
+           |         WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+           |         ELSE list_transform(embedding,
+           |           x -> CAST(round(CAST(x AS DOUBLE) * $SqScale / ma)
+           |                  AS INT))
+           |    END AS code
+           |  FROM b WHERE ma IS NOT NULL
+           |), q AS (SELECT code AS qcode, ma AS qma FROM c WHERE vec_id = 0)
+           |SELECT vec_id, qdot,
+           |  round(CAST(qdot AS DOUBLE) * ma * qma / ${SqScale * SqScale}.0, 6)
+           |    AS approx_dot
+           |FROM (
+           |  SELECT c.vec_id, c.ma, q.qma,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      i -> CAST(c.code[i] AS BIGINT) * q.qcode[i])) AS BIGINT)
+           |      AS qdot
+           |  FROM c CROSS JOIN q WHERE c.vec_id <> 0
+           |)
+           |ORDER BY approx_dot DESC, vec_id LIMIT 5""".stripMargin))
   )
 
 

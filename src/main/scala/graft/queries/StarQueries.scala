@@ -250,6 +250,50 @@ object StarQueries {
       Some(
         s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            |  count(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
-           |FROM orders GROUP BY 1 ORDER BY month""".stripMargin))
+           |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // Correlated scalar subqueries: orders priced above 1.5x their own
+    // month's average. Catalyst DECORRELATES each subquery into a
+    // month-level aggregate + join (RewriteCorrelatedScalarSubquery) —
+    // the plan is two hash aggs over one scan plus a join on ~|months|
+    // rows, never a per-row re-scan; at 100 TB the fact side shuffles
+    // once on the month key and the 12-rows-per-year aggregate
+    // broadcasts back. The 1.5x compare is cross-multiplied
+    // (price·n·2 > sum·3) in DECIMAL, so the boundary is exact on both
+    // engines — avg() would return double and hinge on division
+    // rounding.
+    Q(
+      "star_above_avg_orders",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_corr")
+        s.sql(
+          """SELECT o_orderkey,
+            |  date_format(o_orderdate, 'yyyy-MM') AS month,
+            |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price
+            |FROM orders_corr o
+            |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+            |    (SELECT count(*) FROM orders_corr i
+            |     WHERE date_format(i.o_orderdate, 'yyyy-MM')
+            |         = date_format(o.o_orderdate, 'yyyy-MM')) * 2
+            |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            |     FROM orders_corr i
+            |     WHERE date_format(i.o_orderdate, 'yyyy-MM')
+            |         = date_format(o.o_orderdate, 'yyyy-MM')) * 3
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderkey,
+          |  strftime(o_orderdate, '%Y-%m') AS month,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price
+          |FROM orders o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+          |    (SELECT count(*) FROM orders i
+          |     WHERE strftime(i.o_orderdate, '%Y-%m')
+          |         = strftime(o.o_orderdate, '%Y-%m')) * 2
+          |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
+          |     FROM orders i
+          |     WHERE strftime(i.o_orderdate, '%Y-%m')
+          |         = strftime(o.o_orderdate, '%Y-%m')) * 3
+          |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -288,4 +288,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       p.take(1500))
   }
+
+  test("ORC round trip: the n_chars predicate reaches the ORC scan") {
+    val p = plan("doc_orc_roundtrip")
+    assert(p.toLowerCase.contains("orc"), p.take(1200))
+    // stripe/row-group stats skip: both the null guard and the range
+    // predicate are pushed, not evaluated row-by-row above the scan
+    assert(p.contains("GreaterThanOrEqual(n_chars,200)"), p.take(1200))
+  }
+
+  test("partitioned scan: lang IN (…) prunes at the directory level") {
+    val p = plan("doc_partitioned_scan")
+    // the filter shows up as PartitionFilters on the scan (directory
+    // pruning — files of other languages are never listed), NOT as a
+    // data Filter above it
+    assert(p.contains("PartitionFilters: [lang#") ||
+      "PartitionFilters: \\[.*lang".r.findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("PushedFilters: [In(lang"), p.take(1200))
+  }
+
+  test("correlated subqueries decorrelate to aggregate + join, no per-row re-scan") {
+    val p = plan("star_above_avg_orders")
+    // RewriteCorrelatedScalarSubquery: each subquery becomes a
+    // month-level aggregate joined back — never a nested-loop re-scan
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1200))
+    assert("Join".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("SQ ANN: broadcast query row + top-k heap, no shuffle of the corpus") {
+    val p = plan("emb_sq_ann")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("MRL recall: both channels heap-reduce via TakeOrderedAndProject") {
+    val p = plan("emb_mrl_recall")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2, p.take(1200))
+  }
 }
