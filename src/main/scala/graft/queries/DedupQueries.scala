@@ -1010,6 +1010,144 @@ object DedupQueries {
            |  FROM m
            |)
            |SELECT cluster_id, doc_id AS canonical_id, n_tokens, n_members
-           |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin))
+           |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
+    // Banding-quality evaluation: recall/precision of the MinHash+LSH
+    // pipeline against ground truth on the bounded doc_id < 150 block —
+    // the measurement that decides whether Bands x RowsPerBand needs
+    // retuning before a corpus run ("measure, don't guess" for the
+    // dedup index, the emb_recall_eval twin on the text side). Ground
+    // truth = exact all-pairs Jaccard >= 0.5 on the SAME 3-token
+    // shingle sets the verify stage uses, so precision is 1.0 by
+    // construction (every reported pair re-verified exactly) and the
+    // interesting number is recall: pairs LOST because no band
+    // agreed. The quadratic truth join is confined to the 150-doc
+    // block; the found side reuses the memoized pair lineage.
+    Q(
+      "dedup_minhash_recall",
+      (s, d) => {
+        val sets = toks(s, d).filter(col("doc_id") < 150)
+          .withColumn("sh", shingleCol)
+          .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+        val truth = sets.select(col("doc_id").as("a_id"), col("st").as("sa"))
+          .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")),
+            col("a_id") < col("b_id"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .filter(col("inter").cast("double") /
+            greatest(size(col("sa")) + size(col("sb")) - col("inter"),
+              lit(1)) >= 0.5)
+          .select("a_id", "b_id")
+        val found = minhashPairs(s, d)
+          .filter(col("a_id") < 150 && col("b_id") < 150)
+          .select("a_id", "b_id")
+        val nT = truth.agg(count(lit(1)).as("n_true"))
+        val nF = found.agg(count(lit(1)).as("n_found"))
+        val nO = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))
+        nT.crossJoin(nF).crossJoin(nO)
+          .select(col("n_true"), col("n_found"), col("n_overlap"),
+            round(col("n_overlap").cast("double") /
+              greatest(col("n_true"), lit(1)), 6).as("recall"),
+            round(col("n_overlap").cast("double") /
+              greatest(col("n_found"), lit(1)), 6).as("precision"))
+      },
+      Some(
+        s"""WITH found AS (
+           |  SELECT a_id, b_id FROM ($minhashSql)
+           |  WHERE a_id < 150 AND b_id < 150
+           |), cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |  WHERE doc_id < 150
+           |), tk AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), sets AS (
+           |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
+           |    THEN list_transform(range(1, len(tok) - 1),
+           |           i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+           |    ELSE [coalesce(array_to_string(tok, ' '), '')] END) AS st
+           |  FROM tk
+           |), jp AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    len(list_filter(a.st, x -> list_contains(b.st, x))) AS inter,
+           |    len(a.st) AS la, len(b.st) AS lb
+           |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           |), truth AS (
+           |  SELECT a_id, b_id FROM jp
+           |  WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.5
+           |), c AS (
+           |  SELECT (SELECT count(*) FROM truth) AS n_true,
+           |    (SELECT count(*) FROM found) AS n_found,
+           |    (SELECT count(*) FROM truth JOIN found USING (a_id, b_id))
+           |      AS n_overlap
+           |)
+           |SELECT n_true, n_found, n_overlap,
+           |  round(CAST(n_overlap AS DOUBLE) / greatest(n_true, 1), 6)
+           |    AS recall,
+           |  round(CAST(n_overlap AS DOUBLE) / greatest(n_found, 1), 6)
+           |    AS precision
+           |FROM c""".stripMargin)),
+
+    // Dedup impact report: the one-row summary a curation run emits
+    // before committing a dedup pass — corpus size, docs caught in
+    // duplicate clusters, docs/chars that a keep-lowest-id resolution
+    // would drop. (Keep-lowest-id here, NOT the content-richness policy
+    // of dedup_cc_canonical: the report costs one window over the
+    // bounded label set and needs no token counts.) Shape: the memoized
+    // cc labels are cluster-members only (bounded), so every aggregate
+    // runs over small frames except the two corpus-wide totals, which
+    // are one partial-agg'd scan.
+    Q(
+      "dedup_savings_report",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+        val labels = graft.CacheRegistry.memo("dedup_cc_labels", s, d)(
+          graft.operators.ConnectedComponents.run(
+            minhashPairs(s, d).select(col("a_id"), col("b_id"))))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val docs = Tables.t(s, d, "documents").select("doc_id", "n_chars")
+        val rm = labels
+          .join(docs, "doc_id")
+          .withColumn("keep_id", min(col("doc_id")).over(w))
+          .filter(col("doc_id") =!= col("keep_id"))
+        val tot = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"))
+        val dup = labels.agg(count(lit(1)).as("docs_in_clusters"))
+        val rem = rm.agg(count(lit(1)).as("docs_removable"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_removable"))
+        tot.crossJoin(dup).crossJoin(rem)
+      },
+      Some(
+        s"""WITH RECURSIVE pairs AS (
+           |  $minhashSql
+           |), edges AS (
+           |  SELECT a_id AS u, b_id AS v FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |), nodes AS (
+           |  SELECT DISTINCT u AS id FROM edges
+           |), reach(id, lab) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+           |), comp AS (
+           |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+           |), mem AS (
+           |  SELECT c.doc_id, c.cluster_id, d.n_chars
+           |  FROM comp c JOIN documents d USING (doc_id)
+           |), rm AS (
+           |  SELECT doc_id, n_chars FROM (
+           |    SELECT doc_id, n_chars,
+           |      min(doc_id) OVER (PARTITION BY cluster_id) AS keep_id
+           |    FROM mem)
+           |  WHERE doc_id <> keep_id
+           |)
+           |SELECT (SELECT count(*) FROM documents) AS n_docs,
+           |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+           |    AS chars_total,
+           |  (SELECT count(*) FROM comp) AS docs_in_clusters,
+           |  (SELECT count(*) FROM rm) AS docs_removable,
+           |  (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM rm)
+           |    AS chars_removable""".stripMargin))
   )
 }

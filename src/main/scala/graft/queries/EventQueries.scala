@@ -25,6 +25,18 @@ object EventQueries {
   /** epoch seconds from the (micro-truncated) Spark timestamp */
   private def epochS(c: org.apache.spark.sql.Column) = c.cast("long")
 
+  /** ev_pagerank fixed-point scale: ranks sum to ~1e9 (minus dangling
+    * leak), keeping every BIGINT product well inside 2^63 at test SF.
+    * Declared BEFORE qs — the oracle string interpolates it eagerly at
+    * object init (a forward val reference would read 0).
+    */
+  val PrScale = 1000000000L
+
+  /** per-iteration teleport mass (15% of PrScale), precomputed so no
+    * engine multiplies INT32 literals
+    */
+  val PrTele: Long = PrScale * 15 / 100
+
   val qs: Seq[Q] = Seq(
     // G2 over events: counts + exact decimal sums per type
     Q(
@@ -764,6 +776,112 @@ object EventQueries {
           |SELECT active_days, count(*) AS n_users,
           |  CAST(sum(n_events) AS BIGINT) AS sum_events,
           |  max(last_s - first_s) AS max_span_s
-          |FROM per_user GROUP BY 1 ORDER BY active_days""".stripMargin))
+          |FROM per_user GROUP BY 1 ORDER BY active_days""".stripMargin)),
+
+    // PageRank over the event-type transition graph (weighted, damping
+    // 0.85, 3 power iterations) — the PageRank-style quality weighting a
+    // corpus-curation pipeline applies to a link graph, demonstrated on
+    // the graph this schema actually carries. All arithmetic is INTEGER:
+    // ranks live on a 1e9 fixed-point scale and every division is a
+    // floor div of positives (Spark `div` == DuckDB `//`), so the three
+    // iterations are bit-exact across engines — float PageRank would
+    // diverge in the sum order. Scale shape: ONE corpus scan builds the
+    // edge list (the transition-matrix lineage — |types|² rows at any
+    // corpus size); each iteration is then a join over the tiny
+    // node/edge frames, independent of corpus size. Rank mass leaked by
+    // dangling nodes (no out-edges) is not redistributed — identical on
+    // both engines, standard simplification. At web-graph edge counts
+    // the BIGINT products would move to DECIMAL(38,0) (the
+    // ev_anomaly_windows pattern); the plan shape is unchanged.
+    Q(
+      "ev_pagerank",
+      (s, d) => {
+        val S = PrScale
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        // edge list + node set are |types|-bounded: persist them (via
+        // the releasable CacheRegistry) so the three iterations join
+        // materialized rows — without this every iteration would
+        // re-scan the corpus through the window lineage
+        val edges = graft.CacheRegistry.memo("ev_pr_edges", s, d)(
+          graft.CacheRegistry.track(s, ev(s, d)
+            .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+              col("event_type").isNotNull)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"))
+            .withColumn("next_type", lead(col("event_type"), 1).over(w))
+            .filter(col("next_type").isNotNull)
+            .groupBy(col("event_type").as("from_type"),
+              col("next_type").as("to_type"))
+            .agg(count(lit(1)).as("n"))))
+        val nodes = graft.CacheRegistry.memo("ev_pr_nodes", s, d)(
+          graft.CacheRegistry.track(s, ev(s, d)
+            .filter(col("event_type").isNotNull)
+            .select(col("event_type").as("node")).distinct()))
+        val outw = edges.groupBy("from_type").agg(sum(col("n")).as("outn"))
+        val cnt = broadcast(nodes.agg(count(lit(1)).as("n_cnt")))
+        val r0 = nodes.crossJoin(cnt)
+          .select(col("node"), expr(s"$S div n_cnt").as("r"))
+        def step(r: DataFrame): DataFrame = {
+          val contrib = edges
+            .join(outw, "from_type")
+            .join(r.select(col("node").as("from_type"), col("r")),
+              "from_type")
+            .select(col("to_type").as("node"),
+              expr("(r * n) div outn").as("c"))
+            .groupBy("node").agg(sum(col("c")).as("contrib"))
+          nodes.join(contrib, Seq("node"), "left")
+            .na.fill(0L, Seq("contrib"))
+            .crossJoin(cnt)
+            // PrTele is precomputed in Scala: S*15 as an in-SQL literal
+            // product would multiply as INT32 (overflow wraps in Spark,
+            // throws in DuckDB)
+            .select(col("node"),
+              (expr(s"$PrTele div n_cnt") +
+                expr("(contrib * 85) div 100")).as("r"))
+        }
+        step(step(step(r0))).orderBy("node")
+      },
+      Some {
+        val S = PrScale
+        def it(prev: String, name: String): String =
+          s"""$name AS (
+             |  SELECT n.node,
+             |    $PrTele // c.n_cnt
+             |      + (coalesce(s.contrib, 0) * 85) // 100 AS r
+             |  FROM nodes n CROSS JOIN cnt c
+             |  LEFT JOIN (
+             |    SELECT e.to_type AS node,
+             |      CAST(sum((r.r * e.n) // w.outn) AS BIGINT) AS contrib
+             |    FROM edges e
+             |    JOIN outw w ON w.from_type = e.from_type
+             |    JOIN $prev r ON r.node = e.from_type
+             |    GROUP BY 1) s ON s.node = n.node
+             |)""".stripMargin
+        s"""WITH ev_us AS (
+           |  SELECT event_id, user_id, event_type,
+           |    make_timestamp(epoch_us(ts)) AS ts
+           |  FROM events
+           |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           |    AND event_type IS NOT NULL),
+           |seq AS (
+           |  SELECT event_type AS from_type,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS to_type
+           |  FROM ev_us),
+           |edges AS (
+           |  SELECT from_type, to_type, count(*) AS n
+           |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+           |nodes AS (
+           |  SELECT DISTINCT event_type AS node FROM events
+           |  WHERE event_type IS NOT NULL),
+           |cnt AS (SELECT count(*) AS n_cnt FROM nodes),
+           |outw AS (SELECT from_type, sum(n) AS outn FROM edges GROUP BY 1),
+           |r0 AS (SELECT node, $S // c.n_cnt AS r FROM nodes CROSS JOIN cnt c),
+           |${it("r0", "it1")},
+           |${it("it1", "it2")},
+           |${it("it2", "it3")}
+           |SELECT node, CAST(r AS BIGINT) AS r FROM it3 ORDER BY node""".stripMargin
+      })
   )
 }

@@ -328,4 +328,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("emb_mrl_recall")
     assert("TakeOrderedAndProject".r.findAllIn(p).size == 2, p.take(1200))
   }
+
+  test("pagerank iterations join the persisted edge list, not the corpus") {
+    val p = plan("ev_pagerank")
+    // the |types|-bounded edge/node frames are cached: every iteration
+    // reads InMemoryTableScan (edges x3 + nodes x4 + cnt uses), so the
+    // events file feeds only the two cached builders. (The plan STRING
+    // re-prints each cached lineage — and its FileScan — per reference,
+    // so counting FileScan substrings would overcount; the signal is
+    // that all iteration inputs are InMemoryTableScans.)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p.take(1200))
+  }
 }

@@ -150,6 +150,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late rows behind the watermark are dropped and surface in metrics") {
+    val in = tmp("late_in")
+    val ckpt = tmp("late_ckpt")
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 5)
+    val agg = NewsStream.windowedSentimentCounts(
+      NewsStream.pipeline(spark, in))
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/w")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance event time to 00:40 -> committed watermark 00:30
+      NewsStream.writeSampleBatch(in, batchId = 40, rows = 3)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      // rows at 00:05 arrive AFTER the watermark passed them: the
+      // stateful operator must drop them (not resurrect a closed
+      // window) and account for them in the progress metrics — the
+      // observability signal an operator pages on when upstream
+      // lateness exceeds the watermark budget
+      NewsStream.writeSampleBatch(in, batchId = 5, rows = 4)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      // numRowsDroppedByWatermark counts rows reaching the STATE
+      // operator: the 4 late input rows partial-aggregate map-side into
+      // 3 (window, sentiment) groups (tones cycle P/N/X/P) before the
+      // watermark check, so 3 is the exact expected drop count
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 3, s"expected >=3 late groups dropped, got $dropped")
+      // and no 00:05 window re-emits after the late arrivals
+      val reEmitted = spark.table("t_late")
+        .select(col("window.start").cast("string").as("s"))
+        .collect().map(_.getString(0))
+        .count(_ == "2024-01-01 00:05:00")
+      assert(reEmitted <= 1, s"00:05 window emitted $reEmitted times")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restarted query resumes from committed offsets") {
     val in = tmp("ckpt_in")
     val ckpt = tmp("ckpt_root")
