@@ -258,7 +258,9 @@ object StarQueries {
     // the plan is two hash aggs over one scan plus a join on ~|months|
     // rows, never a per-row re-scan; at 100 TB the fact side shuffles
     // once on the month key and the 12-rows-per-year aggregate
-    // broadcasts back. The 1.5x compare is cross-multiplied
+    // broadcasts back. Month bucketing is date_trunc (native timestamp
+    // arithmetic), not date_format — a per-row string formatter costs
+    // more than the join it feeds. The 1.5x compare is cross-multiplied
     // (price·n·2 > sum·3) in DECIMAL, so the boundary is exact on both
     // engines — avg() would return double and hinge on division
     // rounding.
@@ -268,32 +270,32 @@ object StarQueries {
         t(s, d, "orders").createOrReplaceTempView("orders_corr")
         s.sql(
           """SELECT o_orderkey,
-            |  date_format(o_orderdate, 'yyyy-MM') AS month,
+            |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
             |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price
             |FROM orders_corr o
             |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
             |    (SELECT count(*) FROM orders_corr i
-            |     WHERE date_format(i.o_orderdate, 'yyyy-MM')
-            |         = date_format(o.o_orderdate, 'yyyy-MM')) * 2
+            |     WHERE date_trunc('month', i.o_orderdate)
+            |         = date_trunc('month', o.o_orderdate)) * 2
             |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
             |     FROM orders_corr i
-            |     WHERE date_format(i.o_orderdate, 'yyyy-MM')
-            |         = date_format(o.o_orderdate, 'yyyy-MM')) * 3
+            |     WHERE date_trunc('month', i.o_orderdate)
+            |         = date_trunc('month', o.o_orderdate)) * 3
             |ORDER BY o_orderkey""".stripMargin)
       },
       Some(
         """SELECT o_orderkey,
-          |  strftime(o_orderdate, '%Y-%m') AS month,
+          |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
           |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price
           |FROM orders o
           |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
           |    (SELECT count(*) FROM orders i
-          |     WHERE strftime(i.o_orderdate, '%Y-%m')
-          |         = strftime(o.o_orderdate, '%Y-%m')) * 2
+          |     WHERE date_trunc('month', i.o_orderdate)
+          |         = date_trunc('month', o.o_orderdate)) * 2
           |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
           |     FROM orders i
-          |     WHERE strftime(i.o_orderdate, '%Y-%m')
-          |         = strftime(o.o_orderdate, '%Y-%m')) * 3
+          |     WHERE date_trunc('month', i.o_orderdate)
+          |         = date_trunc('month', o.o_orderdate)) * 3
           |ORDER BY o_orderkey""".stripMargin))
   )
 }
