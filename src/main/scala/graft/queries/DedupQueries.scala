@@ -55,6 +55,24 @@ object DedupQueries {
           element_at(col("tok"), i + 1), element_at(col("tok"), i + 2))))
       .otherwise(array(coalesce(array_join(col("tok"), " "), lit(""))))
 
+  /** distinct 3-token shingle sets for a pre-filtered token frame — THE
+    * one construction shared by the minhash verify stage
+    * (buildMinhashPairs), dedup_containment and dedup_minhash_recall
+    * (with [[shingleSqlExpr]] as its oracle twin). The recall query's
+    * precision-1.0 invariant holds only while every consumer uses
+    * exactly this definition.
+    */
+  private def shingleSets(toksDf: DataFrame): DataFrame =
+    toksDf.withColumn("sh", shingleCol)
+      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+
+  /** DuckDB twin of [[shingleCol]] over a `tok` column */
+  private def shingleSqlExpr: String =
+    "CASE WHEN len(tok) >= 3 " +
+      "THEN list_transform(range(1, len(tok) - 1), " +
+      "i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) " +
+      "ELSE [coalesce(array_to_string(tok, ' '), '')] END"
+
   /** all 16 minima in ONE pass via the native codegen'd kernel
     * (graft.functions.MinHashSig): one md5 per shingle, affine mins in a
     * tight JVM loop — h_i(v) = (v*(2i+3) + 104729i + 12345) mod P, the
@@ -139,9 +157,8 @@ object DedupQueries {
     // set BEFORE any tokenize/shingle/array_distinct work runs
     val candIds = cand.select(col("a_id").as("doc_id"))
       .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
-    val sets = toks(s, dir).join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .withColumn("sh", shingleCol)
-      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+    val sets = shingleSets(
+      toks(s, dir).join(broadcast(candIds), Seq("doc_id"), "left_semi"))
     val canonPairs = cand
       .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")
@@ -208,10 +225,7 @@ object DedupQueries {
        |  SELECT f.doc_id, c.canon_id FROM fpr f JOIN canon c USING (fp)
        |), shingled AS (
        |  SELECT t.doc_id,
-       |    CASE WHEN len(tok) >= 3
-       |      THEN list_transform(range(1, len(tok) - 1),
-       |             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
-       |      ELSE [coalesce(array_to_string(tok, ' '), '')] END AS sh
+       |    $shingleSqlExpr AS sh
        |  FROM toksrc t JOIN canon c ON t.doc_id = c.canon_id
        |), sval AS (
        |  SELECT doc_id, sh,
@@ -905,10 +919,8 @@ object DedupQueries {
         val pairs = minhashPairs(s, d).select("a_id", "b_id")
         val candIds = pairs.select(col("a_id").as("doc_id"))
           .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
-        val sets = toks(s, d)
-          .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-          .withColumn("sh", shingleCol)
-          .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+        val sets = shingleSets(
+          toks(s, d).join(broadcast(candIds), Seq("doc_id"), "left_semi"))
         pairs
           .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")),
             "a_id")
@@ -933,10 +945,7 @@ object DedupQueries {
            |), tk AS (
            |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cl
            |), sets AS (
-           |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
-           |    THEN list_transform(range(1, len(tok) - 1),
-           |           i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
-           |    ELSE [coalesce(array_to_string(tok, ' '), '')] END) AS st
+           |  SELECT doc_id, list_distinct($shingleSqlExpr) AS st
            |  FROM tk
            |), j AS (
            |  SELECT p.a_id, p.b_id,
@@ -1026,9 +1035,7 @@ object DedupQueries {
     Q(
       "dedup_minhash_recall",
       (s, d) => {
-        val sets = toks(s, d).filter(col("doc_id") < 150)
-          .withColumn("sh", shingleCol)
-          .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+        val sets = shingleSets(toks(s, d).filter(col("doc_id") < 150))
         val truth = sets.select(col("doc_id").as("a_id"), col("st").as("sa"))
           .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")),
             col("a_id") < col("b_id"))
@@ -1061,10 +1068,7 @@ object DedupQueries {
            |), tk AS (
            |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
            |), sets AS (
-           |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
-           |    THEN list_transform(range(1, len(tok) - 1),
-           |           i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
-           |    ELSE [coalesce(array_to_string(tok, ' '), '')] END) AS st
+           |  SELECT doc_id, list_distinct($shingleSqlExpr) AS st
            |  FROM tk
            |), jp AS (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -900,17 +900,24 @@ object EmbQueries {
     // index (4x less scan bandwidth, 4x smaller cache footprint) is
     // good enough to serve first-stage retrieval at 100 TB. Same
     // bounded 5x5 semi-join shape as emb_recall_eval; both channels are
-    // broadcast-query narrow scans + TakeOrderedAndProject. Slicing is
-    // length-tolerant on both engines (a ragged vector slices short,
-    // scores NULL through the kernel's pairwise-length guard, and
-    // NULLS-LAST out of the top-k on both engines).
+    // broadcast-query narrow scans + TakeOrderedAndProject. BOTH
+    // channels rank only strict-contract vectors (exactly 64 non-null
+    // floats, the emb_sq_ann/LshSig convention): without the filter a
+    // ragged 32-dim vector — NULL under the full-width kernel guard,
+    // hence invisible to the exact channel — would slice to a clean
+    // 16-dim prefix, score in the truncated channel, displace a real
+    // neighbor, and depress recall for reasons unrelated to truncation
+    // quality.
     Q(
       "emb_mrl_recall",
       (s, d) => {
         val e = emb(s, d)
         val qv = broadcast(e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv")))
-        val scored = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+        val scored = e.filter(col("vec_id") =!= 0)
+          .filter(size(col("embedding")) === 64 &&
+            !exists(col("embedding"), x => x.isNull))
+          .crossJoin(qv)
         val exact = scored
           .select(col("vec_id"),
             round(cosine(col("embedding"), col("qv")), 6).as("sim"))
@@ -929,16 +936,20 @@ object EmbQueries {
       },
       Some(
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-           |exact AS (
+           |base AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id <> 0 AND len(embedding) = 64
+           |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+           |), exact AS (
            |  SELECT vec_id FROM (
            |    SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
-           |    FROM embeddings, q WHERE vec_id <> 0
+           |    FROM base, q
            |    ORDER BY sim DESC, vec_id LIMIT 5)
            |), trunc AS (
            |  SELECT vec_id FROM (
            |    SELECT vec_id,
            |      ${cosSql(s"(embedding[1:$MrlDim])", s"(qv[1:$MrlDim])")} AS sim
-           |    FROM embeddings, q WHERE vec_id <> 0
+           |    FROM base, q
            |    ORDER BY sim DESC, vec_id LIMIT 5)
            |)
            |SELECT 5 AS k, $MrlDim AS dims, count(*) AS n_overlap,

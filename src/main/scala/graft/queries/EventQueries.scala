@@ -37,6 +37,49 @@ object EventQueries {
     */
   val PrTele: Long = PrScale * 15 / 100
 
+  /** Consecutive-event transitions per user -> (from_type, to_type, n):
+    * THE single definition of the transition graph, shared by
+    * ev_transition_matrix and ev_pagerank (with its SQL twin below) so
+    * the two queries can never drift. dropNullTypes: the PageRank graph
+    * excludes null-typed events entirely (a NULL node is meaningless);
+    * the matrix keeps them (a null from_type surfaces as a row, the
+    * reference-faithful behavior).
+    */
+  private def transitions(s: SparkSession, d: String,
+      dropNullTypes: Boolean): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val base = ev(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val src =
+      if (dropNullTypes) base.filter(col("event_type").isNotNull) else base
+    src.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB twin of [[transitions]]: the ev_us/seq/edges CTE chain */
+  private def transitionsSqlCtes(dropNullTypes: Boolean): String = {
+    val nullf =
+      if (dropNullTypes) "\n    AND event_type IS NOT NULL" else ""
+    s"""ev_us AS (
+       |  SELECT event_id, user_id, event_type,
+       |    make_timestamp(epoch_us(ts)) AS ts
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL$nullf),
+       |seq AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM ev_us),
+       |edges AS (
+       |  SELECT from_type, to_type, count(*) AS n
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     // G2 over events: counts + exact decimal sums per type
     Q(
@@ -657,33 +700,12 @@ object EventQueries {
     // sub-micro neighbors could swap).
     Q(
       "ev_transition_matrix",
-      (s, d) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts"), col("event_id"))
-        ev(s, d)
-          .filter(col("user_id").isNotNull && col("ts").isNotNull)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"))
-          .withColumn("next_type", lead(col("event_type"), 1).over(w))
-          .filter(col("next_type").isNotNull)
-          .groupBy(col("event_type").as("from_type"),
-            col("next_type").as("to_type"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy("from_type", "to_type")
-      },
+      (s, d) => transitions(s, d, dropNullTypes = false)
+        .orderBy("from_type", "to_type"),
       Some(
-        """WITH ev_us AS (
-          |  SELECT event_id, user_id, event_type,
-          |    make_timestamp(epoch_us(ts)) AS ts
-          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-          |seq AS (
-          |  SELECT event_type AS from_type,
-          |    lead(event_type) OVER (PARTITION BY user_id
-          |      ORDER BY ts, event_id) AS to_type
-          |  FROM ev_us)
-          |SELECT from_type, to_type, count(*) AS n
-          |FROM seq WHERE to_type IS NOT NULL
-          |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+        s"""WITH ${transitionsSqlCtes(dropNullTypes = false)}
+           |SELECT from_type, to_type, n FROM edges
+           |ORDER BY from_type, to_type""".stripMargin)),
 
     // Windowed anomaly detection: tumbling 5-min event counts flagged
     // when they exceed mean + 3 sigma (sample stddev) over all windows.
@@ -797,23 +819,13 @@ object EventQueries {
       "ev_pagerank",
       (s, d) => {
         val S = PrScale
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts"), col("event_id"))
         // edge list + node set are |types|-bounded: persist them (via
         // the releasable CacheRegistry) so the three iterations join
         // materialized rows — without this every iteration would
         // re-scan the corpus through the window lineage
         val edges = graft.CacheRegistry.memo("ev_pr_edges", s, d)(
-          graft.CacheRegistry.track(s, ev(s, d)
-            .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-              col("event_type").isNotNull)
-            .select(col("user_id"), col("ts"), col("event_id"),
-              col("event_type"))
-            .withColumn("next_type", lead(col("event_type"), 1).over(w))
-            .filter(col("next_type").isNotNull)
-            .groupBy(col("event_type").as("from_type"),
-              col("next_type").as("to_type"))
-            .agg(count(lit(1)).as("n"))))
+          graft.CacheRegistry.track(s,
+            transitions(s, d, dropNullTypes = true)))
         val nodes = graft.CacheRegistry.memo("ev_pr_nodes", s, d)(
           graft.CacheRegistry.track(s, ev(s, d)
             .filter(col("event_type").isNotNull)
@@ -858,20 +870,7 @@ object EventQueries {
              |    JOIN $prev r ON r.node = e.from_type
              |    GROUP BY 1) s ON s.node = n.node
              |)""".stripMargin
-        s"""WITH ev_us AS (
-           |  SELECT event_id, user_id, event_type,
-           |    make_timestamp(epoch_us(ts)) AS ts
-           |  FROM events
-           |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-           |    AND event_type IS NOT NULL),
-           |seq AS (
-           |  SELECT event_type AS from_type,
-           |    lead(event_type) OVER (PARTITION BY user_id
-           |      ORDER BY ts, event_id) AS to_type
-           |  FROM ev_us),
-           |edges AS (
-           |  SELECT from_type, to_type, count(*) AS n
-           |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        s"""WITH ${transitionsSqlCtes(dropNullTypes = true)},
            |nodes AS (
            |  SELECT DISTINCT event_type AS node FROM events
            |  WHERE event_type IS NOT NULL),

@@ -32,12 +32,17 @@ object FormatQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
 
-  /** stable scratch location per (format tag, input dir) — overwritten
-    * by the first consumer in a session, reused by the rest
+  /** scratch location per (JVM, format tag, input dir) — written once
+    * per session (CacheRegistry.memo), reused by later consumers. The
+    * pid component keeps concurrent JVMs (a test run beside a
+    * bench/verify run on one box) from racing overwrite-vs-read on a
+    * shared /tmp path; the OS reclaims the per-pid dirs with /tmp.
     */
   private def scratch(tag: String, dir: String): String = {
     val h = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
-    Paths.get(sys.props("java.io.tmpdir"), s"graft_fmt_${tag}_$h").toString
+    val pid = ProcessHandle.current().pid()
+    Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_fmt_${pid}_${tag}_$h").toString
   }
 
   /** documents re-materialized as ORC, once per (session, dir) */

@@ -261,9 +261,16 @@ object StarQueries {
     // broadcasts back. Month bucketing is date_trunc (native timestamp
     // arithmetic), not date_format — a per-row string formatter costs
     // more than the join it feeds. The 1.5x compare is cross-multiplied
-    // (price·n·2 > sum·3) in DECIMAL, so the boundary is exact on both
+    // (price·2·n > sum·3) in DECIMAL, so the boundary is exact on both
     // engines — avg() would return double and hinge on division
-    // rounding.
+    // rounding. Every operand is explicitly width-typed so NEITHER
+    // engine's result exceeds DECIMAL(38): an unconstrained
+    // sum(DECIMAL(18,4)) is DECIMAL(38,4) in DuckDB and one more
+    // multiply would silently fall back to DOUBLE — exactly the
+    // divergence the cross-multiply exists to prevent. Documented
+    // bounds: < 1e8 orders/month (DECIMAL(8,0)) and monthly sums
+    // < 1e26 (DECIMAL(30,4)); exceeding them fails loudly (ANSI
+    // overflow / DuckDB conversion error), never silently.
     Q(
       "star_above_avg_orders",
       (s, d) => {
@@ -273,14 +280,15 @@ object StarQueries {
             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
             |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price
             |FROM orders_corr o
-            |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
-            |    (SELECT count(*) FROM orders_corr i
+            |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(1,0)) *
+            |    (SELECT CAST(count(*) AS DECIMAL(8,0)) FROM orders_corr i
             |     WHERE date_trunc('month', i.o_orderdate)
-            |         = date_trunc('month', o.o_orderdate)) * 2
-            |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            |         = date_trunc('month', o.o_orderdate))
+            |  > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            |            AS DECIMAL(30,4))
             |     FROM orders_corr i
             |     WHERE date_trunc('month', i.o_orderdate)
-            |         = date_trunc('month', o.o_orderdate)) * 3
+            |         = date_trunc('month', o.o_orderdate)) * CAST(3 AS DECIMAL(2,0))
             |ORDER BY o_orderkey""".stripMargin)
       },
       Some(
@@ -288,14 +296,15 @@ object StarQueries {
           |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
           |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price
           |FROM orders o
-          |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
-          |    (SELECT count(*) FROM orders i
+          |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(1,0)) *
+          |    (SELECT CAST(count(*) AS DECIMAL(8,0)) FROM orders i
           |     WHERE date_trunc('month', i.o_orderdate)
-          |         = date_trunc('month', o.o_orderdate)) * 2
-          |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
+          |         = date_trunc('month', o.o_orderdate))
+          |  > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+          |            AS DECIMAL(30,4))
           |     FROM orders i
           |     WHERE date_trunc('month', i.o_orderdate)
-          |         = date_trunc('month', o.o_orderdate)) * 3
+          |         = date_trunc('month', o.o_orderdate)) * CAST(3 AS DECIMAL(2,0))
           |ORDER BY o_orderkey""".stripMargin))
   )
 }

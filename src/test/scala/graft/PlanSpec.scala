@@ -299,11 +299,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("partitioned scan: lang IN (…) prunes at the directory level") {
     val p = plan("doc_partitioned_scan")
-    // the filter shows up as PartitionFilters on the scan (directory
-    // pruning — files of other languages are never listed), NOT as a
-    // data Filter above it
-    assert(p.contains("PartitionFilters: [lang#") ||
-      "PartitionFilters: \\[.*lang".r.findFirstIn(p).isDefined, p.take(1200))
+    // the filter shows up as a NON-EMPTY PartitionFilters list on the
+    // scan (directory pruning — files of other languages are never
+    // listed), NOT as a data Filter above it. [^\]]* keeps the match
+    // inside the bracket: a greedy .* would sail past an empty
+    // "PartitionFilters: []" to the 'lang' in PushedFilters/ReadSchema
+    // on the same line and pass with pruning entirely absent.
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      p.take(1200))
     assert(!p.contains("PushedFilters: [In(lang"), p.take(1200))
   }
 

@@ -16,7 +16,15 @@ def main() -> None:
     a, b = sys.argv[1], sys.argv[2]
     da, db = json.load(open(a)), json.load(open(b))
     qa, qb = da["queries"], db["queries"]
-    rows = [(k, qa[k], qb[k], qb[k] / qa[k]) for k in sorted(qa) if k in qb]
+    # the two runs must cover the same query set: silently intersecting
+    # would publish totals that include queries missing from the table
+    # (e.g. bench dumps from two different code revisions)
+    if set(qa) != set(qb):
+        only_a = sorted(set(qa) - set(qb))
+        only_b = sorted(set(qb) - set(qa))
+        sys.exit(f"query sets differ — rerun both benches on one "
+                 f"revision. only in {a}: {only_a}; only in {b}: {only_b}")
+    rows = [(k, qa[k], qb[k], qb[k] / qa[k]) for k in sorted(qa)]
     rows.sort(key=lambda r: -r[3])
     print(
         f"Totals: **sf0.01 {da['value']:.1f} s, sf0.1 {db['value']:.1f} s** "
