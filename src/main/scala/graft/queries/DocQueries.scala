@@ -558,7 +558,65 @@ object DocQueries {
            |FROM c CROSS JOIN range(0, 4) r(j)
            |WHERE 8 * cum_before <= (2 * j + 1) * w_total
            |  AND (2 * j + 1) * w_total < 8 * (cum_before + n_tokens)
-           |ORDER BY lang, pick""".stripMargin))
+           |ORDER BY lang, pick""".stripMargin)),
+
+    // MERGE/upsert (SCD-1 keep-newest) — the incremental-corpus
+    // maintenance shape: a re-crawled batch (here the deterministic 10%
+    // test bucket, texts revised) upserts into the corpus by doc_id.
+    // Without MERGE INTO (no transactional table format in scope) the
+    // engine-native form is anti-join + union: corpus rows whose key is
+    // NOT in the batch survive, batch rows enter as-is. At 100 TB both
+    // sides hash-shuffle once on doc_id (or zero times if the corpus
+    // and batch share a bucketed layout — BucketingSpec's pattern); the
+    // anti join is null-safe (a NULL-key corpus row matches nothing and
+    // survives, same as SQL NOT EXISTS). Output is the per-source
+    // audit: rows, updated rows, exact char mass after the merge.
+    Q(
+      "doc_upsert_merge",
+      (s, d) => {
+        val bucket =
+          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
+            .cast("long") % 100
+        val revText =
+          concat(substring(coalesce(col("text"), lit("")), 1, 120),
+            lit(" rev2"))
+        val batch = docs(s, d).filter(bucket >= 90)
+          .select(col("doc_id"), revText.as("text"), col("lang"),
+            col("source"), length(revText).cast("long").as("n_chars"),
+            lit(1L).as("upd"))
+        docs(s, d)
+          .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"), lit(0L).as("upd"))
+          .unionByName(batch)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("upd")).as("n_updated"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH batch AS (
+          |  SELECT doc_id,
+          |    substr(coalesce(text, ''), 1, 120) || ' rev2' AS text,
+          |    lang, source,
+          |    CAST(length(substr(coalesce(text, ''), 1, 120) || ' rev2')
+          |      AS BIGINT) AS n_chars,
+          |    1 AS upd
+          |  FROM documents
+          |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+          |      AS BIGINT) % 100 >= 90
+          |), merged AS (
+          |  SELECT doc_id, text, lang, source, n_chars, 0 AS upd
+          |  FROM documents d
+          |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.doc_id = d.doc_id)
+          |  UNION ALL
+          |  SELECT doc_id, text, lang, source, n_chars, upd FROM batch
+          |)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(upd) AS BIGINT) AS n_updated,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM merged GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin))
   )
 
   /** CTE variant exposing the token list itself (fingerprint needs `tok`,

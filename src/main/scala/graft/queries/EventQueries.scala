@@ -881,6 +881,49 @@ object EventQueries {
            |${it("it1", "it2")},
            |${it("it2", "it3")}
            |SELECT node, CAST(r AS BIGINT) AS r FROM it3 ORDER BY node""".stripMargin
-      })
+      }),
+
+    // percent_rank/cume_dist-style distribution position, emitted as
+    // EXACT rationals (rank-1, n-1) instead of the float the built-ins
+    // return — (rank-1)/(n-1) IS percent_rank, and the division is the
+    // only engine-divergent step, so it stays unevaluated. The ordering
+    // key (value, event_id) is collision-free, making row_number
+    // deterministic cross-engine where rank/dense_rank over raw doubles
+    // would hinge on tie semantics. One shuffle on event_type + an
+    // in-partition sort — the same cost envelope as any ranking window;
+    // the % 199 probe keeps the OUTPUT bounded while every row still
+    // pays its ranking (the realistic monitoring shape: sample the
+    // positions, not the sort). top_decile is the cross-multiplied
+    // integer form of percent_rank >= 0.9.
+    Q(
+      "ev_percent_rank",
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        ev(s, d)
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("event_id") % 199 === 0)
+          .select(col("event_id"), col("event_type"),
+            (col("rk") - 1).cast("long").as("pr_num"),
+            (col("n") - 1).cast("long").as("pr_den"),
+            ((col("rk") - 1) * 10L >= (col("n") - 1) * 9L).as("top_decile"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH r AS (
+          |  SELECT event_id, event_type,
+          |    CAST(row_number() OVER (PARTITION BY event_type
+          |      ORDER BY value, event_id) AS BIGINT) - 1 AS pr_num,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) - 1
+          |      AS pr_den
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+          |)
+          |SELECT event_id, event_type, pr_num, pr_den,
+          |  pr_num * 10 >= pr_den * 9 AS top_decile
+          |FROM r WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin))
   )
 }

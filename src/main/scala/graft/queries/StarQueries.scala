@@ -305,6 +305,48 @@ object StarQueries {
           |     FROM orders i
           |     WHERE date_trunc('month', i.o_orderdate)
           |         = date_trunc('month', o.o_orderdate)) * CAST(3 AS DECIMAL(2,0))
-          |ORDER BY o_orderkey""".stripMargin))
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // FULL OUTER join with asymmetric sides: nations' high-balance
+    // customers vs low-balance suppliers. The acctbal filters make each
+    // side miss nations the other has, so both null-extension
+    // directions are actually exercised (a full outer where every key
+    // matches is just an inner join with extra steps). Scale shape:
+    // both inputs are pre-aggregated to <= |nations| rows BEFORE the
+    // join — the full outer joins two tiny aggregates, never the base
+    // tables; at 100 TB this is the one-scan-per-side + partial-agg
+    // pattern, and the join itself is constant-size. one_sided
+    // preserves the null-vs-zero distinction COALESCE erases.
+    Q(
+      "star_full_outer_nation",
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_acctbal") > 7000)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_rich_cust"))
+        val sp = t(s, d, "supplier").filter(col("s_acctbal") < 1000)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_poor_supp"))
+        c.join(sp, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            (col("n_rich_cust").isNull || col("n_poor_supp").isNull)
+              .as("one_sided"),
+            coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+            coalesce(col("n_poor_supp"), lit(0L)).as("n_poor_supp"))
+          .orderBy("nationkey")
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT c_nationkey AS nationkey, count(*) AS n_rich_cust
+          |  FROM customer WHERE c_acctbal > 7000 GROUP BY 1
+          |), sp AS (
+          |  SELECT s_nationkey AS nationkey, count(*) AS n_poor_supp
+          |  FROM supplier WHERE s_acctbal < 1000 GROUP BY 1
+          |)
+          |SELECT coalesce(c.nationkey, sp.nationkey) AS nationkey,
+          |  (c.nationkey IS NULL OR sp.nationkey IS NULL) AS one_sided,
+          |  coalesce(n_rich_cust, 0) AS n_rich_cust,
+          |  coalesce(n_poor_supp, 0) AS n_poor_supp
+          |FROM c FULL JOIN sp ON c.nationkey = sp.nationkey
+          |ORDER BY nationkey""".stripMargin))
   )
 }

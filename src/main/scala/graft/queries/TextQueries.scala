@@ -47,6 +47,12 @@ object TextQueries {
     }
   }
 
+  /** fixed BM25 query terms — present in the synthetic corpus's core
+    * vocabulary, so df spans common ("table"-like) to rarer terms.
+    * Declared BEFORE qs: the query builders close over it at object init.
+    */
+  private val BmTerms = Seq("merge", "window", "hash")
+
   private def langPredSql: String = {
     val langs = LangMarkers.map(_._1)
     val arms = langs.map { l =>
@@ -739,7 +745,141 @@ object TextQueries {
            |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf)
            |SELECT rk AS top_k, cum AS covered, total
            |FROM r CROSS JOIN tot
-           |WHERE rk IN (5, 10, 25) ORDER BY top_k""".stripMargin))
+           |WHERE rk IN (5, 10, 25) ORDER BY top_k""".stripMargin)),
+
+    // BM25 lexical retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    // the keyword twin of emb_knn_cosine and the lexical channel a RAG
+    // stack runs at 100 TB (posting lists, not vectors). Every
+    // arithmetic step is cross-engine EXACT: tf/dl/df/N/T are integers,
+    // and each score factor is one IEEE-754 division (or multiply) of
+    // integers below 2^53 — bit-identical doubles on both engines, no
+    // rounding anywhere. Two deliberate exactness moves:
+    //  - idf is the rational Robertson core (N - df + 1/2)/(df + 1/2)
+    //    WITHOUT the log: ln() is the one BM25 ingredient whose
+    //    last-ulp behavior is libm-specific, and per-term idf is
+    //    monotone through ln, so the log changes absolute scores but
+    //    never a single-term ordering; multi-term mixing differs from
+    //    log-BM25 only in relative term weighting (documented contract).
+    //  - the tf factor tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)) is
+    //    cross-multiplied by 10T (avgdl = T/N) into
+    //    22·tf·T / (10·tf·T + 3·T + 9·dl·N) — one division of integers.
+    // Shape at scale: one 5-number stat agg broadcast back + one
+    // scoring scan pruned by tf>0 BEFORE ranking, then
+    // TakeOrderedAndProject — the corpus never shuffles.
+    Q(
+      "doc_bm25_topk",
+      (s, d) => {
+        val terms = BmTerms
+        val baseCols = Seq(col("doc_id"), size(col("tok")).as("dl")) ++
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("tok"), x => x === lit(t))).as(s"tf$i")
+          }
+        val base = toks(s, d).select(baseCols: _*)
+        val statCols = Seq(
+          count(lit(1)).as("n_docs"),
+          sum(col("dl")).cast("long").as("t_tok")) ++
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+        val stats = base.agg(statCols.head, statCols.tail: _*)
+        val sTerms = terms.indices.map { i =>
+          val idf = ((col("n_docs") - col(s"df$i")) * 2L + 1L).cast("double") /
+            (col(s"df$i") * 2L + 1L).cast("double")
+          val num = (col(s"tf$i") * 22L * col("t_tok")).cast("double")
+          val den = (col(s"tf$i") * 10L * col("t_tok") + col("t_tok") * 3L +
+            col("dl") * 9L * col("n_docs")).cast("double")
+          idf * (num / den)
+        }
+        val outCols = Seq(col("doc_id"), col("dl")) ++
+          terms.zipWithIndex.map { case (t, i) => col(s"tf$i").as(s"tf_$t") } ++
+          Seq(sTerms.reduceLeft(_ + _).as("score"))
+        base.crossJoin(broadcast(stats))
+          .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+          .select(outCols: _*)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some {
+        val terms = BmTerms
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(len(list_filter(tok, x -> x = '$t')) AS INT) AS tf$i"
+        }.mkString(",\n           |    ")
+        val dfs = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(",\n           |    ")
+        val scores = terms.indices.map { i =>
+          s"(CAST((n_docs - df$i) * 2 + 1 AS DOUBLE) / " +
+            s"CAST(df$i * 2 + 1 AS DOUBLE)) * " +
+            s"(CAST(tf$i * 22 * t_tok AS DOUBLE) / " +
+            s"CAST(tf$i * 10 * t_tok + t_tok * 3 + dl * 9 * n_docs AS DOUBLE))"
+        }.mkString("\n           |    + ")
+        val names = terms.zipWithIndex.map { case (t, i) =>
+          s"tf$i AS tf_$t"
+        }.mkString(", ")
+        s"""$tokCte, base AS (
+           |  SELECT doc_id, CAST(len(tok) AS INT) AS dl,
+           |    $tfs
+           |  FROM t
+           |), st AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS t_tok,
+           |    $dfs
+           |  FROM base
+           |)
+           |SELECT doc_id, dl, $names,
+           |  $scores
+           |    AS score
+           |FROM base CROSS JOIN st
+           |WHERE tf0 + tf1 + tf2 > 0
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+
+    // Vocabulary INTERSECT/EXCEPT across the deterministic train/val
+    // hash split — the "is my val split lexically covered?" audit
+    // (out-of-vocabulary val terms inflate perplexity for reasons
+    // unrelated to model quality). Exercises the relational set
+    // operators: Spark plans INTERSECT/EXCEPT DISTINCT as aggregate +
+    // left-semi/anti joins over the DISTINCT vocabularies, which are
+    // Heaps-law sublinear in corpus size — the corpus-sized work is the
+    // explode+distinct partial agg, the set ops touch only vocab rows.
+    Q(
+      "doc_vocab_set_ops",
+      (s, d) => {
+        val bucket =
+          expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
+            .cast("long") % 100
+        val tk = toks(s, d).withColumn("bk", bucket)
+        val train = tk.filter(col("bk") < 80)
+          .select(explode(col("tok")).as("term")).distinct()
+        val valv = tk.filter(col("bk") >= 80 && col("bk") < 90)
+          .select(explode(col("tok")).as("term")).distinct()
+        train.intersect(valv).agg(count(lit(1)).as("n_shared"))
+          .crossJoin(train.except(valv).agg(count(lit(1)).as("n_train_only")))
+          .crossJoin(valv.except(train).agg(count(lit(1)).as("n_val_only")))
+      },
+      Some(
+        s"""$tokCte, b AS (
+           |  SELECT tok,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+           |      AS BIGINT) % 100 AS bk
+           |  FROM t
+           |), tv AS (
+           |  SELECT DISTINCT term
+           |  FROM (SELECT unnest(tok) AS term FROM b WHERE bk < 80)
+           |), vv AS (
+           |  SELECT DISTINCT term
+           |  FROM (SELECT unnest(tok) AS term FROM b WHERE bk >= 80 AND bk < 90)
+           |)
+           |SELECT
+           |  (SELECT count(*) FROM
+           |    (SELECT term FROM tv INTERSECT SELECT term FROM vv))
+           |    AS n_shared,
+           |  (SELECT count(*) FROM
+           |    (SELECT term FROM tv EXCEPT SELECT term FROM vv))
+           |    AS n_train_only,
+           |  (SELECT count(*) FROM
+           |    (SELECT term FROM vv EXCEPT SELECT term FROM tv))
+           |    AS n_val_only""".stripMargin))
   )
 
   /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match
