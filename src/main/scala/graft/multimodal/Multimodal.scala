@@ -160,6 +160,63 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual difference hash (dHash) from REAL pixels: decode
+    * (javax.imageio), block-average the luma onto a 9x8 grid, then bit
+    * (y*8+x) = cell(x,y) < cell(x+1,y) — each bit a horizontal gradient
+    * sign. Gradient SIGNS survive re-encoding, mild recompression and
+    * brightness shifts, which is what makes dHash the standard cheap
+    * image near-dup fingerprint (content hashes catch only byte-exact
+    * copies). Undecodable bytes yield None — a bad asset can't fake a
+    * fingerprint and pollute a dedup bucket.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try {
+        if (bytes == null) null
+        else javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w == 0 || h == 0) return None
+      val gw = 9
+      val gh = 8
+      val sums = Array.ofDim[Double](gw, gh)
+      val counts = Array.ofDim[Long](gw, gh)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(gh - 1, y * gh / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(gw - 1, x * gw / w)
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 255
+          val g = (rgb >> 8) & 255
+          val b = rgb & 255
+          sums(cx)(cy) += 0.299 * r + 0.587 * g + 0.114 * b
+          counts(cx)(cy) += 1
+          x += 1
+        }
+        y += 1
+      }
+      def cell(cx: Int, cy: Int): Double =
+        if (counts(cx)(cy) == 0) 0.0 else sums(cx)(cy) / counts(cx)(cy)
+      var bits = 0L
+      var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < 8) {
+          if (cell(cx, cy) < cell(cx + 1, cy)) bits |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(bits)
+    }
+  }
+
   /** per-kind dispatch: real pixels for images, real PCM for audio,
     * stub for video
     */
@@ -194,6 +251,71 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Perceptual near-dup pair mining over the image rows — the
+    * multimodal twin of `dedup_simhash_pairs`, same LSH-banding
+    * skeleton on a different fingerprint: decode each image ONCE into
+    * its 64-bit dHash (batched partition map, no shuffle), band the
+    * hash as 4x16-bit keys, self-join per (band, key), keep a pair only
+    * in its FIRST matching band (no distinct pass), verify
+    * bit_count(xor) <= maxHamming. Pigeonhole: any pair within hamming
+    * <= 3 shares at least one intact 16-bit band, so recall is exact
+    * there; the bucket cap kills adversarial monochrome-corpus blowup
+    * exactly like the text path. At 100 TB the decode pass dominates
+    * and is embarrassingly parallel; everything after it moves one
+    * (long, long) per image.
+    */
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  val DHashBands = 4
+  val DHashBandBits = 16
+  val DHashMaxBucket = 256
+
+  def imageHashes(df: DataFrame): Dataset[ImageHash] = {
+    implicit val inEnc: org.apache.spark.sql.Encoder[MediaRow] =
+      Encoders.product[MediaRow]
+    implicit val outEnc: org.apache.spark.sql.Encoder[ImageHash] =
+      Encoders.product[ImageHash]
+    df.filter(col("kind") === "image")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap(r =>
+            dHash(r.bytes).map(hv => ImageHash(r.media_id, hv)))
+        }
+      }
+  }
+
+  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val mask = (1L << DHashBandBits) - 1
+    def bandOf(c: org.apache.spark.sql.Column, b: Int) =
+      shiftright(c, DHashBandBits * b).bitwiseAND(lit(mask))
+    val wsz = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key")
+    val bands = imageHashes(df).toDF()
+      .select(col("media_id"), col("dhash"),
+        posexplode(array((0 until DHashBands).map(b =>
+          bandOf(col("dhash"), b)): _*)).as(Seq("band", "key")))
+      .withColumn("bsz", count(lit(1)).over(wsz))
+      .filter(col("bsz") <= DHashMaxBucket)
+      .drop("bsz")
+    val a = bands.select(col("band"), col("key"),
+      col("media_id").as("a_id"), col("dhash").as("fa"))
+    val b = bands.select(col("band"), col("key"),
+      col("media_id").as("b_id"), col("dhash").as("fb"))
+    val firstMatch = (0 until DHashBands).map { i =>
+      (0 until i).map(j => bandOf(col("fa"), j) =!= bandOf(col("fb"), j))
+        .foldLeft(col("band") === i)(_ && _)
+    }.reduce(_ || _)
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id") && firstMatch)
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
   }
 
   /** Resize: metadata-only transform (keeps bytes opaque — the cheap

@@ -1153,5 +1153,65 @@ object DedupQueries {
            |  (SELECT count(*) FROM rm) AS docs_removable,
            |  (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM rm)
            |    AS chars_removable""".stripMargin))
+    ,
+
+    // Fuzzy (edit-distance) near-dup pairs — the character-level
+    // complement of the token-level MinHash/SimHash channels: catches
+    // small in-place edits (typo fixes, byline swaps) that keep most
+    // shingles but matter to a dedup policy keyed on "same article,
+    // minor revision". Classic blocking-key design: candidates must
+    // share the first-32-char prefix (duplicate-by-revision corpora
+    // overwhelmingly preserve the head), so candidate volume is
+    // sum(block²) over prefix blocks, never corpus². Two scale guards:
+    // blocks are capped at 64 members (the MaxBucket pattern —
+    // an adversarial constant prefix cannot go quadratic), and
+    // levenshtein — O(len²) per pair, the expensive verify — runs on
+    // the first 160 chars of only the surviving candidate pairs.
+    // Spark and DuckDB both implement unit-cost Levenshtein, so the
+    // distance itself is oracle-exact.
+    Q(
+      "dedup_fuzzy_pairs",
+      (s, d) => {
+        val k = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            substring(coalesce(col("text"), lit("")), 1, 32).as("p"),
+            substring(coalesce(col("text"), lit("")), 1, 160).as("head"))
+        val capped = k
+          .withColumn("bn",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("p")))
+          .filter(col("bn") <= 64)
+        val a = capped.select(col("doc_id").as("a_id"), col("p"),
+          col("head").as("a_head"))
+        val b = capped.select(col("doc_id").as("b_id"), col("p"),
+          col("head").as("b_head"))
+        a.join(b, Seq("p"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("a_head"), col("b_head")).as("lev"))
+          .filter(col("lev") <= 8)
+          .withColumn("exact_head", col("lev") === 0)
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        """WITH k AS (
+          |  SELECT doc_id,
+          |    substr(coalesce(text, ''), 1, 32) AS p,
+          |    substr(coalesce(text, ''), 1, 160) AS head
+          |  FROM documents
+          |), capped AS (
+          |  SELECT * FROM (
+          |    SELECT doc_id, p, head,
+          |      count(*) OVER (PARTITION BY p) AS bn
+          |    FROM k)
+          |  WHERE bn <= 64
+          |)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  CAST(levenshtein(a.head, b.head) AS INT) AS lev,
+          |  levenshtein(a.head, b.head) = 0 AS exact_head
+          |FROM capped a JOIN capped b
+          |  ON a.p = b.p AND a.doc_id < b.doc_id
+          |WHERE levenshtein(a.head, b.head) <= 8
+          |ORDER BY a_id, b_id""".stripMargin))
   )
 }

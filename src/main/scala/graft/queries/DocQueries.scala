@@ -616,7 +616,61 @@ object DocQueries {
           |SELECT source, count(*) AS n_docs,
           |  CAST(sum(upd) AS BIGINT) AS n_updated,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-          |FROM merged GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin))
+          |FROM merged GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin)),
+
+    // Small-file compaction / target-size file planner — the 100 TB
+    // write-path problem the other queries don't touch: a partitioned
+    // corpus write wants files near a target size, not one file per
+    // task. Greedy plan: within each lang partition, walk docs in
+    // doc_id order and cut a new file every TargetChars of cumulative
+    // payload — file_id = cum_before DIV TargetChars, where cum_before
+    // is the running char mass BEFORE the doc (window frame ... 1
+    // PRECEDING), so a doc always lands in the file its start offset
+    // falls in. Output is the per-file manifest (doc count, char mass,
+    // id range) a compaction job would execute with
+    // repartitionByRange(lang, file_id).sortWithinPartitions — which is
+    // exactly the shuffle this plan itself costs: one range-ish
+    // partition per lang + an in-partition ordered window, no joins.
+    // All integer arithmetic; the id-ordered walk makes the plan
+    // deterministic cross-engine (NULLS FIRST pinned on both sides).
+    Q(
+      "doc_compaction_plan",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("doc_id").asc_nulls_first)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("n_chars"), lit(0L)).as("sz"))
+          .withColumn("cum_before",
+            coalesce(sum(col("sz")).over(w), lit(0L)))
+          .withColumn("file_id", expr("cum_before DIV 8192"))
+          .groupBy(col("lang"), col("file_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("sz")).as("sz_chars"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang").asc_nulls_first, col("file_id"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, lang, coalesce(n_chars, 0) AS sz
+          |  FROM documents
+          |), c AS (
+          |  SELECT lang, doc_id, sz,
+          |    CAST(coalesce(sum(sz) OVER (
+          |      PARTITION BY lang ORDER BY doc_id NULLS FIRST
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum_before
+          |  FROM s
+          |)
+          |SELECT lang, cum_before // 8192 AS file_id,
+          |  count(*) AS n_docs,
+          |  CAST(sum(sz) AS BIGINT) AS sz_chars,
+          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM c GROUP BY 1, 2
+          |ORDER BY lang NULLS FIRST, file_id""".stripMargin))
   )
 
   /** CTE variant exposing the token list itself (fingerprint needs `tok`,

@@ -925,5 +925,62 @@ object EventQueries {
           |SELECT event_id, event_type, pr_num, pr_den,
           |  pr_num * 10 >= pr_den * 9 AS top_decile
           |FROM r WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin))
+    ,
+
+    // Time-series gap fill + forward fill (resample-to-hourly): the
+    // dashboard/feature-store shape — a dense per-user hourly spine
+    // over each user's own active span, observed hours carry
+    // max(value), silent hours carry the last observation forward.
+    // Exactness: the hour key is integer DIV of epoch seconds, the
+    // carried value is max() + last_value(IGNORE NULLS) — comparisons
+    // and carries only, no arithmetic on doubles, so both engines emit
+    // bit-identical values. Scale shape: the corpus-sized work is one
+    // partial-agg'd (user, hour) shuffle; the spine explodes
+    // sequence(h0, h1) from the per-user span aggregate (rows ∝ active
+    // span, independent of event volume) and the fill is one
+    // in-partition ordered window per user — repartitionByRange on
+    // user would make it write-path friendly. The % 50 probe bounds
+    // the audited user set the same way ev_percent_rank's probe does.
+    Q(
+      "ev_gap_fill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val hourly = ev(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("user_id") % 50 === 0)
+          .select(col("user_id"), epochS(col("ts")).as("es"), col("value"))
+          .groupBy(col("user_id"), expr("es DIV 3600").as("h"))
+          .agg(max(col("value")).as("v"))
+        val spine = hourly.groupBy("user_id")
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        spine.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            col("v").isNotNull.as("observed"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
+          .orderBy("user_id", "h")
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT user_id,
+          |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+          |    max(value) AS v
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND user_id % 50 = 0
+          |  GROUP BY 1, 2
+          |), spine AS (
+          |  SELECT user_id, unnest(range(h0, h1 + 1)) AS h
+          |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+          |        FROM hourly GROUP BY 1)
+          |)
+          |SELECT s.user_id, s.h, v IS NOT NULL AS observed,
+          |  last_value(v IGNORE NULLS) OVER (
+          |    PARTITION BY s.user_id ORDER BY s.h
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+          |FROM spine s LEFT JOIN hourly USING (user_id, h)
+          |ORDER BY user_id, h""".stripMargin))
   )
 }

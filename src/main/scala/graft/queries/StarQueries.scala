@@ -347,6 +347,64 @@ object StarQueries {
           |  coalesce(n_rich_cust, 0) AS n_rich_cust,
           |  coalesce(n_poor_supp, 0) AS n_poor_supp
           |FROM c FULL JOIN sp ON c.nationkey = sp.nationkey
-          |ORDER BY nationkey""".stripMargin))
+          |ORDER BY nationkey""".stripMargin)),
+
+    // UNPIVOT (melt) — the inverse of star_pivot: a wide per-nation
+    // metrics row (customer count, supplier count, order count via
+    // customer nation) melted into tidy (nationkey, metric, n) rows,
+    // the shape chart/export layers want. Spark's native
+    // Dataset.unpivot plans as an Expand (each input row emitted once
+    // per value column) — a narrow, shuffle-free operator; all the
+    // heavy lifting is the three partial-agg'd count shuffles BEFORE
+    // the melt, each bounded by |nations| output rows. metric names
+    // are the column names on both engines, so the melt itself is
+    // oracle-checked, not just the counts.
+    Q(
+      "star_unpivot_nation",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sp = t(s, d, "supplier")
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        val o = t(s, d, "orders")
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        c.join(sp, Seq("nationkey"), "full_outer")
+          .join(o, Seq("nationkey"), "full_outer")
+          .na.fill(0L, Seq("n_cust", "n_supp", "n_orders"))
+          .unpivot(Array(col("nationkey")),
+            Array(col("n_cust"), col("n_supp"), col("n_orders")),
+            "metric", "n")
+          .orderBy("nationkey", "metric")
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          |  FROM customer GROUP BY 1
+          |), sp AS (
+          |  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          |  FROM supplier GROUP BY 1
+          |), o AS (
+          |  SELECT c_nationkey AS nationkey, count(*) AS n_orders
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  GROUP BY 1
+          |), wide AS (
+          |  SELECT coalesce(c.nationkey, sp.nationkey, o.nationkey)
+          |      AS nationkey,
+          |    coalesce(n_cust, 0) AS n_cust,
+          |    coalesce(n_supp, 0) AS n_supp,
+          |    coalesce(n_orders, 0) AS n_orders
+          |  FROM c FULL JOIN sp ON c.nationkey = sp.nationkey
+          |       FULL JOIN o ON coalesce(c.nationkey, sp.nationkey)
+          |         = o.nationkey
+          |)
+          |SELECT nationkey, metric, n
+          |FROM wide UNPIVOT (n FOR metric IN (n_cust, n_supp, n_orders))
+          |ORDER BY nationkey, metric""".stripMargin))
   )
 }

@@ -170,4 +170,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.columns.toSeq ==
       Seq("media_id", "frame_ts_ms", "frame_stub_id"))
   }
+
+  test("dHash near-dup pairs: perturbed copy found, distinct image not") {
+    import java.awt.image.BufferedImage
+    // deterministic 32x32 gradient-ish base image
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val base = png((x, y) => gray(x * 8 % 256))
+    // near-dup: same gradient, a single 2x2 block brightened slightly —
+    // most gradient signs survive
+    val tweaked = png((x, y) =>
+      if (x < 2 && y < 2) gray(40) else gray(x * 8 % 256))
+    // structurally different: vertical gradient instead of horizontal
+    val other = png((x, y) => gray(y * 8 % 256))
+    // and one undecodable asset — must vanish, not pair
+    val junk = Array[Byte](9, 9, 9)
+
+    val h0 = Multimodal.dHash(base)
+    val h1 = Multimodal.dHash(tweaked)
+    val h2 = Multimodal.dHash(other)
+    assert(h0.isDefined && h1.isDefined && h2.isDefined)
+    assert(Multimodal.dHash(junk).isEmpty)
+    assert(java.lang.Long.bitCount(h0.get ^ h1.get) <= 6,
+      s"near-dup hamming ${java.lang.Long.bitCount(h0.get ^ h1.get)}")
+    assert(java.lang.Long.bitCount(h0.get ^ h2.get) > 6,
+      s"distinct hamming ${java.lang.Long.bitCount(h0.get ^ h2.get)}")
+
+    val rows = Seq(
+      (0L, base), (1L, tweaked), (2L, other), (3L, junk)).map {
+      case (id, b) => org.apache.spark.sql.Row(id, "image", b,
+        org.apache.spark.sql.Row(Int.box(32), Int.box(32), null, null))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val pairs = Multimodal.imageNearDupPairs(df, maxHamming = 6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)),
+      pairs.mkString(","))
+    // each surviving pair appears exactly once (first-match-band dedup)
+    assert(pairs.length == pairs.map(r => (r.getLong(0), r.getLong(1)))
+      .distinct.length)
+  }
 }
