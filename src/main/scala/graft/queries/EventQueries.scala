@@ -982,5 +982,49 @@ object EventQueries {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
           |FROM spine s LEFT JOIN hourly USING (user_id, h)
           |ORDER BY user_id, h""".stripMargin))
+    ,
+
+    // Mergeable-sketch partial aggregation — THE 100 TB distinct-count
+    // pattern: per-day HLL sketches (what a daily ingest job would
+    // persist next to its partition) union-merged into the period-wide
+    // estimate, so the monthly rollup touches |days| sketch blobs, not
+    // the raw corpus. Two oracle-checkable invariants ride along:
+    //  - merge associativity: HLL union is register-wise max, so the
+    //    merged per-day sketches estimate EXACTLY equals the single
+    //    global sketch built in one pass (same lgK, same hash) —
+    //    the property that makes the sketch re-aggregable at all;
+    //  - the 5 % accuracy bound vs the exact distinct count (computed
+    //    expand-free via a two-level distinct-then-count agg), with
+    //    lgK=12's ~1.6 % RSE giving the bound 3σ headroom at any sf.
+    // The estimates themselves are datasketches-internal, so the hash
+    // compare carries the exact count + the two booleans.
+    Q(
+      "ev_hll_partial_merge",
+      (s, d) => {
+        val e = ev(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), epochS(col("ts")).as("es"))
+        val daily = e.groupBy(expr("es DIV 86400").as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("est_merged"))
+        val single = e
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_single"))
+        val exact = e.select("user_id").distinct()
+          .agg(count(lit(1)).as("n_exact"))
+        exact.crossJoin(merged).crossJoin(single)
+          .select(col("n_exact"),
+            (col("est_merged") === col("est_single"))
+              .as("merge_equals_single"),
+            (abs(col("est_merged") - col("n_exact")) * 20L <=
+              col("n_exact")).as("within_5pct"))
+      },
+      Some(
+        """SELECT count(*) AS n_exact,
+          |  TRUE AS merge_equals_single,
+          |  TRUE AS within_5pct
+          |FROM (SELECT DISTINCT user_id FROM events
+          |      WHERE user_id IS NOT NULL)""".stripMargin))
   )
 }

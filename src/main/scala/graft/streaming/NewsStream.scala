@@ -400,6 +400,106 @@ object NewsStream {
       }
   }
 
+  // ---- streaming MERGE/upsert sink -----------------------------------
+
+  /** Streaming SCD-1 upsert sink — the streaming twin of the batch
+    * `doc_upsert_merge` query: each micro-batch merges into a versioned
+    * parquet snapshot (keep-latest per key), the pattern that maintains
+    * a serving corpus from a re-crawl stream without a transactional
+    * table format. Exactly-once story (the foreachBatch contract —
+    * batchId is replay-stable, sinks must be idempotent by it):
+    *
+    *  - snapshot `v=<batchId>` is derived ONLY from the previous
+    *    committed snapshot + this batch, then the `_latest` pointer file
+    *    is committed by atomic rename — readers always see a complete
+    *    snapshot;
+    *  - a replayed batch whose id is <= the committed pointer is
+    *    SKIPPED (already applied); a replay after a crash between
+    *    snapshot write and pointer commit recomputes the same snapshot
+    *    deterministically and overwrites it.
+    *
+    * At scale the anti-join+union rewrite costs one key-shuffle per
+    * side per batch (zero with a bucketed snapshot layout), and
+    * snapshot versions are pruned to the trailing `KeepVersions`.
+    * `version` must order a key's revisions (and be unique per key
+    * within a batch); ties are not defended.
+    */
+  val KeepVersions = 3
+
+  private def latestPath(stateDir: String) = s"$stateDir/_latest"
+
+  /** committed snapshot id, if any (hadoop FS — works on HDFS/S3A/local) */
+  def committedVersion(spark: SparkSession, stateDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(latestPath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** current merged state (empty iff no batch has committed yet) */
+  def readUpsertState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    committedVersion(spark, stateDir).map(v =>
+      spark.read.parquet(s"$stateDir/v=$v"))
+
+  /** one micro-batch's merge — public so tests (and backfills) can drive
+    * it without a stream
+    */
+  def upsertBatch(batch: DataFrame, stateDir: String, key: String,
+      version: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val committed = committedVersion(spark, stateDir)
+    if (committed.exists(_ >= batchId)) return // replay of an applied batch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(version).desc_nulls_last)
+    val newest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val merged = committed match {
+      case Some(v) =>
+        spark.read.parquet(s"$stateDir/v=$v")
+          .join(newest.select(key), Seq(key), "left_anti")
+          .unionByName(newest)
+      case None => newest
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    // commit the pointer by atomic rename, then prune old snapshots
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(latestPath(stateDir))
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_latest.tmp")
+    val fs = dst.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v=") &&
+        n.stripPrefix("v=").toLong <= batchId - KeepVersions)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  def startUpsertSink(
+      df: DataFrame,
+      stateDir: String,
+      checkpoint: String,
+      key: String = "id",
+      version: String = "publishedAt",
+      trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, stateDir, key, version, batchId)
+      }
+      .start()
+
   /** S6: sample-stream generator — drops NDJSON batch files into the
     * watched dir (driver-side utility; the reference fetches from GNews,
     * we synthesize deterministic articles instead — zero egress).

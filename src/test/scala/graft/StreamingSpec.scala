@@ -556,4 +556,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids("1") || ids("2")) // exactly one of the near-dups survives
     } finally q.stop()
   }
+
+  test("upsert sink: keep-latest merge, replay idempotence, snapshot prune") {
+    import spark.implicits._
+    val state = tmp("ups_state")
+    def df(rows: (String, String, String)*) =
+      rows.toDF("id", "publishedAt", "body")
+    // batch 0: two keys
+    NewsStream.upsertBatch(df(
+      ("a", "2024-01-01T00:00:00Z", "a v1"),
+      ("b", "2024-01-01T00:00:00Z", "b v1")), state, "id", "publishedAt", 0L)
+    // batch 1: b revised (two revisions in ONE batch — newest must win),
+    // c new
+    NewsStream.upsertBatch(df(
+      ("b", "2024-01-02T00:00:00Z", "b v2"),
+      ("b", "2024-01-03T00:00:00Z", "b v3"),
+      ("c", "2024-01-01T00:00:00Z", "c v1")), state, "id", "publishedAt", 1L)
+    def snapshot(): Map[String, String] =
+      NewsStream.readUpsertState(spark, state).get
+        .collect().map(r => r.getAs[String]("id") ->
+          r.getAs[String]("body")).toMap
+    val after1 = snapshot()
+    assert(after1 == Map("a" -> "a v1", "b" -> "b v3", "c" -> "c v1"), after1)
+    // replay of an already-committed batch is a no-op (foreachBatch
+    // redelivery after restart)
+    NewsStream.upsertBatch(df(
+      ("b", "2024-01-09T00:00:00Z", "b ghost")), state, "id",
+      "publishedAt", 1L)
+    assert(snapshot() == after1)
+    assert(NewsStream.committedVersion(spark, state).contains(1L))
+    // batches 2..4: enough versions that snapshot 0 and 1 get pruned
+    (2L to 4L).foreach(i =>
+      NewsStream.upsertBatch(df(
+        ("a", s"2024-01-0${i + 3}T00:00:00Z", s"a v$i")), state, "id",
+        "publishedAt", i))
+    assert(snapshot() ==
+      Map("a" -> "a v4", "b" -> "b v3", "c" -> "c v1"))
+    val vs = new java.io.File(state).list().filter(_.startsWith("v="))
+    assert(vs.sorted.toSeq == Seq("v=2", "v=3", "v=4"), vs.toSeq)
+
+    // and through a real streaming query: file source -> pipeline ->
+    // upsert sink, AvailableNow
+    val in = tmp("ups_in")
+    val ckpt = tmp("ups_ckpt")
+    val state2 = tmp("ups_state2")
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 5)
+    val q = NewsStream.startUpsertSink(
+      NewsStream.pipeline(spark, in), state2, ckpt,
+      trigger = Trigger.AvailableNow())
+    try q.awaitTermination(60000) finally q.stop()
+    val st = NewsStream.readUpsertState(spark, state2).get
+    assert(st.count() == 5)
+    assert(st.select("id").distinct().count() == 5)
+    assert(st.columns.contains("sentiment"))
+  }
 }
