@@ -1030,6 +1030,64 @@ object EmbQueries {
            |  FROM c CROSS JOIN q WHERE c.vec_id <> 0
            |)
            |ORDER BY approx_dot DESC, vec_id LIMIT 5""".stripMargin))
+    ,
+
+    // MMR (maximal marginal relevance) diversity re-rank — the step a
+    // RAG stack runs AFTER retrieval: from the top-12 cosine candidates,
+    // greedily pick 4 where each pick maximizes
+    // relevance − max-similarity-to-already-picked (λ = 0.5, so the
+    // λ·rel − (1−λ)·maxsim tradeoff reduces to the difference). The
+    // greedy recurrence is inherently iterative; with bounded k it
+    // unrolls into 4 argmax steps over the persisted 12-row candidate
+    // set (CacheRegistry — every step reuses materialized rows, the
+    // corpus is scanned once by the candidate top-k). The oracle
+    // unrolls the same recurrence as chained CTEs (the ev_pagerank
+    // pattern). Exactness: rel and pairwise sims are the same
+    // round-6 cosines as emb_knn_cosine, the MMR score is one
+    // subtraction of identical doubles, and every argmax carries the
+    // vec_id tiebreak — bit-identical picks cross-engine.
+    Q(
+      "emb_mmr_rerank",
+      (s, d) => {
+        val e = emb(s, d)
+        val query = broadcast(
+          e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+        val cands = graft.CacheRegistry.memo("emb_mmr_cands", s, d)(
+          graft.CacheRegistry.track(s,
+            e.filter(col("vec_id") =!= 0)
+              .crossJoin(query)
+              .select(col("vec_id"), col("embedding"),
+                round(cosine(col("embedding"), col("qv")), 6).as("rel"))
+              .orderBy(col("rel").desc, col("vec_id"))
+              .limit(12)))
+        val sims = cands
+          .select(col("vec_id").as("a_id"), col("embedding").as("av"))
+          .crossJoin(cands
+            .select(col("vec_id").as("b_id"), col("embedding").as("bv")))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(cosine(col("av"), col("bv")), 6).as("sim"))
+        var picked = cands
+          .select(col("vec_id"), col("rel"), col("rel").as("mmr"),
+            lit(1).as("pick"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(1)
+        for (k <- 2 to 4) {
+          val pickedIds = picked.select("vec_id")
+          val next = cands
+            .join(pickedIds, Seq("vec_id"), "left_anti")
+            .join(sims, col("vec_id") === col("a_id"))
+            .join(pickedIds.withColumnRenamed("vec_id", "b_id"),
+              Seq("b_id"), "left_semi")
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(max(col("sim")).as("maxsim"))
+            .select(col("vec_id"), col("rel"),
+              (col("rel") - col("maxsim")).as("mmr"), lit(k).as("pick"))
+            .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+          picked = picked.unionByName(next)
+        }
+        picked.select("pick", "vec_id", "rel", "mmr").orderBy("pick")
+      },
+      Some(mmrSql))
   )
 
 
@@ -1203,5 +1261,40 @@ object EmbQueries {
        |  ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
        |WHERE $firstMatchSql
        |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin
+  }
+
+  /** emb_mmr_rerank oracle: the greedy recurrence unrolled as chained
+    * CTEs p1..p4 (lazy: referenced from the qs initializer above)
+    */
+  private lazy val mmrSql: String = {
+    def pickedUnion(k: Int): String =
+      (1 until k).map(i => s"SELECT vec_id FROM p$i").mkString(" UNION ALL ")
+    val steps = (2 to 4).map { k =>
+      s"""p$k AS (
+         |  SELECT c.vec_id, c.rel, c.rel - max(s.sim) AS mmr, $k AS pick
+         |  FROM cands c JOIN sims s ON s.a_id = c.vec_id
+         |  WHERE s.b_id IN (${pickedUnion(k)})
+         |    AND c.vec_id NOT IN (${pickedUnion(k)})
+         |  GROUP BY c.vec_id, c.rel
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cands AS (
+       |  SELECT vec_id, embedding, ${cosSql("embedding", "qv")} AS rel
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT 12
+       |), sims AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosSql("a.embedding", "b.embedding")} AS sim
+       |  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+       |), p1 AS (
+       |  SELECT vec_id, rel, rel AS mmr, 1 AS pick
+       |  FROM cands ORDER BY rel DESC, vec_id LIMIT 1
+       |), $steps
+       |SELECT pick, vec_id, rel, mmr FROM (
+       |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+       |ORDER BY pick""".stripMargin
   }
 }
