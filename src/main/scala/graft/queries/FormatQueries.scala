@@ -100,5 +100,52 @@ object FormatQueries {
         """SELECT lang, source, count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS chars
           |FROM documents WHERE lang IN ('en', 'zh')
-          |GROUP BY lang, source ORDER BY lang, source""".stripMargin)))
+          |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    // Schema evolution via mergeSchema: two parquet drops of the same
+    // corpus written under DIFFERENT schemas — drop v1 is the "old
+    // crawler" (doc_id, text, lang), drop v2 the current one with
+    // source/n_chars added — read back as ONE table with
+    // mergeSchema=true, old rows null-extended. This is how a
+    // long-lived 100 TB corpus actually looks on disk (nobody rewrites
+    // history when a column is added); the merged read costs one
+    // footer-union at planning, zero data rewrite. The NULL source
+    // group in the output is exactly the old-drop row population —
+    // the evolution itself is what the oracle hashes, not just the
+    // aggregate.
+    Q(
+      "doc_schema_evolution",
+      (s, d) => {
+        val merged = CacheRegistry.memo("fmt_evo", s, d) {
+          val base = scratch("evo", d)
+          val bucket = abs(coalesce(col("doc_id"), lit(0L))) % 2
+          docs(s, d).filter(bucket === 0)
+            .select("doc_id", "text", "lang")
+            .write.mode("overwrite").parquet(s"$base/v1")
+          docs(s, d).filter(bucket === 1)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .write.mode("overwrite").parquet(s"$base/v2")
+          s.read.option("mergeSchema", "true")
+            .parquet(s"$base/v1", s"$base/v2")
+        }
+        merged.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_chars")).as("n_with_chars"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("source").asc_nulls_first)
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id, text, lang,
+          |    CAST(NULL AS VARCHAR) AS source,
+          |    CAST(NULL AS BIGINT) AS n_chars
+          |  FROM documents WHERE abs(coalesce(doc_id, 0)) % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id, text, lang, source, n_chars
+          |  FROM documents WHERE abs(coalesce(doc_id, 0)) % 2 = 1
+          |)
+          |SELECT source, count(*) AS n_docs,
+          |  count(n_chars) AS n_with_chars,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM m GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin)))
 }
