@@ -342,4 +342,57 @@ class PlanSpec extends AnyFunSuite {
     // that all iteration inputs are InMemoryTableScans.)
     assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p.take(1200))
   }
+
+  test("HLL merge: day sketches partial-agg'd, exact side expand-free") {
+    val p = plan("ev_hll_partial_merge")
+    // the countDistinct-beside-sketch trap would plan an Expand
+    // (row duplication); the two-level distinct agg + separate sketch
+    // lineages must not
+    assert(!p.contains("Expand"), p.take(900))
+    assert(p.contains("hll_sketch_agg") || p.contains("HllSketchAgg"),
+      p.take(900))
+  }
+
+  test("BM25: broadcast stat row + scoring scan + top-10 heap") {
+    val p = plan("doc_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+    // the 5-number stats frame reaches the scoring scan as a broadcast
+    // (1-row cross join), never a shuffle of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("fuzzy pairs: equi-join on the blocking key, never a cross product") {
+    val p = plan("dedup_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
+  test("compaction plan: window + agg only, no join anywhere") {
+    val p = plan("doc_compaction_plan")
+    assert(!p.contains("Join"), p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
+  }
+
+  test("unpivot melts via Expand over pre-aggregated nation rows") {
+    val p = plan("star_unpivot_nation")
+    assert(p.contains("Expand"), p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
+  }
+
+  test("MMR: every greedy step reads the persisted candidate set") {
+    val p = plan("emb_mmr_rerank")
+    // cands is referenced ~9x across the unrolled steps; all of them
+    // must hit the cache, so the embeddings file feeds only the one
+    // top-k candidate build
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 8, p.take(1200))
+  }
+
+  test("gap fill: spine explode + one fill window, no cross product") {
+    val p = plan("ev_gap_fill")
+    assert(p.contains("Generate"), p.take(900)) // sequence explode
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
 }
