@@ -446,10 +446,20 @@ object NewsStream {
       spark.read.parquet(s"$stateDir/v=$v"))
 
   /** one micro-batch's merge — public so tests (and backfills) can drive
-    * it without a stream
+    * it without a stream.
+    *
+    * `tombstone`: optional boolean column marking delete requests (the
+    * GDPR/right-to-be-forgotten path). A key whose NEWEST revision in
+    * the batch is a tombstone is REMOVED from the snapshot — the
+    * anti-join already evicts its old row, the tombstone row itself is
+    * simply not re-inserted (and the flag column never enters the
+    * state schema). Delete-then-reinsert across batches works because
+    * each batch is applied in order; delete + reinsert inside ONE
+    * batch resolves by `version` like any other revision pair.
     */
   def upsertBatch(batch: DataFrame, stateDir: String, key: String,
-      version: String, batchId: Long): Unit = {
+      version: String, batchId: Long,
+      tombstone: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val committed = committedVersion(spark, stateDir)
     if (committed.exists(_ >= batchId)) return // replay of an applied batch
@@ -458,12 +468,17 @@ object NewsStream {
     val newest = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    val upserts = tombstone match {
+      case Some(t) =>
+        newest.filter(!coalesce(col(t), lit(false))).drop(t)
+      case None => newest
+    }
     val merged = committed match {
       case Some(v) =>
         spark.read.parquet(s"$stateDir/v=$v")
           .join(newest.select(key), Seq(key), "left_anti")
-          .unionByName(newest)
-      case None => newest
+          .unionByName(upserts)
+      case None => upserts
     }
     merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
     // commit the pointer by atomic rename, then prune old snapshots
@@ -490,13 +505,14 @@ object NewsStream {
       checkpoint: String,
       key: String = "id",
       version: String = "publishedAt",
+      tombstone: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertBatch(batch, stateDir, key, version, batchId)
+        upsertBatch(batch, stateDir, key, version, batchId, tombstone)
       }
       .start()
 

@@ -595,6 +595,19 @@ class StreamingSpec extends AnyFunSuite {
     val vs = new java.io.File(state).list().filter(_.startsWith("v="))
     assert(vs.sorted.toSeq == Seq("v=2", "v=3", "v=4"), vs.toSeq)
 
+    // batch 5: tombstone delete of b (GDPR path) + normal upsert of d —
+    // b leaves the snapshot, the flag column never enters the schema
+    val del = Seq(
+      ("b", "2024-01-10T00:00:00Z", "ignored", true),
+      ("d", "2024-01-10T00:00:00Z", "d v1", false))
+      .toDF("id", "publishedAt", "body", "deleted")
+    NewsStream.upsertBatch(del, state, "id", "publishedAt", 5L,
+      tombstone = Some("deleted"))
+    val after5 = NewsStream.readUpsertState(spark, state).get
+    assert(!after5.columns.contains("deleted"))
+    assert(snapshot() ==
+      Map("a" -> "a v4", "c" -> "c v1", "d" -> "d v1"))
+
     // and through a real streaming query: file source -> pipeline ->
     // upsert sink, AvailableNow
     val in = tmp("ups_in")
