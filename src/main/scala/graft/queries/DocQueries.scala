@@ -635,24 +635,14 @@ object DocQueries {
     // deterministic cross-engine (NULLS FIRST pinned on both sides).
     Q(
       "doc_compaction_plan",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy(col("doc_id").asc_nulls_first)
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)
-        docs(s, d)
-          .select(col("doc_id"), col("lang"),
-            coalesce(col("n_chars"), lit(0L)).as("sz"))
-          .withColumn("cum_before",
-            coalesce(sum(col("sz")).over(w), lit(0L)))
-          .withColumn("file_id", expr("cum_before DIV 8192"))
+      (s, d) =>
+        compactionAssignment(s, d)
           .groupBy(col("lang"), col("file_id"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("sz")).as("sz_chars"),
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"))
-          .orderBy(col("lang").asc_nulls_first, col("file_id"))
-      },
+          .orderBy(col("lang").asc_nulls_first, col("file_id")),
       Some(
         """WITH s AS (
           |  SELECT doc_id, lang, coalesce(n_chars, 0) AS sz
@@ -672,6 +662,25 @@ object DocQueries {
           |FROM c GROUP BY 1, 2
           |ORDER BY lang NULLS FIRST, file_id""".stripMargin))
   )
+
+  /** doc_compaction_plan's per-doc file assignment, shared with the
+    * BucketingSpec test that EXECUTES the plan (repartition by
+    * (lang, file_id) + partitioned write) and checks the produced file
+    * layout matches the manifest — the planner is not just an audit.
+    */
+  private[graft] def compactionAssignment(s: SparkSession,
+      d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("doc_id").asc_nulls_first)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_chars"), lit(0L)).as("sz"))
+      .withColumn("cum_before",
+        coalesce(sum(col("sz")).over(w), lit(0L)))
+      .withColumn("file_id", expr("cum_before DIV 8192"))
+  }
 
   /** CTE variant exposing the token list itself (fingerprint needs `tok`,
     * which `scored` drops).

@@ -65,4 +65,37 @@ class BucketingSpec extends AnyFunSuite {
     // equal to the unpartitioned filter count
     assert(n == scored.filter(col("sentiment") === "Positive").count())
   }
+
+  test("compaction plan is executable: written layout matches the manifest") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_compact").toFile.getAbsolutePath
+    val assign = graft.queries.DocQueries
+      .compactionAssignment(spark, TestSpark.sf0001)
+    // execute the plan: one task per (lang, file_id) group, one file per
+    // directory — the write a real compaction job would perform
+    assign
+      .repartition(col("lang"), col("file_id"))
+      .write.mode("overwrite").partitionBy("lang", "file_id").parquet(out)
+    val manifest = Registry.byName("doc_compaction_plan")
+      .build(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (Option(r.getAs[String]("lang")).getOrElse("__NULL__"),
+        r.getAs[Number]("file_id").longValue()) ->
+        r.getAs[Long]("n_docs")).toMap
+    // every (lang, file_id) directory exists with exactly one data file
+    // holding exactly the manifest's doc count
+    val produced = spark.read.parquet(out)
+      .groupBy("lang", "file_id")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (Option(r.getAs[String]("lang")).getOrElse("__NULL__"),
+        r.getAs[Number]("file_id").longValue()) ->
+        r.getAs[Long]("n")).toMap
+    assert(produced == manifest, s"produced=$produced manifest=$manifest")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    val leafFiles = dirs.flatMap(_.listFiles()).filter(_.isDirectory)
+      .map(fd => fd -> fd.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(leafFiles.nonEmpty && leafFiles.forall(_._2 == 1),
+      leafFiles.map { case (f, c) => s"${f.getName}:$c" }.mkString(","))
+  }
 }
