@@ -445,6 +445,37 @@ object NewsStream {
     committedVersion(spark, stateDir).map(v =>
       spark.read.parquet(s"$stateDir/v=$v"))
 
+  /** time travel: the state as of snapshot `version`, while it is still
+    * inside the KeepVersions retention window. Reading a pruned (or
+    * never-committed) version throws — callers see a missing-path
+    * error, never a silently-wrong newer snapshot.
+    */
+  def readUpsertStateAt(spark: SparkSession, stateDir: String,
+      version: Long): DataFrame =
+    spark.read.parquet(s"$stateDir/v=$version")
+
+  /** CDC changelog between two retained snapshots: one row per changed
+    * key with op ∈ insert | update | delete (delete = tombstoned in
+    * between). The diff is a full-outer join on the key — two bounded
+    * snapshot scans, one key shuffle each, independent of how many
+    * batches separate the versions; `update` compares the version
+    * column only (values are whatever the key's newest revision wrote).
+    */
+  def upsertChanges(spark: SparkSession, stateDir: String, fromV: Long,
+      toV: Long, key: String, version: String): DataFrame = {
+    val a = readUpsertStateAt(spark, stateDir, fromV)
+      .select(col(key).as("k"), col(version).as("v_from"))
+    val b = readUpsertStateAt(spark, stateDir, toV)
+      .select(col(key).as("k"), col(version).as("v_to"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("v_from").isNull, "insert")
+          .when(col("v_to").isNull, "delete")
+          .when(col("v_from") =!= col("v_to"), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("k").as(key), col("op"), col("v_from"), col("v_to"))
+  }
+
   /** one micro-batch's merge — public so tests (and backfills) can drive
     * it without a stream.
     *

@@ -608,6 +608,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot() ==
       Map("a" -> "a v4", "c" -> "c v1", "d" -> "d v1"))
 
+    // time travel: snapshot 4 (still retained) shows b before its delete
+    val at4 = NewsStream.readUpsertStateAt(spark, state, 4L)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[String]("body")).toMap
+    assert(at4 == Map("a" -> "a v4", "b" -> "b v3", "c" -> "c v1"), at4)
+    // a pruned snapshot must throw, never silently serve another version
+    intercept[Exception] {
+      NewsStream.readUpsertStateAt(spark, state, 1L).collect()
+    }
+
+    // CDC diff 4 -> 5: d inserted, b deleted, a/c unchanged
+    val changes = NewsStream
+      .upsertChanges(spark, state, 4L, 5L, "id", "publishedAt")
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[String]("op")).toMap
+    assert(changes == Map("d" -> "insert", "b" -> "delete"), changes)
+
     // and through a real streaming query: file source -> pipeline ->
     // upsert sink, AvailableNow
     val in = tmp("ups_in")
