@@ -51,6 +51,18 @@ texts += [(100 + i, "breaking news markets rally on strong earnings report today
            "en", "dup0") for i in range(120)]
 texts += [(300 + i, "weather alert heavy rain expected across the region tonight",
            "en", "dup1") for i in range(30)]
+# fuzzy-levenshtein boundary block: same 32-char prefix, tails at edit
+# distance 0 / 4 / 24 from the base — the lev <= 8 verify must keep the
+# first two pairings and reject the third on BOTH engines; also note the
+# 120-copy dup0 block above overflows dedup_fuzzy_pairs' 64-member
+# prefix-block cap, so the cap filter path is live in this gate
+fuzzy_prefix = "shared prefix block for fuzzy xx"  # exactly 32 chars
+texts += [
+    (500, fuzzy_prefix + " tail alpha beta gamma", "en", "fz"),
+    (501, fuzzy_prefix + " tail alpha beta gamma", "en", "fz"),   # lev 0
+    (502, fuzzy_prefix + " tail alpha bXtY gamma", "en", "fz"),   # lev ~2
+    (503, fuzzy_prefix + " completely different continuation here now", "en", "fz"),  # lev > 8
+]
 doc = pa.table({
     "doc_id": pa.array([t[0] for t in texts], pa.int64()),
     "text": pa.array([t[1] for t in texts], pa.string()),
@@ -70,6 +82,13 @@ for i in range(200):
     props = '{"k": %d}' % (i % 5) if i % 7 else '{"other": 1}'  # null $.k
     rows.append((i, ts, i % 3, ["view", "click", "error"][i % 3],
                  round(0.25 * (i % 40), 2), props))
+# gap-fill probes (user_id % 50 == 0): user 50 has ONE event (spine of
+# one hour, fill == observed), user 100 has two events 5 hours apart
+# (3 silent hours forward-filled in between)
+rows.append((1000, base + 3_600_000_000_000, 50, "view", 1.25, '{"k": 1}'))
+rows.append((1001, base, 100, "view", 2.5, '{"k": 2}'))
+rows.append((1002, base + 5 * 3_600_000_000_000, 100, "click", 7.75,
+             '{"k": 3}'))
 ev = pa.table({
     "event_id": pa.array([r[0] for r in rows], pa.int64()),
     "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
