@@ -1026,5 +1026,73 @@ object EventQueries {
           |  TRUE AS within_5pct
           |FROM (SELECT DISTINCT user_id FROM events
           |      WHERE user_id IS NOT NULL)""".stripMargin))
+    ,
+
+    // Distinct users per tumbling hour — the DAU/WAU shape. Planned as
+    // a TWO-LEVEL agg: distinct (bucket, user) partial-agg'd first,
+    // then counted per bucket — never countDistinct-inside-groupBy,
+    // whose per-group hash sets resist map-side combine (and whose
+    // multi-agg form Expands). Both shuffles partial-aggregate; at
+    // 100 TB the first level is also exactly the pre-aggregation a
+    // daily HLL sketch job would replace (see ev_hll_partial_merge for
+    // that trade).
+    Q(
+      "ev_window_distinct_users",
+      (s, d) =>
+        ev(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+          .select(epochS(col("w.start")).as("bucket_s"), col("user_id"))
+          .distinct()
+          .groupBy("bucket_s")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("bucket_s"),
+      Some(
+        """SELECT
+          |  CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT)
+          |    AS bucket_s,
+          |  count(DISTINCT user_id) AS n_users
+          |FROM events WHERE user_id IS NOT NULL
+          |GROUP BY 1 ORDER BY bucket_s""".stripMargin)),
+
+    // Triangle counting over the undirected event-type transition
+    // graph — the graph-analytics step beyond per-node (PageRank) and
+    // per-component (ConnectedComponents) measures: triangles are the
+    // building block of clustering coefficients / community density.
+    // Edges come from the SAME shared transition builder as
+    // ev_transition_matrix/ev_pagerank (one definition, no drift),
+    // normalized to u < v; the classic a<b<c three-way self-join then
+    // counts each triangle exactly once. The corpus-sized work is the
+    // one transition shuffle; the joins run on the |types|²-bounded
+    // edge list. At real graph scale the same query orders vertices by
+    // degree instead of id (the standard compact-join trick) — shape
+    // unchanged.
+    Q(
+      "ev_triangle_count",
+      (s, d) => {
+        val edges = transitions(s, d, dropNullTypes = true)
+          .select(least(col("from_type"), col("to_type")).as("u"),
+            greatest(col("from_type"), col("to_type")).as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+        val e2 = edges.select(col("u").as("b"), col("v").as("c"))
+        val e3 = edges.select(col("u").as("a"), col("v").as("c"))
+        e1.join(e2, "b").join(e3, Seq("a", "c"))
+          .select(col("a"), col("b"), col("c"))
+          .orderBy("a", "b", "c")
+      },
+      Some(
+        s"""WITH ${transitionsSqlCtes(dropNullTypes = true)},
+           |uedges AS (
+           |  SELECT DISTINCT least(from_type, to_type) AS u,
+           |    greatest(from_type, to_type) AS v
+           |  FROM edges WHERE from_type <> to_type
+           |)
+           |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |FROM uedges e1
+           |JOIN uedges e2 ON e2.u = e1.v
+           |JOIN uedges e3 ON e3.u = e1.u AND e3.v = e2.v
+           |ORDER BY a, b, c""".stripMargin))
   )
 }
