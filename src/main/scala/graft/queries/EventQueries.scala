@@ -1093,6 +1093,112 @@ object EventQueries {
            |FROM uedges e1
            |JOIN uedges e2 ON e2.u = e1.v
            |JOIN uedges e3 ON e3.u = e1.u AND e3.v = e2.v
-           |ORDER BY a, b, c""".stripMargin))
+           |ORDER BY a, b, c""".stripMargin)),
+
+    // Local clustering coefficient per node of the same undirected
+    // transition graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    // emitted as the EXACT rational (cc_num, cc_den) — the
+    // ev_percent_rank convention — because the division is the only
+    // engine-divergent step. Triangle membership comes from exploding
+    // the a<b<c triangle list (each triangle credits all 3 corners);
+    // degree from exploding the edge list. Scale: corpus-sized work is
+    // the one shared transition shuffle (same lineage as
+    // ev_triangle_count / ev_pagerank); everything downstream runs on
+    // the |types|²-bounded edge list. Isolated-by-filter nodes with
+    // deg < 2 emit cc_den = 0 (coefficient undefined) rather than
+    // being dropped — the honest monitoring output.
+    Q(
+      "ev_clustering_coeff",
+      (s, d) => {
+        val edges = transitions(s, d, dropNullTypes = true)
+          .select(least(col("from_type"), col("to_type")).as("u"),
+            greatest(col("from_type"), col("to_type")).as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+        val e2 = edges.select(col("u").as("b"), col("v").as("c"))
+        val e3 = edges.select(col("u").as("a"), col("v").as("c"))
+        val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
+        val triPerNode = tris.select(col("a").as("node"))
+          .unionAll(tris.select(col("b").as("node")))
+          .unionAll(tris.select(col("c").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        val deg = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        deg.join(triPerNode, Seq("node"), "left")
+          .select(col("node"),
+            (coalesce(col("n_tri"), lit(0L)) * 2).cast("long").as("cc_num"),
+            (col("deg") * (col("deg") - 1)).cast("long").as("cc_den"))
+          .orderBy("node")
+      },
+      Some(
+        s"""WITH ${transitionsSqlCtes(dropNullTypes = true)},
+           |uedges AS (
+           |  SELECT DISTINCT least(from_type, to_type) AS u,
+           |    greatest(from_type, to_type) AS v
+           |  FROM edges WHERE from_type <> to_type
+           |),
+           |tris AS (
+           |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |  FROM uedges e1
+           |  JOIN uedges e2 ON e2.u = e1.v
+           |  JOIN uedges e3 ON e3.u = e1.u AND e3.v = e2.v
+           |),
+           |node_tri AS (
+           |  SELECT node, count(*) AS n_tri FROM (
+           |    SELECT a AS node FROM tris
+           |    UNION ALL SELECT b FROM tris
+           |    UNION ALL SELECT c FROM tris)
+           |  GROUP BY node
+           |),
+           |degs AS (
+           |  SELECT node, count(*) AS deg FROM (
+           |    SELECT u AS node FROM uedges
+           |    UNION ALL SELECT v FROM uedges)
+           |  GROUP BY node
+           |)
+           |SELECT d.node,
+           |  CAST(coalesce(t.n_tri, 0) * 2 AS BIGINT) AS cc_num,
+           |  CAST(d.deg * (d.deg - 1) AS BIGINT) AS cc_den
+           |FROM degs d LEFT JOIN node_tri t USING (node)
+           |ORDER BY node""".stripMargin)),
+
+    // ntile quartiles: equal-frequency bucketing per event_type — the
+    // feature-binning / SLA-banding shape. ntile over the
+    // collision-free (value, event_id) order is deterministic
+    // cross-engine (both engines give the first n mod 4 buckets the
+    // extra row); per-(type, quartile) output is count + min/max value
+    // — selections, never arithmetic, so the doubles pass through
+    // bit-identical. One shuffle on event_type with an in-partition
+    // sort, then a tiny 4·|types| agg: the standard ranking-window
+    // cost envelope. At 100 TB the same binning is served by
+    // ev_value_percentiles_approx's sketch cutpoints instead of a full
+    // sort — this is the exact twin that validates those cutpoints.
+    Q(
+      "ev_ntile_quartiles",
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        ev(s, d)
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .withColumn("q", ntile(4).over(w))
+          .groupBy("event_type", "q")
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("lo"), max(col("value")).as("hi"))
+          .orderBy("event_type", "q")
+      },
+      Some(
+        """SELECT event_type,
+          |  CAST(ntile AS INT) AS q, count(*) AS n,
+          |  min(value) AS lo, max(value) AS hi
+          |FROM (
+          |  SELECT event_type, value,
+          |    ntile(4) OVER (PARTITION BY event_type
+          |      ORDER BY value, event_id) AS ntile
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND value IS NOT NULL)
+          |GROUP BY event_type, q
+          |ORDER BY event_type, q""".stripMargin))
   )
 }

@@ -395,4 +395,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(900))
   }
+
+  test("grouping sets expand once into a partial-agg'd hash agg, no cube blowup") {
+    val p = plan("star_grouping_sets")
+    // ONE Expand (4 projections — the declared sets, not cube's 2^n)
+    assert("Expand".r.findAllIn(p).size == 1, p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
+  }
+
+  test("nation share: window runs over the nation aggregate, dims broadcast") {
+    val p = plan("star_nation_share")
+    // fact side: one orders⋈customer shuffle join is acceptable, but the
+    // dimension joins must broadcast and the Window must sit above the
+    // aggregate (the plan's windows sort |nations| rows, not orders)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(p.contains("Window"), p.take(900))
+    assert(p.contains("partial_sum"), p.take(900))
+  }
+
+  test("ntile quartiles: one event_type exchange feeds the ranking window") {
+    val p = plan("ev_ntile_quartiles")
+    // the window's partitionBy and the downstream groupBy share the
+    // event_type hash partitioning: exactly one exchange on the fact
+    // stream (plus AQE readers), then window + partial agg reuse it
+    assert(p.contains("Window"), p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
+  }
+
+  test("triangles/clustering run on the bounded edge list, corpus shuffles once") {
+    for (q <- Seq("ev_triangle_count", "ev_clustering_coeff")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(900)}")
+    }
+  }
 }
