@@ -500,6 +500,45 @@ object StarQueries {
           |    ORDER BY rev_dec DESC, n_name) AS INT) AS rk,
           |  rev_dec * 5 >= region_dec AS dominant
           |FROM named
-          |ORDER BY r_name, rk""".stripMargin))
+          |ORDER BY r_name, rk""".stripMargin)),
+
+    // TPC-H Q18 flavor (large-volume orders): HAVING over a fact
+    // aggregate, then join BACK to the other fact + dimension. The
+    // aggregate-then-filter order matters at 100 TB: lineitem shuffles
+    // once on l_orderkey with map-side partials, HAVING cuts the
+    // qualifying set to ~0.1% of orders, and only that bounded survivor
+    // set joins orders/customer — with AQE free to broadcast it at
+    // runtime because the filtered agg is tiny. (The anti-pattern —
+    // join first, filter later — would shuffle the full fact-fact
+    // product.) Quantities are <=2-decimal doubles: decimal-summed,
+    // exact; top-100 by (sum_qty DESC, orderkey) is collision-free.
+    Q(
+      "star_big_orders",
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "customer").select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+            col("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(
+        s"""WITH big AS (
+           |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+           |  FROM lineitem GROUP BY l_orderkey
+           |  HAVING sum_qty > 250
+           |)
+           |SELECT c_name, o_orderkey, o_totalprice, sum_qty
+           |FROM orders
+           |JOIN big ON o_orderkey = l_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin))
   )
 }
