@@ -42,6 +42,19 @@ object DedupQueries {
       .select(col("doc_id"),
         graft.functions.NormTokens.column(col("text")).as("tok"))
 
+  /** Tokens for ONLY the given doc ids: the broadcast semi-join runs on
+    * the raw relation BEFORE the tokenize projection. Order matters —
+    * Catalyst does not push a semi-join below a Project, so
+    * `toks(..).join(semi)` tokenizes the whole corpus and discards most
+    * of it; this shape tokenizes survivors only (verified in PlanSpec).
+    */
+  private def toksFor(s: SparkSession, dir: String,
+      ids: DataFrame): DataFrame =
+    Tables.t(s, dir, "documents")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.NormTokens.column(col("text")).as("tok"))
+
   /** 3-token shingles; whole text as a single shingle when too short
     * (coalesce: a NULL token array yields the single empty shingle, the
     * oracle's coalesce(array_to_string(tok,' '),'') branch). Only used
@@ -157,8 +170,7 @@ object DedupQueries {
     // set BEFORE any tokenize/shingle/array_distinct work runs
     val candIds = cand.select(col("a_id").as("doc_id"))
       .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
-    val sets = shingleSets(
-      toks(s, dir).join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    val sets = shingleSets(toksFor(s, dir, candIds))
     val canonPairs = cand
       .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")
@@ -919,8 +931,7 @@ object DedupQueries {
         val pairs = minhashPairs(s, d).select("a_id", "b_id")
         val candIds = pairs.select(col("a_id").as("doc_id"))
           .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
-        val sets = shingleSets(
-          toks(s, d).join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        val sets = shingleSets(toksFor(s, d, candIds))
         pairs
           .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")),
             "a_id")
@@ -967,18 +978,21 @@ object DedupQueries {
     // the exchange) over the SAME memoized cc-label lineage
     // dedup_cc_clusters persists; labels are cluster-members only
     // (bounded), so they broadcast into the token-count join and the
-    // corpus is never shuffled.
+    // corpus is never shuffled. toksFor places the broadcast semi-join
+    // BELOW the tokenize projection, so only cluster MEMBERS pay
+    // tokenization — the SQL twin's `WHERE doc_id IN (…comp)` prune,
+    // mirrored explicitly (Catalyst won't reorder it for us).
     Q(
       "dedup_cc_canonical",
       (s, d) => {
         val labels = graft.CacheRegistry.memo("dedup_cc_labels", s, d)(
           graft.operators.ConnectedComponents.run(
             minhashPairs(s, d).select(col("a_id"), col("b_id"))))
-        val nt = toks(s, d)
+        val members = labels
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val nt = toksFor(s, d, members.select("doc_id"))
           .select(col("doc_id"), size(col("tok")).as("n_tokens"))
-        val m = nt.join(
-          broadcast(labels.select(col("id").as("doc_id"), col("cluster_id"))),
-          "doc_id")
+        val m = nt.join(broadcast(members), "doc_id")
         val best = graft.plans.GroupedTopK(
           m, Seq("cluster_id"), Seq(m("n_tokens").desc, m("doc_id")), k = 1)
         val sizes = labels.groupBy("cluster_id")

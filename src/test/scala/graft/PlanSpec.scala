@@ -422,6 +422,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(900))
   }
 
+  test("candidate-verify stages tokenize AFTER the semi-join prune") {
+    // Catalyst does not push a LeftSemi below a Project, so the prune
+    // must be built below the tokenize projection explicitly (toksFor):
+    // every semi-join's LEFT subtree must be tokenize-free — the
+    // corpus-wide signature branch may tokenize, the verify branch
+    // tokenizes only survivors.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (q <- Seq("dedup_containment", "dedup_cc_canonical")) {
+      val lp = Registry.byName(q).build(spark, TestSpark.sf0001)
+        .queryExecution.optimizedPlan
+      val semis = lp.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semis.nonEmpty, s"$q: expected a semi-join prune")
+      for (j <- semis)
+        assert(!j.left.toString.contains("graft_norm_tokens"),
+          s"$q: tokenize runs below its semi-join prune")
+    }
+  }
+
   test("triangles/clustering run on the bounded edge list, corpus shuffles once") {
     for (q <- Seq("ev_triangle_count", "ev_clustering_coeff")) {
       val p = plan(q)
