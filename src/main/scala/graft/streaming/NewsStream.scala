@@ -192,6 +192,26 @@ object NewsStream {
       .groupBy(window(col("event_ts"), "5 minutes"), col("sentiment"))
       .agg(count(lit(1)).as("n"))
 
+  /** Beyond-reference: DISTINCT sources per tumbling window — the
+    * streaming twin of the batch `ev_window_distinct_users` (same
+    * two-level shape: dedup on (window, key) first, then a plain
+    * windowed count). Planned as CHAINED stateful operators —
+    * dropDuplicates over (window, lang) with its state bounded by the
+    * watermark, feeding a windowed count whose groups finalize in
+    * append mode once the watermark passes. The dedup level is exactly
+    * the state a per-window HLL sketch would replace at higher
+    * cardinalities (the ev_hll_partial_merge trade, streaming form).
+    */
+  def windowedDistinctLangs(df: DataFrame): DataFrame =
+    df.withColumn("event_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("event_ts").isNotNull && col("lang").isNotNull)
+      .withWatermark("event_ts", "10 minutes")
+      .select(window(col("event_ts"), "5 minutes").as("w"), col("lang"))
+      .dropDuplicates("w", "lang")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_langs"))
+      .select(col("w.start").as("w_start"), col("n_langs"))
+
   /** Beyond-reference: gap-based SESSION windows over the stream — the
     * native stateful session operator (merging session state per key,
     * watermark-bounded), the streaming twin of the batch `ev_sessionize`

@@ -150,6 +150,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained dedup + windowed agg counts distinct langs per window") {
+    val in = tmp("wdl_in")
+    val ckpt = tmp("wdl_ckpt")
+    def article(id: String, ts: String, lang: String): String =
+      s"""{"id":"$id","title":"t$id","description":"d","url":"u","publishedAt":"$ts","lang":"$lang","fetched_at":"f"}"""
+    // window 00:00-00:05 -> langs {en, fr, de} (en repeated: must dedup);
+    // window 00:05-00:10 -> langs {en, es}
+    val rows = Seq(
+      article("a", "2024-01-01T00:00:10Z", "en"),
+      article("b", "2024-01-01T00:01:00Z", "fr"),
+      article("c", "2024-01-01T00:02:00Z", "en"),
+      article("d", "2024-01-01T00:03:00Z", "de"),
+      article("e", "2024-01-01T00:04:00Z", "en"),
+      article("f", "2024-01-01T00:05:30Z", "en"),
+      article("g", "2024-01-01T00:07:00Z", "es"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b0.json"),
+      (rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    val agg = NewsStream.windowedDistinctLangs(NewsStream.source(spark, in))
+    val q = agg.writeStream.format("memory").queryName("t_wdl")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/w")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_wdl").count() == 0) // nothing closed yet
+      // push the watermark past both windows
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, "b1.json"),
+        (article("z", "2024-01-01T00:30:00Z", "en") + "\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val closed = spark.table("t_wdl")
+        .select(col("w_start").cast("string").as("s"), col("n_langs"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(closed == Map(
+        "2024-01-01 00:00:00" -> 3L,
+        "2024-01-01 00:05:00" -> 2L), closed.toString)
+    } finally q.stop()
+  }
+
   test("late rows behind the watermark are dropped and surface in metrics") {
     val in = tmp("late_in")
     val ckpt = tmp("late_ckpt")
