@@ -1226,6 +1226,74 @@ object DedupQueries {
           |FROM capped a JOIN capped b
           |  ON a.p = b.p AND a.doc_id < b.doc_id
           |WHERE levenshtein(a.head, b.head) <= 8
-          |ORDER BY a_id, b_id""".stripMargin))
+          |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Passage-level keep-first dedup REWRITE (the granularity between
+    // dedup_exact_stats' whole-doc hashing and dedup_substring_windows'
+    // rolling detection windows): the corpus is cut into NON-overlapping
+    // 32-token passages, each passage digest survives only at its first
+    // occurrence in (doc_id, pos) order, and the per-doc report says
+    // how many passages the rewrite would keep vs drop — the
+    // paragraph-dedup mode of Lee et al. ACL'22, which rewrites
+    // documents instead of dropping them. Non-overlap is what makes it
+    // a REWRITE plan: dropped passages partition cleanly, no
+    // overlapping-span resolution needed. Scale shape: the explode
+    // carries n_tokens/32 rows (corpus-linear, 12x fewer than the
+    // rolling-window explode), one digest-keyed shuffle ranks
+    // first-occurrence (bucket size = digest multiplicity, never
+    // corpus-sized), one doc rollup — no pair stage anywhere.
+    Q(
+      "dedup_passage_rewrite",
+      (s, d) => {
+        val P = 32
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("ph").orderBy("doc_id", "pos")
+        toks(s, d)
+          .filter(size(col("tok")) >= 1)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0),
+                floor((size(col("tok")) - lit(1)) / lit(P)).cast("int")),
+              i => md5(array_join(slice(col("tok"), i * P + 1, lit(P)), " "))))
+              .as(Seq("pos", "ph")))
+          .withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pass"),
+            count(when(col("rn") > 1, 1)).as("n_dropped"))
+          .select(col("doc_id"), col("n_pass"),
+            (col("n_pass") - col("n_dropped")).as("n_kept"),
+            col("n_dropped"),
+            round(col("n_dropped").cast("double") / col("n_pass"), 6)
+              .as("drop_ratio"))
+          .filter(col("n_dropped") > 0)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), pass AS (
+           |  SELECT doc_id, CAST(i AS INT) AS pos,
+           |    md5(array_to_string(list_slice(tok,
+           |      CAST(i AS INT) * 32 + 1, CAST(i AS INT) * 32 + 32), ' '))
+           |      AS ph
+           |  FROM (SELECT doc_id, tok,
+           |          unnest(range(0, (len(tok) - 1) // 32 + 1)) AS i
+           |        FROM toksrc WHERE len(tok) >= 1)
+           |), ranked AS (
+           |  SELECT doc_id, ph,
+           |    row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos)
+           |      AS rn
+           |  FROM pass
+           |)
+           |SELECT doc_id, count(*) AS n_pass,
+           |  count(*) - count(CASE WHEN rn > 1 THEN 1 END) AS n_kept,
+           |  count(CASE WHEN rn > 1 THEN 1 END) AS n_dropped,
+           |  round(CAST(count(CASE WHEN rn > 1 THEN 1 END) AS DOUBLE)
+           |    / count(*), 6) AS drop_ratio
+           |FROM ranked GROUP BY doc_id
+           |HAVING count(CASE WHEN rn > 1 THEN 1 END) > 0
+           |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -969,68 +969,139 @@ object EmbQueries {
     // (broadcast query row, TakeOrderedAndProject top-k, no shuffle).
     Q(
       "emb_sq_ann",
+      (s, d) => sqApproxDots(sqCodes(emb(s, d)))
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+        .limit(5),
+      Some(
+        s"""WITH $sqCodesCte
+           |SELECT vec_id, qdot, approx_dot FROM ($sqDotsSql)
+           |ORDER BY approx_dot DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // Two-stage quantized search — THE production ANN serving shape:
+    // stage 1 scans only the int8 codes (16x less bandwidth than
+    // float32) and keeps a top-20 shortlist via TakeOrderedAndProject;
+    // stage 2 re-ranks ONLY the shortlist with the exact float cosine.
+    // The full-precision vectors are touched for 20 rows regardless of
+    // corpus size — at 100 TB the codes live in their own compact
+    // column/file set, the shortlist ids broadcast back into the
+    // vector lookup (a semi-join on a 20-row side), and the expensive
+    // math never sees the corpus. Exactness: stage 1 is the integer
+    // code dot of emb_sq_ann (shared lineage), stage 2 the round-6
+    // cosine of emb_knn_cosine, every ordering vec_id-tiebroken.
+    Q(
+      "emb_twostage_rerank",
       (s, d) => {
         val e = emb(s, d)
-        val base = e
-          .withColumn("ma",
-            when(size(col("embedding")) === 64 &&
-              !exists(col("embedding"), x => x.isNull),
-              array_max(transform(col("embedding"),
-                x => abs(x.cast("double"))))))
-          .withColumn("code",
-            when(col("ma").isNull, lit(null))
-              .when(col("ma") === 0d,
-                transform(col("embedding"), _ => lit(0)))
-              .otherwise(transform(col("embedding"),
-                x => round(x.cast("double") * SqScale / col("ma"), 0)
-                  .cast("int"))))
-          .filter(col("code").isNotNull)
-          .select(col("vec_id"), col("ma"), col("code"))
-        val qrow = broadcast(base.filter(col("vec_id") === 0)
-          .select(col("code").as("qcode"), col("ma").as("qma")))
-        base.filter(col("vec_id") =!= 0).crossJoin(qrow)
-          .select(col("vec_id"), col("ma"), col("qma"),
-            aggregate(
-              zip_with(col("code"), col("qcode"),
-                (x, y) => (x * y).cast("long")),
-              lit(0L), (acc, x) => acc + x).as("qdot"))
-          .select(col("vec_id"), col("qdot"),
-            round(col("qdot").cast("double") * col("ma") * col("qma") /
-              lit((SqScale * SqScale).toDouble), 6).as("approx_dot"))
+        val short = sqApproxDots(sqCodes(e))
           .orderBy(col("approx_dot").desc, col("vec_id"))
+          .limit(20)
+          .select("vec_id")
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        e.join(broadcast(short), "vec_id")
+          .crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
       Some(
-        s"""WITH b AS (
-           |  SELECT vec_id, embedding,
-           |    CASE WHEN len(embedding) = 64
-           |          AND len(list_filter(embedding, x -> x IS NULL)) = 0
-           |         THEN list_max(list_transform(embedding,
-           |                x -> abs(CAST(x AS DOUBLE))))
-           |    END AS ma
-           |  FROM embeddings
-           |), c AS (
-           |  SELECT vec_id, ma,
-           |    CASE WHEN ma IS NULL THEN NULL
-           |         WHEN ma = 0 THEN list_transform(embedding, x -> 0)
-           |         ELSE list_transform(embedding,
-           |           x -> CAST(round(CAST(x AS DOUBLE) * $SqScale / ma)
-           |                  AS INT))
-           |    END AS code
-           |  FROM b WHERE ma IS NOT NULL
-           |), q AS (SELECT code AS qcode, ma AS qma FROM c WHERE vec_id = 0)
-           |SELECT vec_id, qdot,
-           |  round(CAST(qdot AS DOUBLE) * ma * qma / ${SqScale * SqScale}.0, 6)
-           |    AS approx_dot
-           |FROM (
-           |  SELECT c.vec_id, c.ma, q.qma,
-           |    CAST(list_sum(list_transform(range(1, 65),
-           |      i -> CAST(c.code[i] AS BIGINT) * q.qcode[i])) AS BIGINT)
-           |      AS qdot
-           |  FROM c CROSS JOIN q WHERE c.vec_id <> 0
+        s"""WITH $sqCodesCte, short AS (
+           |  SELECT vec_id FROM ($sqDotsSql)
+           |  ORDER BY approx_dot DESC, vec_id LIMIT 20
+           |), qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qv")} AS sim
+           |FROM embeddings e
+           |JOIN short ON short.vec_id = e.vec_id
+           |CROSS JOIN qv
+           |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin)),
+
+    // Exact ROC-AUC of centroid proximity as a label-0 retriever — the
+    // eval a pipeline runs to ask "does this embedding space separate
+    // class X at all?". The score is the (round-6) squared-L2 distance
+    // to the label-0 centroid, SMALLER = more positive — the same
+    // float-vs-double VecL2Sq kernel the IVF assignment uses (VecCosine
+    // reads both sides as float and would misread the double centroid).
+    // AUC is computed as the Mann-Whitney rank statistic: rank every
+    // vector by (d2 DESC, vec_id) — farthest first, so higher rank =
+    // closer; the vec_id tie-break replaces the tie-averaged textbook
+    // form deterministically — then
+    // AUC = (Σ ranks(pos) − n_pos(n_pos+1)/2) / (n_pos·n_neg). Both
+    // numerator and denominator are carried ×2 so everything stays in
+    // BIGINT (no integer-division pitfalls on either engine); the only
+    // float is the final rounded division. better_than_chance is the
+    // cross-multiplied integer form of AUC > 0.5. Scale shape: centroid
+    // is a (dim)-keyed partial agg broadcast back; scoring is one
+    // narrow scan; the global rank is a single sort — at 100 TB the
+    // same statistic comes from a range-partitioned sort with
+    // per-partition offsets (the standard distributed ranking), plan
+    // shape otherwise unchanged.
+    Q(
+      "emb_auc_centroid",
+      (s, d) => {
+        val e = emb(s, d)
+        val cent0 = e.filter(col("label") === 0)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("dim")
+          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+        val scored = e.crossJoin(broadcast(cent0))
+          .select(col("vec_id"),
+            when(col("label") === 0, 1L).otherwise(0L).as("pos"),
+            round(graft.functions.VecL2Sq.column(
+              col("embedding"), col("cvec")), 6).as("d2"))
+        val w = Window.orderBy(col("d2").desc, col("vec_id"))
+        scored.withColumn("r", row_number().over(w).cast("long"))
+          .agg(sum(col("pos")).as("n_pos"),
+            sum(lit(1L) - col("pos")).as("n_neg"),
+            sum(when(col("pos") === 1L, col("r"))).as("rank_sum"))
+          .select(col("n_pos"), col("n_neg"),
+            (col("rank_sum") * 2 - col("n_pos") * (col("n_pos") + 1))
+              .as("auc_num2"),
+            (col("n_pos") * col("n_neg") * 2).as("auc_den2"))
+          .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+            col("auc_den2"),
+            round(col("auc_num2").cast("double") / col("auc_den2"), 6)
+              .as("auc"),
+            (col("auc_num2") > col("n_pos") * col("n_neg"))
+              .as("better_than_chance"))
+      },
+      Some(
+        s"""WITH c0 AS (
+           |  SELECT CAST(i - 1 AS INT) AS dim,
+           |    round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+           |  FROM embeddings CROSS JOIN range(1, 65) r(i)
+           |  WHERE label = 0 GROUP BY 1
+           |), cent AS (
+           |  SELECT list_transform(
+           |    list_sort(list(struct_pack(dim := dim, cv := cv))),
+           |    x -> x.cv) AS cvec
+           |  FROM c0
+           |), scored AS (
+           |  SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+           |    round(${l2Sql("embedding", "cvec")}, 6) AS d2
+           |  FROM embeddings CROSS JOIN cent
+           |), ranked AS (
+           |  SELECT pos,
+           |    CAST(row_number() OVER (ORDER BY d2 DESC, vec_id) AS BIGINT)
+           |      AS r
+           |  FROM scored
+           |), agg AS (
+           |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           |    CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+           |    CAST(sum(CASE WHEN pos = 1 THEN r END) AS BIGINT) AS rank_sum
+           |  FROM ranked
            |)
-           |ORDER BY approx_dot DESC, vec_id LIMIT 5""".stripMargin))
-    ,
+           |SELECT n_pos, n_neg,
+           |  rank_sum * 2 - n_pos * (n_pos + 1) AS auc_num2,
+           |  n_pos * n_neg * 2 AS auc_den2,
+           |  round(CAST(rank_sum * 2 - n_pos * (n_pos + 1) AS DOUBLE)
+           |    / (n_pos * n_neg * 2), 6) AS auc,
+           |  rank_sum * 2 - n_pos * (n_pos + 1) > n_pos * n_neg
+           |    AS better_than_chance
+           |FROM agg""".stripMargin)),
 
     // MMR (maximal marginal relevance) diversity re-rank — the step a
     // RAG stack runs AFTER retrieval: from the top-12 cosine candidates,
@@ -1090,6 +1161,85 @@ object EmbQueries {
       Some(mmrSql))
   )
 
+
+  // ---- scalar-quantization lineage (emb_sq_ann + emb_twostage_rerank)
+
+  /** per-vector max-abs scale + 64 int8 codes; off-contract vectors
+    * (ragged or null-element, the LshSig convention) are excluded from
+    * the index. Shared by emb_sq_ann and the two-stage re-ranker so the
+    * quantizer can never drift between the index and its consumers.
+    */
+  private def sqCodes(e: DataFrame): DataFrame =
+    e.withColumn("ma",
+        when(size(col("embedding")) === 64 &&
+          !exists(col("embedding"), x => x.isNull),
+          array_max(transform(col("embedding"),
+            x => abs(x.cast("double"))))))
+      .withColumn("code",
+        when(col("ma").isNull, lit(null))
+          .when(col("ma") === 0d,
+            transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => round(x.cast("double") * SqScale / col("ma"), 0)
+              .cast("int"))))
+      .filter(col("code").isNotNull)
+      .select(col("vec_id"), col("ma"), col("code"))
+
+  /** integer code dot of every non-query vector against the broadcast
+    * query row, reconstructed to approx_dot by two scale multiplies —
+    * exact-integer ranking arithmetic, fixed-order IEEE reconstruction
+    */
+  private def sqApproxDots(base: DataFrame): DataFrame = {
+    val qrow = broadcast(base.filter(col("vec_id") === 0)
+      .select(col("code").as("qcode"), col("ma").as("qma")))
+    base.filter(col("vec_id") =!= 0).crossJoin(qrow)
+      .select(col("vec_id"), col("ma"), col("qma"),
+        aggregate(
+          zip_with(col("code"), col("qcode"),
+            (x, y) => (x * y).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+      .select(col("vec_id"), col("qdot"),
+        round(col("qdot").cast("double") * col("ma") * col("qma") /
+          lit((SqScale * SqScale).toDouble), 6).as("approx_dot"))
+  }
+
+  /** DuckDB twin of [[sqCodes]]: b (scale) + c (codes) + q (query row)
+    * CTE bodies, composable after a WITH
+    */
+  private def sqCodesCte: String =
+    s"""b AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN len(embedding) = 64
+       |          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |         THEN list_max(list_transform(embedding,
+       |                x -> abs(CAST(x AS DOUBLE))))
+       |    END AS ma
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT vec_id, ma,
+       |    CASE WHEN ma IS NULL THEN NULL
+       |         WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+       |         ELSE list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * $SqScale / ma)
+       |                  AS INT))
+       |    END AS code
+       |  FROM b WHERE ma IS NOT NULL
+       |), q AS (SELECT code AS qcode, ma AS qma FROM c WHERE vec_id = 0)""".stripMargin
+
+  /** DuckDB twin of [[sqApproxDots]] — a complete SELECT over c/q,
+    * nestable as a parenthesized subquery
+    */
+  private def sqDotsSql: String =
+    s"""SELECT vec_id, qdot,
+       |  round(CAST(qdot AS DOUBLE) * ma * qma / ${SqScale * SqScale}.0, 6)
+       |    AS approx_dot
+       |FROM (
+       |  SELECT c.vec_id, c.ma, q.qma,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(c.code[i] AS BIGINT) * q.qcode[i])) AS BIGINT)
+       |      AS qdot
+       |  FROM c CROSS JOIN q WHERE c.vec_id <> 0
+       |)""".stripMargin
 
   // ---- product-quantization lineage (emb_pq_ann) ---------------------
 

@@ -1199,6 +1199,81 @@ object EventQueries {
           |  FROM events
           |  WHERE event_type IS NOT NULL AND value IS NOT NULL)
           |GROUP BY event_type, q
-          |ORDER BY event_type, q""".stripMargin))
+          |ORDER BY event_type, q""".stripMargin)),
+
+    // Two-sample Kolmogorov–Smirnov drift check: does the value
+    // distribution of 'purchase' events differ from 'view' events?
+    // (The same statistic monitors feature drift between a training
+    // snapshot and fresh data.) D = max_v |F1(v) − F2(v)| over a BINNED
+    // ECDF — values floor to whole units first, which (a) bounds the
+    // ECDF support by the value RANGE rather than the row count, so the
+    // cumulative window sorts a few hundred bins at any corpus size,
+    // and (b) is the standard scale concession (exact per-row ECDFs
+    // need a full sort at 100 TB; the binned D lower-bounds the exact
+    // one). Exactness: both engines floor the SAME stored double, and
+    // D is carried as the cross-multiplied integer pair
+    // (d_num, n1·n2) — |c1·n2 − c2·n1| — so the max and the drift flag
+    // (D > 0.1 ⟺ 10·d_num > n1·n2) never touch a float; only the
+    // reported ks statistic is a final rounded division. Scale shape:
+    // one scan, one partial-agg'd (bin) shuffle, a window over the
+    // bounded bin set, a 1-row reduce.
+    Q(
+      "ev_ks_drift",
+      (s, d) => {
+        val binned = ev(s, d)
+          .filter(col("value").isNotNull &&
+            col("event_type").isin("view", "purchase"))
+          .select(floor(col("value")).cast("long").as("bin"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("is1"))
+        val perBin = binned.groupBy("bin")
+          .agg(sum(col("is1")).as("c1"), sum(lit(1L) - col("is1")).as("c2"))
+        val w = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        perBin
+          .select(
+            sum(col("c1")).over(w).as("cum1"),
+            sum(col("c2")).over(w).as("cum2"),
+            sum(col("c1")).over(wAll).as("n1"),
+            sum(col("c2")).over(wAll).as("n2"))
+          .select(col("n1"), col("n2"),
+            abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+              .as("diff"))
+          .groupBy("n1", "n2")
+          .agg(max(col("diff")).as("d_num"))
+          .select(col("n1"), col("n2"), col("d_num"),
+            (col("n1") * col("n2")).as("d_den"),
+            round(col("d_num").cast("double") /
+              (col("n1") * col("n2")), 6).as("ks"),
+            (col("d_num") * 10 > col("n1") * col("n2")).as("drift"))
+      },
+      Some(
+        """WITH binned AS (
+          |  SELECT CAST(floor(value) AS BIGINT) AS bin,
+          |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1
+          |  FROM events
+          |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+          |), per_bin AS (
+          |  SELECT bin, CAST(sum(is1) AS BIGINT) AS c1,
+          |    CAST(sum(1 - is1) AS BIGINT) AS c2
+          |  FROM binned GROUP BY bin
+          |), cum AS (
+          |  SELECT
+          |    CAST(sum(c1) OVER (ORDER BY bin
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+          |    CAST(sum(c2) OVER (ORDER BY bin
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+          |    CAST(sum(c1) OVER () AS BIGINT) AS n1,
+          |    CAST(sum(c2) OVER () AS BIGINT) AS n2
+          |  FROM per_bin
+          |)
+          |SELECT n1, n2, max(abs(cum1 * n2 - cum2 * n1)) AS d_num,
+          |  n1 * n2 AS d_den,
+          |  round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+          |    / (n1 * n2), 6) AS ks,
+          |  max(abs(cum1 * n2 - cum2 * n1)) * 10 > n1 * n2 AS drift
+          |FROM cum
+          |GROUP BY n1, n2""".stripMargin))
   )
 }

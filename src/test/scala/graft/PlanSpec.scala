@@ -448,4 +448,47 @@ class PlanSpec extends AnyFunSuite {
         !p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(900)}")
     }
   }
+
+  test("Q13 distribution: outer join + both aggs partial+final") {
+    val p = plan("star_cust_order_dist")
+    assert(p.contains("LeftOuter"), p.take(900))
+    // per-customer count and the count-of-counts both map-side combine
+    assert("partial_count".r.findAllIn(p).size >= 2, p.take(900))
+  }
+
+  test("Q15 top supplier: scalar max and supplier dim broadcast back") {
+    val p = plan("star_top_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+    // the shipdate window reaches the lineitem scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(900))
+  }
+
+  test("two-stage rerank: code-scan heap + shortlist heap, vectors joined broadcast") {
+    val p = plan("emb_twostage_rerank")
+    // stage-1 top-20 over codes and stage-2 top-5 over the shortlist
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2, p.take(900))
+    // the full-precision vector lookup is a broadcast join of the
+    // 20-row shortlist — the corpus-side vectors never shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("KS drift and passage rewrite: window pipelines, no join anywhere") {
+    for (q <- Seq("ev_ks_drift", "dedup_passage_rewrite")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: ${p.take(900)}")
+      assert("FileScan".r.findAllIn(p).size == 1, s"$q: ${p.take(900)}")
+    }
+  }
+
+  test("AUC: centroid broadcast into one scoring scan") {
+    val p = plan("emb_auc_centroid")
+    // centroid reduction feeds a broadcast nested-loop of a 1-row side
+    // into the scoring scan; the corpus itself never shuffles before
+    // the bounded rank stage
+    assert("FileScan".r.findAllIn(p).size == 2, p.take(900))
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      p.take(900))
+  }
 }
