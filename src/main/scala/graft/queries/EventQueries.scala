@@ -1244,8 +1244,11 @@ object EventQueries {
           .agg(max(col("diff")).as("d_num"))
           .select(col("n1"), col("n2"), col("d_num"),
             (col("n1") * col("n2")).as("d_den"),
-            round(col("d_num").cast("double") /
-              (col("n1") * col("n2")), 6).as("ks"),
+            // one sample empty -> the statistic is undefined, not an
+            // ANSI division error (the edge gate's empty-type corpus)
+            when(col("n1") * col("n2") > 0,
+              round(col("d_num").cast("double") /
+                (col("n1") * col("n2")), 6)).as("ks"),
             (col("d_num") * 10 > col("n1") * col("n2")).as("drift"))
       },
       Some(
@@ -1270,8 +1273,9 @@ object EventQueries {
           |)
           |SELECT n1, n2, max(abs(cum1 * n2 - cum2 * n1)) AS d_num,
           |  n1 * n2 AS d_den,
-          |  round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
-          |    / (n1 * n2), 6) AS ks,
+          |  CASE WHEN n1 * n2 > 0 THEN
+          |    round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+          |      / (n1 * n2), 6) END AS ks,
           |  max(abs(cum1 * n2 - cum2 * n1)) * 10 > n1 * n2 AS drift
           |FROM cum
           |GROUP BY n1, n2""".stripMargin))
