@@ -1278,6 +1278,126 @@ object EventQueries {
           |      / (n1 * n2), 6) END AS ks,
           |  max(abs(cum1 * n2 - cum2 * n1)) * 10 > n1 * n2 AS drift
           |FROM cum
-          |GROUP BY n1, n2""".stripMargin))
+          |GROUP BY n1, n2""".stripMargin)),
+
+    // New-user growth curve: first-seen day per user, daily signups,
+    // and the cumulative user count — the growth-accounting twin of
+    // ev_retention_cohorts (which slices the SAME first-seen lineage by
+    // offset). Scale shape: two partial-agg'd shuffles (user_id, then
+    // day); the cumulative window sorts the bounded day domain, never
+    // rows. All integer.
+    Q(
+      "ev_new_users_curve",
+      (s, d) => {
+        val firstSeen = ev(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"),
+            expr("CAST(ts AS LONG) div 86400").as("day"))
+          .groupBy("user_id").agg(min(col("day")).as("day"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firstSeen.groupBy("day")
+          .agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .orderBy("day")
+      },
+      Some(
+        """WITH days AS (
+          |  SELECT user_id,
+          |    min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |  GROUP BY user_id
+          |), daily AS (
+          |  SELECT day, count(*) AS new_users FROM days GROUP BY day
+          |)
+          |SELECT day, new_users,
+          |  CAST(sum(new_users) OVER (ORDER BY day
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+          |FROM daily ORDER BY day""".stripMargin)),
+
+    // Shuffle-key skew AUDIT — the detector that justifies the salting
+    // mitigation ev_salted_agg demonstrates: per-user event counts vs
+    // the uniform fair share, skew factor as the EXACT rational
+    // (n·n_keys, total), hot = more than 4x fair share by
+    // cross-multiplied integers. Top-20 keys by count (event_id
+    // tie-break impossible: user_id is unique per group). Scale shape:
+    // one partial-agg'd user shuffle; the global (n_keys, total) pair
+    // is a 1-row broadcast; top-20 is TakeOrderedAndProject.
+    Q(
+      "ev_skew_audit",
+      (s, d) => {
+        val perKey = ev(s, d)
+          .filter(col("user_id").isNotNull)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        val tot = perKey.agg(count(lit(1)).as("n_keys"),
+          sum(col("n")).as("total"))
+        perKey.crossJoin(broadcast(tot))
+          .select(col("user_id"), col("n"),
+            round(col("n").cast("double") * col("n_keys") / col("total"), 6)
+              .as("skew_factor"),
+            (col("n") * col("n_keys") > col("total") * 4).as("hot"))
+          .orderBy(col("n").desc, col("user_id"))
+          .limit(20)
+      },
+      Some(
+        """WITH per_key AS (
+          |  SELECT user_id, count(*) AS n FROM events
+          |  WHERE user_id IS NOT NULL GROUP BY user_id
+          |), tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |    CAST(sum(n) AS BIGINT) AS total
+          |  FROM per_key
+          |)
+          |SELECT user_id, n,
+          |  round(CAST(n AS DOUBLE) * n_keys / total, 6) AS skew_factor,
+          |  n * n_keys > total * 4 AS hot
+          |FROM per_key CROSS JOIN tot
+          |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
+
+    // Join-cardinality estimation audit (the planner's problem, run as
+    // a query): the exact self-join size on user_id is Σ c(u)² — never
+    // materialized, computed analytically from the per-key counts —
+    // against the textbook uniform-assumption estimate |R|²/d. Under
+    // skew the uniform estimate UNDERSHOOTS (Cauchy–Schwarz:
+    // Σc² ≥ n²/d with equality iff uniform); the underestimate flag is
+    // the cross-multiplied exact·d > n² and the ratio is the only
+    // float, rounded. This is the statistic AQE's runtime re-planning
+    // exists to correct. Scale: one partial-agg'd user shuffle, 1-row
+    // output; c² stays < 2^63 for any per-key count < 3e9 — past ~3e9
+    // total rows the n² pair moves to DECIMAL(38,0)/HUGEINT (the
+    // ev_anomaly_windows convention), shape unchanged.
+    Q(
+      "ev_selfjoin_size_audit",
+      (s, d) => {
+        val perKey = ev(s, d)
+          .filter(col("user_id").isNotNull)
+          .groupBy("user_id").agg(count(lit(1)).as("c"))
+        perKey.agg(
+            sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            sum(col("c") * col("c")).as("exact_size"))
+          .select(col("n_rows"), col("n_keys"), col("exact_size"),
+            (col("n_rows") * col("n_rows")).as("est_num"),
+            (col("exact_size") * col("n_keys") >
+              col("n_rows") * col("n_rows")).as("underestimated"),
+            round(col("exact_size").cast("double") * col("n_keys") /
+              (col("n_rows") * col("n_rows")), 6).as("skew_ratio"))
+      },
+      Some(
+        """WITH per_key AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+          |  WHERE user_id IS NOT NULL GROUP BY user_id
+          |), agg AS (
+          |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+          |    CAST(count(*) AS BIGINT) AS n_keys,
+          |    CAST(sum(c * c) AS BIGINT) AS exact_size
+          |  FROM per_key
+          |)
+          |SELECT n_rows, n_keys, exact_size,
+          |  n_rows * n_rows AS est_num,
+          |  exact_size * n_keys > n_rows * n_rows AS underestimated,
+          |  round(CAST(exact_size AS DOUBLE) * n_keys
+          |    / (n_rows * n_rows), 6) AS skew_ratio
+          |FROM agg""".stripMargin))
   )
 }

@@ -482,6 +482,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("growth curve and join-size audit: single scan, partial aggs, no real join") {
+    for (q <- Seq("ev_new_users_curve", "ev_selfjoin_size_audit")) {
+      val p = plan(q)
+      assert("FileScan".r.findAllIn(p).size == 1, s"$q: ${p.take(900)}")
+      assert(p.contains("partial_count") || p.contains("partial_min"),
+        s"$q: ${p.take(900)}")
+    }
+    // the self-join SIZE is computed analytically — no Join node at all
+    assert(!plan("ev_selfjoin_size_audit").contains("Join"))
+  }
+
+  test("skew audit: 1-row stat broadcast + top-20 heap") {
+    val p = plan("ev_skew_audit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(900)) // 1-row side
+  }
+
   test("AUC: centroid broadcast into one scoring scan") {
     val p = plan("emb_auc_centroid")
     // centroid reduction feeds a broadcast nested-loop of a 1-row side
