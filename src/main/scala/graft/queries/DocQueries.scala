@@ -660,7 +660,90 @@ object DocQueries {
           |  CAST(sum(sz) AS BIGINT) AS sz_chars,
           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
           |FROM c GROUP BY 1, 2
-          |ORDER BY lang NULLS FIRST, file_id""".stripMargin))
+          |ORDER BY lang NULLS FIRST, file_id""".stripMargin)),
+
+    // Incremental view maintenance (IVM) over a per-language count —
+    // the algebra that keeps a materialized aggregate fresh under a
+    // CDC changelog WITHOUT recomputing it (the batch twin of the
+    // streaming upsert sink's CDC diff): a simulated re-crawl rewrites
+    // every doc_id % 10 == 0 document's lang to 'en'; each rewrite
+    // contributes (-1, old_lang), (+1, 'en') changelog deltas; the
+    // maintained count is base + Σdelta, VERIFIED against the direct
+    // recompute on the updated table (ivm_holds must be true for every
+    // group — counts are a self-maintainable aggregate, the property
+    // this query pins). NULL langs ride a sentinel so the null group
+    // survives the group-key join on both engines. Scale shape: ONE
+    // scan emits all three contribution kinds through one explode
+    // (base / delta / direct), one partial-agg'd lang shuffle, output
+    // bounded by |langs| — the delta stream at 100 TB is the (tiny)
+    // changed-row set, which is the entire point of IVM.
+    Q(
+      "doc_ivm_lang_counts",
+      (s, d) => {
+        val gb = coalesce(col("lang"), lit("__null")).as("g_b")
+        val ga = when(col("doc_id") % 10 === 0, lit("en"))
+          .otherwise(coalesce(col("lang"), lit("__null"))).as("g_a")
+        val contrib = docs(s, d)
+          .select(col("doc_id"), gb, ga)
+          .select(explode(concat(
+            array(
+              struct(col("g_b").as("g"), lit("base").as("t"),
+                lit(1L).as("v")),
+              struct(col("g_a").as("g"), lit("direct").as("t"),
+                lit(1L).as("v"))),
+            when(!(col("g_b") <=> col("g_a")), array(
+              struct(col("g_b").as("g"), lit("delta").as("t"),
+                lit(-1L).as("v")),
+              struct(col("g_a").as("g"), lit("delta").as("t"),
+                lit(1L).as("v"))))
+              .otherwise(array().cast(
+                "array<struct<g:string,t:string,v:bigint>>"))))
+            .as("x"))
+          .select(col("x.g").as("lang"), col("x.t").as("t"),
+            col("x.v").as("v"))
+        contrib.groupBy("lang")
+          .agg(
+            sum(when(col("t") === "base", col("v"))).as("n_before"),
+            coalesce(sum(when(col("t") === "delta", col("v"))), lit(0L))
+              .as("delta"),
+            sum(when(col("t") === "direct", col("v"))).as("n_direct"))
+          .select(col("lang"),
+            coalesce(col("n_before"), lit(0L)).as("n_before"),
+            col("delta"),
+            (coalesce(col("n_before"), lit(0L)) + col("delta"))
+              .as("n_after"),
+            ((coalesce(col("n_before"), lit(0L)) + col("delta")) <=>
+              coalesce(col("n_direct"), lit(0L))).as("ivm_holds"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH src AS (
+          |  SELECT doc_id, coalesce(lang, '__null') AS g_b,
+          |    CASE WHEN doc_id % 10 = 0 THEN 'en'
+          |         ELSE coalesce(lang, '__null') END AS g_a
+          |  FROM documents
+          |), contrib AS (
+          |  SELECT g_b AS lang, 'base' AS t, CAST(1 AS BIGINT) AS v
+          |  FROM src
+          |  UNION ALL
+          |  SELECT g_a, 'direct', 1 FROM src
+          |  UNION ALL
+          |  SELECT g_b, 'delta', -1 FROM src WHERE g_b IS DISTINCT FROM g_a
+          |  UNION ALL
+          |  SELECT g_a, 'delta', 1 FROM src WHERE g_b IS DISTINCT FROM g_a
+          |), agg AS (
+          |  SELECT lang,
+          |    CAST(coalesce(sum(CASE WHEN t = 'base' THEN v END), 0)
+          |      AS BIGINT) AS n_before,
+          |    CAST(coalesce(sum(CASE WHEN t = 'delta' THEN v END), 0)
+          |      AS BIGINT) AS delta,
+          |    CAST(coalesce(sum(CASE WHEN t = 'direct' THEN v END), 0)
+          |      AS BIGINT) AS n_direct
+          |  FROM contrib GROUP BY lang
+          |)
+          |SELECT lang, n_before, delta, n_before + delta AS n_after,
+          |  n_before + delta = n_direct AS ivm_holds
+          |FROM agg ORDER BY lang""".stripMargin))
   )
 
   /** doc_compaction_plan's per-doc file assignment, shared with the

@@ -261,6 +261,71 @@ object TextQueries {
            |FROM ex JOIN tf USING (term) CROSS JOIN tot
            |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // Cross-source LM quality score — the CCNet/Wikipedia-LM filter
+    // shape proper: score every NON-reference document by its mean
+    // token surprisal under the REFERENCE corpus's (source = src0)
+    // add-1-smoothed unigram distribution. doc_unigram_surprisal
+    // scores a corpus under itself (self-perplexity); this is the
+    // train-on-A-score-B form real pipelines run, where OOV tokens
+    // (c_ref = 0) land at the ceiling of the smoothed distribution.
+    // Same DYADIC log as the self-surprisal (floor-log2 via bin-string
+    // length — pure integer cross-engine); s(tok) =
+    // ⌊log2(T+V)⌋ − ⌊log2(c_ref+1)⌋. Scale shape: reference term
+    // counts are one partial-agg'd shuffle over the (smaller)
+    // reference slice; the scalar T+V broadcasts; the per-token left
+    // join keys on term against the vocabulary-sized reference side
+    // (AQE broadcasts it when it fits); the per-doc rollup is one more
+    // partial-agg'd shuffle. An empty reference slice degrades every
+    // score to 0 identically on both engines, not an error.
+    Q(
+      "doc_cross_surprisal",
+      (s, d) => {
+        val base = toks(s, d)
+        val refTf = base.filter(col("source") === "src0")
+          .select(explode(col("tok")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c_ref"))
+        val stats = refTf
+          .agg((coalesce(sum(col("c_ref")), lit(0L)) + count(lit(1)))
+            .as("tv"))
+        base.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode(col("tok")).as("term"))
+          .join(refTf, Seq("term"), "left_outer")
+          .crossJoin(broadcast(stats))
+          .withColumn("s",
+            length(bin(col("tv"))) -
+              length(bin(coalesce(col("c_ref"), lit(0L)) + 1)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("s")).as("sum_surprisal"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_surprisal"),
+            round(col("sum_surprisal").cast("double") / col("n_tokens"), 6)
+              .as("mean_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$tokCte, ref AS (
+           |  SELECT unnest(tok) AS term FROM t WHERE source = 'src0'
+           |), rtf AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS c_ref
+           |  FROM ref GROUP BY 1
+           |), stats AS (
+           |  SELECT CAST(coalesce(sum(c_ref), 0) + count(*) AS BIGINT)
+           |    AS tv
+           |  FROM rtf
+           |), ex AS (
+           |  SELECT doc_id, unnest(tok) AS term FROM t
+           |  WHERE source <> 'src0'
+           |)
+           |SELECT ex.doc_id, count(*) AS n_tokens,
+           |  CAST(sum(length(bin(tv)) -
+           |    length(bin(coalesce(rtf.c_ref, 0) + 1))) AS BIGINT)
+           |    AS sum_surprisal,
+           |  round(CAST(sum(length(bin(tv)) -
+           |    length(bin(coalesce(rtf.c_ref, 0) + 1))) AS DOUBLE)
+           |    / count(*), 6) AS mean_surprisal
+           |FROM ex LEFT JOIN rtf USING (term) CROSS JOIN stats
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // PII-style redaction — a standard training-data hygiene pass:
     // emails, then URLs, then digit runs are rewritten to placeholder
     // tags (in that order — emails/URLs contain digits, so digit

@@ -499,6 +499,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(900)) // 1-row side
   }
 
+  test("IVM: one scan, one lang shuffle, no join — deltas via explode") {
+    val p = plan("doc_ivm_lang_counts")
+    assert(!p.contains("Join"), p.take(900))
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(900))
+    assert(p.contains("partial_sum"), p.take(900))
+  }
+
+  test("cross-surprisal: reference side aggregated before the token join") {
+    val p = plan("doc_cross_surprisal")
+    // the per-token join's build side is the vocabulary-sized reference
+    // term-frequency aggregate, never raw reference tokens
+    assert(p.contains("partial_count"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
   test("AUC: centroid broadcast into one scoring scan") {
     val p = plan("emb_auc_centroid")
     // centroid reduction feeds a broadcast nested-loop of a 1-row side
