@@ -212,6 +212,45 @@ object NewsStream {
       .agg(count(lit(1)).as("n_langs"))
       .select(col("w.start").as("w_start"), col("n_langs"))
 
+  /** Beyond-reference: per-window DISTRIBUTION drift monitor — the
+    * streaming twin of the batch `ev_ks_drift`: compare each tumbling
+    * window's language mix against a static reference distribution and
+    * flag windows whose L1 share distance exceeds 1/2. All drift
+    * arithmetic is cross-multiplied integers (shares are num/shareDen
+    * rationals, the deviation is Σ|n·D − num·total| plus the missing
+    * reference mass (D − Σ_observed num)·total, and the flag is
+    * 2·l1 > total·D) — no float ever. Plan: windowed count (stateful) →
+    * stateless broadcast join with the reference shares → second
+    * windowed aggregation chained via window_time (Spark's
+    * multiple-stateful-operator support); both stateful levels are
+    * watermark-bounded and finalize in append mode. The collected
+    * per-label parts list is bounded by |labels|, never rows.
+    */
+  def windowedLangDrift(df: DataFrame, refShares: DataFrame,
+      shareDen: Long = 16L): DataFrame = {
+    val counts = df
+      .withColumn("event_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("event_ts").isNotNull && col("lang").isNotNull)
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "5 minutes").as("w"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .join(broadcast(refShares), Seq("lang"), "left_outer")
+      .select(col("w"), col("n"),
+        coalesce(col("share_num"), lit(0L)).as("num"))
+      .groupBy(window(window_time(col("w")), "5 minutes").as("w2"))
+      .agg(sum(col("n")).as("n_total"),
+        sum(col("num")).as("obs_num"),
+        collect_list(struct(col("n"), col("num"))).as("parts"))
+      .select(col("w2").getField("start").as("w_start"), col("n_total"),
+        (aggregate(col("parts"), lit(0L), (acc, x) =>
+          acc + abs(x.getField("n") * shareDen -
+            x.getField("num") * col("n_total"))) +
+          (lit(shareDen) - col("obs_num")) * col("n_total")).as("l1_num"))
+      .select(col("w_start"), col("n_total"), col("l1_num"),
+        (col("l1_num") * 2 > col("n_total") * shareDen).as("drift"))
+  }
+
   /** Beyond-reference: gap-based SESSION windows over the stream — the
     * native stateful session operator (merging session state per key,
     * watermark-bounded), the streaming twin of the batch `ev_sessionize`

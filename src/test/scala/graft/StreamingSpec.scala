@@ -191,6 +191,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed drift monitor flags the off-reference window, integer-exact") {
+    val in = tmp("drift_in")
+    val ckpt = tmp("drift_ckpt")
+    def article(id: String, ts: String, lang: String): String =
+      s"""{"id":"$id","title":"t$id","description":"d","url":"u","publishedAt":"$ts","lang":"$lang","fetched_at":"f"}"""
+    // reference mix: en 8/16, fr 4/16, de 4/16.
+    // window 00:00-00:05 matches it exactly (2 en, 1 fr, 1 de) -> l1 = 0;
+    // window 00:05-00:10 is all-es (a label with no reference mass) ->
+    // observed deviation 4*16 + missing reference mass 16*4 = 128 over
+    // total*D = 64 -> L1 share distance 2.0 -> drift
+    val rows = Seq(
+      article("a", "2024-01-01T00:00:10Z", "en"),
+      article("b", "2024-01-01T00:01:00Z", "en"),
+      article("c", "2024-01-01T00:02:00Z", "fr"),
+      article("d", "2024-01-01T00:03:00Z", "de"),
+      article("e", "2024-01-01T00:05:30Z", "es"),
+      article("f", "2024-01-01T00:06:00Z", "es"),
+      article("g", "2024-01-01T00:07:00Z", "es"),
+      article("h", "2024-01-01T00:08:00Z", "es"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b0.json"),
+      (rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    val ref = spark.createDataFrame(Seq(
+      ("en", 8L), ("fr", 4L), ("de", 4L))).toDF("lang", "share_num")
+    val agg = NewsStream.windowedLangDrift(
+      NewsStream.source(spark, in), ref)
+    val q = agg.writeStream.format("memory").queryName("t_drift")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/w")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_drift").count() == 0) // nothing closed yet
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, "b1.json"),
+        (article("z", "2024-01-01T00:30:00Z", "en") + "\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val closed = spark.table("t_drift")
+        .select(col("w_start").cast("string").as("s"),
+          col("n_total"), col("l1_num"), col("drift"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(closed == Map(
+        "2024-01-01 00:00:00" -> ((4L, 0L, false)),
+        "2024-01-01 00:05:00" -> ((4L, 128L, true))), closed.toString)
+    } finally q.stop()
+  }
+
   test("late rows behind the watermark are dropped and surface in metrics") {
     val in = tmp("late_in")
     val ckpt = tmp("late_ckpt")
