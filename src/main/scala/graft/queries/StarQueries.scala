@@ -620,6 +620,57 @@ object StarQueries {
           |FROM revenue
           |JOIN supplier ON l_suppkey = s_suppkey
           |WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
-          |ORDER BY s_suppkey""".stripMargin))
+          |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q22 flavor (global sales opportunity): customers with
+    // above-average positive balance and NO orders — per nation, count
+    // and exact-decimal balance mass. Composes the two "hard" planner
+    // moves in one query: an uncorrelated scalar subquery (the global
+    // positive-balance average, broadcast as a 1-row frame and compared
+    // in DECIMAL via cross-multiplication — avg() itself would divide)
+    // and a LEFT ANTI join against the orders fact. Scale shape: the
+    // scalar agg is one partial-agg'd scan; the anti join shuffles
+    // customer vs the pre-projected single-column orders key set
+    // (partial-distinct'd by AQE), then the nation rollup is bounded.
+    Q(
+      "star_idle_rich_customers",
+      (s, d) => {
+        val D = DecimalType(18, 4)
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal").cast(D).as("bal"))
+        val stat = cust.filter(col("bal") > 0)
+          .agg(sum(col("bal")).as("bal_sum"),
+            count(lit(1)).as("bal_n"))
+        val orderKeys = t(s, d, "orders").select("o_custkey")
+        cust.crossJoin(broadcast(stat))
+          // bal > avg(positive bals) as the cross-multiplied decimal
+          // compare bal * n > sum — exact, no division anywhere
+          .filter(col("bal") * col("bal_n") > col("bal_sum"))
+          .join(orderKeys, col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal")).cast("double").as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some(
+        """WITH cust AS (
+          |  SELECT c_custkey, c_nationkey,
+          |    CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+          |  FROM customer
+          |), stat AS (
+          |  SELECT CAST(sum(bal) AS DECIMAL(38,4)) AS bal_sum,
+          |    CAST(count(*) AS BIGINT) AS bal_n
+          |  FROM cust WHERE bal > 0
+          |)
+          |SELECT c_nationkey, count(*) AS numcust,
+          |  CAST(sum(bal) AS DOUBLE) AS totacctbal
+          |FROM cust CROSS JOIN stat
+          |WHERE bal * bal_n > bal_sum
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey)
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin))
   )
 }

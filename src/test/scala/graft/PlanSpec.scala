@@ -499,6 +499,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(900)) // 1-row side
   }
 
+  test("Q22 idle-rich: scalar stat broadcast + anti join on the key projection") {
+    val p = plan("star_idle_rich_customers")
+    assert(p.contains("LeftAnti"), p.take(900))
+    // the 1-row balance stat broadcasts; the orders side is pruned to
+    // the single join-key column at the scan
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(900))
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p.take(900))
+  }
+
   test("IVM: one scan, one lang shuffle, no join — deltas via explode") {
     val p = plan("doc_ivm_lang_counts")
     assert(!p.contains("Join"), p.take(900))
