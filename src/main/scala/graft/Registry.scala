@@ -27,6 +27,7 @@ object Registry {
       queries.TextQueries.qs ++
       queries.EventQueries.qs ++
       queries.StarQueries.qs ++
+      queries.TpchQueries.qs ++
       queries.EmbQueries.qs ++
       queries.DedupQueries.qs ++
       queries.MlQueries.qs ++

@@ -551,4 +551,45 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_avg") || p.contains("partial_sum"),
       p.take(900))
   }
+
+  test("Q6: all three predicates push to the parquet scan, 4-column read") {
+    val p = plan("star_q6_forecast_revenue")
+    // shipdate range, discount bounds, and quantity bound all reach the
+    // scan stage (the PushedFilters list is elided in toString, so the
+    // bounds are asserted via the scan-adjacent Filter + the pushdown
+    // list's visible prefix)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1600))
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)"), p.take(1600))
+    assert(p.contains("< 24.0)"), p.take(1600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("Q21 rewrite: one lineitem pass, no self-join, dims broadcast") {
+    val p = plan("star_q21_sole_late_supplier")
+    // the textbook EXISTS/NOT-EXISTS form needs three lineitem reads;
+    // the aggregate rewrite reads it once (plus orders + the supplier
+    // dim) and never self-joins lineitem
+    assert("FileScan parquet".r.findAllIn(p).size == 3, p.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("Q17: correlated per-part average is a window, not a self-join") {
+    val p = plan("star_q17_small_qty_revenue")
+    assert(p.contains("Window"), p.take(1200))
+    // exactly one lineitem scan + the brand-key broadcast side — the
+    // per-part stats never come from re-joining lineitem to itself
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p.take(1200))
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
+  test("Q10: customer enrichment joins the per-custkey aggregate, not facts") {
+    val p = plan("star_q10_returned_revenue")
+    // revenue aggregate (partial+final) sits BELOW the customer join;
+    // the returnflag filter reaches the lineitem scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || p.contains("EqualTo(l_returnflag,R)"), p.take(1600))
+    assert(p.contains("partial_sum"), p.take(1600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+  }
 }
