@@ -1508,6 +1508,79 @@ object EventQueries {
           |  exact_size * n_keys > n_rows * n_rows AS underestimated,
           |  round(CAST(exact_size AS DOUBLE) * n_keys
           |    / (n_rows * n_rows), 6) AS skew_ratio
-          |FROM agg""".stripMargin))
+          |FROM agg""".stripMargin)),
+
+    // Exact distinct users per type via the dense-bitmap aggregate
+    // (functions/BitmapAgg.scala) — the third point on the repo's
+    // distinct-count spectrum: countDistinct (exact, Expand-rewritten),
+    // approx_count_distinct (HLL, mergeable, ±rsd), and THIS (exact AND
+    // mergeable: map tasks OR 192-byte bitmaps instead of shipping one
+    // row per distinct id). The popcount runs post-aggregation over
+    // |types| rows. Scale: buffer = maxId/8 bytes per group — dense
+    // domains only (users here are 0..N dense); sparse/unbounded ids
+    // want roaring compression or the HLL twin instead.
+    Q(
+      "ev_bitmap_distinct",
+      (s, d) => {
+        val bitmap = udaf(new graft.functions.BitmapBuildAgg())
+        ev(s, d)
+          .filter(col("user_id").isNotNull)
+          .groupBy("event_type")
+          .agg(bitmap(col("user_id")).as("bm"))
+          .select(col("event_type"),
+            aggregate(col("bm"), lit(0L),
+              (acc, w) => acc + bit_count(w).cast("long")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events WHERE user_id IS NOT NULL
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Bitmap SET ALGEBRA on aggregates: exact |click ∩ purchase|,
+    // |click ∪ purchase| and Jaccard from the two group bitmaps alone —
+    // no re-scan, no self-join of the fact table (the classic
+    // segment-overlap question a bitmap index answers for free). The
+    // two 1-row bitmap aggregates cross-join (1×1), then zip_with
+    // AND/OR + popcount. The oracle has to re-touch the rows twice
+    // (INTERSECT of two DISTINCT subqueries); at scale the bitmap form
+    // reads the fact table once, ships 2 bitmaps, and the overlap math
+    // is O(maxId/64) on one executor.
+    Q(
+      "ev_bitmap_overlap",
+      (s, d) => {
+        val bitmap = udaf(new graft.functions.BitmapBuildAgg())
+        def bm(ty: String, alias: String) =
+          ev(s, d).filter(col("user_id").isNotNull &&
+            col("event_type") === ty)
+            .agg(bitmap(col("user_id")).as(alias))
+        def pop(c: org.apache.spark.sql.Column) =
+          aggregate(c, lit(0L), (acc, w) => acc + bit_count(w).cast("long"))
+        // zip_with pads the shorter array with nulls — coalesce to 0
+        def band(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          zip_with(a, b, (x, y) =>
+            coalesce(x, lit(0L)).bitwiseAND(coalesce(y, lit(0L))))
+        def bor(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          zip_with(a, b, (x, y) =>
+            coalesce(x, lit(0L)).bitwiseOR(coalesce(y, lit(0L))))
+        bm("click", "a").crossJoin(bm("purchase", "b"))
+          .select(
+            pop(band(col("a"), col("b"))).as("n_both"),
+            pop(bor(col("a"), col("b"))).as("n_either"),
+            round(pop(band(col("a"), col("b"))).cast("double") /
+              pop(bor(col("a"), col("b"))), 6).as("jaccard"))
+      },
+      Some(
+        """WITH a AS (SELECT DISTINCT user_id FROM events
+          |           WHERE user_id IS NOT NULL AND event_type = 'click'),
+          |     b AS (SELECT DISTINCT user_id FROM events
+          |           WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+          |     i AS (SELECT count(*) AS n_both
+          |           FROM (SELECT * FROM a INTERSECT SELECT * FROM b)),
+          |     u AS (SELECT count(*) AS n_either
+          |           FROM (SELECT * FROM a UNION SELECT * FROM b))
+          |SELECT n_both, n_either,
+          |  round(CAST(n_both AS DOUBLE) / n_either, 6) AS jaccard
+          |FROM i, u""".stripMargin))
   )
 }
