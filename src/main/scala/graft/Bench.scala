@@ -116,11 +116,29 @@ object Bench {
           None
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Full-precision per-query map → BENCH_FULL.json (cwd = repo root under
+    // the driver). The driver's log capture keeps only the last ~2000 chars
+    // of output, so the printed JSON line must FIT that window to parse:
+    // with 160+ queries the full map is ~5 KB and has been truncated-
+    // unparseable every round. Print the slowest queries (the ones that
+    // matter for grading tails) rounded to ms, capped at a byte budget;
+    // the full map lives in the file.
+    val fullQs = results.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    val budget = 1500 // chars for the "queries" map in the printed line
+    val slowest = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val kept = slowest
+      .scanLeft(0)((acc, s) => acc + s.length + 1)
+      .zip(slowest).takeWhile(_._1 < budget).map(_._2)
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries_shown":${kept.size},"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     CacheRegistry.clear(spark) // no pinned storage outlives the run
     spark.stop()
   }
