@@ -131,14 +131,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    val budget = 1500 // chars for the "queries" map in the printed line
+    // GLOBAL line cap, not a fixed queries-map budget: round 4 proved a
+    // long failed-list can push the line past the driver's ~2000-char
+    // tail window even with the map capped. Build the line's fixed parts
+    // first and give the queries map only the space that remains.
+    val lineCap = 1800
     val slowest = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def line(qs: String, shown: Int): String =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries_shown":$shown,"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val fixedLen = line("{}", 0).length
     val kept = slowest
       .scanLeft(0)((acc, s) => acc + s.length + 1)
-      .zip(slowest).takeWhile(_._1 < budget).map(_._2)
-    val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries_shown":${kept.size},"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+      .zip(slowest).takeWhile(_._1 < lineCap - fixedLen).map(_._2)
+    println(line(kept.mkString("{", ",", "}"), kept.size))
     CacheRegistry.clear(spark) // no pinned storage outlives the run
     spark.stop()
   }

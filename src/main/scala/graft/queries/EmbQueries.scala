@@ -818,47 +818,67 @@ object EmbQueries {
     // in for a train/serve or week-over-week split): per label, the
     // squared-L2 distance between the two halves' per-dim centroids —
     // the distribution-shift monitor a vector pipeline runs before
-    // trusting an index or a model refresh. Exactness: per-dim means
-    // round to 6 dp (bit-identical cross-engine, the proven
-    // emb_centroid_by_label contract), then are SCALED TO INTEGERS
-    // (x 1e6) so the 64-term sum of squared diffs is exact integer
-    // arithmetic — no float accumulation order can flip the result.
-    // Shape: one scan, one partial-agg'd shuffle on (label, dim), a
-    // |labels|-row re-agg — the corpus never moves twice.
+    // trusting an index or a model refresh. Exactness: EVERY step is
+    // integer arithmetic. Each value is scaled to a 1e-10-grid integer
+    // first (the float->double product v*1e10 is the same IEEE double on
+    // both engines, and both round ties away from zero; a binary
+    // fraction can never tie at a non-dyadic 5e-11 boundary anyway), the
+    // per-(label,dim,half) SUM and COUNT are exact int64, and the
+    // 6-dp-scaled mean is a half-away-from-zero integer division
+    // written out longhand ((2s+D) div 2D on the sign-normalized
+    // numerator) — round(avg(double)) was provably ulp-unstable here:
+    // a mean within one ulp of a 5e-7 boundary rounded opposite ways on
+    // Spark vs DuckDB and flipped the hash. Shape: one scan, one
+    // partial-agg'd shuffle on (label, dim), a |labels|-row re-agg —
+    // the corpus never moves twice.
     Q(
       "emb_drift_by_label",
       (s, d) => {
+        val m6 = (sc: String, n: String) =>
+          s"""CASE WHEN $sc >= 0 THEN (2 * $sc + $n * 10000) div (2 * $n * 10000)
+             |ELSE -((-2 * $sc + $n * 10000) div (2 * $n * 10000)) END""".stripMargin
         val cent = emb(s, d)
           .select(col("label"), (col("vec_id") % 2).as("half"),
             posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("vi",
+            round(col("v").cast("double") * 1e10, 0).cast("long"))
           .groupBy("label", "dim")
           .agg(
-            round(avg(when(col("half") === 0, col("v").cast("double"))), 6)
-              .as("ma"),
-            round(avg(when(col("half") === 1, col("v").cast("double"))), 6)
-              .as("mb"))
+            sum(when(col("half") === 0, col("vi"))).as("sa"),
+            count(when(col("half") === 0, lit(1))).as("na"),
+            sum(when(col("half") === 1, col("vi"))).as("sb"),
+            count(when(col("half") === 1, lit(1))).as("nb"))
           .select(col("label"),
-            round(col("ma") * 1e6, 0).cast("long").as("ma6"),
-            round(col("mb") * 1e6, 0).cast("long").as("mb6"))
+            expr(m6("sa", "na")).cast("long").as("ma6"),
+            expr(m6("sb", "nb")).cast("long").as("mb6"))
         cent.groupBy("label")
           .agg(sum((col("ma6") - col("mb6")) * (col("ma6") - col("mb6")))
             .as("drift_sq_um"))
           .orderBy("label")
       },
       Some(
-        """WITH cent AS (
-          |  SELECT label, CAST(i - 1 AS INT) AS dim,
-          |    CAST(round(round(avg(CASE WHEN vec_id % 2 = 0
-          |        THEN CAST(embedding[i] AS DOUBLE) END), 6) * 1e6, 0)
-          |      AS BIGINT) AS ma6,
-          |    CAST(round(round(avg(CASE WHEN vec_id % 2 = 1
-          |        THEN CAST(embedding[i] AS DOUBLE) END), 6) * 1e6, 0)
-          |      AS BIGINT) AS mb6
+        """WITH scaled AS (
+          |  SELECT label, vec_id % 2 AS half, CAST(i - 1 AS INT) AS dim,
+          |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e10, 0) AS BIGINT) AS vi
           |  FROM embeddings CROSS JOIN range(1, 65) r(i)
-          |  GROUP BY 1, 2
+          |), cent AS (
+          |  SELECT label, dim,
+          |    CAST(sum(CASE WHEN half = 0 THEN vi END) AS BIGINT) AS sa,
+          |    CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS na,
+          |    CAST(sum(CASE WHEN half = 1 THEN vi END) AS BIGINT) AS sb,
+          |    CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS nb
+          |  FROM scaled GROUP BY 1, 2
+          |), m AS (
+          |  SELECT label,
+          |    CASE WHEN sa >= 0 THEN (2 * sa + na * 10000) // (2 * na * 10000)
+          |      ELSE -((-2 * sa + na * 10000) // (2 * na * 10000)) END AS ma6,
+          |    CASE WHEN sb >= 0 THEN (2 * sb + nb * 10000) // (2 * nb * 10000)
+          |      ELSE -((-2 * sb + nb * 10000) // (2 * nb * 10000)) END AS mb6
+          |  FROM cent
           |)
-          |SELECT label, sum((ma6 - mb6) * (ma6 - mb6)) AS drift_sq_um
-          |FROM cent GROUP BY label ORDER BY label""".stripMargin)),
+          |SELECT label,
+          |  CAST(sum((ma6 - mb6) * (ma6 - mb6)) AS BIGINT) AS drift_sq_um
+          |FROM m GROUP BY label ORDER BY label""".stripMargin)),
 
     // IVF index health: per-cell population plus a balance flag (no
     // cell holds more than 2x the fair share). A skewed cell makes

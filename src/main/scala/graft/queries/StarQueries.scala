@@ -308,6 +308,51 @@ object StarQueries {
           |         = date_trunc('month', o.o_orderdate)) * CAST(3 AS DECIMAL(2,0))
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // The FAST PATH twin of star_above_avg_orders: identical rows, but
+    // the per-month total and count are WINDOW aggregates over one
+    // month partition instead of two correlated scalar subqueries.
+    // Catalyst turns the correlated form into two separate month-grouped
+    // aggregates of orders joined back — three scans of the fact table
+    // and two shuffles; this form scans orders ONCE and shuffles ONCE
+    // on the month key (PlanSpec pins the single-scan shape). At 100 TB
+    // the difference is two full fact-table passes. Same exact-DECIMAL
+    // cross-multiplied compare (price·2·n > sum·3), same documented
+    // width bounds as the correlated twin.
+    Q(
+      "star_above_avg_orders_win",
+      (s, d) => {
+        val w = Window.partitionBy(date_trunc("month", col("o_orderdate")))
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+            col("o_totalprice").cast(DecimalType(18, 4)).as("p"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+              .cast(DecimalType(30, 4)).as("msum"),
+            count(lit(1)).over(w).cast(DecimalType(8, 0)).as("mn"))
+          .filter(col("p") * lit(2).cast(DecimalType(1, 0)) * col("mn") >
+            col("msum") * lit(3).cast(DecimalType(2, 0)))
+          .select(col("o_orderkey"), col("month"),
+            col("p").cast("double").as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT o_orderkey,
+          |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+          |    CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+          |      OVER (PARTITION BY date_trunc('month', o_orderdate))
+          |      AS DECIMAL(30,4)) AS msum,
+          |    CAST(count(*)
+          |      OVER (PARTITION BY date_trunc('month', o_orderdate))
+          |      AS DECIMAL(8,0)) AS mn
+          |  FROM orders
+          |)
+          |SELECT o_orderkey, month, CAST(p AS DOUBLE) AS price
+          |FROM w
+          |WHERE p * CAST(2 AS DECIMAL(1,0)) * mn > msum * CAST(3 AS DECIMAL(2,0))
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // FULL OUTER join with asymmetric sides: nations' high-balance
     // customers vs low-balance suppliers. The acctbal filters make each
     // side miss nations the other has, so both null-extension

@@ -696,7 +696,10 @@ object TextQueries {
               graft.functions.NormTokens.column(col("text")))).as("term"))
           .groupBy("term")
           .agg(count(lit(1)).as("df"),
-            sort_array(collect_list(col("doc_id"))).as("postings"))
+            // scalar string, not array<long>: the driver's comparator
+            // sorts rows in pandas and cannot hash array cells
+            array_join(transform(sort_array(collect_list(col("doc_id"))),
+              _.cast("string")), ",").as("postings"))
           .filter(col("df") >= 20)
           .orderBy("term")
       },
@@ -704,7 +707,7 @@ object TextQueries {
         s"""$tokCte, posting AS (
            |  SELECT doc_id, unnest(list_distinct(tok)) AS term FROM t)
            |SELECT term, count(*) AS df,
-           |  list_sort(list(doc_id)) AS postings
+           |  array_to_string(list_sort(list(doc_id)), ',') AS postings
            |FROM posting GROUP BY term HAVING count(*) >= 20
            |ORDER BY term""".stripMargin)),
 

@@ -100,8 +100,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("ev_zorder_layout scan reads only the two dimension columns") {
     val p = plan("ev_zorder_layout")
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
-      p.take(800))
+    // shape-agnostic on ts's physical type (the testdata has shipped ts as
+    // raw nanos bigint, NTZ micros, and UTC micros across regenerations):
+    // assert the pruning itself — exactly ts + user_id reach the scan
+    val read = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.takeWhile(_ != ':').trim).toSet
+    assert(cols == Set("ts", "user_id"), s"ReadSchema was <$read>")
     assert(p.contains("partial_min"), p.take(800))
   }
 

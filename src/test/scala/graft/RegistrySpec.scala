@@ -45,6 +45,59 @@ class RegistrySpec extends AnyFunSuite {
     assert(n("doc_tfidf_top_terms") == 1500) // 500 docs x top-3
   }
 
+  // Guard against testdata-regeneration drift: the driver has shipped
+  // events.ts as raw-nanos int64, TIMESTAMP(MICROS, isAdjustedToUTC=false)
+  // (-> Spark TIMESTAMP_NTZ), and TIMESTAMP(MICROS, adjusted) across
+  // rounds; the NTZ shape silently broke 17 queries in round 4. Pin that
+  // Tables.events normalizes every shape to TimestampType with identical
+  // values, and that EVERY event-time query still analyzes (the round-4
+  // failure was an analysis-time CAST_WITHOUT_SUGGESTION) against an
+  // NTZ-shaped table.
+  test("events.ts normalizes across all three historical parquet shapes") {
+    import org.apache.spark.sql.types.TimestampType
+    import java.nio.file.{Files, Paths}
+    val epochS = 1704067200L // 2024-01-01T00:00:00Z
+    val roots = Seq("ntz", "utc", "rawlong").map { shape =>
+      val dir = Files.createTempDirectory(s"evshape_$shape")
+      // the non-events tables, linked so multi-table queries analyze too
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "documents", "embeddings"))
+        Files.createSymbolicLink(dir.resolve(s"$t.parquet"),
+          Paths.get(TestSpark.sf0001, s"$t.parquet"))
+      import spark.implicits._
+      val df = shape match {
+        case "ntz" =>
+          Seq((1L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0),
+            7L, "click", 1.5, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        case "utc" =>
+          Seq((1L, java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(epochS)),
+            7L, "click", 1.5, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        case _ =>
+          Seq((1L, epochS * 1000000000L, 7L, "click", 1.5, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      }
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("events.parquet").toString)
+      shape -> dir.toString
+    }
+    for ((shape, dir) <- roots) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType, s"shape=$shape")
+      val got = ev.select(org.apache.spark.sql.functions.col("ts")
+        .cast("long")).head.getLong(0)
+      assert(got == epochS, s"shape=$shape epoch=$got")
+    }
+    // every event-time query must at least pass analysis on the NTZ shape
+    val ntzDir = roots.toMap.apply("ntz")
+    Registry.all.filter(_.name.startsWith("ev_")).foreach { q =>
+      val df = q.build(spark, ntzDir)
+      assert(df.schema.nonEmpty, q.name) // forces analysis
+    }
+  }
+
   test("flagship entry returns data") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
