@@ -170,7 +170,10 @@ object DedupQueries {
     // set BEFORE any tokenize/shingle/array_distinct work runs
     val candIds = cand.select(col("a_id").as("doc_id"))
       .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
-    val sets = shingleSets(toksFor(s, dir, candIds))
+    // persisted: the sa and sb joins below each consume this frame, and
+    // without the persist the scan+semi-join+tokenize+shingle lineage
+    // runs once per side (measured ~1 s of the pair build's cold cost)
+    val sets = track(s, shingleSets(toksFor(s, dir, candIds)))
     val canonPairs = cand
       .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")

@@ -858,9 +858,14 @@ object EmbQueries {
       },
       Some(
         """WITH scaled AS (
+          |  -- parallel unnest, NOT range(1,65): posexplode emits nothing
+          |  -- for a short vector's missing dims, and the half-counts
+          |  -- below must not count a fixed range's NULL padding rows
           |  SELECT label, vec_id % 2 AS half, CAST(i - 1 AS INT) AS dim,
-          |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e10, 0) AS BIGINT) AS vi
-          |  FROM embeddings CROSS JOIN range(1, 65) r(i)
+          |    CAST(round(CAST(v AS DOUBLE) * 1e10, 0) AS BIGINT) AS vi
+          |  FROM (SELECT label, vec_id, unnest(embedding) AS v,
+          |          generate_subscripts(embedding, 1) AS i
+          |        FROM embeddings)
           |), cent AS (
           |  SELECT label, dim,
           |    CAST(sum(CASE WHEN half = 0 THEN vi END) AS BIGINT) AS sa,
@@ -1178,7 +1183,74 @@ object EmbQueries {
         }
         picked.select("pick", "vec_id", "rel", "mmr").orderBy("pick")
       },
-      Some(mmrSql))
+      Some(mmrSql)),
+
+    // Per-label OUTLIER vectors — the top-3 farthest members from each
+    // label's centroid, the audit that surfaces mislabeled or corrupt
+    // embeddings before a centroid/index refresh trusts them. EVERY
+    // step is exact integer arithmetic (the emb_drift_by_label
+    // contract): values snap to a 1e-6 grid, the centroid is a
+    // half-away-from-zero integer division of exact int64 sums, and
+    // distances are exact integer sums of squares — so the ranking has
+    // no float boundary to flip cross-engine (vec_id breaks exact
+    // ties). Shape at scale: one explode pass, one partial-agg'd
+    // shuffle on (label, dim) for the |labels|·|dims|-row centroid
+    // table (broadcast back), one re-agg per vector, and the per-label
+    // top-3 runs through the custom GroupedTopK operator — partial
+    // per-partition heaps, so at most 3 rows per label cross the final
+    // exchange.
+    Q(
+      "emb_centroid_outliers",
+      (s, d) => {
+        val ex = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("vi",
+            round(col("v").cast("double") * 1e6, 0).cast("long"))
+        val cent = ex.groupBy("label", "dim")
+          .agg(sum(col("vi")).as("sc"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            expr("""CASE WHEN sc >= 0 THEN (2 * sc + n) div (2 * n)
+                   |ELSE -((-2 * sc + n) div (2 * n)) END""".stripMargin)
+              .cast("long").as("c6"))
+        val d2 = ex.join(broadcast(cent), Seq("label", "dim"))
+          .groupBy("vec_id", "label")
+          .agg(sum((col("vi") - col("c6")) * (col("vi") - col("c6")))
+            .as("dist_sq_um"))
+        graft.plans.GroupedTopK(d2, Seq("label"),
+          Seq(d2("dist_sq_um").desc, d2("vec_id")), k = 3)
+          .select(col("label"), col("vec_id"), col("dist_sq_um"))
+          .orderBy("label", "vec_id")
+      },
+      Some(
+        """WITH ex AS (
+          |  -- parallel unnest, NOT range(1,65): posexplode emits nothing
+          |  -- for a short vector's missing dims, so the oracle must not
+          |  -- either (a fixed range pads NULL rows that count(*) counts)
+          |  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+          |    CAST(round(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT) AS vi
+          |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+          |          generate_subscripts(embedding, 1) AS i
+          |        FROM embeddings)
+          |), cent AS (
+          |  SELECT label, dim,
+          |    CASE WHEN sum(vi) >= 0
+          |      THEN (2 * CAST(sum(vi) AS BIGINT) + count(*))
+          |        // (2 * count(*))
+          |      ELSE -((-2 * CAST(sum(vi) AS BIGINT) + count(*))
+          |        // (2 * count(*))) END AS c6
+          |  FROM ex GROUP BY 1, 2
+          |), d2 AS (
+          |  SELECT vec_id, ex.label,
+          |    CAST(sum((vi - c6) * (vi - c6)) AS BIGINT) AS dist_sq_um
+          |  FROM ex JOIN cent USING (label, dim)
+          |  GROUP BY 1, 2
+          |)
+          |SELECT label, vec_id, dist_sq_um
+          |FROM d2
+          |QUALIFY row_number()
+          |  OVER (PARTITION BY label ORDER BY dist_sq_um DESC, vec_id) <= 3
+          |ORDER BY label, vec_id""".stripMargin))
   )
 
 

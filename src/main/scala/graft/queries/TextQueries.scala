@@ -947,7 +947,192 @@ object TextQueries {
            |    AS n_train_only,
            |  (SELECT count(*) FROM
            |    (SELECT term FROM vv EXCEPT SELECT term FROM tv))
-           |    AS n_val_only""".stripMargin))
+           |    AS n_val_only""".stripMargin)),
+
+    // Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 use
+    // duplicate-n-gram fractions as a core quality gate): per doc, the
+    // 2-gram total / distinct / max-frequency counts and the
+    // "repetitive" verdict as a cross-multiplied INTEGER compare
+    // (dup fraction > 20% ⟺ (n2 − n_distinct)·5 > n2) — no float at
+    // the boundary. Shape at scale: explode to 2-grams, ONE
+    // partial-agg'd shuffle on (doc_id, gram) — the gram key includes
+    // doc_id, so the shuffle is as wide as the corpus but never skewed
+    // by a globally-hot gram — then a map-side re-agg per doc.
+    Q(
+      "doc_gopher_repetition",
+      (s, d) =>
+        toks(s, d)
+          .filter(size(col("tok")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("tok")) - 1), i =>
+              concat_ws(" ", element_at(col("tok"), i),
+                element_at(col("tok"), i + 1)))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n_2grams"),
+            count(lit(1)).as("n_distinct"),
+            max(col("cnt")).as("max_2gram_freq"))
+          .withColumn("repetitive",
+            (col("n_2grams") - col("n_distinct")) * 5 > col("n_2grams"))
+          .orderBy("doc_id"),
+      Some(
+        s"""$tokCte, bi AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(range(1, len(tok)),
+           |      i -> tok[i] || ' ' || tok[i + 1])) AS g
+           |  FROM t WHERE len(tok) >= 2
+           |), c AS (
+           |  SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY 1, 2
+           |)
+           |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+           |  count(*) AS n_distinct,
+           |  CAST(max(cnt) AS BIGINT) AS max_2gram_freq,
+           |  (CAST(sum(cnt) AS BIGINT) - count(*)) * 5
+           |    > CAST(sum(cnt) AS BIGINT) AS repetitive
+           |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark DECONTAMINATION audit via 13-gram overlap — the
+    // industry-standard n-gram width (GPT-3 appendix C; The Pile;
+    // Llama 2) for detecting eval-set leakage into training data.
+    // Docs with doc_id % 50 = 0 stand in for the held-out benchmark;
+    // every other doc reports how many of its distinct 13-grams appear
+    // in ANY benchmark doc. Grams travel as md5 digests (compact,
+    // shuffle-friendly); the benchmark gram set is the small side and
+    // broadcasts, so the corpus is never shuffled — the scale shape of
+    // a real decontamination pass (eval suites are MBs, corpora are
+    // TBs). Docs under 13 tokens have no 13-grams and are vacuously
+    // clean (excluded, as in the reference implementations).
+    Q(
+      "doc_eval_overlap_13gram",
+      (s, d) => {
+        val g13 = toks(s, d)
+          .filter(size(col("tok")) >= 13)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              transform(sequence(lit(1), size(col("tok")) - 12), i =>
+                md5(concat_ws(" ", slice(col("tok"), i, lit(13)))))))
+              .as("g"))
+        val evalG = g13.filter(col("doc_id") % 50 === 0)
+          .select("g").distinct().withColumn("hit", lit(1))
+        g13.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(evalG), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_13grams"),
+            sum(coalesce(col("hit"), lit(0))).as("n_shared"))
+          .withColumn("contaminated", col("n_shared") > 0)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$tokCte, g AS (
+           |  SELECT doc_id,
+           |    unnest(list_distinct(list_transform(range(1, len(tok) - 11),
+           |      i -> md5(array_to_string(list_slice(tok, i, i + 12), ' ')))))
+           |      AS gr
+           |  FROM t WHERE len(tok) >= 13
+           |), ev AS (
+           |  SELECT DISTINCT gr FROM g WHERE doc_id % 50 = 0
+           |)
+           |SELECT doc_id, count(*) AS n_13grams,
+           |  CAST(count(ev.gr) AS BIGINT) AS n_shared,
+           |  count(ev.gr) > 0 AS contaminated
+           |FROM (SELECT * FROM g WHERE doc_id % 50 <> 0) tr
+           |LEFT JOIN ev USING (gr)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PII DENSITY audit per source — the corpus-provenance report a
+    // data-governance pass produces before release: per source, how
+    // many documents carry email-shaped or digit-run spans and at what
+    // density. Reuses the exact char-class regexes of doc_redact (no
+    // backslash classes, so Java regex and DuckDB's RE2 agree
+    // match-for-match). The heavy flag is a cross-multiplied integer
+    // compare (>20% of docs carry an email ⟺ n_docs_with_email·5 >
+    // n_docs). One narrow codegen'd map + one |sources|-row agg — the
+    // audit is scan-speed at any corpus size.
+    Q(
+      "doc_pii_density",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(col("source"),
+            size(expr(
+              "regexp_extract_all(coalesce(text, ''), " +
+                "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)")).as("ne"),
+            size(expr(
+              "regexp_extract_all(coalesce(text, ''), '[0-9]+', 0)"))
+              .as("nn"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ne")).as("n_emails"),
+            sum(col("nn")).as("n_num_runs"),
+            sum(when(col("ne") > 0, 1).otherwise(0)).as("n_docs_with_email"),
+            sum(when(col("nn") > 0, 1).otherwise(0)).as("n_docs_with_nums"))
+          .withColumn("email_heavy",
+            col("n_docs_with_email") * 5 > col("n_docs"))
+          .orderBy("source"),
+      Some(
+        """WITH m AS (
+          |  SELECT source,
+          |    len(regexp_extract_all(coalesce(text, ''),
+          |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS ne,
+          |    len(regexp_extract_all(coalesce(text, ''), '[0-9]+')) AS nn
+          |  FROM documents
+          |)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(ne) AS BIGINT) AS n_emails,
+          |  CAST(sum(nn) AS BIGINT) AS n_num_runs,
+          |  CAST(count(CASE WHEN ne > 0 THEN 1 END) AS BIGINT)
+          |    AS n_docs_with_email,
+          |  CAST(count(CASE WHEN nn > 0 THEN 1 END) AS BIGINT)
+          |    AS n_docs_with_nums,
+          |  CAST(count(CASE WHEN ne > 0 THEN 1 END) AS BIGINT) * 5
+          |    > count(*) AS email_heavy
+          |FROM m GROUP BY source ORDER BY source""".stripMargin)),
+
+    // 8-gram NOVELTY curve — per doc, what fraction of its distinct
+    // 8-grams first appear in it (no earlier doc_id contains them).
+    // This is the marginal-new-content measure a data-curriculum uses
+    // to decide how much an additional source actually adds beyond
+    // what is already collected. Shape at scale: distinct per-doc
+    // grams travel as md5 digests through ONE shuffle on the gram key
+    // (the first-seer is a min window over that partition), then a
+    // per-doc re-agg; the novelty ratio divides two exact int64 counts
+    // and rounds at 6 dp.
+    Q(
+      "doc_ngram_novelty",
+      (s, d) => {
+        val g = toks(s, d)
+          .filter(size(col("tok")) >= 8)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              transform(sequence(lit(1), size(col("tok")) - 7), i =>
+                md5(concat_ws(" ", slice(col("tok"), i, lit(8)))))))
+              .as("g"))
+        val w = Window.partitionBy("g")
+        g.withColumn("first_doc", min(col("doc_id")).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_8grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+              .as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel").cast("double") / col("n_8grams"), 6))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$tokCte, g AS (
+           |  SELECT doc_id,
+           |    unnest(list_distinct(list_transform(range(1, len(tok) - 6),
+           |      i -> md5(array_to_string(list_slice(tok, i, i + 7), ' ')))))
+           |      AS gr
+           |  FROM t WHERE len(tok) >= 8
+           |), f AS (
+           |  SELECT doc_id, min(doc_id) OVER (PARTITION BY gr) AS first_doc
+           |  FROM g
+           |)
+           |SELECT doc_id, count(*) AS n_8grams,
+           |  CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) AS BIGINT)
+           |    AS n_novel,
+           |  round(CAST(count(CASE WHEN first_doc = doc_id THEN 1 END)
+           |      AS DOUBLE) / count(*), 6) AS novelty
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match

@@ -98,6 +98,45 @@ class PlanSpec extends AnyFunSuite {
       p.contains("count(distinct"), p.take(800))
   }
 
+  test("star_above_avg_orders_win scans orders exactly once") {
+    // the correlated twin pays three fact scans (Catalyst decorrelates
+    // each scalar subquery into its own month aggregate + join); the
+    // window form is pinned to one scan + one month-key exchange
+    val p = plan("star_above_avg_orders_win")
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    // and the correlated twin really is the multi-scan rewrite exercise
+    // (Catalyst decorrelates each scalar subquery into its own aggregate
+    // + join, plus count-bug handling — 5 fact scans on Spark 4.1)
+    val corr = plan("star_above_avg_orders")
+    assert("FileScan".r.findAllIn(corr).size >= 3, corr.take(800))
+  }
+
+  test("13-gram decontamination broadcasts the eval gram set") {
+    // the corpus side must never shuffle: the only join is a broadcast
+    // of the (small) benchmark gram set into the train-side explode
+    val p = plan("doc_eval_overlap_13gram")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("centroid outliers: GroupedTopK bounds the per-label ranking") {
+    val p = plan("emb_centroid_outliers")
+    assert(p.contains("GroupedTopK"), p.take(800))
+    // the centroid table broadcasts back; the corpus-sized explode never
+    // sort-merge-joins
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("pii density is scan + one aggregation, no join") {
+    val p = plan("doc_pii_density")
+    assert(!p.contains("Join"), p.take(600))
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(600))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(600))
+  }
+
   test("ev_zorder_layout scan reads only the two dimension columns") {
     val p = plan("ev_zorder_layout")
     // shape-agnostic on ts's physical type (the testdata has shipped ts as
