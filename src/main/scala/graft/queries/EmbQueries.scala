@@ -1250,7 +1250,92 @@ object EmbQueries {
           |FROM d2
           |QUALIFY row_number()
           |  OVER (PARTITION BY label ORDER BY dist_sq_um DESC, vec_id) <= 3
-          |ORDER BY label, vec_id""".stripMargin))
+          |ORDER BY label, vec_id""".stripMargin)),
+
+    // IVF PROBE SWEEP — the recall-vs-cost tuning curve an index
+    // operator actually reads before fixing nprobe: for each probe
+    // depth 1..3, the candidate count (cost axis) and recall@5 against
+    // the exact brute-force top-5 (quality axis). emb_recall_eval
+    // measures the one shipped operating point (nprobe=2); this is the
+    // curve around it. The expensive work happens ONCE: the cosine pass
+    // runs over the union of the 3 probed cells (qrn <= 3, persisted),
+    // and each sweep point is a bounded top-5 + count over that frame —
+    // never a re-scan. Same shared ivfRanked assignment lineage as
+    // emb_ivf_ann / emb_cell_balance on both engines, so the sweep can
+    // never drift from the index it tunes. recall_pct = n_hits·20 keeps
+    // the quality axis integer-exact.
+    Q(
+      "emb_ivf_probe_sweep",
+      (s, d) => {
+        val e = emb(s, d)
+        val ranked = ivfRanked(s, d)
+        val cells = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("cell"))
+        val qRank = broadcast(ranked.filter(col("vec_id") === 0)
+          .select(col("c_label").as("cell"), col("rn").as("qrn")))
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val sims = graft.CacheRegistry.track(s,
+          e.join(cells, "vec_id").join(qRank, "cell")
+            .filter(col("vec_id") =!= 0 && col("qrn") <= 3)
+            .crossJoin(qv)
+            .select(col("vec_id"), col("qrn"),
+              round(cosine(col("embedding"), col("qv")), 6).as("sim")))
+        val exact5 = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("es"))
+          .orderBy(col("es").desc, col("vec_id")).limit(5)
+          .select("vec_id")
+        val rows = (1 to 3).map { p =>
+          val candp = sims.filter(col("qrn") <= p)
+          val nc = candp.agg(count(lit(1)).as("n_candidates"))
+          val nh = candp.orderBy(col("sim").desc, col("vec_id")).limit(5)
+            .join(exact5, "vec_id").agg(count(lit(1)).as("n_hits"))
+          nc.crossJoin(nh).select(lit(p).as("nprobe"),
+            col("n_candidates"), col("n_hits"),
+            (col("n_hits") * 20).as("recall_pct"))
+        }
+        rows.reduce(_ unionByName _).orderBy("nprobe")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, qrank AS (
+           |  SELECT label AS cell, rn AS qrn FROM ranked WHERE vec_id = 0
+           |), qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), sims AS (
+           |  SELECT e.vec_id, q.qrn,
+           |    ${cosSql("e.embedding", "qv.qv")} AS sim
+           |  FROM embeddings e
+           |  JOIN cells c ON c.vec_id = e.vec_id
+           |  JOIN qrank q ON q.cell = c.cell
+           |  CROSS JOIN qv
+           |  WHERE e.vec_id <> 0 AND q.qrn <= 3
+           |), exact5 AS (
+           |  SELECT e.vec_id FROM embeddings e CROSS JOIN qv
+           |  WHERE e.vec_id <> 0
+           |  ORDER BY ${cosSql("e.embedding", "qv.qv")} DESC, e.vec_id
+           |  LIMIT 5
+           |), probes AS (
+           |  SELECT unnest([1, 2, 3]) AS nprobe
+           |), top5 AS (
+           |  SELECT p.nprobe, s.vec_id,
+           |    row_number() OVER (PARTITION BY p.nprobe
+           |      ORDER BY s.sim DESC, s.vec_id) AS r
+           |  FROM probes p JOIN sims s ON s.qrn <= p.nprobe
+           |), cand AS (
+           |  SELECT p.nprobe, count(*) AS n_candidates
+           |  FROM probes p JOIN sims s ON s.qrn <= p.nprobe GROUP BY 1
+           |), hits AS (
+           |  SELECT t.nprobe, count(e.vec_id) AS n_hits
+           |  FROM top5 t LEFT JOIN exact5 e USING (vec_id)
+           |  WHERE t.r <= 5 GROUP BY 1
+           |)
+           |SELECT CAST(c.nprobe AS INT) AS nprobe,
+           |  CAST(c.n_candidates AS BIGINT) AS n_candidates,
+           |  CAST(h.n_hits AS BIGINT) AS n_hits,
+           |  CAST(h.n_hits * 20 AS BIGINT) AS recall_pct
+           |FROM cand c JOIN hits h USING (nprobe)
+           |ORDER BY nprobe""".stripMargin))
   )
 
 

@@ -1087,6 +1087,68 @@ object TextQueries {
           |    > count(*) AS email_heavy
           |FROM m GROUP BY source ORDER BY source""".stripMargin)),
 
+    // DSIR-style importance weights (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS 2023): score
+    // every document by how much more likely its tokens are under the
+    // TARGET domain's unigram distribution (the lang='en' slice) than
+    // under the raw-corpus distribution — the weight a pipeline
+    // resamples by to tilt a crawl toward a target domain. Same DYADIC
+    // log as the surprisal family (floor-log2 via bin-string length —
+    // pure integer cross-engine): log2 w(doc) = Σ_t [⌊log2(c_tgt+1)⌋ −
+    // ⌊log2(c_raw+1)⌋] + n·K with K = ⌊log2(T_raw+V_raw)⌋ −
+    // ⌊log2(T_tgt+V_tgt)⌋ the add-1 normalization constant. Scale
+    // shape: BOTH distributions come from ONE vocabulary-keyed partial-
+    // agg'd shuffle (c_tgt is a conditional count in the same pass),
+    // the 2-scalar stats broadcast, the per-token join keys on the
+    // Heaps-law-sublinear vocabulary, and the per-doc rollup is one
+    // more partial-agg'd shuffle. An empty target slice degrades to a
+    // constant weight identically on both engines, not an error.
+    Q(
+      "doc_dsir_weights",
+      (s, d) => {
+        val ex = toks(s, d)
+          .select(col("doc_id"), col("lang"), explode(col("tok")).as("term"))
+        val tf = ex.groupBy("term")
+          .agg(count(lit(1)).as("c_raw"),
+            count(when(col("lang") === "en", lit(1))).as("c_tgt"))
+        val stats = tf.agg(
+          (length(bin(sum(col("c_raw")) + count(lit(1)))) -
+            length(bin(sum(col("c_tgt")) +
+              count(when(col("c_tgt") > 0, lit(1)))))).as("k"))
+        ex.join(tf, "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("s",
+            length(bin(col("c_tgt") + 1)) - length(bin(col("c_raw") + 1)) +
+              col("k"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("s")).as("log2_weight"))
+          .withColumn("target_like", col("log2_weight") >= 0)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$tokCte, ex AS (
+           |  SELECT doc_id, lang, unnest(tok) AS term FROM t
+           |), tf AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS c_raw,
+           |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+           |      AS c_tgt
+           |  FROM ex GROUP BY 1
+           |), stats AS (
+           |  SELECT CAST(length(bin(CAST(sum(c_raw) + count(*) AS BIGINT)))
+           |    - length(bin(CAST(sum(c_tgt)
+           |        + count(CASE WHEN c_tgt > 0 THEN 1 END) AS BIGINT)))
+           |    AS BIGINT) AS k
+           |  FROM tf
+           |)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(length(bin(c_tgt + 1)) - length(bin(c_raw + 1)) + k)
+           |    AS BIGINT) AS log2_weight,
+           |  CAST(sum(length(bin(c_tgt + 1)) - length(bin(c_raw + 1)) + k)
+           |    AS BIGINT) >= 0 AS target_like
+           |FROM ex JOIN tf USING (term) CROSS JOIN stats
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // 8-gram NOVELTY curve — per doc, what fraction of its distinct
     // 8-grams first appear in it (no earlier doc_id contains them).
     // This is the marginal-new-content measure a data-curriculum uses
