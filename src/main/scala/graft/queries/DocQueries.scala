@@ -262,18 +262,43 @@ object DocQueries {
            |SELECT sentiment, n, n * 100.0 / sum(n) OVER () AS pct
            |FROM g ORDER BY sentiment""".stripMargin)),
 
-    // G1 + G4: total count and mean polarity (streamlit_app.py:159,215);
-    // avg is decimal-order-independent via rounding
+    // G1 + G4: total count and mean polarity (streamlit_app.py:159,215).
+    // ULP-IMMUNE mean, not round(avg(double), 6): each engine's partial-
+    // aggregation order can land an order-dependent double sum one ulp
+    // either side of a 5e-7 rounding boundary and flip the 6th dp (the
+    // emb_drift_by_label round-4 bug class). Each polarity snaps to a
+    // 1e-10 grid (one IEEE multiply + half-away round of the identical
+    // double — deterministic), the sum/count are exact int64, and the
+    // 6-dp mean is a half-away-from-zero integer division — within
+    // 5e-11 of the true mean, bit-identical cross-engine.
     Q(
       "doc_avg_polarity",
       (s, d) =>
-        scored(s, d).agg(
-          count(lit(1)).as("n_docs"),
-          round(avg(col("polarity")), 6).as("avg_polarity")),
+        scored(s, d)
+          .withColumn("pi",
+            round(col("polarity").cast("double") * 1e10, 0).cast("long"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            expr(
+              """CAST(CASE WHEN sum(pi) >= 0
+                |  THEN (2 * sum(pi) + count(pi) * 10000)
+                |    div (2 * count(pi) * 10000)
+                |  ELSE -((-2 * sum(pi) + count(pi) * 10000)
+                |    div (2 * count(pi) * 10000)) END AS DOUBLE) / 1e6"""
+                .stripMargin).as("avg_polarity")),
       Some(
-        s"""$cte SELECT count(*) AS n_docs,
-           |  round(avg(polarity), 6) AS avg_polarity
-           |FROM scored""".stripMargin)),
+        s"""$cte, p AS (
+           |  SELECT CAST(round(CAST(polarity AS DOUBLE) * 1e10, 0)
+           |    AS BIGINT) AS pi
+           |  FROM scored)
+           |SELECT count(*) AS n_docs,
+           |  CAST(CASE WHEN sum(pi) >= 0
+           |    THEN (2 * CAST(sum(pi) AS BIGINT) + count(pi) * 10000)
+           |      // (2 * count(pi) * 10000)
+           |    ELSE -((-2 * CAST(sum(pi) AS BIGINT) + count(pi) * 10000)
+           |      // (2 * count(pi) * 10000)) END AS DOUBLE) / 1e6
+           |    AS avg_polarity
+           |FROM p""".stripMargin)),
 
     // G6: fixed-width 30-bin histogram of polarity over [-1, 1]
     // (streamlit_app.py:290–296)

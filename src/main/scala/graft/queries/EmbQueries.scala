@@ -77,6 +77,43 @@ object EmbQueries {
     s"round(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN 0.0 " +
       s"ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END, 6)"
 
+  /** ULP-IMMUNE 6-dp mean — the replacement for `round(avg(v), 6)` on
+    * embedding-valued doubles. round(avg(double)) is order-dependent:
+    * each engine's partial-aggregation order can land the mean one ulp
+    * either side of a 5e-7 rounding boundary and flip the 6th dp (the
+    * bug that hash-failed emb_drift_by_label in round 4 — every
+    * centroid/codebook here shares that exposure, and a codebook flip
+    * cascades into every assignment-derived query). Exact form: each
+    * value snaps to the 1e-6 grid first (one IEEE multiply + half-away
+    * round of the SAME double on both engines — deterministic; ties
+    * can't occur at the non-dyadic 5e-11 boundary), the sum/count are
+    * exact int64, the grid mean is a half-away-from-zero integer
+    * division written out longhand, and the result maps back to double
+    * exactly (one correctly-rounded division of identical integers).
+    * Null-safe like avg: count(vi) skips null padding, empty groups
+    * yield NULL. [[mean6Expr]] is the Spark aggregate-expression form
+    * over a pre-snapped `vi` column, [[mean6Sql]] the DuckDB twin, and
+    * [[snap6]]/[[snap6Sql]] the per-value grid snap.
+    */
+  private def snap6(v: Column): Column =
+    round(v.cast("double") * 1e6, 0).cast("long")
+  private def snap6Sql(v: String): String =
+    s"CAST(round(CAST($v AS DOUBLE) * 1e6, 0) AS BIGINT)"
+  private def mean6Expr(vi: String): String =
+    s"""CASE WHEN count($vi) = 0 THEN CAST(NULL AS DOUBLE)
+       |ELSE CAST(CASE WHEN sum($vi) >= 0
+       |  THEN (2 * sum($vi) + count($vi)) div (2 * count($vi))
+       |  ELSE -((-2 * sum($vi) + count($vi)) div (2 * count($vi))) END
+       |  AS DOUBLE) / 1e6 END""".stripMargin
+  private def mean6Sql(vi: String): String =
+    s"""CASE WHEN count($vi) = 0 THEN CAST(NULL AS DOUBLE)
+       |ELSE CAST(CASE WHEN sum($vi) >= 0
+       |  THEN (2 * CAST(sum($vi) AS BIGINT) + count($vi))
+       |    // (2 * count($vi))
+       |  ELSE -((-2 * CAST(sum($vi) AS BIGINT) + count($vi))
+       |    // (2 * count($vi))) END
+       |  AS DOUBLE) / 1e6 END""".stripMargin
+
   /** Sign-LSH signature shared by the ANN query and the embedding
     * near-dup pair query: SigBits fixed integer hyperplanes, banded into
     * SigBands bands for candidate generation (a truly-similar pair
@@ -172,8 +209,9 @@ object EmbQueries {
     // codebook: label -> rounded centroid vector
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vi", snap6(col("v")))
       .groupBy("label", "dim")
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .agg(expr(mean6Expr("vi")).as("cv"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
@@ -215,10 +253,10 @@ object EmbQueries {
   private def ivfCellsCte: String =
     s"""expl AS (
        |  SELECT label, CAST(i - 1 AS INT) AS dim,
-       |    CAST(embedding[i] AS DOUBLE) AS v
+       |    ${snap6Sql("embedding[i]")} AS vi
        |  FROM embeddings CROSS JOIN range(1, 65) r(i)
        |), cdim AS (
-       |  SELECT label, dim, round(avg(v), 6) AS cv
+       |  SELECT label, dim, ${mean6Sql("vi")} AS cv
        |  FROM expl GROUP BY 1, 2
        |), cent AS (
        |  SELECT label,
@@ -309,14 +347,16 @@ object EmbQueries {
         emb(s, d)
           .select(col("label"), posexplode(col("embedding"))
             .as(Seq("dim", "v")))
+          .withColumn("vi", snap6(col("v")))
           .groupBy("label", "dim")
-          .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
+          .agg(expr(mean6Expr("vi")).as("centroid_v"))
           .orderBy("label", "dim"),
       Some(
-        """SELECT label, CAST(i - 1 AS INT) AS dim,
-          |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
-          |FROM embeddings CROSS JOIN range(1, 65) r(i)
-          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
+        s"""SELECT label, dim, ${mean6Sql("vi")} AS centroid_v
+           |FROM (SELECT label, CAST(i - 1 AS INT) AS dim,
+           |        ${snap6Sql("embedding[i]")} AS vi
+           |      FROM embeddings CROSS JOIN range(1, 65) r(i))
+           |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
 
     // LSH-bucketed approximate NN — the scale path for similarity search.
     // SigBits deterministic integer hyperplanes hash each vector to a
@@ -658,8 +698,9 @@ object EmbQueries {
         val m1 = pqArgmin(sub, c0).select(col("j"), col("cid"), col("sv"))
         val c1 = m1
           .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+          .withColumn("vi", snap6(col("v")))
           .groupBy("j", "cid", "dim")
-          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+          .agg(expr(mean6Expr("vi")).as("cv"))
           .groupBy("j", "cid")
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
             x => x.getField("cv")).as("cvec"))
@@ -697,9 +738,11 @@ object EmbQueries {
            |), m1 AS (
            |  SELECT j, cid, sv FROM a1 WHERE rn = 1
            |), cd AS (
-           |  SELECT j, cid, CAST(i - 1 AS INT) AS dim,
-           |    round(avg(CAST(sv[i] AS DOUBLE)), 6) AS cv
-           |  FROM m1 CROSS JOIN range(1, ${PqDim + 1}) r(i) GROUP BY 1, 2, 3
+           |  SELECT j, cid, dim, ${mean6Sql("vi")} AS cv
+           |  FROM (SELECT j, cid, CAST(i - 1 AS INT) AS dim,
+           |          ${snap6Sql("sv[i]")} AS vi
+           |        FROM m1 CROSS JOIN range(1, ${PqDim + 1}) r(i))
+           |  GROUP BY 1, 2, 3
            |), c1 AS (
            |  SELECT j, cid,
            |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))),
@@ -1067,8 +1110,9 @@ object EmbQueries {
         val e = emb(s, d)
         val cent0 = e.filter(col("label") === 0)
           .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("vi", snap6(col("v")))
           .groupBy("dim")
-          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+          .agg(expr(mean6Expr("vi")).as("cv"))
           .agg(transform(
             array_sort(collect_list(struct(col("dim"), col("cv")))),
             x => x.getField("cv")).as("cvec"))
@@ -1095,10 +1139,12 @@ object EmbQueries {
       },
       Some(
         s"""WITH c0 AS (
-           |  SELECT CAST(i - 1 AS INT) AS dim,
-           |    round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
-           |  FROM embeddings CROSS JOIN range(1, 65) r(i)
-           |  WHERE label = 0 GROUP BY 1
+           |  SELECT dim, ${mean6Sql("vi")} AS cv
+           |  FROM (SELECT CAST(i - 1 AS INT) AS dim,
+           |          ${snap6Sql("embedding[i]")} AS vi
+           |        FROM embeddings CROSS JOIN range(1, 65) r(i)
+           |        WHERE label = 0)
+           |  GROUP BY 1
            |), cent AS (
            |  SELECT list_transform(
            |    list_sort(list(struct_pack(dim := dim, cv := cv))),
@@ -1462,12 +1508,13 @@ object EmbQueries {
       .filter(col("rn") === 1)
   }
 
-  /** K x 64 codebook from member vectors: rounded per-dim means */
+  /** K x 64 codebook from member vectors: ulp-immune per-dim means */
   private def centroidsOf(members: DataFrame): DataFrame =
     members
       .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vi", snap6(col("v")))
       .groupBy("cid", "dim")
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .agg(expr(mean6Expr("vi")).as("cv"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
@@ -1512,9 +1559,11 @@ object EmbQueries {
        |), m1 AS (
        |  SELECT cid, embedding FROM a1 WHERE rn = 1
        |), cd AS (
-       |  SELECT cid, CAST(i - 1 AS INT) AS dim,
-       |    round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
-       |  FROM m1 CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2
+       |  SELECT cid, dim, ${mean6Sql("vi")} AS cv
+       |  FROM (SELECT cid, CAST(i - 1 AS INT) AS dim,
+       |          ${snap6Sql("embedding[i]")} AS vi
+       |        FROM m1 CROSS JOIN range(1, 65) r(i))
+       |  GROUP BY 1, 2
        |), c1 AS (
        |  SELECT cid,
        |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))),
