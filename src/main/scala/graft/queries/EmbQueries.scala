@@ -95,17 +95,17 @@ object EmbQueries {
     * over a pre-snapped `vi` column, [[mean6Sql]] the DuckDB twin, and
     * [[snap6]]/[[snap6Sql]] the per-value grid snap.
     */
-  private def snap6(v: Column): Column =
+  private[graft] def snap6(v: Column): Column =
     round(v.cast("double") * 1e6, 0).cast("long")
-  private def snap6Sql(v: String): String =
+  private[graft] def snap6Sql(v: String): String =
     s"CAST(round(CAST($v AS DOUBLE) * 1e6, 0) AS BIGINT)"
-  private def mean6Expr(vi: String): String =
+  private[graft] def mean6Expr(vi: String): String =
     s"""CASE WHEN count($vi) = 0 THEN CAST(NULL AS DOUBLE)
        |ELSE CAST(CASE WHEN sum($vi) >= 0
        |  THEN (2 * sum($vi) + count($vi)) div (2 * count($vi))
        |  ELSE -((-2 * sum($vi) + count($vi)) div (2 * count($vi))) END
        |  AS DOUBLE) / 1e6 END""".stripMargin
-  private def mean6Sql(vi: String): String =
+  private[graft] def mean6Sql(vi: String): String =
     s"""CASE WHEN count($vi) = 0 THEN CAST(NULL AS DOUBLE)
        |ELSE CAST(CASE WHEN sum($vi) >= 0
        |  THEN (2 * CAST(sum($vi) AS BIGINT) + count($vi))

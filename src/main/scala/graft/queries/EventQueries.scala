@@ -409,26 +409,58 @@ object EventQueries {
            |FROM zv GROUP BY 1 ORDER BY z_bucket""".stripMargin
       }),
 
-    // Distribution stats per type: exact decimal sum/avg plus sample
-    // stddev (rounded — variance accumulation is order-dependent) and
-    // min/max (exact)
+    // Distribution stats per type: exact decimal sum, min/max (exact),
+    // and a ULP-IMMUNE sample stddev. stddev_samp's variance
+    // accumulation is merge-order-dependent (the emb_drift_by_label
+    // round-4 bug class), so the moments are computed EXACTLY instead:
+    // values snap to a 1e-6 grid (one deterministic IEEE multiply +
+    // half-away round), Σv is exact int64, Σv² exact DECIMAL(38,0)/
+    // HUGEINT, and var = (n·Σv² − (Σv)²)/(n(n−1)) — an exact
+    // non-negative rational by Cauchy–Schwarz — converts to double
+    // through single correctly-rounded ops (cast, divide, sqrt), so
+    // both engines see identical bits. n<2 yields NULL like
+    // stddev_samp.
     Q(
       "ev_value_stats",
       (s, d) =>
-        ev(s, d).groupBy("event_type")
+        ev(s, d)
+          .withColumn("vi",
+            round(col("value").cast("double") * 1e6, 0).cast("long"))
+          .groupBy("event_type")
           .agg(
             count(lit(1)).as("n"),
             min(col("value")).as("min_v"),
             max(col("value")).as("max_v"),
             dsum(col("value")).as("sum_v"),
-            round(stddev_samp(col("value")), 6).as("sd_v"))
+            sum(col("vi")).as("s1"),
+            sum(col("vi").cast("decimal(19,0)") *
+              col("vi").cast("decimal(19,0)")).as("s2"))
+          .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+            col("sum_v"),
+            when(col("n") < 2, lit(null).cast("double"))
+              .otherwise(round(
+                sqrt((col("n").cast("decimal(12,0)") * col("s2") -
+                  col("s1").cast("decimal(19,0)") *
+                    col("s1").cast("decimal(19,0)")).cast("double") /
+                  (col("n") * (col("n") - 1)).cast("double")) / 1e6, 6))
+              .as("sd_v"))
           .orderBy("event_type"),
       Some(
         s"""SELECT event_type, count(*) AS n,
            |  min(value) AS min_v, max(value) AS max_v,
            |  ${dsumSql("value")} AS sum_v,
-           |  round(stddev_samp(value), 6) AS sd_v
-           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+           |  CASE WHEN count(*) < 2 THEN NULL
+           |    ELSE round(sqrt(
+           |      CAST(count(*) * sum(CAST(vi AS HUGEINT) * vi)
+           |        - CAST(sum(vi) AS HUGEINT) * CAST(sum(vi) AS HUGEINT)
+           |        AS DOUBLE)
+           |      / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 1e6, 6)
+           |    END AS sd_v
+           |FROM (SELECT event_type, value,
+           |        CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT)
+           |          AS vi
+           |      FROM events)
+           |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     // Exact interpolated percentiles (the reference has no percentile
     // surface at all — SURVEY §2.5 negative finding); Spark `percentile`

@@ -35,6 +35,10 @@ object StarQueries {
             dsum(col("l_extendedprice")).as("sum_base_price"),
             dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
               .as("sum_disc_price"),
+            // round(avg) is exempt from the ulp-immune-mean rule here:
+            // l_quantity is integer-valued (1..50), so the double sum is
+            // EXACT at any accumulation order (≪ 2^53) and the mean is
+            // one correctly-rounded division of identical values
             round(avg(col("l_quantity")), 6).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
