@@ -1369,8 +1369,11 @@ object EmbQueries {
            |      ORDER BY s.sim DESC, s.vec_id) AS r
            |  FROM probes p JOIN sims s ON s.qrn <= p.nprobe
            |), cand AS (
-           |  SELECT p.nprobe, count(*) AS n_candidates
-           |  FROM probes p JOIN sims s ON s.qrn <= p.nprobe GROUP BY 1
+           |  -- LEFT joins from the depth spine: the Spark side's global
+           |  -- aggregates emit a row even for an empty depth, so the
+           |  -- oracle must too (count(col) over no matches -> 0)
+           |  SELECT p.nprobe, count(s.vec_id) AS n_candidates
+           |  FROM probes p LEFT JOIN sims s ON s.qrn <= p.nprobe GROUP BY 1
            |), hits AS (
            |  SELECT t.nprobe, count(e.vec_id) AS n_hits
            |  FROM top5 t LEFT JOIN exact5 e USING (vec_id)
@@ -1378,10 +1381,102 @@ object EmbQueries {
            |)
            |SELECT CAST(c.nprobe AS INT) AS nprobe,
            |  CAST(c.n_candidates AS BIGINT) AS n_candidates,
-           |  CAST(h.n_hits AS BIGINT) AS n_hits,
-           |  CAST(h.n_hits * 20 AS BIGINT) AS recall_pct
-           |FROM cand c JOIN hits h USING (nprobe)
-           |ORDER BY nprobe""".stripMargin))
+           |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  CAST(coalesce(h.n_hits, 0) * 20 AS BIGINT) AS recall_pct
+           |FROM cand c LEFT JOIN hits h USING (nprobe)
+           |ORDER BY nprobe""".stripMargin)),
+
+    // LSH BAND-DEPTH SWEEP — the banding twin of emb_ivf_probe_sweep:
+    // for each probe depth b = 1..4, the candidate volume and exact
+    // recall@5 when a vector qualifies by sharing any of the FIRST b
+    // 8-bit bands with the query. This is the curve that justifies the
+    // 4x8 recall-first ANN read of the 32-bit signature (vs the 2x16
+    // precision-first pair-mining read — see the SigBits scaladoc). The
+    // cosine pass runs ONCE over the union of all four bands'
+    // candidates, tagged with each vector's minimal matching band;
+    // every sweep point is a bounded top-5 over that persisted frame.
+    // Ragged/null vectors have NULL signatures on both engines (the
+    // LshSig strict contract) and drop out identically.
+    Q(
+      "emb_lsh_band_sweep",
+      (s, d) => {
+        val e = emb(s, d)
+        val withSig = e.withColumn("sig", signature(col("embedding")))
+        val qRow = broadcast(withSig.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("sig").as("qsig")))
+        // minimal matching band index (null = no band matches)
+        val mbCol = (0 until AnnBands).reverse
+          .foldLeft(lit(null).cast("int")) { (acc, b) =>
+            when(annBandOf(col("sig"), b) === annBandOf(col("qsig"), b),
+              lit(b)).otherwise(acc)
+          }
+        val sims = graft.CacheRegistry.track(s,
+          withSig.crossJoin(qRow)
+            .filter(col("vec_id") =!= 0)
+            .withColumn("mb", mbCol)
+            .filter(col("mb").isNotNull)
+            .select(col("vec_id"), col("mb"),
+              round(cosine(col("embedding"), col("qv")), 6).as("sim")))
+        val exact5 = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(e.filter(col("vec_id") === 0)
+            .select(col("embedding").as("q2"))))
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("q2")), 6).as("es"))
+          .orderBy(col("es").desc, col("vec_id")).limit(5)
+          .select("vec_id")
+        val rows = (1 to AnnBands).map { b =>
+          val candb = sims.filter(col("mb") < b)
+          val nc = candb.agg(count(lit(1)).as("n_candidates"))
+          val nh = candb.orderBy(col("sim").desc, col("vec_id")).limit(5)
+            .join(exact5, "vec_id").agg(count(lit(1)).as("n_hits"))
+          nc.crossJoin(nh).select(lit(b).as("n_bands"),
+            col("n_candidates"), col("n_hits"),
+            (col("n_hits") * 20).as("recall_pct"))
+        }
+        rows.reduce(_ unionByName _).orderBy("n_bands")
+      },
+      Some {
+        val mbSql = (0 until AnnBands).map(b =>
+          s"WHEN ${annBandOfSql("b.sig", b)} = ${annBandOfSql("q.qsig", b)} THEN $b")
+          .mkString("CASE ", " ", " ELSE NULL END")
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${signatureSql("embedding")} AS sig
+           |  FROM embeddings
+           |), q AS (
+           |  SELECT embedding AS qv, sig AS qsig FROM b WHERE vec_id = 0
+           |), m AS (
+           |  SELECT b.vec_id, $mbSql AS mb,
+           |    ${cosSql("b.embedding", "q.qv")} AS sim
+           |  FROM b CROSS JOIN q WHERE b.vec_id <> 0
+           |), sims AS (
+           |  SELECT vec_id, mb, sim FROM m WHERE mb IS NOT NULL
+           |), exact5 AS (
+           |  SELECT bb.vec_id FROM b bb CROSS JOIN q
+           |  WHERE bb.vec_id <> 0
+           |  ORDER BY ${cosSql("bb.embedding", "q.qv")} DESC, bb.vec_id
+           |  LIMIT 5
+           |), depths AS (
+           |  SELECT unnest([1, 2, 3, 4]) AS n_bands
+           |), top5 AS (
+           |  SELECT d.n_bands, s.vec_id,
+           |    row_number() OVER (PARTITION BY d.n_bands
+           |      ORDER BY s.sim DESC, s.vec_id) AS r
+           |  FROM depths d JOIN sims s ON s.mb < d.n_bands
+           |), cand AS (
+           |  SELECT d.n_bands, count(s.vec_id) AS n_candidates
+           |  FROM depths d LEFT JOIN sims s ON s.mb < d.n_bands GROUP BY 1
+           |), hits AS (
+           |  SELECT t.n_bands, count(e.vec_id) AS n_hits
+           |  FROM top5 t LEFT JOIN exact5 e USING (vec_id)
+           |  WHERE t.r <= 5 GROUP BY 1
+           |)
+           |SELECT CAST(c.n_bands AS INT) AS n_bands,
+           |  CAST(c.n_candidates AS BIGINT) AS n_candidates,
+           |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  CAST(coalesce(h.n_hits, 0) * 20 AS BIGINT) AS recall_pct
+           |FROM cand c LEFT JOIN hits h USING (n_bands)
+           |ORDER BY n_bands""".stripMargin
+      })
   )
 
 
