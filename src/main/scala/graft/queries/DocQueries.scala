@@ -279,11 +279,18 @@ object DocQueries {
             round(col("polarity").cast("double") * 1e10, 0).cast("long"))
           .agg(
             count(lit(1)).as("n_docs"),
+            // sum accumulates as DECIMAL(38,0): the 1e10-grid int64
+            // `2*sum(pi)` wraps silently past ~4.6e8 docs (non-ANSI
+            // Spark) — decimal overflow is NULL (loud), values
+            // identical below that; the oracle's sum is HUGEINT
+            // natively
             expr(
               """CAST(CASE WHEN sum(pi) >= 0
-                |  THEN (2 * sum(pi) + count(pi) * 10000)
+                |  THEN (2 * sum(CAST(pi AS DECIMAL(19,0)))
+                |      + count(pi) * 10000)
                 |    div (2 * count(pi) * 10000)
-                |  ELSE -((-2 * sum(pi) + count(pi) * 10000)
+                |  ELSE -((-2 * sum(CAST(pi AS DECIMAL(19,0)))
+                |      + count(pi) * 10000)
                 |    div (2 * count(pi) * 10000)) END AS DOUBLE) / 1e6"""
                 .stripMargin).as("avg_polarity")),
       Some(
@@ -293,9 +300,9 @@ object DocQueries {
            |  FROM scored)
            |SELECT count(*) AS n_docs,
            |  CAST(CASE WHEN sum(pi) >= 0
-           |    THEN (2 * CAST(sum(pi) AS BIGINT) + count(pi) * 10000)
+           |    THEN (2 * sum(pi) + count(pi) * 10000)
            |      // (2 * count(pi) * 10000)
-           |    ELSE -((-2 * CAST(sum(pi) AS BIGINT) + count(pi) * 10000)
+           |    ELSE -((-2 * sum(pi) + count(pi) * 10000)
            |      // (2 * count(pi) * 10000)) END AS DOUBLE) / 1e6
            |    AS avg_polarity
            |FROM p""".stripMargin)),

@@ -99,18 +99,29 @@ object EmbQueries {
     round(v.cast("double") * 1e6, 0).cast("long")
   private[graft] def snap6Sql(v: String): String =
     s"CAST(round(CAST($v AS DOUBLE) * 1e6, 0) AS BIGINT)"
+  // The grid sums accumulate as DECIMAL(38,0) (Spark) / HUGEINT
+  // (DuckDB, its native sum(BIGINT) type): a plain int64 `2*sum(vi)`
+  // would WRAP SILENTLY under non-ANSI Spark once a group gathers
+  // ~4.6e12 unit-magnitude 1e6-grid values — exactly the 100 TB regime
+  // these queries claim exactness for — while the oracle side errored.
+  // Decimal overflow instead yields NULL (loud in any hash compare),
+  // and the values are bit-identical to the int64 path wherever that
+  // path didn't wrap. `div` (IntegralDivide) accepts decimal inputs and
+  // still returns BIGINT.
   private[graft] def mean6Expr(vi: String): String =
     s"""CASE WHEN count($vi) = 0 THEN CAST(NULL AS DOUBLE)
        |ELSE CAST(CASE WHEN sum($vi) >= 0
-       |  THEN (2 * sum($vi) + count($vi)) div (2 * count($vi))
-       |  ELSE -((-2 * sum($vi) + count($vi)) div (2 * count($vi))) END
+       |  THEN (2 * sum(CAST($vi AS DECIMAL(19,0))) + count($vi))
+       |    div (2 * count($vi))
+       |  ELSE -((-2 * sum(CAST($vi AS DECIMAL(19,0))) + count($vi))
+       |    div (2 * count($vi))) END
        |  AS DOUBLE) / 1e6 END""".stripMargin
   private[graft] def mean6Sql(vi: String): String =
     s"""CASE WHEN count($vi) = 0 THEN CAST(NULL AS DOUBLE)
        |ELSE CAST(CASE WHEN sum($vi) >= 0
-       |  THEN (2 * CAST(sum($vi) AS BIGINT) + count($vi))
+       |  THEN (2 * sum($vi) + count($vi))
        |    // (2 * count($vi))
-       |  ELSE -((-2 * CAST(sum($vi) AS BIGINT) + count($vi))
+       |  ELSE -((-2 * sum($vi) + count($vi))
        |    // (2 * count($vi))) END
        |  AS DOUBLE) / 1e6 END""".stripMargin
 
@@ -880,6 +891,11 @@ object EmbQueries {
         val m6 = (sc: String, n: String) =>
           s"""CASE WHEN $sc >= 0 THEN (2 * $sc + $n * 10000) div (2 * $n * 10000)
              |ELSE -((-2 * $sc + $n * 10000) div (2 * $n * 10000)) END""".stripMargin
+        // sa/sb accumulate as DECIMAL(38,0): at the 1e10 grid an int64
+        // `2*sum` wraps silently past ~4.6e8 values per (label, dim) —
+        // decimal overflow is NULL (loud), and values match the int64
+        // path bit-for-bit below that. The oracle's sum is HUGEINT
+        // natively (DuckDB sum(BIGINT)), so both sides are wrap-proof.
         val cent = emb(s, d)
           .select(col("label"), (col("vec_id") % 2).as("half"),
             posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -887,9 +903,11 @@ object EmbQueries {
             round(col("v").cast("double") * 1e10, 0).cast("long"))
           .groupBy("label", "dim")
           .agg(
-            sum(when(col("half") === 0, col("vi"))).as("sa"),
+            sum(when(col("half") === 0, col("vi")).cast("decimal(19,0)"))
+              .as("sa"),
             count(when(col("half") === 0, lit(1))).as("na"),
-            sum(when(col("half") === 1, col("vi"))).as("sb"),
+            sum(when(col("half") === 1, col("vi")).cast("decimal(19,0)"))
+              .as("sb"),
             count(when(col("half") === 1, lit(1))).as("nb"))
           .select(col("label"),
             expr(m6("sa", "na")).cast("long").as("ma6"),
@@ -910,10 +928,13 @@ object EmbQueries {
           |          generate_subscripts(embedding, 1) AS i
           |        FROM embeddings)
           |), cent AS (
+          |  -- sa/sb stay HUGEINT (DuckDB's native sum(BIGINT)) — the
+          |  -- BIGINT cap would error at the scale the Spark side now
+          |  -- survives via decimal accumulation
           |  SELECT label, dim,
-          |    CAST(sum(CASE WHEN half = 0 THEN vi END) AS BIGINT) AS sa,
+          |    sum(CASE WHEN half = 0 THEN vi END) AS sa,
           |    CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS na,
-          |    CAST(sum(CASE WHEN half = 1 THEN vi END) AS BIGINT) AS sb,
+          |    sum(CASE WHEN half = 1 THEN vi END) AS sb,
           |    CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS nb
           |  FROM scaled GROUP BY 1, 2
           |), m AS (

@@ -432,17 +432,25 @@ object EventQueries {
             min(col("value")).as("min_v"),
             max(col("value")).as("max_v"),
             dsum(col("value")).as("sum_v"),
-            sum(col("vi")).as("s1"),
+            // s1 decimal like s2: an int64 Σvi wraps silently at
+            // ~4.6e12 unit-magnitude values per type (ADVICE r5);
+            // decimal overflow is NULL — loud — and bit-identical below
+            sum(col("vi").cast("decimal(19,0)")).as("s1"),
             sum(col("vi").cast("decimal(19,0)") *
               col("vi").cast("decimal(19,0)")).as("s2"))
           .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
             col("sum_v"),
             when(col("n") < 2, lit(null).cast("double"))
+              // round at scale 0 on the 1e6-scaled sd, THEN divide:
+              // scale-0 round is provably identical cross-engine
+              // (shortest-repr ".5" only at true dyadic ties, where
+              // HALF_UP and std::round both go away from zero), whereas
+              // round(x/1e6, 6) lets the division nudge x across a
+              // 5e-7 boundary differently per engine (ADVICE r5)
               .otherwise(round(
                 sqrt((col("n").cast("decimal(12,0)") * col("s2") -
-                  col("s1").cast("decimal(19,0)") *
-                    col("s1").cast("decimal(19,0)")).cast("double") /
-                  (col("n") * (col("n") - 1)).cast("double")) / 1e6, 6))
+                  col("s1") * col("s1")).cast("double") /
+                  (col("n") * (col("n") - 1)).cast("double")), 0) / 1e6)
               .as("sd_v"))
           .orderBy("event_type"),
       Some(
@@ -454,7 +462,7 @@ object EventQueries {
            |      CAST(count(*) * sum(CAST(vi AS HUGEINT) * vi)
            |        - CAST(sum(vi) AS HUGEINT) * CAST(sum(vi) AS HUGEINT)
            |        AS DOUBLE)
-           |      / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 1e6, 6)
+           |      / CAST(count(*) * (count(*) - 1) AS DOUBLE)), 0) / 1e6
            |    END AS sd_v
            |FROM (SELECT event_type, value,
            |        CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT)
