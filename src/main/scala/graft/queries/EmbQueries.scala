@@ -202,6 +202,11 @@ object EmbQueries {
   private val PqDim = 8
   private val PqK = 16
 
+  /** IVF+PQ serving shape (emb_ivfpq_ann): ADC shortlist size before
+    * the exact rerank — the "refine" knob of a production ANN server.
+    */
+  private val IvfPqShortN = 20
+
   /** IVF-flavored ANN (emb_ivf_ann, reused by emb_recall_eval): coarse
     * codebook = per-label centroids (rounded so both engines agree
     * bit-for-bit), inverted lists = cell assignment by nearest
@@ -699,84 +704,73 @@ object EmbQueries {
       "emb_pq_ann",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
-        val e = emb(s, d).select("vec_id", "embedding")
-        val sub = pqSubspaces(e)
-        // seed codebooks: the first PqK vectors' subvectors, rounded
-        val c0 = sub.filter(col("vec_id") < PqK)
-          .select(col("j"), col("vec_id").cast("int").as("cid"),
-            transform(col("sv"), v => round(v.cast("double"), 6)).as("cvec"))
-        // one Lloyd round per subspace: reassign, then rounded means
-        val m1 = pqArgmin(sub, c0).select(col("j"), col("cid"), col("sv"))
-        val c1 = m1
-          .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
-          .withColumn("vi", snap6(col("v")))
-          .groupBy("j", "cid", "dim")
-          .agg(expr(mean6Expr("vi")).as("cv"))
-          .groupBy("j", "cid")
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-            x => x.getField("cv")).as("cvec"))
-        // encode: 8 codes per vector — all the search scan ever reads
-        val codes = pqArgmin(sub, c1).select(col("vec_id"), col("j"), col("cid"))
-        // ADC table: query subvector vs every codebook entry
-        val qsub = sub.filter(col("vec_id") === 0)
-          .select(col("j").as("qj"), col("sv").as("qsv"))
-        val adc = c1.join(broadcast(qsub), col("j") === col("qj"))
-          .select(col("j"), col("cid"),
-            round(graft.functions.VecL2Sq.column(col("qsv"), col("cvec")), 6)
-              .as("pd"))
-        codes.join(broadcast(adc), Seq("j", "cid"))
+        // codebook/codes/ADC come from the shared memoized PQ lineage
+        // (pqCodebook/pqCodes/pqAdc) — byte-identical to what the
+        // IVF+PQ serving query probes
+        pqCodes(s, d).join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
           .groupBy("vec_id")
-          .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double").as("pq_d2"))
+          .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+            .as("pq_d2"))
           .orderBy(col("pq_d2"), col("vec_id"))
           .limit(5)
       },
-      Some {
-        def l2s(a: String, b: String): String = l2Sql(a, b)
-        s"""WITH sub AS (
-           |  SELECT vec_id, j, embedding[j*$PqDim+1 : j*$PqDim+$PqDim] AS sv
-           |  FROM embeddings CROSS JOIN range(0, $PqSub) r(j)
-           |), c0 AS (
-           |  SELECT j, CAST(vec_id AS INT) AS cid,
-           |    list_transform(sv, v -> round(CAST(v AS DOUBLE), 6)) AS cvec
-           |  FROM sub WHERE vec_id < $PqK
-           |), d1 AS (
-           |  SELECT s.vec_id, s.j, s.sv, c.cid, ${l2s("s.sv", "c.cvec")} AS d2
-           |  FROM sub s JOIN c0 c ON c.j = s.j
-           |), a1 AS (
-           |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
-           |                              ORDER BY d2, cid) AS rn
-           |  FROM d1
-           |), m1 AS (
-           |  SELECT j, cid, sv FROM a1 WHERE rn = 1
-           |), cd AS (
-           |  SELECT j, cid, dim, ${mean6Sql("vi")} AS cv
-           |  FROM (SELECT j, cid, CAST(i - 1 AS INT) AS dim,
-           |          ${snap6Sql("sv[i]")} AS vi
-           |        FROM m1 CROSS JOIN range(1, ${PqDim + 1}) r(i))
-           |  GROUP BY 1, 2, 3
-           |), c1 AS (
-           |  SELECT j, cid,
-           |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))),
-           |      x -> x.cv) AS cvec
-           |  FROM cd GROUP BY j, cid
-           |), d2t AS (
-           |  SELECT s.vec_id, s.j, c.cid, ${l2s("s.sv", "c.cvec")} AS d2
-           |  FROM sub s JOIN c1 c ON c.j = s.j
-           |), codes AS (
-           |  SELECT vec_id, j, cid FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
-           |                                ORDER BY d2, cid) AS rn
-           |    FROM d2t) WHERE rn = 1
-           |), adc AS (
-           |  SELECT c.j, c.cid, round(${l2s("q.sv", "c.cvec")}, 6) AS pd
-           |  FROM c1 c JOIN sub q ON q.j = c.j AND q.vec_id = 0
-           |)
+      Some(
+        s"""WITH $pqCte
            |SELECT k.vec_id,
            |  CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
            |FROM codes k JOIN adc a ON a.j = k.j AND a.cid = k.cid
            |GROUP BY k.vec_id
-           |ORDER BY pq_d2, k.vec_id LIMIT 5""".stripMargin
-      }),
+           |ORDER BY pq_d2, k.vec_id LIMIT 5""".stripMargin)),
+
+    // IVF+PQ END-TO-END — the production ANN serving read that composes
+    // the coarse index (emb_ivf_ann) with the compressed fine index
+    // (emb_pq_ann): probe the query's 2 nearest cells, ADC-score only
+    // the 8-byte code rows inside probed cells, shortlist the best
+    // IvfPqShortN by quantized distance, exact-rerank that bounded
+    // shortlist by true cosine. The float corpus is touched exactly
+    // IvfPqShortN times, the scan itself reads codes only — the memory
+    // and I/O story that makes 100 TB ANN serveable. Recall of this
+    // exact operating point is measured by emb_ivfpq_recall.
+    Q("emb_ivfpq_ann", (s, d) => ivfpqTop5(s, d), Some(ivfpqSql)),
+
+    // Recall@5 of the IVF+PQ serving read against the exact brute-force
+    // top-5 — the tuning evidence for the (nprobe=2, shortlist=20)
+    // operating point, next to emb_recall_eval (IVF-only) and the
+    // nprobe/band sweeps. Integer recall (n_hits x 20) keeps the
+    // quality axis exact; both sides are bounded 5-row frames.
+    Q(
+      "emb_ivfpq_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val exact = e.filter(col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+          .select("vec_id")
+        val approx = ivfpqTop5(s, d).select("vec_id")
+        exact.join(approx, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(5).as("k"), lit(IvfPqShortN).as("n_short"),
+            col("n_hits"), (col("n_hits") * 20).as("recall_pct"))
+      },
+      Some(
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |exact AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |    FROM embeddings, q WHERE vec_id <> 0
+           |    ORDER BY sim DESC, vec_id LIMIT 5)
+           |), approx AS (
+           |  SELECT vec_id FROM ($ivfpqSql) ivfpq
+           |)
+           |SELECT 5 AS k, $IvfPqShortN AS n_short,
+           |  count(*) AS n_hits,
+           |  count(*) * 20 AS recall_pct
+           |FROM exact JOIN approx USING (vec_id)""".stripMargin)),
 
     // HYBRID retrieval (the RAG serving shape): a keyword channel and a
     // vector channel each produce a bounded ranked list, fused by
@@ -793,80 +787,82 @@ object EmbQueries {
     // (integer, exact); the vector channel reuses the broadcast-query
     // cosine of emb_knn_cosine. doc_id doubles as vec_id (1:1 aligned
     // tables); the query doc (id 0) is excluded from both channels.
+    Q("emb_hybrid_rrf", (s, d) => hybridFused(s, d), Some(hybridFusedSql)),
+
+    // RANKING-QUALITY metric for the hybrid retrieval read — the eval a
+    // RAG stack runs over its fused ranking: with the exact cosine
+    // top-5 as the relevance oracle, score emb_hybrid_rrf's fused
+    // top-10 by MRR and a harmonic-discount nDCG. Exactness: ranks are
+    // integers over a bounded 10-row frame; the harmonic DCG uses the
+    // lcm(1..10) = 2520 scaling (2520/r is an exact integer for every
+    // rank r <= 10), so DCG and the ideal DCG (2520·(1+1/2+..+1/5)
+    // = 5754) are exact BIGINTs and above_half is a cross-multiplied
+    // integer compare — the log2 discount would hinge on libm rounding,
+    // the harmonic one never leaves integer arithmetic. Plan shape:
+    // top-N x top-N only (10-row fused frame joined to a broadcast
+    // 5-row relevance set); the corpus is touched exactly twice, both
+    // times through TakeOrderedAndProject heaps.
     Q(
-      "emb_hybrid_rrf",
+      "emb_rrf_rank_quality",
       (s, d) => {
-        val kwTop = Tables.t(s, d, "documents")
-          .filter(col("doc_id") =!= 0)
-          .select(col("doc_id"),
-            graft.functions.NormTokens.column(col("text")).as("tok"))
-          .select(col("doc_id"),
-            size(array_intersect(array_distinct(col("tok")),
-              array(HybridTerms.map(lit): _*))).as("kw_score"))
-          .filter(col("kw_score") > 0)
-          .orderBy(col("kw_score").desc, col("doc_id"))
-          .limit(HybridTopN)
-        val kwRank = kwTop
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("kw_score").desc, col("doc_id"))))
-          .select("doc_id", "rk")
+        val fusedRanked = hybridFused(s, d)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))))
         val e = emb(s, d)
-        val query = broadcast(
-          e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
-        val vTop = e.filter(col("vec_id") =!= 0)
-          .crossJoin(query)
-          .select(col("vec_id"),
-            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(HybridTopN)
-        val vRank = vTop
-          .withColumn("rv", row_number().over(
-            Window.orderBy(col("sim").desc, col("vec_id"))))
-          .select(col("vec_id").as("doc_id"), col("rv"))
-        kwRank.join(vRank, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            round(
-              coalesce(lit(1.0) / (lit(HybridRrfK) + col("rk")), lit(0.0)) +
-                coalesce(lit(1.0) / (lit(HybridRrfK) + col("rv")), lit(0.0)),
-              9).as("rrf"))
-          .orderBy(col("rrf").desc, col("doc_id"))
-          .limit(10)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val rel = e.filter(col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .select(col("vec_id").as("doc_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("es"))
+          .orderBy(col("es").desc, col("doc_id"))
+          .limit(5)
+          .select(col("doc_id"), lit(1).as("rel"))
+        fusedRanked.join(broadcast(rel), Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_ranked"),
+            sum(coalesce(col("rel"), lit(0))).as("n_rel_in_top10"),
+            min(when(col("rel") === 1, col("r"))).as("first_rel_rank"),
+            coalesce(sum(when(col("rel") === 1, expr("2520 div r"))),
+              lit(0L)).as("hdcg_2520"))
+          .select(col("n_ranked"), col("n_rel_in_top10"),
+            col("first_rel_rank"),
+            round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6)
+              .as("mrr"),
+            col("hdcg_2520"), lit(5754L).as("idcg_2520"),
+            round(col("hdcg_2520").cast("double") / 5754, 6).as("ndcg_h"),
+            (col("hdcg_2520") * 2 > 5754).as("above_half"))
       },
-      Some {
-        val termsSql = HybridTerms.map(t => s"'$t'").mkString("[", ", ", "]")
-        s"""WITH cleaned AS (
-           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
-           |), toksrc AS (
-           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
-           |), kw0 AS (
+      Some(
+        s"""WITH f AS (SELECT * FROM ($hybridFusedSql) t),
+           |rr AS (
            |  SELECT doc_id,
-           |    len(list_intersect(list_distinct(tok), $termsSql)) AS kw_score
-           |  FROM toksrc WHERE doc_id <> 0
-           |), kwtop AS (
-           |  SELECT doc_id, kw_score FROM kw0 WHERE kw_score > 0
-           |  ORDER BY kw_score DESC, doc_id LIMIT $HybridTopN
-           |), kwr AS (
-           |  SELECT doc_id,
-           |    row_number() OVER (ORDER BY kw_score DESC, doc_id) AS rk
-           |  FROM kwtop
+           |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS r
+           |  FROM f
            |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-           |v0 AS (
-           |  SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
-           |  FROM embeddings, q WHERE vec_id <> 0
-           |), vtop AS (
-           |  SELECT vec_id, sim FROM v0
-           |  ORDER BY sim DESC, vec_id LIMIT $HybridTopN
-           |), vr AS (
-           |  SELECT vec_id,
-           |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rv
-           |  FROM vtop
+           |rel AS (
+           |  SELECT vec_id AS doc_id FROM embeddings, q WHERE vec_id <> 0
+           |  ORDER BY ${cosSql("embedding", "qv")} DESC, vec_id LIMIT 5
+           |), m AS (
+           |  SELECT rr.r,
+           |    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           |  FROM rr LEFT JOIN rel USING (doc_id)
            |)
-           |SELECT coalesce(k.doc_id, v.vec_id) AS doc_id,
-           |  round(coalesce(CAST(1.0 AS DOUBLE) / ($HybridRrfK + rk), 0) +
-           |        coalesce(CAST(1.0 AS DOUBLE) / ($HybridRrfK + rv), 0), 9) AS rrf
-           |FROM kwr k FULL JOIN vr v ON v.vec_id = k.doc_id
-           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
-      }),
+           |SELECT count(*) AS n_ranked,
+           |  CAST(sum(rel) AS BIGINT) AS n_rel_in_top10,
+           |  CAST(min(CASE WHEN rel = 1 THEN r END) AS INT)
+           |    AS first_rel_rank,
+           |  round(coalesce(
+           |    CAST(1.0 AS DOUBLE) / min(CASE WHEN rel = 1 THEN r END),
+           |    0), 6) AS mrr,
+           |  CAST(coalesce(sum(CASE WHEN rel = 1 THEN 2520 // r END), 0)
+           |    AS BIGINT) AS hdcg_2520,
+           |  CAST(5754 AS BIGINT) AS idcg_2520,
+           |  round(CAST(coalesce(sum(CASE WHEN rel = 1 THEN 2520 // r END),
+           |    0) AS DOUBLE) / 5754, 6) AS ndcg_h,
+           |  coalesce(sum(CASE WHEN rel = 1 THEN 2520 // r END), 0) * 2
+           |    > 5754 AS above_half
+           |FROM m""".stripMargin)),
 
     // Embedding DRIFT between deterministic halves (vec_id parity stands
     // in for a train/serve or week-over-week split): per label, the
@@ -1617,6 +1613,55 @@ object EmbQueries {
       posexplode(array((0 until PqSub).map(j =>
         slice(col("embedding"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
 
+  /** trained PQ codebook (j, cid, cvec): deterministic seed (first PqK
+    * vectors' subvectors, rounded) + one Lloyd round of ulp-immune grid
+    * means. Memoized + persisted (PqSub x PqK tiny rows) and SHARED by
+    * emb_pq_ann and emb_ivfpq_ann, so the index the IVF+PQ serving
+    * query probes is byte-identical to the one the PQ query measures.
+    */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("emb_pq_codebook", s, d)(
+      graft.CacheRegistry.track(s, {
+        val sub = pqSubspaces(emb(s, d).select("vec_id", "embedding"))
+        val c0 = sub.filter(col("vec_id") < PqK)
+          .select(col("j"), col("vec_id").cast("int").as("cid"),
+            transform(col("sv"), v => round(v.cast("double"), 6)).as("cvec"))
+        pqArgmin(sub, c0).select(col("j"), col("cid"), col("sv"))
+          .select(col("j"), col("cid"),
+            posexplode(col("sv")).as(Seq("dim", "v")))
+          .withColumn("vi", snap6(col("v")))
+          .groupBy("j", "cid", "dim")
+          .agg(expr(mean6Expr("vi")).as("cv"))
+          .groupBy("j", "cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+      }))
+
+  /** PQ code table (vec_id, j, cid) — the ONLY thing a PQ search scan
+    * reads (~1/32 the float corpus); memoized + persisted, shared by
+    * emb_pq_ann and emb_ivfpq_ann.
+    */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("emb_pq_codes", s, d)(
+      graft.CacheRegistry.track(s,
+        pqArgmin(pqSubspaces(emb(s, d).select("vec_id", "embedding")),
+          pqCodebook(s, d))
+          .select(col("vec_id"), col("j"), col("cid"))))
+
+  /** query ADC table (j, cid, pd): the query subvector against every
+    * codebook entry — bounded PqSub x PqK rows, built per query vector
+    */
+  private def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val qsub = pqSubspaces(emb(s, d).select("vec_id", "embedding"))
+      .filter(col("vec_id") === 0)
+      .select(col("j").as("qj"), col("sv").as("qsv"))
+    pqCodebook(s, d).join(broadcast(qsub), col("j") === col("qj"))
+      .select(col("j"), col("cid"),
+        round(graft.functions.VecL2Sq.column(col("qsv"), col("cvec")), 6)
+          .as("pd"))
+  }
+
   /** nearest codebook entry per (vector, subspace); cb = (j, cid, cvec)
     * broadcast, ties break on cid — the kernel L2² is the same in-order
     * double fold the oracle's list_sum expresses
@@ -1633,6 +1678,205 @@ object EmbQueries {
         graft.functions.VecL2Sq.column(col("sv"), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+  }
+
+  /** DuckDB twin of the PQ lineage (codebook + codes + query ADC), the
+    * CTE chain emb_pq_ann and emb_ivfpq_ann both compose over:
+    * sub/c0/d1/a1/m1/cd/c1 train the codebook, `codes` encodes the
+    * corpus, `adc` is the query distance table. No name clash with
+    * [[ivfCellsCte]], so the two chains concatenate under one WITH.
+    */
+  private lazy val pqCte: String =
+    s"""sub AS (
+       |  SELECT vec_id, j, embedding[j*$PqDim+1 : j*$PqDim+$PqDim] AS sv
+       |  FROM embeddings CROSS JOIN range(0, $PqSub) r(j)
+       |), c0 AS (
+       |  SELECT j, CAST(vec_id AS INT) AS cid,
+       |    list_transform(sv, v -> round(CAST(v AS DOUBLE), 6)) AS cvec
+       |  FROM sub WHERE vec_id < $PqK
+       |), d1 AS (
+       |  SELECT s.vec_id, s.j, s.sv, c.cid, ${l2Sql("s.sv", "c.cvec")} AS d2
+       |  FROM sub s JOIN c0 c ON c.j = s.j
+       |), a1 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY d2, cid) AS rn
+       |  FROM d1
+       |), m1 AS (
+       |  SELECT j, cid, sv FROM a1 WHERE rn = 1
+       |), cd AS (
+       |  SELECT j, cid, dim, ${mean6Sql("vi")} AS cv
+       |  FROM (SELECT j, cid, CAST(i - 1 AS INT) AS dim,
+       |          ${snap6Sql("sv[i]")} AS vi
+       |        FROM m1 CROSS JOIN range(1, ${PqDim + 1}) r(i))
+       |  GROUP BY 1, 2, 3
+       |), c1 AS (
+       |  SELECT j, cid,
+       |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))),
+       |      x -> x.cv) AS cvec
+       |  FROM cd GROUP BY j, cid
+       |), d2t AS (
+       |  SELECT s.vec_id, s.j, c.cid, ${l2Sql("s.sv", "c.cvec")} AS d2
+       |  FROM sub s JOIN c1 c ON c.j = s.j
+       |), codes AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |                                ORDER BY d2, cid) AS rn
+       |    FROM d2t) WHERE rn = 1
+       |), adc AS (
+       |  SELECT c.j, c.cid, round(${l2Sql("q.sv", "c.cvec")}, 6) AS pd
+       |  FROM c1 c JOIN sub q ON q.j = c.j AND q.vec_id = 0
+       |)""".stripMargin
+
+  /** IVF+PQ end-to-end serving read (emb_ivfpq_ann): probe the query's
+    * 2 nearest IVF cells, ADC-score ONLY the code rows inside probed
+    * cells (the float corpus is never touched at scan time), shortlist
+    * the best IvfPqShortN by ADC distance, then exact-rerank the
+    * shortlist by true cosine — the production ANN serving shape that
+    * composes the two index paths emb_ivf_ann and emb_pq_ann prove
+    * separately. At 100 TB: centroids + codebook + ADC table broadcast,
+    * the scan reads (cell-pruned) 8-byte code rows, and only
+    * IvfPqShortN full vectors are ever fetched for the rerank.
+    */
+  private def ivfpqTop5(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb(s, d)
+    val ranked = ivfRanked(s, d)
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val qCells = broadcast(ranked
+      .filter(col("vec_id") === 0 && col("rn") <= 2)
+      .select(col("c_label").as("cell")))
+    // prune FIRST: broadcast the 2 probed cells into the assignment to
+    // get the probed id set (~nprobe/n_cells of the corpus), then
+    // semi-join the code table against it. codes x probed-ids is the
+    // one corpus-sized join and it shuffles on vec_id — the co-located
+    // (bucketable) key — never on the 8x-larger (vec_id, j) grain.
+    val probedIds = cells.join(qCells, "cell")
+      .filter(col("vec_id") =!= 0).select("vec_id")
+    val short = pqCodes(s, d)
+      .join(probedIds, Seq("vec_id"), "left_semi")
+      .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+        .as("pq_d2"))
+      .orderBy(col("pq_d2"), col("vec_id"))
+      .limit(IvfPqShortN)
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+    e.join(broadcast(short), "vec_id")
+      .crossJoin(qv)
+      .select(col("vec_id"), col("pq_d2"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** DuckDB twin of [[ivfpqTop5]] — nestable as a parenthesized
+    * subquery (emb_ivfpq_recall does)
+    */
+  private lazy val ivfpqSql: String =
+    s"""WITH $ivfCellsCte, $pqCte, qcells AS (
+       |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+       |), qv AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), shortl AS (
+       |  SELECT k.vec_id,
+       |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+       |  FROM codes k
+       |  JOIN cells cl ON cl.vec_id = k.vec_id
+       |  JOIN qcells qc ON qc.cell = cl.cell
+       |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
+       |  WHERE k.vec_id <> 0
+       |  GROUP BY k.vec_id
+       |  ORDER BY pq_d2, k.vec_id LIMIT $IvfPqShortN
+       |)
+       |SELECT e.vec_id, s.pq_d2, ${cosSql("e.embedding", "qv.qv")} AS sim
+       |FROM embeddings e JOIN shortl s ON s.vec_id = e.vec_id
+       |CROSS JOIN qv
+       |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
+
+  /** hybrid keyword+vector retrieval fused by RRF (emb_hybrid_rrf), the
+    * bounded (doc_id, rrf) top-10 — extracted so emb_rrf_rank_quality
+    * scores the EXACT ranking the serving query returns. Each channel
+    * reduces the corpus via TakeOrderedAndProject before any rank
+    * window; the fusion is a full-outer join of two <= HybridTopN-row
+    * frames.
+    */
+  private def hybridFused(s: SparkSession, d: String): DataFrame = {
+    val kwTop = Tables.t(s, d, "documents")
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id"),
+        graft.functions.NormTokens.column(col("text")).as("tok"))
+      .select(col("doc_id"),
+        size(array_intersect(array_distinct(col("tok")),
+          array(HybridTerms.map(lit): _*))).as("kw_score"))
+      .filter(col("kw_score") > 0)
+      .orderBy(col("kw_score").desc, col("doc_id"))
+      .limit(HybridTopN)
+    val kwRank = kwTop
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("kw_score").desc, col("doc_id"))))
+      .select("doc_id", "rk")
+    val e = emb(s, d)
+    val query = broadcast(
+      e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+    val vTop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(query)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(HybridTopN)
+    val vRank = vTop
+      .withColumn("rv", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rv"))
+    kwRank.join(vRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(HybridRrfK) + col("rk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(HybridRrfK) + col("rv")), lit(0.0)),
+          9).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** DuckDB twin of [[hybridFused]] — a complete WITH...SELECT,
+    * nestable as a parenthesized subquery (emb_rrf_rank_quality does)
+    */
+  private lazy val hybridFusedSql: String = {
+    val termsSql = HybridTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+       |), toksrc AS (
+       |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+       |), kw0 AS (
+       |  SELECT doc_id,
+       |    len(list_intersect(list_distinct(tok), $termsSql)) AS kw_score
+       |  FROM toksrc WHERE doc_id <> 0
+       |), kwtop AS (
+       |  SELECT doc_id, kw_score FROM kw0 WHERE kw_score > 0
+       |  ORDER BY kw_score DESC, doc_id LIMIT $HybridTopN
+       |), kwr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY kw_score DESC, doc_id) AS rk
+       |  FROM kwtop
+       |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |v0 AS (
+       |  SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |), vtop AS (
+       |  SELECT vec_id, sim FROM v0
+       |  ORDER BY sim DESC, vec_id LIMIT $HybridTopN
+       |), vr AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rv
+       |  FROM vtop
+       |)
+       |SELECT coalesce(k.doc_id, v.vec_id) AS doc_id,
+       |  round(coalesce(CAST(1.0 AS DOUBLE) / ($HybridRrfK + rk), 0) +
+       |        coalesce(CAST(1.0 AS DOUBLE) / ($HybridRrfK + rv), 0), 9) AS rrf
+       |FROM kwr k FULL JOIN vr v ON v.vec_id = k.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   }
 
   // ---- k-means lineage (emb_kmeans + emb_semantic_dedup) -------------

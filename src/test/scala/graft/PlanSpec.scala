@@ -608,6 +608,18 @@ class PlanSpec extends AnyFunSuite {
       p.contains("TableCacheQueryStage"), p.take(1500))
   }
 
+  test("IVF+PQ serving read: ADC broadcast, probed semi-join, bounded heaps") {
+    val p = plan("emb_ivfpq_ann")
+    // ADC table and probed-cell set broadcast into their joins; both
+    // the ADC shortlist cut and the final rerank reduce via
+    // per-partition heaps. (The codes x probed-ids corpus join MAY
+    // sort-merge — on vec_id, the co-located key, the right shape at
+    // scale — but it must be a semi-join, not a widening inner.)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
   test("Q6: all three predicates push to the parquet scan, 4-column read") {
     val p = plan("star_q6_forecast_revenue")
     // shipdate range, discount bounds, and quantity bound all reach the
