@@ -112,6 +112,7 @@ object Bench {
     val sharedWarmT0 = System.nanoTime()
     queries.MlQueries.warm(spark)
     queries.DedupQueries.warmShared(spark, sfDir)
+    queries.EmbQueries.warmShared(spark, sfDir)
     val sharedWarmSec = (System.nanoTime() - sharedWarmT0) / 1e9
     var failed = List.empty[String]
     // deterministic name order: shared produce-consume lineages

@@ -1649,6 +1649,19 @@ object EmbQueries {
           pqCodebook(s, d))
           .select(col("vec_id"), col("j"), col("cid"))))
 
+  /** Materialize the shared memoized PQ lineage (codebook + code table)
+    * outside any single query's timer — same contract as
+    * DedupQueries.warmShared: emb_pq_ann, emb_ivfpq_ann and
+    * emb_ivfpq_recall all consume these persisted frames, and without
+    * the warm whichever runs first alphabetically absorbs the one-time
+    * codebook train + corpus encode. Bench calls this in its warm phase
+    * and reports the time in shared_warm_sec; Verify does not.
+    */
+  def warmShared(s: SparkSession, dir: String): Unit = {
+    pqCodes(s, dir).write.format("noop").mode("overwrite").save()
+    ()
+  }
+
   /** query ADC table (j, cid, pd): the query subvector against every
     * codebook entry — bounded PqSub x PqK rows, built per query vector
     */

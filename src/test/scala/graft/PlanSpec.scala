@@ -620,6 +620,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(1200))
   }
 
+  test("suite-wide: global windows only ever sort bounded frames (pinned set)") {
+    // A partition-less WindowExec collapses its input to ONE partition —
+    // the textbook scale-killer (emb_auc_centroid shipped one through
+    // round 5). This guard walks every registered query's physical plan
+    // and pins the exact set allowed to plan one; each member's global
+    // window provably sorts a bounded frame, never the corpus:
+    //   doc_sentiment_pct     — |labels| rows (<= 3) post-aggregation
+    //   doc_vocab_coverage    — running share over the bounded top-term set
+    //   ev_ks_drift           — binned ECDF, bounded by the value range
+    //   ev_new_users_curve    — running sum over the day domain
+    //   emb_hybrid_rrf        — rank over TakeOrderedAndProject top-50s
+    //   emb_rrf_rank_quality  — inherits both + rank over the fused top-10
+    // Adding a new global window anywhere else fails here and must be
+    // consciously whitelisted (or range-partitioned like emb_auc).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val allowed = Set("doc_sentiment_pct", "doc_vocab_coverage",
+      "ev_ks_drift", "ev_new_users_curve", "emb_hybrid_rrf",
+      "emb_rrf_rank_quality")
+    val hits = Registry.all.flatMap { q =>
+      // sparkPlan (pre-AQE) so WindowExec nodes are directly collectable
+      val p = q.build(spark, TestSpark.sf0001).queryExecution.sparkPlan
+      val n = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) Some(q.name) else None
+    }.toSet
+    assert(hits == allowed,
+      s"unexpected global windows: ${(hits -- allowed).toSeq.sorted}; " +
+        s"stale whitelist entries: ${(allowed -- hits).toSeq.sorted}")
+  }
+
   test("Q6: all three predicates push to the parquet scan, 4-column read") {
     val p = plan("star_q6_forecast_revenue")
     // shipdate range, discount bounds, and quantity bound all reach the
