@@ -621,6 +621,74 @@ object DedupQueries {
            |ORDER BY a_id, b_id""".stripMargin
       }),
 
+    // SimHash THRESHOLD-TUNING histogram: the hamming-distance
+    // distribution over ALL banded candidate pairs (no MaxHamming cut)
+    // — the curve that justifies MaxHamming = 3: a real corpus shows a
+    // bimodal split (near-dups pile at 0-3, unrelated banded collisions
+    // spread high), and this is the evidence an index team reads before
+    // moving the threshold. Same banding + first-match dedup +
+    // SimMaxBucket guard as dedup_simhash_pairs, so the histogram
+    // describes exactly the candidate set that query mines; output is
+    // <= 65 rows (one per hamming value present). is_dup marks the
+    // shipped operating point.
+    Q(
+      "dedup_simhash_hamming_hist",
+      (s, d) => {
+        def bandOf(c: Column, b: Int): Column =
+          shiftright(c, SimBandBits * b).bitwiseAND(lit(SimBandMask))
+        val f = simhashes(s, d)
+        val wsz = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "key")
+        val bands = f.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until SimBands).map(b =>
+            bandOf(col("simhash"), b)): _*))
+            .as(Seq("band", "key")))
+          .withColumn("bsz", count(lit(1)).over(wsz))
+          .filter(col("bsz") <= SimMaxBucket)
+          .drop("bsz")
+        val a = bands.select(col("band"), col("key"),
+          col("doc_id").as("a_id"), col("simhash").as("fa"))
+        val b = bands.select(col("band"), col("key"),
+          col("doc_id").as("b_id"), col("simhash").as("fb"))
+        val firstMatch = (0 until SimBands).map { i =>
+          (0 until i).map(j => bandOf(col("fa"), j) =!= bandOf(col("fb"), j))
+            .foldLeft(col("band") === i)(_ && _)
+        }.reduce(_ || _)
+        a.join(b, Seq("band", "key"))
+          .filter(col("a_id") < col("b_id") && firstMatch)
+          .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+          .groupBy("hamming")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_dup", col("hamming") <= MaxHamming)
+          .orderBy("hamming")
+      },
+      Some {
+        val bandsSql = (0 until SimBands).map(b =>
+          s"SELECT doc_id, simhash, $b AS band, (simhash >> ${SimBandBits * b}) & $SimBandMask AS key FROM fp")
+          .mkString("\n  UNION ALL\n  ")
+        val firstMatchSql = (0 until SimBands).map { i =>
+          val earlier = (0 until i).map(j =>
+            s"((a.simhash >> ${SimBandBits * j}) & $SimBandMask) <> ((b.simhash >> ${SimBandBits * j}) & $SimBandMask)")
+          (s"a.band = $i" +: earlier).mkString("(", " AND ", ")")
+        }.mkString("(", "\n    OR ", ")")
+        s"""$simhashCte, bands0 AS (
+           |  $bandsSql
+           |), bsz AS (
+           |  SELECT band, key, count(*) AS n FROM bands0 GROUP BY 1, 2
+           |), bands AS (
+           |  SELECT b0.* FROM bands0 b0
+           |  JOIN bsz z ON z.band = b0.band AND z.key = b0.key
+           |  WHERE z.n <= $SimMaxBucket
+           |)
+           |SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming,
+           |  count(*) AS n_pairs,
+           |  bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming AS is_dup
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |WHERE $firstMatchSql
+           |GROUP BY 1 ORDER BY hamming""".stripMargin
+      }),
+
     // INCREMENTAL dedup: a NEW batch of documents arrives (here: the
     // deterministic split's 'val' bucket plays the new crawl; 'train'
     // plays the existing corpus) and each new doc is checked for a

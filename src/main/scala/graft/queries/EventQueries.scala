@@ -143,6 +143,43 @@ object EventQueries {
           |SELECT bucket_s, count(*) AS n FROM phased
           |GROUP BY 1 ORDER BY bucket_s""".stripMargin)),
 
+    // Windowed TRENDING top-k: the top-2 event types per 1-hour
+    // tumbling window — the dashboard "what's hot right now" aggregate.
+    // Scale shape: one partial-agg'd shuffle on (window, type), then a
+    // rank window PARTITIONED BY the bucket (each partition holds
+    // |event_types| rows — never a global sort), bounded 2-rows-per-
+    // bucket output. Null ts / null type rows are excluded on both
+    // sides so rank tie-breaks can never hit the engines' opposite
+    // null-ordering defaults.
+    Q(
+      "ev_window_topk_types",
+      (s, d) => {
+        val w = Window.partitionBy("bucket_s")
+          .orderBy(col("n").desc, col("event_type"))
+        ev(s, d)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(epochS(col("w.start")).as("bucket_s"),
+            col("event_type"), col("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2)
+          .orderBy("bucket_s", "rk")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS bucket_s,
+          |    event_type, count(*) AS n
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |  GROUP BY 1, 2
+          |), r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY bucket_s
+          |    ORDER BY n DESC, event_type) AS rk
+          |  FROM b)
+          |SELECT bucket_s, event_type, n, rk
+          |FROM r WHERE rk <= 2 ORDER BY bucket_s, rk""".stripMargin)),
+
     // C4/C7 analogue + JSON path: parse the props JSON column
     Q(
       "ev_json_extract",

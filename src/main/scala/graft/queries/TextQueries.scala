@@ -93,6 +93,38 @@ object TextQueries {
            |FROM scored ORDER BY doc_id""".stripMargin
       }),
 
+    // Language-ID CONFIDENCE margin: top-1 minus top-2 marker counts
+    // from the same single-pass kernel — the signal a filtering
+    // pipeline thresholds before trusting lang_pred (a doc with
+    // c_top1=5, c_top2=4 is a coin flip; margin >= 2 with a non-zero
+    // top-1 is the keep rule). Pure narrow map over the 4-element
+    // count array; scan-speed at any corpus size.
+    Q(
+      "doc_lang_margin",
+      (s, d) =>
+        toks(s, d)
+          .withColumn("mc",
+            graft.functions.LangMarkerCounts.column(col("tok")))
+          .withColumn("sorted", reverse(array_sort(col("mc"))))
+          .select(col("doc_id"),
+            element_at(col("sorted"), 1).as("c_top1"),
+            element_at(col("sorted"), 2).as("c_top2"))
+          .withColumn("margin", col("c_top1") - col("c_top2"))
+          .withColumn("confident",
+            col("c_top1") > 0 && col("margin") >= 2)
+          .orderBy("doc_id"),
+      Some {
+        val countExprs = LangMarkers.map { case (_, ws) =>
+          countInSql("tok", ws)
+        }.mkString("[", ", ", "]")
+        s"""$tokCte, l AS (
+           |  SELECT doc_id, list_reverse_sort($countExprs) AS s FROM t)
+           |SELECT doc_id, s[1] AS c_top1, s[2] AS c_top2,
+           |  s[1] - s[2] AS margin,
+           |  s[1] > 0 AND s[1] - s[2] >= 2 AS confident
+           |FROM l ORDER BY doc_id""".stripMargin
+      }),
+
     // Quality scoring: size, alpha ratio, stopword ratio, token shape
     Q(
       "doc_quality",
