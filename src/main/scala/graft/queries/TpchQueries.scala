@@ -553,6 +553,84 @@ object TpchQueries {
           |                    AND l3.l_shipdate >
           |                        o.o_orderdate + INTERVAL 90 DAY)
           |GROUP BY s_name
-          |ORDER BY numwait DESC, s_name""".stripMargin))
+          |ORDER BY numwait DESC, s_name""".stripMargin)),
+
+    // ----- Q12 flavor: late-shipment counts by line status x order
+    // priority band (l_linestatus stands in for the absent shipmode;
+    // lateness is the header's l_shipdate > o_orderdate + N days form).
+    // One fact-fact shuffle on the order key, conditional partial-agg'd
+    // counts on top — |statuses| output rows.
+    Q(
+      "star_q12_late_priority",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_linestatus", "l_shipdate")
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some(
+        """SELECT l_linestatus,
+          |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |        THEN 1 ELSE 0 END) AS high_line_count,
+          |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |        THEN 1 ELSE 0 END) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |GROUP BY l_linestatus
+          |ORDER BY l_linestatus""".stripMargin)),
+
+    // ----- Q18 flavor: large-volume customers. Spark-first rewrite:
+    // the textbook form re-aggregates lineitem inside an IN subquery
+    // AND in the outer query; here the per-order quantity aggregate is
+    // computed ONCE and both filters (the HAVING) and the output column
+    // read it. Joins stay on the natural keys (orderkey, custkey) —
+    // co-located/bucketable fact-fact shuffles; the HAVING filter cuts
+    // the order side to ~1-2% before either join, and AQE broadcasts
+    // the survivors at small scale. The oracle keeps the textbook
+    // IN-subquery form, so the gate doubles as an equivalence proof.
+    Q(
+      "star_q18_large_orders",
+      (s, d) => {
+        val qty = t(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250.0)
+        val ord = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val cust = t(s, d, "customer").select("c_custkey", "c_name")
+        ord.join(qty, col("o_orderkey") === col("l_orderkey"))
+          .join(cust, col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            // via TIMESTAMP: o_orderdate reads as TIMESTAMP_NTZ in this
+            // testdata shape (no direct NTZ->BIGINT cast); the NTZ->TZ
+            // hop is value-preserving under the pinned UTC session and
+            // a no-op if a regeneration ships plain UTC micros
+            col("o_orderdate").cast("timestamp").cast("long")
+              .as("o_date_s"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(
+        s"""SELECT c_name, c_custkey, o_orderkey,
+           |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_s,
+           |  o_totalprice, total_qty
+           |FROM orders
+           |JOIN (SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+           |      FROM lineitem GROUP BY l_orderkey
+           |      HAVING ${dsumSql("l_quantity")} > 250.0) q
+           |  ON o_orderkey = q.l_orderkey
+           |JOIN customer ON c_custkey = o_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
   )
 }
