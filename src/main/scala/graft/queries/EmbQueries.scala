@@ -354,6 +354,53 @@ object EmbQueries {
            |FROM embeddings, q WHERE vec_id <> 0
            |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // HARD-NEGATIVE mining — the training-data read contrastive
+    // embedding training runs per anchor: the top-3 most-similar
+    // vectors whose label DIFFERS from the anchor's (similar-but-wrong
+    // is exactly what the loss needs). 3 anchors (vec_id < 3) in one
+    // pass: anchors broadcast, one corpus scan scores all pairs, the
+    // label-mismatch filter runs BEFORE the rank so the heap only holds
+    // negatives, per-anchor top-3 via a rank window partitioned by
+    // anchor — never a global sort. At scale this is the same
+    // broadcast-anchor-batch shape a mining job runs per shard.
+    Q(
+      "emb_hard_negatives",
+      (s, d) => {
+        val e = emb(s, d)
+        val anchors = broadcast(e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+            col("embedding").as("av")))
+        val w = Window.partitionBy("a_id")
+          .orderBy(col("sim").desc, col("neg_id"))
+        e.filter(col("vec_id") >= 3)
+          .crossJoin(anchors)
+          .filter(col("label") =!= col("a_label"))
+          .select(col("a_id"), col("a_label"),
+            col("vec_id").as("neg_id"), col("label").as("neg_label"),
+            round(cosine(col("embedding"), col("av")), 6).as("sim"))
+          .filter(col("sim").isNotNull)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("a_id", "a_label", "rk", "neg_id", "neg_label", "sim")
+          .orderBy("a_id", "rk")
+      },
+      Some(
+        s"""WITH a AS (
+           |  SELECT vec_id AS a_id, label AS a_label, embedding AS av
+           |  FROM embeddings WHERE vec_id < 3
+           |), scored AS (
+           |  SELECT a.a_id, a.a_label, e.vec_id AS neg_id,
+           |    e.label AS neg_label,
+           |    ${cosSql("e.embedding", "a.av")} AS sim
+           |  FROM embeddings e CROSS JOIN a
+           |  WHERE e.vec_id >= 3 AND e.label <> a.a_label
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY a_id
+           |    ORDER BY sim DESC, neg_id) AS rk
+           |  FROM scored WHERE sim IS NOT NULL)
+           |SELECT a_id, a_label, rk, neg_id, neg_label, sim
+           |FROM r WHERE rk <= 3 ORDER BY a_id, rk""".stripMargin)),
+
     // Per-label centroid: elementwise mean via posexplode — the shuffle is
     // on (label, dim), 64 * n_labels cells regardless of row count, so the
     // reduction is fully partial-aggregated at any scale
