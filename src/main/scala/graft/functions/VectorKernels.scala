@@ -252,3 +252,128 @@ object VecL2Sq {
     GraftSqlBridge.column(
       VecL2Sq(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
+
+/** `graft_sq_maxabs(array<float>) -> double`, codegen'd: the int8
+  * scalar-quantizer's per-vector scale — max |x| over exactly 64
+  * non-null floats, each widened to double; NULL for ragged or
+  * null-element input (the LshSig strict contract). Math.max matches
+  * Spark array_max's ordering on the two edge values that differ
+  * across orderings (NaN greatest, 0.0 > -0.0), so the value is
+  * bit-identical to array_max(transform(abs(...))).
+  */
+case class SqMaxAbs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    SqMaxAbs.maxAbs(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.SqMaxAbs.maxAbs($a);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SqMaxAbs =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_sq_maxabs"
+}
+
+object SqMaxAbs {
+  val Dims = 64
+
+  def maxAbs(a: ArrayData): java.lang.Double = {
+    if (a.numElements() != Dims) return null
+    var i = 0
+    while (i < Dims) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    var m = 0.0
+    i = 0
+    while (i < Dims) {
+      m = math.max(m, math.abs(a.getFloat(i).toDouble))
+      i += 1
+    }
+    m
+  }
+
+  def column(c: Column): Column =
+    GraftSqlBridge.column(SqMaxAbs(GraftSqlBridge.expression(c)))
+}
+
+/** `graft_sq_qdot(array<float>, array<int>) -> long`, codegen'd: the
+  * int8-code dot against a pre-quantized query code in ONE pass —
+  * quantize each element (code_i = round-half-up(x_i·127/ma) as the
+  * Round expression computes it: BigDecimal on the double's shortest
+  * decimal repr, NaN/Inf passed through then int-cast like a non-ANSI
+  * double->int cast) and accumulate code_i·qcode_i in long, WITHOUT
+  * materializing the code array. Replaces the interpreted
+  * transform + zip_with + aggregate chain (three per-element HOF
+  * evaluations per row — BENCH_r06 showed ~2.5 s/query at sf0.1 for
+  * what is one narrow map). NULL for ragged/null-element vectors (the
+  * quantizer contract); ma = 0 yields the all-zero code, dot 0,
+  * exactly like the column form. VectorKernelsSpec pins equality
+  * against the HOF lineage.
+  */
+case class SqQDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SqQDot.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.SqQDot.qdot($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqQDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sq_qdot"
+}
+
+object SqQDot {
+  val Scale = 127
+
+  /** Spark Round(d, 0) for DoubleType, exactly: BigDecimal.valueOf
+    * (shortest decimal repr — NOT |d|+0.5, whose IEEE addition rounds
+    * 0.49999999999999994 up to 1), HALF_UP, NaN/Infinity pass through.
+    */
+  private def round0(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** non-ANSI double->int cast (NaN -> 0, +/-Inf -> Int.Max/Min) is
+    * exactly Scala's toInt
+    */
+  def qdot(a: ArrayData, qcode: ArrayData): java.lang.Long = {
+    val ma = SqMaxAbs.maxAbs(a)
+    if (ma == null || qcode.numElements() != SqMaxAbs.Dims) return null
+    val m = ma.doubleValue()
+    var acc = 0L
+    var i = 0
+    while (i < SqMaxAbs.Dims) {
+      if (qcode.isNullAt(i)) return null
+      val code =
+        if (m == 0.0) 0
+        else round0(a.getFloat(i).toDouble * Scale / m).toInt
+      acc += (code * qcode.getInt(i)).toLong
+      i += 1
+    }
+    acc
+  }
+
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      SqQDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

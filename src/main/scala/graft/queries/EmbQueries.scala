@@ -1101,7 +1101,7 @@ object EmbQueries {
     // (broadcast query row, TakeOrderedAndProject top-k, no shuffle).
     Q(
       "emb_sq_ann",
-      (s, d) => sqApproxDots(sqCodes(emb(s, d)))
+      (s, d) => sqApproxDots(emb(s, d))
         .orderBy(col("approx_dot").desc, col("vec_id"))
         .limit(5),
       Some(
@@ -1124,7 +1124,7 @@ object EmbQueries {
       "emb_twostage_rerank",
       (s, d) => {
         val e = emb(s, d)
-        val short = sqApproxDots(sqCodes(e))
+        val short = sqApproxDots(e)
           .orderBy(col("approx_dot").desc, col("vec_id"))
           .limit(20)
           .select("vec_id")
@@ -1598,17 +1598,25 @@ object EmbQueries {
 
   /** integer code dot of every non-query vector against the broadcast
     * query row, reconstructed to approx_dot by two scale multiplies —
-    * exact-integer ranking arithmetic, fixed-order IEEE reconstruction
+    * exact-integer ranking arithmetic, fixed-order IEEE reconstruction.
+    * The corpus side quantizes AND dots in one codegen'd pass (SqQDot /
+    * SqMaxAbs kernels — no code array ever materializes); only the
+    * 1-row query side still quantizes through the column-form
+    * [[sqCodes]], whose per-element semantics the kernels replicate
+    * bit-for-bit (VectorKernelsSpec pins the equality; the earlier
+    * transform+zip_with+aggregate chain evaluated interpreted and cost
+    * ~2.5 s/query at sf0.1, BENCH_r06).
     */
-  private def sqApproxDots(base: DataFrame): DataFrame = {
-    val qrow = broadcast(base.filter(col("vec_id") === 0)
+  private def sqApproxDots(e: DataFrame): DataFrame = {
+    val qrow = broadcast(sqCodes(e).filter(col("vec_id") === 0)
       .select(col("code").as("qcode"), col("ma").as("qma")))
-    base.filter(col("vec_id") =!= 0).crossJoin(qrow)
-      .select(col("vec_id"), col("ma"), col("qma"),
-        aggregate(
-          zip_with(col("code"), col("qcode"),
-            (x, y) => (x * y).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("qdot"))
+    e.filter(col("vec_id") =!= 0).crossJoin(qrow)
+      .select(col("vec_id"),
+        graft.functions.SqMaxAbs.column(col("embedding")).as("ma"),
+        col("qma"),
+        graft.functions.SqQDot.column(col("embedding"), col("qcode"))
+          .as("qdot"))
+      .filter(col("qdot").isNotNull)
       .select(col("vec_id"), col("qdot"),
         round(col("qdot").cast("double") * col("ma") * col("qma") /
           lit((SqScale * SqScale).toDouble), 6).as("approx_dot"))

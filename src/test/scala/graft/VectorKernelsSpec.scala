@@ -116,4 +116,73 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(!rows(1).isNullAt(0))  // clean 64 dims
     assert(rows(2).isNullAt(0))   // null element
   }
+
+  test("SqQDot/SqMaxAbs match the column-form quantizer bit-for-bit") {
+    // the HOF lineage the kernels replace: ma = array_max(abs), code_i
+    // = round(x*127/ma) int-cast, qdot = sum(code*qcode) — evaluated
+    // here exactly as EmbQueries.sqCodes wrote it, against real data
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val codes = e
+      .withColumn("ma",
+        when(size(col("embedding")) === 64 &&
+          !exists(col("embedding"), x => x.isNull),
+          array_max(transform(col("embedding"),
+            x => abs(x.cast("double"))))))
+      .withColumn("code",
+        when(col("ma").isNull, lit(null))
+          .when(col("ma") === 0d,
+            transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => round(x.cast("double") * 127 / col("ma"), 0)
+              .cast("int"))))
+      .filter(col("code").isNotNull)
+    val q = codes.filter(col("vec_id") === 0)
+      .select(col("code").as("qcode"))
+    val rows = e.crossJoin(broadcast(q))
+      .withColumn("hof_ma",
+        when(size(col("embedding")) === 64 &&
+          !exists(col("embedding"), x => x.isNull),
+          array_max(transform(col("embedding"),
+            x => abs(x.cast("double"))))))
+      .withColumn("hof_qdot",
+        when(col("hof_ma").isNull, lit(null).cast("long"))
+          .otherwise(aggregate(
+            zip_with(
+              when(col("hof_ma") === 0d,
+                transform(col("embedding"), _ => lit(0)))
+                .otherwise(transform(col("embedding"),
+                  x => round(x.cast("double") * 127 / col("hof_ma"), 0)
+                    .cast("int"))),
+              col("qcode"), (x, y) => (x * y).cast("long")),
+            lit(0L), (acc, x) => acc + x)))
+      .select(col("hof_ma"), col("hof_qdot"),
+        graft.functions.SqMaxAbs.column(col("embedding")).as("k_ma"),
+        graft.functions.SqQDot.column(col("embedding"), col("qcode"))
+          .as("k_qdot"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(2), r)
+      assert(r.isNullAt(1) == r.isNullAt(3), r)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(2), r)
+      if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(3), r)
+    }
+  }
+
+  test("SqQDot NULL contract: ragged and null-element vectors are excluded") {
+    import spark.implicits._
+    val qcode = array((0 until 64).map(i => lit(i % 5 - 2)): _*)
+    val df = Seq(Array.fill(63)(0.5f), Array.fill(64)(0.5f),
+        Array.fill(64)(0.0f)).toDF("v")
+      .union(Seq(Array.fill(64)(0.5f)).toDF("v")
+        .select(concat(slice(col("v"), 1, 63),
+          array(lit(null).cast("float"))).as("v")))
+    val rows = df.select(
+      graft.functions.SqQDot.column(col("v"), qcode).as("d"),
+      graft.functions.SqMaxAbs.column(col("v")).as("m")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // 63 dims
+    assert(!rows(1).isNullAt(0))                       // clean
+    assert(!rows(2).isNullAt(0) && rows(2).getLong(0) == 0L) // ma = 0
+    assert(rows(3).isNullAt(0) && rows(3).isNullAt(1)) // null element
+  }
 }
