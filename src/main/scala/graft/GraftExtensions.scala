@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CleanText, LangMarkerCounts, LshSig, MaxMultiplicity, MinHashShingleSig, MinHashSig, NormTokens, PolarityScore, SimHash64, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{BpeRunCount, CleanText, LangMarkerCounts, LshSig, MaxMultiplicity, MinHashShingleSig, MinHashSig, NormTokens, PolarityScore, SimHash64, SqMaxAbs, SqQDot, VecCosine, VecDot, VecL2Sq}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Attach with
@@ -60,7 +60,13 @@ object GraftExtensions {
     ("graft_cosine", classOf[VecCosine],
       checked("graft_cosine", 2)(e => VecCosine(e(0), e(1)))),
     ("graft_l2sq", classOf[VecL2Sq],
-      checked("graft_l2sq", 2)(e => VecL2Sq(e(0), e(1)))))
+      checked("graft_l2sq", 2)(e => VecL2Sq(e(0), e(1)))),
+    ("graft_bpe_runs", classOf[BpeRunCount],
+      checked("graft_bpe_runs", 1)(e => BpeRunCount(e.head))),
+    ("graft_sq_maxabs", classOf[SqMaxAbs],
+      checked("graft_sq_maxabs", 1)(e => SqMaxAbs(e.head))),
+    ("graft_sq_qdot", classOf[SqQDot],
+      checked("graft_sq_qdot", 2)(e => SqQDot(e(0), e(1)))))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

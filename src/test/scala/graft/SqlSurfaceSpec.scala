@@ -123,6 +123,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 kernels are SQL-callable: bpe runs + quantized dot") {
+    withExtSession { s =>
+      s.sql(s"CREATE OR REPLACE TEMP VIEW docs6 AS SELECT * FROM " +
+        s"parquet.`${TestSpark.sf0001}/documents.parquet`")
+      val bpe = s.sql(
+        """SELECT doc_id, graft_bpe_runs(lower(text)) AS n_bpe
+          |FROM docs6 ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+      assert(bpe.length == 5 && bpe.forall(!_.isNullAt(1)))
+      s.sql(s"CREATE OR REPLACE TEMP VIEW emb6 AS SELECT * FROM " +
+        s"parquet.`${TestSpark.sf0001}/embeddings.parquet`")
+      // quantize the probe in SQL, dot the corpus against it in SQL —
+      // the full int8 scan expressible without any Scala
+      val dots = s.sql(
+        """WITH probe AS (
+          |  SELECT transform(embedding,
+          |    x -> CAST(round(CAST(x AS DOUBLE) * 127 /
+          |           graft_sq_maxabs(embedding), 0) AS INT)) AS qcode
+          |  FROM emb6 WHERE vec_id = 0
+          |)
+          |SELECT vec_id, graft_sq_qdot(embedding, qcode) AS qdot
+          |FROM emb6 CROSS JOIN probe WHERE vec_id <> 0
+          |ORDER BY qdot DESC, vec_id LIMIT 5""".stripMargin).collect()
+      assert(dots.length == 5 && dots.forall(!_.isNullAt(1)))
+    }
+  }
+
   test("vector similarity search in pure SQL matches the kernel column API") {
     withExtSession { s =>
       s.sql(
