@@ -53,6 +53,36 @@ object FormatQueries {
       s.read.orc(path)
     }
 
+  /** documents re-materialized as quoted CSV (the reference's K5 sink
+    * format), once per (session, dir). Text is null-normalized to ''
+    * BEFORE the write — CSV cannot round-trip the null-vs-empty-string
+    * distinction without bespoke sentinels (write nullValue '' and
+    * read nullValue '' collapse both to null), and '' is the engine's
+    * established null-normalization for text anyway (TextFns.clean).
+    * multiLine handles embedded newlines the quoted writer emits;
+    * header carries the schema names, the explicit read schema the
+    * types (CSV inference would widen doc_id to int on a small file).
+    */
+  private def csvDocs(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.memo("fmt_csv", s, dir) {
+      val path = scratch("csv", dir)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          coalesce(col("text"), lit("")).as("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        // the WRITER trims field whitespace by default (the reader does
+        // not) — whitespace-only docs must survive the trip
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(path)
+    }
+
   /** documents re-materialized hive-partitioned by lang, once per
     * (session, dir)
     */
@@ -81,6 +111,25 @@ object FormatQueries {
           |  CAST(sum(n_chars) AS BIGINT) AS chars
           |FROM documents WHERE n_chars >= 200
           |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CSV round trip — the reference's actual sink format (work.py's
+    // sentiment_results.csv), under its two classic traps: quoting
+    // (embedded quotes/commas/newlines must survive the quoted writer +
+    // multiLine reader) and the null-vs-empty collapse (text is
+    // null-normalized to '' before the write; the oracle mirrors with
+    // coalesce). Per-doc character length is the checksum: any
+    // mis-quoted split or truncation shifts it.
+    Q(
+      "doc_csv_roundtrip",
+      (s, d) =>
+        csvDocs(s, d)
+          .select(col("doc_id"), col("lang"),
+            length(coalesce(col("text"), lit(""))).as("text_chars"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang,
+          |  len(coalesce(text, '')) AS text_chars
+          |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Partition-pruned scan: the lang IN (…) filter resolves against
     // the directory layout, so only the en/zh partition files are read
