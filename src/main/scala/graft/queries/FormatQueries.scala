@@ -83,6 +83,25 @@ object FormatQueries {
         .csv(path)
     }
 
+  /** documents re-materialized as JSON-lines (the reference's primary
+    * interchange format — NDJSON end to end), once per (session, dir).
+    * Unlike CSV, JSON must round-trip the null-vs-empty-string
+    * distinction (null fields are simply omitted per line and read
+    * back as null; '' survives as ""), so text is NOT normalized here
+    * — the distinction itself is under test. Explicit read schema:
+    * inference on a small drop would widen/narrow types.
+    */
+  private def jsonlDocs(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.memo("fmt_jsonl", s, dir) {
+      val path = scratch("jsonl", dir)
+      docs(s, dir)
+        .select("doc_id", "lang", "source", "text")
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+        .json(path)
+    }
+
   /** documents re-materialized hive-partitioned by lang, once per
     * (session, dir)
     */
@@ -129,6 +148,27 @@ object FormatQueries {
       Some(
         """SELECT doc_id, lang,
           |  len(coalesce(text, '')) AS text_chars
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // JSON-lines round trip — the reference's NDJSON interchange
+    // (news_data.json -> consolidated.json), under ITS classic traps:
+    // unicode escapes, embedded quotes/newlines (escaped, one record
+    // per line), and null-vs-empty — which JSON, unlike CSV, must
+    // PRESERVE (null text stays null, '' stays ''). The nullable
+    // per-doc char length is the checksum for both.
+    Q(
+      "doc_jsonl_roundtrip",
+      (s, d) =>
+        jsonlDocs(s, d)
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).as("text_chars"),
+            (col("text") <=> lit("")).as("is_empty"),
+            col("text").isNull.as("is_null"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang, len(text) AS text_chars,
+          |  coalesce(text = '', false) AS is_empty,
+          |  text IS NULL AS is_null
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Partition-pruned scan: the lang IN (…) filter resolves against
