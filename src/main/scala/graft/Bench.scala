@@ -43,6 +43,19 @@ object Bench {
           graft.functions.LangMarkerCounts.column(col("tok")).as("lc"),
           md5(array_join(col("tok"), " ")).as("fp"))
         .write.format("noop").mode("overwrite").save()
+      // int8-quantization kernels (SqMaxAbs / SqQDot): their first
+      // consumer (emb_sq_ann) otherwise absorbs the one-time codegen +
+      // JIT of the fused quantize+dot pass — measured +3-5 s cold in
+      // BENCH_r06's full-suite context. Synthetic vectors, JIT-only.
+      spark.range(512)
+        .select(expr(
+          "transform(sequence(1, 64), i -> cast(i / 64.0 as float))")
+          .as("emb"))
+        .select(
+          graft.functions.SqMaxAbs.column(col("emb")).as("ma"),
+          graft.functions.SqQDot.column(col("emb"),
+            expr("transform(sequence(1, 64), i -> i)")).as("qd"))
+        .write.format("noop").mode("overwrite").save()
       // exercise the shuffle/broadcast/cache machinery once (codecs,
       // exchange builders, block manager) on synthetic data so the first
       // multi-stage query measures its plan, not session infrastructure

@@ -1569,7 +1569,46 @@ object EmbQueries {
            |  CAST(coalesce(h.n_hits, 0) * 20 AS BIGINT) AS recall_pct
            |FROM cand c LEFT JOIN hits h USING (n_bands)
            |ORDER BY n_bands""".stripMargin
-      })
+      }),
+
+    // Per-dimension variance profile — which coordinates of the
+    // embedding actually carry signal. This is the measurement behind
+    // the MRL-truncation choice (emb_mrl_recall tests a prefix; this
+    // query shows whether the prefix dims are the high-variance ones)
+    // and behind PCA/feature-pruning decisions. Exact cross-engine: on
+    // the 1e6 grid, n*Σv² - (Σv)² is an integer; sums accumulate as
+    // DECIMAL(38,0)/HUGEINT (wrap-proof, loud-NULL past the final
+    // BIGINT cast), the mean is the shared exact grid-mean division.
+    // Shape at scale: posexplode then ONE partial-agg'd shuffle on dim —
+    // reducer state is |dims| cells regardless of corpus size.
+    Q(
+      "emb_dim_variance",
+      (s, d) =>
+        emb(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("vi", snap6(col("v")))
+          .groupBy("dim")
+          .agg(
+            count(col("vi")).as("n"),
+            sum(col("vi").cast("decimal(19,0)")).as("s1"),
+            sum((col("vi") * col("vi")).cast("decimal(38,0)")).as("s2"),
+            expr(mean6Expr("vi")).as("mean_v"))
+          .select(col("dim"), col("n"), col("mean_v"),
+            (col("n").cast("decimal(38,0)") * col("s2") -
+              col("s1") * col("s1")).cast("long").as("var_num"))
+          .orderBy("dim"),
+      Some(
+        s"""WITH scaled AS (
+           |  SELECT CAST(i - 1 AS INT) AS dim,
+           |    ${snap6Sql("v")} AS vi
+           |  FROM (SELECT unnest(embedding) AS v,
+           |          generate_subscripts(embedding, 1) AS i
+           |        FROM embeddings)
+           |)
+           |SELECT dim, count(vi) AS n, ${mean6Sql("vi")} AS mean_v,
+           |  CAST(count(vi) * sum(vi * vi) - sum(vi) * sum(vi) AS BIGINT)
+           |    AS var_num
+           |FROM scaled GROUP BY dim ORDER BY dim""".stripMargin))
   )
 
 

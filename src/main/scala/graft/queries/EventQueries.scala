@@ -1658,6 +1658,49 @@ object EventQueries {
           |           FROM (SELECT * FROM a UNION SELECT * FROM b))
           |SELECT n_both, n_either,
           |  round(CAST(n_both AS DOUBLE) / n_either, 6) AS jaccard
-          |FROM i, u""".stripMargin))
+          |FROM i, u""".stripMargin)),
+
+    // Exponentially time-decayed leaderboard — the "trending now" score
+    // a live dashboard ranks by (recent events count fully, old events
+    // fade with a 1-hour half-life). Exact cross-engine: the decay
+    // weight is the DYADIC rational 2^-(age div halflife), materialized
+    // as the integer 2^(40 - bucket) with buckets clamped to 40 (a
+    // 2^-40 tail weight is below any ranking significance; both engines
+    // clamp identically). Weights sum as DECIMAL(38,0)/HUGEINT —
+    // order-independent, wrap-proof (the final BIGINT cast NULLs loudly
+    // past 2^63). Shape at scale: one broadcast 1-row max-ts frame, one
+    // partial-agg'd groupBy — the same cost as a plain count-by-type.
+    Q(
+      "ev_decayed_counts",
+      (s, d) => {
+        val mx = broadcast(
+          ev(s, d).filter(col("ts").isNotNull)
+            .agg(epochS(max(col("ts"))).as("mx")))
+        ev(s, d)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .crossJoin(mx)
+          .withColumn("b",
+            least(expr("(mx - CAST(ts AS LONG)) div 3600"), lit(40L)))
+          .withColumn("w",
+            expr("shiftleft(1L, cast(40 - b as int))")
+              .cast("decimal(19,0)"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("w")).cast("decimal(38,0)").cast("long")
+              .as("decayed_w40"))
+          .orderBy(col("decayed_w40").desc, col("event_type"))
+      },
+      Some(
+        """WITH mx AS (
+          |  SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS mx
+          |  FROM events WHERE ts IS NOT NULL)
+          |SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST((1::BIGINT << CAST(40 - LEAST(
+          |      (mx - CAST(floor(epoch(ts)) AS BIGINT)) // 3600, 40)
+          |    AS INT)) AS HUGEINT)) AS BIGINT) AS decayed_w40
+          |FROM events, mx
+          |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |GROUP BY event_type
+          |ORDER BY decayed_w40 DESC, event_type""".stripMargin))
   )
 }

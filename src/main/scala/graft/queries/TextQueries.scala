@@ -1226,7 +1226,138 @@ object TextQueries {
            |    AS n_novel,
            |  round(CAST(count(CASE WHEN first_doc = doc_id THEN 1 END)
            |      AS DOUBLE) / count(*), 6) AS novelty
-           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Misra-Gries heavy hitters over the token stream — the bounded-
+    // memory mergeable frequent-items summary (Agarwal et al., PODS'12).
+    // Like the HLL/CMS/Bloom sketches, the summary CONTENT is order-
+    // dependent (any valid MG summary is correct), so the checkable
+    // contract is the deterministic guarantee: with k counters over an
+    // N-token stream, every term's deficit (true - counter) is at most
+    // N/(k+1), hence (a) every term with true count > N/(k+1) is
+    // present, and (b) no counter exceeds its true count. The query
+    // collects the <= k-entry summary plus the exact stream length in
+    // ONE pass (the cms "post-aggregation scalar" precedent), then
+    // verifies both bounds against the exact per-term counts — the
+    // verification scan exists only to PROVE the guarantee; at 100 TB
+    // the summary pass alone replaces the full-vocabulary exact agg
+    // (shuffle carries partitions x k entries, not the vocabulary).
+    Q(
+      "doc_mg_heavy_hitters",
+      (s, d) => {
+        val K = 64
+        val mgUdaf = udaf(new graft.functions.MisraGriesAgg(K),
+          org.apache.spark.sql.Encoders.STRING)
+        val terms = toks(s, d).select(explode(col("tok")).as("term"))
+        // single pass: MG summary + exact stream length share the scan
+        val r = terms
+          .agg(mgUdaf(col("term")).as("mg"), count(lit(1)).as("n_stream"))
+          .collect()(0)
+        val mgMap = r.getAs[Map[String, Long]]("mg")
+        val nStream = r.getAs[Long]("n_stream")
+        val sumDf = s.createDataFrame(
+          s.sparkContext.parallelize(
+            mgMap.toSeq.map { case (t, c) => org.apache.spark.sql.Row(t, c) },
+            1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("term",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("counter",
+              org.apache.spark.sql.types.LongType))))
+        terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+          .join(broadcast(sumDf), Seq("term"), "left")
+          .agg(
+            count(lit(1)).as("n_vocab"),
+            count(when(col("n_exact") * (K + 1) > nStream, 1))
+              .as("n_heavy_exact"),
+            count(when(col("n_exact") * (K + 1) > nStream &&
+              col("counter").isNull, 1)).as("n_heavy_missing"),
+            count(when(col("counter") > col("n_exact"), 1))
+              .as("n_upper_viol"),
+            count(when((col("n_exact") - coalesce(col("counter"), lit(0L)))
+              * (K + 1) > nStream, 1)).as("n_deficit_viol"))
+          .select(
+            lit(K).as("k"), lit(nStream).as("n_stream"), col("n_vocab"),
+            col("n_heavy_exact"),
+            (col("n_heavy_missing") === 0).as("all_heavy_found"),
+            (col("n_upper_viol") === 0 && col("n_deficit_viol") === 0)
+              .as("bounds_ok"))
+      },
+      Some(
+        s"""$tokCte, ex AS (SELECT unnest(tok) AS term FROM t),
+           |exact AS (SELECT term, count(*) AS n_exact FROM ex GROUP BY 1),
+           |tot AS (SELECT CAST(coalesce(sum(n_exact), 0) AS BIGINT) AS n_stream,
+           |               count(*) AS n_vocab FROM exact)
+           |SELECT 64 AS k, n_stream, n_vocab,
+           |  (SELECT count(*) FROM exact, tot WHERE n_exact * 65 > n_stream)
+           |    AS n_heavy_exact,
+           |  TRUE AS all_heavy_found, TRUE AS bounds_ok
+           |FROM tot""".stripMargin)),
+
+    // Two-round EXACT top-N at sketch cost — the production shape for
+    // exact heavy hitters when the vocabulary doesn't fit reducer
+    // state: round 1 runs the bounded Misra-Gries summary (k=256
+    // counters/partition, shuffle carries partitions x k entries);
+    // round 2 re-counts ONLY the <= k candidate terms exactly (the
+    // isin filter is map-side, reducer state is O(k) — never the
+    // vocabulary). The MG deficit bound makes the result CERTIFIED:
+    // every term with true count > N/(k+1) is a candidate, so whenever
+    // min(top-N exact) * (k+1) > N the candidate top-N provably equals
+    // the true top-N — the certificate is emitted as a column, and the
+    // oracle computes the same condition from its full exact counts
+    // (the two agree whenever the certificate holds, which the corpus'
+    // stopword skew guarantees at every test SF). doc_top_terms is the
+    // full-shuffle twin this replaces at scale.
+    Q(
+      "doc_heavy_hitters_tworound",
+      (s, d) => {
+        val K = 256
+        val TopN = 5
+        val mgUdaf = udaf(new graft.functions.MisraGriesAgg(K),
+          org.apache.spark.sql.Encoders.STRING)
+        val terms = toks(s, d).select(explode(col("tok")).as("term"))
+        val r = terms
+          .agg(mgUdaf(col("term")).as("mg"), count(lit(1)).as("n_stream"))
+          .collect()(0)
+        val cand = r.getAs[Map[String, Long]]("mg").keys.toSeq
+        val nStream = r.getAs[Long]("n_stream")
+        val top = terms.filter(col("term").isin(cand: _*))
+          .groupBy("term").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term"))
+          .limit(TopN)
+          .collect() // post-aggregation scalar rows (<= TopN)
+        val certified =
+          top.nonEmpty && top.map(_.getAs[Long]("n_exact")).min * (K + 1) > nStream
+        val rows = top.zipWithIndex.map { case (t, i) =>
+          org.apache.spark.sql.Row(
+            (i + 1).toLong, t.getAs[String]("term"),
+            t.getAs[Long]("n_exact"), certified)
+        }
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("term",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_exact",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("certified",
+              org.apache.spark.sql.types.BooleanType))))
+      },
+      Some(
+        s"""$tokCte, ex AS (SELECT unnest(tok) AS term FROM t),
+           |exact AS (SELECT term, count(*) AS n_exact FROM ex GROUP BY 1),
+           |tot AS (SELECT CAST(coalesce(sum(n_exact), 0) AS BIGINT) AS n
+           |        FROM exact),
+           |top AS (
+           |  SELECT term, n_exact,
+           |    row_number() OVER (ORDER BY n_exact DESC, term) AS rank
+           |  FROM exact ORDER BY n_exact DESC, term LIMIT 5)
+           |SELECT rank, term, n_exact,
+           |  (SELECT min(n_exact) FROM top) * 257 > (SELECT n FROM tot)
+           |    AS certified
+           |FROM top ORDER BY rank""".stripMargin))
   )
 
   /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match
