@@ -691,4 +691,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p.take(1600))
     assert(p.contains("TakeOrderedAndProject"), p.take(1600))
   }
+
+  test("dim variance: one scan, one partial-agg'd dim shuffle, no join") {
+    val p = plan("emb_dim_variance")
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(900))
+    assert(p.contains("partial_sum"), p.take(900))
+    assert(!p.contains("Join"), p.take(900))
+  }
+
+  test("decayed counts: 1-row max-ts broadcast, partial-agg'd type shuffle") {
+    val p = plan("ev_decayed_counts")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(900)) // 1-row mx
+    assert(p.contains("partial_count"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("MG verdict: summary side broadcast into the exact-count check") {
+    // build() runs the MG pass itself (two small jobs); the returned
+    // verification frame must broadcast the <= k-entry summary, never
+    // shuffle it against the vocabulary
+    val p = plan("doc_mg_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
 }
