@@ -1608,7 +1608,68 @@ object EmbQueries {
            |SELECT dim, count(vi) AS n, ${mean6Sql("vi")} AS mean_v,
            |  CAST(count(vi) * sum(vi * vi) - sum(vi) * sum(vi) AS BIGINT)
            |    AS var_num
-           |FROM scaled GROUP BY dim ORDER BY dim""".stripMargin))
+           |FROM scaled GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // Top correlated dimension pairs — the off-diagonal of the exact
+    // integer second-moment (Gram/covariance) matrix, the measurement
+    // behind whitening/PCA/rotation decisions the way emb_dim_variance
+    // is behind truncation. Exact: per pair (i<j) on the 1e6 grid,
+    // cov_num = n*Σxy − Σx·Σy is an integer; sums accumulate as
+    // DECIMAL(38,0)/HUGEINT (loud-NULL past the final BIGINT cast).
+    // Shape at scale: the per-row pair expansion is dims²/2 ≈ 2016
+    // structs — heavy map-side compute but strictly LINEAR in rows, and
+    // the partial agg collapses each partition to ≤ 2016 cells before
+    // the exchange, so reducer state is the matrix, never the corpus.
+    // Top-20 by |cov| runs as TakeOrderedAndProject over 2016 rows.
+    Q(
+      "emb_covariance_topk",
+      (s, d) =>
+        emb(s, d)
+          // the size >= 2 guard matters: Spark's sequence(a, b) DESCENDS
+          // when a > b, so an unguarded i = size-1 would emit j = size
+          // and element_at would throw on the out-of-range index
+          .select(explode(expr(
+            """CASE WHEN size(embedding) >= 2 THEN
+              |  flatten(transform(sequence(0, size(embedding) - 2), i ->
+              |    transform(sequence(i + 1, size(embedding) - 1), j ->
+              |      struct(i, j,
+              |        cast(round(cast(element_at(embedding, i + 1) as double)
+              |          * 1e6, 0) as long) as x,
+              |        cast(round(cast(element_at(embedding, j + 1) as double)
+              |          * 1e6, 0) as long) as y))))
+              |END""".stripMargin))
+            .as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"),
+            col("p.x").as("x"), col("p.y").as("y"))
+          .filter(col("x").isNotNull && col("y").isNotNull)
+          .groupBy("i", "j")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(19,0)")).as("sx"),
+            sum(col("y").cast("decimal(19,0)")).as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+          .select(col("i"), col("j"), col("n"),
+            (col("n").cast("decimal(38,0)") * col("sxy") -
+              col("sx") * col("sy")).cast("long").as("cov_num"))
+          .orderBy(abs(col("cov_num")).desc, col("i"), col("j"))
+          .limit(20),
+      Some(
+        """WITH p AS (
+          |  SELECT i.i AS i, j.j AS j,
+          |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6, 0)
+          |      AS BIGINT) AS x,
+          |    CAST(round(CAST(embedding[j.j + 1] AS DOUBLE) * 1e6, 0)
+          |      AS BIGINT) AS y
+          |  FROM embeddings, range(0, 64) i(i), range(0, 64) j(j)
+          |  WHERE i.i < j.j AND j.j < len(embedding)
+          |    AND embedding[i.i + 1] IS NOT NULL
+          |    AND embedding[j.j + 1] IS NOT NULL
+          |)
+          |SELECT i, j, count(*) AS n,
+          |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+          |    AS cov_num
+          |FROM p GROUP BY i, j
+          |ORDER BY abs(cov_num) DESC, i, j LIMIT 20""".stripMargin))
   )
 
 

@@ -1701,6 +1701,59 @@ object EventQueries {
           |FROM events, mx
           |WHERE ts IS NOT NULL AND event_type IS NOT NULL
           |GROUP BY event_type
-          |ORDER BY decayed_w40 DESC, event_type""".stripMargin))
+          |ORDER BY decayed_w40 DESC, event_type""".stripMargin)),
+
+    // HLL set algebra at its limit: |A ∩ B| by inclusion-exclusion over
+    // three sketches (|A| + |B| - |A ∪ B|). Unlike union (lossless HLL
+    // merge, ev_hll_partial_merge), intersection has NO mergeable sketch
+    // form — the subtraction compounds the three estimation errors and
+    // can even go negative for small overlaps, which is why the gate is
+    // the wider |est - exact| <= 10% of (|A| + |B|) rather than union's
+    // 5%-of-exact. The checkable contract is the error bound (sketch
+    // internals are engine-specific); the exact twin comes from the
+    // same distinct sets the bitmap query proves. At 100 TB all three
+    // sketches build in one pass each side and the driver holds three
+    // 4 KB registers — the exact twin is the thing this replaces.
+    Q(
+      "ev_hll_intersection",
+      (s, d) => {
+        val e = ev(s, d).filter(col("user_id").isNotNull)
+        def users(ty: String) =
+          e.filter(col("event_type") === ty).select("user_id")
+        val nA = users("click").distinct().agg(count(lit(1)).as("n_click"))
+        val nB = users("purchase").distinct()
+          .agg(count(lit(1)).as("n_purchase"))
+        val nBoth = users("click")
+          .join(users("purchase").distinct()
+            .withColumnRenamed("user_id", "u2"),
+            col("user_id") === col("u2"), "left_semi")
+          .distinct().agg(count(lit(1)).as("n_both_exact"))
+        val skA = users("click")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_a"))
+        val skB = users("purchase")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_b"))
+        val skU = e.filter(col("event_type").isin("click", "purchase"))
+          .select("user_id")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_u"))
+        nA.crossJoin(nB).crossJoin(nBoth)
+          .crossJoin(skA).crossJoin(skB).crossJoin(skU)
+          .select(col("n_click"), col("n_purchase"), col("n_both_exact"),
+            (abs(col("est_a") + col("est_b") - col("est_u") -
+              col("n_both_exact")) * 10 <=
+              col("n_click") + col("n_purchase")).as("ie_within_10pct"))
+      },
+      Some(
+        """WITH a AS (SELECT DISTINCT user_id FROM events
+          |           WHERE user_id IS NOT NULL AND event_type = 'click'),
+          |     b AS (SELECT DISTINCT user_id FROM events
+          |           WHERE user_id IS NOT NULL AND event_type = 'purchase')
+          |SELECT (SELECT count(*) FROM a) AS n_click,
+          |  (SELECT count(*) FROM b) AS n_purchase,
+          |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+          |    AS n_both_exact,
+          |  TRUE AS ie_within_10pct""".stripMargin))
   )
 }

@@ -715,4 +715,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(900))
     assert(!p.contains("SortMergeJoin"), p.take(900))
   }
+
+  test("covariance top-k: partial-agg'd matrix cells + bounded heap, no join") {
+    val p = plan("emb_covariance_topk")
+    assert(p.contains("partial_count"), p.take(900))
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+    assert(!p.contains("Join"), p.take(900))
+  }
+
+  test("HLL intersection: sketch scans partial-agg, scalars cross via broadcast") {
+    val p = plan("ev_hll_intersection")
+    // every crossJoin side is a 1-row aggregate; no real join shape
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
 }
