@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -1614,61 +1615,79 @@ object EmbQueries {
     // integer second-moment (Gram/covariance) matrix, the measurement
     // behind whitening/PCA/rotation decisions the way emb_dim_variance
     // is behind truncation. Exact: per pair (i<j) on the 1e6 grid,
-    // cov_num = n*Σxy − Σx·Σy is an integer; sums accumulate as
-    // DECIMAL(38,0)/HUGEINT (loud-NULL past the final BIGINT cast).
-    // Shape at scale: the per-row pair expansion is dims²/2 ≈ 2016
-    // structs — heavy map-side compute but strictly LINEAR in rows, and
-    // the partial agg collapses each partition to ≤ 2016 cells before
-    // the exchange, so reducer state is the matrix, never the corpus.
-    // Top-20 by |cov| runs as TakeOrderedAndProject over 2016 rows.
+    // cov_num = n*Σxy − Σx·Σy is an integer; the driver-side products
+    // go through BigInt with a loud .longValueExact. Input is the
+    // strict 64-dim no-null contract (the sqCodes/LshSig convention),
+    // enforced identically in the oracle. Shape at scale: ONE pass
+    // through [[graft.functions.GramAgg]] — each partition folds its
+    // rows into a fixed (64 + 2016)-cell long buffer, the exchange
+    // moves partitions × 1 buffers, and the top-20 selection runs on
+    // the driver over the 2016 matrix cells (a post-aggregation
+    // scalar). The first form of this query exploded dims²/2 structs
+    // per row (10M rows through a hash agg at sf0.1, 7.5 s measured);
+    // the aggregator is the same arithmetic with no row expansion.
     Q(
       "emb_covariance_topk",
-      (s, d) =>
-        emb(s, d)
-          // the size >= 2 guard matters: Spark's sequence(a, b) DESCENDS
-          // when a > b, so an unguarded i = size-1 would emit j = size
-          // and element_at would throw on the out-of-range index
-          .select(explode(expr(
-            """CASE WHEN size(embedding) >= 2 THEN
-              |  flatten(transform(sequence(0, size(embedding) - 2), i ->
-              |    transform(sequence(i + 1, size(embedding) - 1), j ->
-              |      struct(i, j,
-              |        cast(round(cast(element_at(embedding, i + 1) as double)
-              |          * 1e6, 0) as long) as x,
-              |        cast(round(cast(element_at(embedding, j + 1) as double)
-              |          * 1e6, 0) as long) as y))))
-              |END""".stripMargin))
-            .as("p"))
-          .select(col("p.i").as("i"), col("p.j").as("j"),
-            col("p.x").as("x"), col("p.y").as("y"))
-          .filter(col("x").isNotNull && col("y").isNotNull)
-          .groupBy("i", "j")
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("x").cast("decimal(19,0)")).as("sx"),
-            sum(col("y").cast("decimal(19,0)")).as("sy"),
-            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
-          .select(col("i"), col("j"), col("n"),
-            (col("n").cast("decimal(38,0)") * col("sxy") -
-              col("sx") * col("sy")).cast("long").as("cov_num"))
-          .orderBy(abs(col("cov_num")).desc, col("i"), col("j"))
-          .limit(20),
+      (s, d) => {
+        val strict = emb(s, d)
+          .filter(size(col("embedding")) === 64 &&
+            !exists(col("embedding"), x => x.isNull))
+          .select("embedding")
+        val gram = udaf(new graft.functions.GramAgg(),
+          ExpressionEncoder[Array[Float]]())
+        val g = strict.agg(gram(col("embedding")).as("g"))
+          .collect()(0).getAs[org.apache.spark.sql.Row]("g")
+        val n = g.getAs[Long]("n")
+        val sArr = g.getAs[scala.collection.Seq[Long]]("s")
+        val pArr = g.getAs[scala.collection.Seq[Long]]("p")
+        val D = graft.functions.GramAgg.D
+        val cells =
+          if (n == 0) Seq.empty
+          else for {
+            i <- 0 until D; j <- (i + 1) until D
+          } yield {
+            val k = graft.functions.GramAgg.pairIndex(i, j)
+            val cov = (BigInt(n) * pArr(k) - BigInt(sArr(i)) * sArr(j))
+              .bigInteger.longValueExact
+            org.apache.spark.sql.Row(i, j, n, cov)
+          }
+        val top = cells
+          .sortBy(r => (-math.abs(r.getLong(3)), r.getInt(0), r.getInt(1)))
+          .take(20)
+        s.createDataFrame(
+          s.sparkContext.parallelize(top, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("i",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("j",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cov_num",
+              org.apache.spark.sql.types.LongType))))
+      },
       Some(
-        """WITH p AS (
-          |  SELECT i.i AS i, j.j AS j,
-          |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6, 0)
-          |      AS BIGINT) AS x,
-          |    CAST(round(CAST(embedding[j.j + 1] AS DOUBLE) * 1e6, 0)
-          |      AS BIGINT) AS y
-          |  FROM embeddings, range(0, 64) i(i), range(0, 64) j(j)
-          |  WHERE i.i < j.j AND j.j < len(embedding)
-          |    AND embedding[i.i + 1] IS NOT NULL
-          |    AND embedding[j.j + 1] IS NOT NULL
+        """WITH strict AS (
+          |  SELECT list_transform(embedding,
+          |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS v
+          |  FROM embeddings
+          |  WHERE len(embedding) = 64
+          |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          |), nn AS (SELECT count(*) AS n FROM strict),
+          |p AS (
+          |  SELECT i.i AS i, j.j AS j, sum(v[i.i + 1] * v[j.j + 1]) AS sxy
+          |  FROM strict, range(0, 64) i(i), range(0, 64) j(j)
+          |  WHERE i.i < j.j GROUP BY 1, 2
+          |), s AS (
+          |  SELECT i.i AS dim, sum(v[i.i + 1]) AS sd
+          |  FROM strict, range(0, 64) i(i) GROUP BY 1
           |)
-          |SELECT i, j, count(*) AS n,
-          |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
-          |    AS cov_num
-          |FROM p GROUP BY i, j
+          |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+          |  nn.n AS n,
+          |  CAST(nn.n * p.sxy - si.sd * sj.sd AS BIGINT) AS cov_num
+          |FROM p CROSS JOIN nn
+          |JOIN s si ON si.dim = p.i
+          |JOIN s sj ON sj.dim = p.j
           |ORDER BY abs(cov_num) DESC, i, j LIMIT 20""".stripMargin))
   )
 

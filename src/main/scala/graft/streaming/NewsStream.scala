@@ -212,6 +212,41 @@ object NewsStream {
       .filter(col("rk") <= k)
   }
 
+  /** Beyond-reference: DECAYED "trending now" leaderboard — the
+    * streaming twin of the batch `ev_decayed_counts`. Fold a set of
+    * CLOSED windowed counts (the append-mode output
+    * `windowedSentimentCounts` delivers, accumulated via foreachBatch /
+    * the upsert sink) into one score per label where a window aged by
+    * `halflifeWindows` windows contributes at half weight:
+    * score = Σ n(w) · 2^-(age_windows div halflifeWindows), ages
+    * relative to the NEWEST closed window. The weights are dyadic
+    * rationals materialized as integer 2^(40 - bucket) (clamped at 40,
+    * the ev_decayed_counts convention), summed as DECIMAL — exact under
+    * any fold/merge order, so re-running the fold over replayed state
+    * reproduces identical scores (the determinism the upsert-replay
+    * machinery needs). Per fold the input is |closed windows| × |labels|
+    * rows — bounded state, never the stream.
+    */
+  def decayedTrendingTotals(closedCounts: DataFrame,
+      windowSec: Long = 300L, halflifeWindows: Int = 2): DataFrame = {
+    val base = closedCounts.select(
+      col("window.start").cast("long").as("ws"),
+      col("sentiment"), col("n"))
+    val mx = broadcast(base.agg(max(col("ws")).as("mxs")))
+    base.crossJoin(mx)
+      .withColumn("b",
+        least(expr(s"((mxs - ws) div $windowSec) div $halflifeWindows"),
+          lit(40L)))
+      .withColumn("w40",
+        expr("shiftleft(1L, cast(40 - b as int))").cast("decimal(19,0)"))
+      .groupBy("sentiment")
+      .agg(
+        sum(col("w40") * col("n").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").cast("long").as("score_w40"),
+        sum(col("n")).as("n_total"))
+      .orderBy(col("score_w40").desc, col("sentiment"))
+  }
+
   /** Beyond-reference: DISTINCT sources per tumbling window — the
     * streaming twin of the batch `ev_window_distinct_users` (same
     * two-level shape: dedup on (window, key) first, then a plain

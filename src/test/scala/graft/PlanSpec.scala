@@ -716,11 +716,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(900))
   }
 
-  test("covariance top-k: partial-agg'd matrix cells + bounded heap, no join") {
+  test("covariance top-k: one GramAgg pass, result is a bounded local relation") {
+    // build() folds the corpus through the fixed-buffer Gram aggregator
+    // (post-aggregation scalar); the returned frame must be the bounded
+    // 20-row local relation — no join, no shuffle, no row expansion
     val p = plan("emb_covariance_topk")
-    assert(p.contains("partial_count"), p.take(900))
-    assert(p.contains("TakeOrderedAndProject"), p.take(900))
     assert(!p.contains("Join"), p.take(900))
+    assert(!p.contains("Exchange"), p.take(900))
+    assert(!p.contains("Generate"), p.take(900)) // no explode anywhere
   }
 
   test("HLL intersection: sketch scans partial-agg, scalars cross via broadcast") {

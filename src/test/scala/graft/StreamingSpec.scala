@@ -769,4 +769,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.select("id").distinct().count() == 5)
     assert(st.columns.contains("sentiment"))
   }
+
+  test("decayed trending fold: exact dyadic scores over closed windows") {
+    // three closed 5-min windows; halflife = 1 window => ages 2, 1, 0
+    // decay as weights 2^38, 2^39, 2^40 relative to the newest window
+    val rows = Seq(
+      ("2024-01-01 00:00:00", "Positive", 3L),
+      ("2024-01-01 00:05:00", "Positive", 1L),
+      ("2024-01-01 00:10:00", "Negative", 2L),
+      ("2024-01-01 00:10:00", "Positive", 1L))
+    val df = spark.createDataFrame(rows).toDF("ws", "sentiment", "n")
+      .select(struct(to_timestamp(col("ws")).as("start")).as("window"),
+        col("sentiment"), col("n"))
+    val out = NewsStream
+      .decayedTrendingTotals(df, windowSec = 300L, halflifeWindows = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val pos = 3L * (1L << 38) + (1L << 39) + (1L << 40) // 9 * 2^38
+    val neg = 2L * (1L << 40)                           // 8 * 2^38
+    assert(out == Seq(("Positive", pos, 5L), ("Negative", neg, 2L)), out)
+    // fold determinism under replay: re-running over the same closed
+    // state reproduces identical scores bit-for-bit
+    val again = NewsStream
+      .decayedTrendingTotals(df, windowSec = 300L, halflifeWindows = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == out)
+  }
 }
