@@ -43,6 +43,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(n("ev_value_range_join") == 20) // one row per value band
     assert(n("dedup_split_contamination") == 1)
     assert(n("doc_tfidf_top_terms") == 1500) // 500 docs x top-3
+    assert(n("emb_dim_variance") == 64) // one row per dimension
+    assert(n("emb_covariance_topk") == 20) // top-20 of 2016 pairs
+    assert(n("doc_mg_heavy_hitters") == 1) // single verdict row
+    assert(n("doc_heavy_hitters_tworound") == 5) // certified top-5
+    assert(n("ev_hll_intersection") == 1)
   }
 
   // Guard against testdata-regeneration drift: the driver has shipped
