@@ -1296,32 +1296,73 @@ object EmbQueries {
                 round(cosine(col("embedding"), col("qv")), 6).as("rel"))
               .orderBy(col("rel").desc, col("vec_id"))
               .limit(12)))
-        val sims = cands
-          .select(col("vec_id").as("a_id"), col("embedding").as("av"))
-          .crossJoin(cands
-            .select(col("vec_id").as("b_id"), col("embedding").as("bv")))
-          .filter(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            round(cosine(col("av"), col("bv")), 6).as("sim"))
-        var picked = cands
-          .select(col("vec_id"), col("rel"), col("rel").as("mmr"),
-            lit(1).as("pick"))
-          .orderBy(col("rel").desc, col("vec_id")).limit(1)
-        for (k <- 2 to 4) {
-          val pickedIds = picked.select("vec_id")
-          val next = cands
-            .join(pickedIds, Seq("vec_id"), "left_anti")
-            .join(sims, col("vec_id") === col("a_id"))
-            .join(pickedIds.withColumnRenamed("vec_id", "b_id"),
-              Seq("b_id"), "left_semi")
-            .groupBy(col("vec_id"), col("rel"))
-            .agg(max(col("sim")).as("maxsim"))
-            .select(col("vec_id"), col("rel"),
-              (col("rel") - col("maxsim")).as("mmr"), lit(k).as("pick"))
-            .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-          picked = picked.unionByName(next)
+        // memoized like cands: the three greedy iterations below each
+        // reference this frame, and un-persisted the lazy plan would
+        // embed the 12x12 crossJoin subtree once PER iteration (~2.4 s
+        // of replanning/re-execution at sf0.1 for a 132-row matrix)
+        val sims = graft.CacheRegistry.memo("emb_mmr_sims", s, d)(
+          graft.CacheRegistry.track(s, cands
+            .select(col("vec_id").as("a_id"), col("embedding").as("av"))
+            .crossJoin(cands
+              .select(col("vec_id").as("b_id"), col("embedding").as("bv")))
+            .filter(col("a_id") =!= col("b_id"))
+            .select(col("a_id"), col("b_id"),
+              round(cosine(col("av"), col("bv")), 6).as("sim"))))
+        // The greedy selection runs on the DRIVER over the two collected
+        // bounded frames (12 candidates + 132 sims — post-aggregation
+        // scalars, the cms precedent): the earlier lazy-DataFrame loop
+        // planned 9 joins over the same 12 persisted rows and cost
+        // ~2.2 s of pure planning/scheduling at ANY scale factor. The
+        // distributed work (shortlist scan, pairwise cosines) is
+        // unchanged; only the O(k²) recurrence moves in-process.
+        // Ordering mirrors the DataFrame form exactly: desc NULLS LAST,
+        // vec_id ascending tie-break; mmr is the same IEEE double
+        // subtraction of the two round-6 values.
+        val candRows = cands.collect()
+          .map(r => (r.getAs[Long]("vec_id"),
+            Option(r.getAs[java.lang.Double]("rel")).map(_.doubleValue)))
+        val simMap = sims.collect().flatMap { r =>
+          Option(r.getAs[java.lang.Double]("sim")).map(sv =>
+            (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> sv.doubleValue)
+        }.toMap
+        def best(xs: Seq[(Long, Option[Double])]): Option[(Long, Option[Double])] =
+          xs.sortBy { case (id, v) =>
+            (v.isEmpty, v.map(-_).getOrElse(0.0), id)
+          }.headOption
+        val pickedBuf =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Option[Double], Option[Double])]
+        var remaining = candRows.toSeq
+        best(remaining).foreach { case (id, rel) =>
+          pickedBuf += ((1, id, rel, rel)); remaining = remaining.filterNot(_._1 == id)
         }
-        picked.select("pick", "vec_id", "rel", "mmr").orderBy("pick")
+        for (k <- 2 to 4 if remaining.nonEmpty) {
+          val pickedIds = pickedBuf.map(_._2)
+          val scored = remaining.map { case (id, rel) =>
+            val ms = pickedIds.flatMap(p => simMap.get((id, p)))
+            val mmr = for (r <- rel; m <- ms.maxOption) yield r - m
+            (id, rel, mmr)
+          }
+          best(scored.map(t => (t._1, t._3))).foreach { case (id, _) =>
+            val t = scored.find(_._1 == id).get
+            pickedBuf += ((k, t._1, t._2, t._3))
+            remaining = remaining.filterNot(_._1 == id)
+          }
+        }
+        val rows = pickedBuf.map { case (k, id, rel, mmr) =>
+          org.apache.spark.sql.Row(k, id,
+            rel.map(Double.box).orNull, mmr.map(Double.box).orNull)
+        }
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pick",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rel",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("mmr",
+              org.apache.spark.sql.types.DoubleType))))
       },
       Some(mmrSql)),
 

@@ -425,12 +425,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(900))
   }
 
-  test("MMR: every greedy step reads the persisted candidate set") {
+  test("MMR: greedy recurrence is driver-side; result is a bounded local relation") {
+    // build() runs the distributed shortlist + pairwise-cosine jobs
+    // (persisted, bounded at 12 rows / 132 sims) and folds the greedy
+    // selection in-process; the returned frame must be the 4-row local
+    // relation — the unrolled lazy-join form cost ~2.2 s of planning
+    // over the same 12 persisted rows at any scale factor
     val p = plan("emb_mmr_rerank")
-    // cands is referenced ~9x across the unrolled steps; all of them
-    // must hit the cache, so the embeddings file feeds only the one
-    // top-k candidate build
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 8, p.take(1200))
+    assert(!p.contains("Join"), p.take(900))
+    assert(!p.contains("Exchange"), p.take(900))
   }
 
   test("gap fill: spine explode + one fill window, no cross product") {
