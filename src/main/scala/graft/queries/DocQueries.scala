@@ -519,6 +519,59 @@ object DocQueries {
           |  n_groups * n AS w_den
           |FROM g CROSS JOIN st ORDER BY lang, source""".stripMargin)),
 
+    // Temperature-scaled (α = 1/2) multilingual sampling weights — the
+    // mT5/XLM-R low-resource upsampling rule: sample language l with
+    // probability ∝ n_l^α, flattening the head (α=1 is proportional,
+    // α=0 is doc_mixing_weights' uniform; α=1/2 is the classic
+    // compromise). Cross-engine exactness without libm pow: α=1/2 makes
+    // the unnormalized weight sqrt(n_l), and IEEE-754 REQUIRES sqrt to
+    // be correctly rounded — so floor(sqrt(n)·1e6) is the same BIGINT
+    // on both engines (unlike pow/log, which are only faithfully
+    // rounded and may differ in the last ulp). All downstream
+    // arithmetic is integral at ppm scale with DECIMAL/HUGEINT
+    // products, so every output bit matches. Shape at scale: one
+    // partial-agg'd shuffle to |lang| rows, the 2-number stat frame
+    // broadcast back — identical cost to doc_mixing_weights.
+    //   share_ppm  — observed mixture  n_l / N
+    //   w_alpha_ppm — α-tempered mixture  √n_l / Σ√n
+    //   boost_ppm  — upsampling factor  w_alpha / share (> 1e6 ⇔ the
+    //                language is upsampled; en lands < 1e6, the tail > 1e6)
+    Q(
+      "doc_temperature_mix",
+      (s, d) => {
+        val g = docs(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("s6",
+            floor(sqrt(col("n").cast("double")) * 1e6))
+        val st = g.agg(
+          sum(col("n")).cast("long").as("n_total"),
+          sum(col("s6")).cast("long").as("s_tot"))
+        g.crossJoin(broadcast(st))
+          .select(col("lang"), col("n").as("n_docs"),
+            expr("n * 1000000 DIV n_total").as("share_ppm"),
+            expr("CAST(CAST(s6 AS DECIMAL(38,0)) * 1000000 DIV s_tot AS BIGINT)")
+              .as("w_alpha_ppm"),
+            expr("""CAST(CAST(s6 AS DECIMAL(19,0)) * n_total * 1000000
+                   | DIV (CAST(s_tot AS DECIMAL(19,0)) * n) AS BIGINT)"""
+              .stripMargin).as("boost_ppm"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT lang, count(*) AS n,
+          |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s6
+          |  FROM documents GROUP BY lang),
+          |st AS (
+          |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+          |    CAST(sum(s6) AS BIGINT) AS s_tot FROM g)
+          |SELECT lang, n AS n_docs,
+          |  n * 1000000 // n_total AS share_ppm,
+          |  CAST(CAST(s6 AS HUGEINT) * 1000000 // s_tot AS BIGINT)
+          |    AS w_alpha_ppm,
+          |  CAST(CAST(s6 AS HUGEINT) * n_total * 1000000
+          |    // (CAST(s_tot AS HUGEINT) * n) AS BIGINT) AS boost_ppm
+          |FROM g CROSS JOIN st ORDER BY lang""".stripMargin)),
+
     // Length-quartile strata per language (ntile): the per-stratum
     // assignment behind length-balanced eval sets and curriculum
     // ordering. Ties are broken by doc_id so both engines assign

@@ -1754,6 +1754,131 @@ object EventQueries {
           |  (SELECT count(*) FROM b) AS n_purchase,
           |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
           |    AS n_both_exact,
-          |  TRUE AS ie_within_10pct""".stripMargin))
+          |  TRUE AS ie_within_10pct""".stripMargin)),
+
+    // Hot-key SPLIT join — the production mitigation for join-key skew
+    // (the join-side sibling of ev_salted_agg's two-phase aggregation,
+    // and the remedy the ev_skew_audit detector justifies). The fact
+    // stream joins a per-user dimension; keys above the hot threshold
+    // are routed through a BROADCAST join (no shuffle ever sees a hot
+    // key's row volume), the long cold tail through the ordinary
+    // shuffle join. Results are provably identical to the plain join —
+    // the oracle IS the plain join — because the two routes partition
+    // the key space. Scale shape: the hot-key set is tiny by
+    // definition (keys whose row count exceeds a constant threshold),
+    // so hot dim rows broadcast; the cold route shuffles rows whose
+    // per-key cardinality is bounded by the threshold — no reducer
+    // ever receives a hot key's full row set. AQE's skew-join split
+    // handles moderate skew automatically; this is the explicit form
+    // for the catastrophic case (a null-like sentinel key, a bot
+    // user) where even a split partition floods its reducers. At
+    // 100 TB the dimension is a stored table; here it derives from the
+    // same events scan (min/count per user), which Catalyst plans once
+    // and reuses across the hot/cold branches.
+    Q(
+      "ev_skew_split_join",
+      (s, d) => {
+        val HotN = 75L
+        val fact = ev(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            epochS(col("ts")).as("es"))
+        val dim = fact.groupBy("user_id")
+          .agg(min(col("es")).as("first_s"), count(lit(1)).as("n_u"))
+        val hot = dim.filter(col("n_u") > HotN).select("user_id")
+        val cold = fact.join(hot, Seq("user_id"), "left_anti")
+          .join(dim, Seq("user_id"))
+          .withColumn("is_hot", lit(false))
+        val hotJoined = fact.join(broadcast(hot), Seq("user_id"), "left_semi")
+          .join(broadcast(dim.join(hot, Seq("user_id"), "left_semi")),
+            Seq("user_id"))
+          .withColumn("is_hot", lit(true))
+        cold.unionByName(hotJoined)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("is_hot"), 1)).as("n_hot"),
+            // decimal sum: ages are bounded by the table's time span,
+            // but Σ over a 100 TB type partition can pass 2^63 — wrap
+            // must be loud (NULL), not silent
+            sum((col("es") - col("first_s")).cast("decimal(19,0)"))
+              .cast("decimal(38,0)").cast("long").as("sum_age_s"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH f AS (
+          |  SELECT user_id, event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |dim AS (
+          |  SELECT user_id, min(es) AS first_s, count(*) AS n_u
+          |  FROM f GROUP BY 1)
+          |SELECT f.event_type, count(*) AS n,
+          |  count(CASE WHEN dim.n_u > 75 THEN 1 END) AS n_hot,
+          |  CAST(sum(CAST(f.es - dim.first_s AS HUGEINT)) AS BIGINT)
+          |    AS sum_age_s
+          |FROM f JOIN dim USING (user_id)
+          |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // HLL ROLLUP — distinct-user counts served at three grains from ONE
+    // set of fine sketches: build (day × type) HLL sketches in a single
+    // pass, then answer the day grain and the global grain by MERGING
+    // those sketches (hll_union_agg), never rescanning raw events. This
+    // is the pre-aggregated-cube pattern for COUNT DISTINCT — the one
+    // aggregate a roll-up table can't store additively — and the reason
+    // sketch mergeability (ev_hll_partial_merge proves it) matters: at
+    // 100 TB the fine sketch table is millions of 4 KB registers, and
+    // every coarser grain is a sketch-merge over it, a ~10⁶× cheaper
+    // read than the distinct-scan it replaces. Contract (sketch
+    // estimates are engine-internal): per-grain estimates land within
+    // 5% of the exact twin — emitted per day plus one global row,
+    // exact counts carried alongside.
+    Q(
+      "ev_hll_rollup",
+      (s, d) => {
+        val e = ev(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(expr("CAST(ts AS LONG) DIV 86400").as("day"),
+            col("event_type"), col("user_id"))
+        // the fine sketch table is materialized ONCE (memo + persist —
+        // it IS the stored rollup table at scale, |days|·|types| rows of
+        // 4 KB registers); both coarser grains below merge from it
+        // rather than re-sketching raw events
+        val fine = graft.CacheRegistry.memo("ev_hll_fine", s, d)(
+          graft.CacheRegistry.track(s,
+            e.groupBy("day", "event_type")
+              .agg(hll_sketch_agg(col("user_id")).as("sk"))))
+        val estDay = fine.groupBy("day")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exactDay = e.select("day", "user_id").distinct()
+          .groupBy("day").agg(count(lit(1)).as("n_exact"))
+        val dayRows = exactDay.join(estDay, Seq("day"))
+          .select(lit("day").as("grain"), col("day").as("key"),
+            col("n_exact"),
+            (abs(col("est") - col("n_exact")) * 20L <= col("n_exact"))
+              .as("within_5pct"))
+        val estAll = fine
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exactAll = e.select("user_id").distinct()
+          .agg(count(lit(1)).as("n_exact"))
+        val allRow = exactAll.crossJoin(estAll)
+          .select(lit("total").as("grain"), lit(-1L).as("key"),
+            col("n_exact"),
+            (abs(col("est") - col("n_exact")) * 20L <= col("n_exact"))
+              .as("within_5pct"))
+        dayRows.unionByName(allRow).orderBy("grain", "key")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+          |    user_id
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+          |SELECT 'day' AS grain, day AS key,
+          |  count(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+          |FROM e GROUP BY day
+          |UNION ALL
+          |SELECT 'total' AS grain, -1 AS key,
+          |  count(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+          |FROM e
+          |ORDER BY grain, key""".stripMargin))
   )
 }

@@ -611,6 +611,45 @@ class PlanSpec extends AnyFunSuite {
       p.contains("TableCacheQueryStage"), p.take(1500))
   }
 
+  test("skew split join: hot keys broadcast, cold tail anti-routed, one union") {
+    val p = plan("ev_skew_split_join")
+    // the hot-key set and the hot dim slice broadcast; the fact stream
+    // is routed by LeftAnti (cold) / LeftSemi (hot) against that set and
+    // recombined by a single Union under the final partial+final agg. No
+    // cartesian anywhere, and the scans stay 3-column pruned.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(900))
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"), p.take(900))
+    assert("Union".r.findAllIn(p).size == 1, p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("HLL rollup: fine sketches materialize once, coarser grains merge them") {
+    val p = plan("ev_hll_rollup")
+    // the (day, type) sketch table is persisted (InMemoryRelation /
+    // cached stage) and BOTH coarser grains aggregate hll_union_agg over
+    // it — partial'd, so the exchange moves merged registers, not rows
+    // BOTH grain branches read the cached sketch table (2 cached scans);
+    // every partial_hll_sketch_agg occurrence in the string is the
+    // cached relation's child plan reprinted under its InMemoryTableScan,
+    // so sketch builds == cached scans ⇔ no branch re-sketches raw events
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(1200))
+    assert("partial_hll_union_agg".r.findAllIn(p).size >= 2, p.take(1200))
+    assert("partial_hll_sketch_agg".r.findAllIn(p).size <=
+      "InMemoryTableScan".r.findAllIn(p).size, p.take(1200))
+  }
+
+  test("temperature mix: one shuffle to lang grain, stat frame broadcast") {
+    val p = plan("doc_temperature_mix")
+    // 1-column pruned scan, partial+final count to |lang| rows, the
+    // 2-number stat frame broadcast back; integral div end-to-end (the
+    // plan must carry div, never a double divide)
+    assert(p.contains("ReadSchema: struct<lang:string>"), p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
+    assert(p.contains("BroadcastExchange"), p.take(900))
+    assert(p.contains(" div "), p.take(900))
+  }
+
   test("IVF+PQ serving read: ADC broadcast, probed semi-join, bounded heaps") {
     val p = plan("emb_ivfpq_ann")
     // ADC table and probed-cell set broadcast into their joins; both
