@@ -1729,7 +1729,107 @@ object EmbQueries {
           |FROM p CROSS JOIN nn
           |JOIN s si ON si.dim = p.i
           |JOIN s sj ON sj.dim = p.j
-          |ORDER BY abs(cov_num) DESC, i, j LIMIT 20""".stripMargin))
+          |ORDER BY abs(cov_num) DESC, i, j LIMIT 20""".stripMargin)),
+
+    // Per-cluster SILHOUETTE (centroid form) — the clustering-quality
+    // eval a curation pipeline runs after k-means before trusting the
+    // clusters for SemDeDup / IVF / stratification: for each vector,
+    // a = distance to its own centroid, b = distance to the nearest
+    // OTHER centroid (the rn=2 row of the shared ranked-assignment
+    // lineage), s = (b − a) / max(a, b) ∈ [−1, 1]; the query emits each
+    // cluster's member count and mean s. The O(n·k²)-pair textbook
+    // silhouette is replaced by the O(n·k) centroid form — the only one
+    // that exists at corpus scale. Exactness: a and b are the same
+    // bit-identical kernel L2²s the green emb_kmeans query ranks (so
+    // sqrt and the ratio are identical doubles cross-engine); per-point
+    // s snaps to the 1e6 grid and the cluster mean is the integer-exact
+    // mean6 form. Both-zero distances (a point ON two centroids)
+    // define s = 0 on both engines. Scale shape: broadcast K-row
+    // codebook, one narrow scan, one |K|-group partial agg — no
+    // corpus shuffle beyond the groupBy.
+    Q(
+      "emb_kmeans_silhouette",
+      (s, d) => {
+        // a/b pivot as ONE conditional agg on vec_id — the ranking
+        // window already partitioned by vec_id, so this reuses that
+        // exchange (no self-join, no second shuffle)
+        val p = kmeansRanked(s, d).filter(col("rn") <= 2)
+          .groupBy("vec_id")
+          .agg(
+            max(when(col("rn") === 1, col("cid"))).as("cluster"),
+            max(when(col("rn") === 1, sqrt(col("d2")))).as("sa"),
+            max(when(col("rn") === 2, sqrt(col("d2")))).as("sb"))
+        p.withColumn("vi", snap6(
+            when(greatest(col("sa"), col("sb")) === 0.0, lit(0.0))
+              .otherwise((col("sb") - col("sa")) /
+                greatest(col("sa"), col("sb")))))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            expr(mean6Expr("vi")).as("sil_mean"))
+          .orderBy("cluster")
+      },
+      Some {
+        val siExpr = "CASE WHEN greatest(sa, sb) = 0.0 THEN 0.0 " +
+          "ELSE (sb - sa) / greatest(sa, sb) END"
+        s"""$kmeansCte, p AS (
+           |  SELECT vec_id,
+           |    max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+           |    max(CASE WHEN rn = 1 THEN sqrt(d2) END) AS sa,
+           |    max(CASE WHEN rn = 2 THEN sqrt(d2) END) AS sb
+           |  FROM a2 WHERE rn <= 2 GROUP BY vec_id
+           |), sil AS (
+           |  SELECT cluster, ${snap6Sql(siExpr)} AS vi FROM p)
+           |SELECT cluster, count(*) AS n_members,
+           |  ${mean6Sql("vi")} AS sil_mean
+           |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+      }),
+
+    // Embedding-space EVAL-SET CONTAMINATION screen — the semantic
+    // complement of the n-gram decontaminators (doc_decontaminate,
+    // doc_eval_overlap_13gram): a paraphrased eval question shares no
+    // 13-gram with its train-set leak, but its embedding sits next to
+    // it. Method is SemDeDup's cluster trick applied CROSS-set: only
+    // train × eval pairs inside the same k-means cluster are scored
+    // (the documented recall trade — a leak whose mates cross a cluster
+    // boundary is missed, exactly as in the SemDeDup paper), so pair
+    // volume is Σ_c |train_c|·|eval_c|, never |train|·|eval|. The eval
+    // side (the deterministic vec_id % 17 pseudo-holdout) broadcasts;
+    // the corpus is scanned once, never shuffled. Output is the top-10
+    // most-suspect pairs — the human-review queue a real screen feeds.
+    Q(
+      "emb_eval_contamination",
+      (s, d) => {
+        val assign = kmeansAssign(s, d)
+        val e = emb(s, d).select("vec_id", "embedding")
+        val withC = e.join(assign, Seq("vec_id"))
+        val evalSide = withC.filter(col("vec_id") % 17 === 0)
+          .select(col("cluster"), col("vec_id").as("eval_id"),
+            col("embedding").as("evv"))
+        val trainSide = withC.filter(col("vec_id") % 17 =!= 0)
+          .select(col("cluster"), col("vec_id").as("train_id"),
+            col("embedding").as("tvv"))
+        trainSide.join(broadcast(evalSide), Seq("cluster"))
+          .select(col("cluster"), col("train_id"), col("eval_id"),
+            round(cosine(col("tvv"), col("evv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("train_id"), col("eval_id"))
+          .limit(10)
+      },
+      Some(
+        s"""$kmeansCte, asg AS (
+           |  SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1
+           |), ev AS (
+           |  SELECT asg.cluster, e.vec_id AS eval_id, e.embedding AS evv
+           |  FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id
+           |  WHERE e.vec_id % 17 = 0
+           |), tr AS (
+           |  SELECT asg.cluster, e.vec_id AS train_id, e.embedding AS tvv
+           |  FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id
+           |  WHERE e.vec_id % 17 <> 0
+           |)
+           |SELECT tr.cluster, train_id, eval_id,
+           |  round(${cosSql("tr.tvv", "ev.evv")}, 6) AS sim
+           |FROM tr JOIN ev ON ev.cluster = tr.cluster
+           |ORDER BY sim DESC, train_id, eval_id LIMIT 10""".stripMargin))
   )
 
 
@@ -2114,7 +2214,13 @@ object EmbQueries {
   /** nearest centroid per vector: broadcast K-row codebook, kernel L2²,
     * argmin with (d2, cid) tie-break
     */
-  private def nearest(e: DataFrame, cent: DataFrame): DataFrame = {
+  private def nearest(e: DataFrame, cent: DataFrame): DataFrame =
+    nearestRanked(e, cent).filter(col("rn") === 1)
+
+  /** all K centroid distances per vector, ranked (rn=1 nearest) — the
+    * rn=2 row is silhouette's "second-best cluster" distance
+    */
+  private def nearestRanked(e: DataFrame, cent: DataFrame): DataFrame = {
     // NULLS LAST: see pqArgmin — a NULL distance must never win argmin
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc_nulls_last, col("cid"))
@@ -2122,7 +2228,6 @@ object EmbQueries {
       .withColumn("d2",
         graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
   }
 
   /** K x 64 codebook from member vectors: ulp-immune per-dim means */
@@ -2136,16 +2241,22 @@ object EmbQueries {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
 
-  /** final-round assignment rows (vec_id, embedding, cluster=cid, d2) */
-  private def kmeansFinal(s: SparkSession, d: String): DataFrame = {
+  /** final-round distances to ALL K centroids, ranked per vector
+    * (rn = 1 is the assignment; rn = 2 the silhouette "b" cluster)
+    */
+  private def kmeansRanked(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).select("vec_id", "embedding")
     val cent0 = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"),
         transform(col("embedding"), v => round(v.cast("double"), 6)).as("cvec"))
     val round1 = nearest(e, cent0).select(col("cid"), col("embedding"))
-    nearest(e, centroidsOf(round1))
-      .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
+    nearestRanked(e, centroidsOf(round1))
   }
+
+  /** final-round assignment rows (vec_id, embedding, cluster=cid, d2) */
+  private def kmeansFinal(s: SparkSession, d: String): DataFrame =
+    kmeansRanked(s, d).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
 
   /** memoized + persisted (vec_id, cluster) — shared by emb_kmeans and
     * emb_semantic_dedup; 2 small columns per vector, released via

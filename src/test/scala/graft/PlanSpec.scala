@@ -650,6 +650,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains(" div "), p.take(900))
   }
 
+  test("silhouette: rank bounded by WindowGroupLimit, pivot reuses the window exchange") {
+    val p = plan("emb_kmeans_silhouette")
+    // the per-vector centroid ranking is cut to rn<=2 BEFORE the
+    // exchange (partial+final WindowGroupLimit — Spark's rank-limit
+    // pushdown), the a/b pivot is a conditional agg on vec_id sitting
+    // directly on the window's partitioning (no self-join, no second
+    // vec_id shuffle), and the K-row codebook broadcasts
+    assert(p.contains("WindowGroupLimit"), p.take(900))
+    assert(p.contains("partial_max"), p.take(900))
+    assert(p.contains("BroadcastExchange"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("eval contamination: cached assignment reused, eval side broadcast, heap top-10") {
+    val p = plan("emb_eval_contamination")
+    // both sides read the memoized kmeans assignment (cached scans),
+    // the cluster join broadcasts, and the suspect queue heap-reduces
+    // via TakeOrderedAndProject — the corpus is never globally sorted
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
   test("IVF+PQ serving read: ADC broadcast, probed semi-join, bounded heaps") {
     val p = plan("emb_ivfpq_ann")
     // ADC table and probed-cell set broadcast into their joins; both
