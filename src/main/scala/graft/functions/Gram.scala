@@ -21,12 +21,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * aggregator-buffer analogue of the DECIMAL(38,0) loud-NULL
   * convention in the column-form queries.
   */
-class GramAgg extends Aggregator[Array[Float], GramAgg.Buf, GramAgg.Buf] {
+class GramAgg extends Aggregator[Array[Double], GramAgg.Buf, GramAgg.Buf] {
   import GramAgg._
 
   override def zero: Buf = Buf(0L, new Array[Long](D), new Array[Long](P))
 
-  override def reduce(b: Buf, a: Array[Float]): Buf = {
+  // Array[Double] input (the caller widens float embeddings — lossless
+  // per IEEE, and a future double-element testdata regen is then a
+  // no-op here, the same insurance as the element-type-adaptive
+  // VectorKernels)
+  override def reduce(b: Buf, a: Array[Double]): Buf = {
     if (a == null || a.length != D) return b
     val v = new Array[Long](D)
     var i = 0
@@ -72,8 +76,8 @@ object GramAgg {
   def pairIndex(i: Int, j: Int): Int = i * (2 * D - i - 1) / 2 + (j - i - 1)
 
   /** Spark Round(d*1e6, 0) for DoubleType, exactly (see SqQDot.round0) */
-  def snap6(f: Float): Long = {
-    val d = f.toDouble * 1e6
+  def snap6(v: Double): Long = {
+    val d = v * 1e6
     if (java.lang.Double.isNaN(d)) 0L
     else if (java.lang.Double.isInfinite(d))
       if (d > 0) Long.MaxValue else Long.MinValue

@@ -13,23 +13,38 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * ARRAY ORDER, exactly like the SQL-expression twins the DuckDB oracle
   * checks (EmbQueries.dotSql: list_sum over in-order products), so
   * results are bit-identical; VectorKernelsSpec pins the equality.
+  *
+  * Element-type adaptive: every kernel accepts `array<float>` OR
+  * `array<double>` per side — the expression resolves the element type
+  * STATICALLY from the child schema and passes it as a constant, so a
+  * future testdata regeneration that widens embeddings to double (the
+  * events-`ts` class of breakage: three physical shapes across regens)
+  * changes nothing. float elements widen losslessly per element, so a
+  * double file holding the widened floats produces bit-identical
+  * results (TwoShapeSpec pins this).
   */
 object VectorKernels {
 
-  /** sum_i a[i]*b[i], floats widened to double per element. Returns
-    * null (boxed) on length mismatch or a null element — matching the
+  /** element i widened to double — `isD` is a schema constant, so the
+    * branch predicts perfectly and JIT hoists it
+    */
+  @inline def elem(a: ArrayData, i: Int, isD: Boolean): Double =
+    if (isD) a.getDouble(i) else a.getFloat(i).toDouble
+
+  /** sum_i a[i]*b[i], elements widened to double. Returns null (boxed)
+    * on length mismatch or a null element — matching the
     * aggregate(zip_with(...)) fold, where zip_with null-pads the shorter
     * array and a null product nulls the sum. A ragged/corrupt embedding
     * must surface as NULL, not flow through as a plausible partial dot.
     */
-  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def dotFF(a: ArrayData, aD: Boolean, b: ArrayData, bD: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      acc += elem(a, i, aD) * elem(b, i, bD)
       i += 1
     }
     acc
@@ -43,7 +58,7 @@ object VectorKernels {
     * throw, the oracle's x/0 would be NULL). Same extra-null semantics
     * as dotFF.
     */
-  def cosineFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def cosineFF(a: ArrayData, aD: Boolean, b: ArrayData, bD: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var ab = 0.0
@@ -52,8 +67,8 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = elem(a, i, aD)
+      val y = elem(b, i, bD)
       ab += x * y
       aa += x * x
       bb += y * y
@@ -63,21 +78,29 @@ object VectorKernels {
     if (den == 0.0) 0.0 else ab / den
   }
 
-  /** sum_i (a[i]-b[i])^2 with a float (widened) and b double; same null
+  /** sum_i (a[i]-b[i])^2, elements widened to double; same null
     * semantics as dotFF
     */
-  def l2FD(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def l2FD(a: ArrayData, aD: Boolean, b: ArrayData, bD: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      val d = elem(a, i, aD) - elem(b, i, bD)
       acc += d * d
       i += 1
     }
     acc
+  }
+
+  /** true iff the expression's type is array-of-double (vs float) —
+    * the static per-side constant the kernels branch on
+    */
+  def isDoubleElem(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
   }
 }
 
@@ -94,12 +117,14 @@ case class LshSig(child: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullable: Boolean = true
 
+  private lazy val aD = VectorKernels.isDoubleElem(child)
+
   override def nullSafeEval(a: Any): Any =
-    LshSig.sig(a.asInstanceOf[ArrayData])
+    LshSig.sig(a.asInstanceOf[ArrayData], aD)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => s"""
-      java.lang.Integer ${ev.value}_r = graft.functions.LshSig.sig($a);
+      java.lang.Integer ${ev.value}_r = graft.functions.LshSig.sig($a, $aD);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r.intValue(); }
     """)
@@ -131,7 +156,7 @@ object LshSig {
     Array.tabulate(Bits, Dims)((j, i0) =>
       ((((i0 + 1) * (73 + 31 * j) + 151 * j) % 997) % 5 - 2).toDouble)
 
-  def sig(a: ArrayData): java.lang.Integer = {
+  def sig(a: ArrayData, aD: Boolean): java.lang.Integer = {
     if (a.numElements() != Dims) return null
     var i = 0
     while (i < Dims) {
@@ -145,7 +170,7 @@ object LshSig {
       var acc = 0.0
       var k = 0
       while (k < Dims) {
-        acc += a.getFloat(k).toDouble * w(k)
+        acc += VectorKernels.elem(a, k, aD) * w(k)
         k += 1
       }
       if (acc >= 0) s |= 1 << j
@@ -167,12 +192,16 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private lazy val aD = VectorKernels.isDoubleElem(left)
+  private lazy val bD = VectorKernels.isDoubleElem(right)
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorKernels.dotFF(a.asInstanceOf[ArrayData], aD,
+      b.asInstanceOf[ArrayData], bD)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.dotFF($a, $b);
+      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.dotFF($a, $aD, $b, $bD);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r.doubleValue(); }
     """)
@@ -199,12 +228,16 @@ case class VecCosine(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private lazy val aD = VectorKernels.isDoubleElem(left)
+  private lazy val bD = VectorKernels.isDoubleElem(right)
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorKernels.cosineFF(a.asInstanceOf[ArrayData], aD,
+      b.asInstanceOf[ArrayData], bD)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.cosineFF($a, $b);
+      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.cosineFF($a, $aD, $b, $bD);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r.doubleValue(); }
     """)
@@ -222,20 +255,24 @@ object VecCosine {
       VecCosine(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
-/** `graft_l2sq(array<float>, array<double>) -> double`, codegen'd.
-  * Same extra-null semantics as VecDot.
+/** `graft_l2sq(array<float|double>, array<float|double>) -> double`,
+  * codegen'd. Same extra-null semantics as VecDot.
   */
 case class VecL2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private lazy val aD = VectorKernels.isDoubleElem(left)
+  private lazy val bD = VectorKernels.isDoubleElem(right)
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.l2FD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorKernels.l2FD(a.asInstanceOf[ArrayData], aD,
+      b.asInstanceOf[ArrayData], bD)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.l2FD($a, $b);
+      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.l2FD($a, $aD, $b, $bD);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r.doubleValue(); }
     """)
@@ -266,12 +303,14 @@ case class SqMaxAbs(child: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private lazy val aD = VectorKernels.isDoubleElem(child)
+
   override def nullSafeEval(a: Any): Any =
-    SqMaxAbs.maxAbs(a.asInstanceOf[ArrayData])
+    SqMaxAbs.maxAbs(a.asInstanceOf[ArrayData], aD)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => s"""
-      java.lang.Double ${ev.value}_r = graft.functions.SqMaxAbs.maxAbs($a);
+      java.lang.Double ${ev.value}_r = graft.functions.SqMaxAbs.maxAbs($a, $aD);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r.doubleValue(); }
     """)
@@ -285,7 +324,7 @@ case class SqMaxAbs(child: Expression)
 object SqMaxAbs {
   val Dims = 64
 
-  def maxAbs(a: ArrayData): java.lang.Double = {
+  def maxAbs(a: ArrayData, aD: Boolean): java.lang.Double = {
     if (a.numElements() != Dims) return null
     var i = 0
     while (i < Dims) {
@@ -295,7 +334,7 @@ object SqMaxAbs {
     var m = 0.0
     i = 0
     while (i < Dims) {
-      m = math.max(m, math.abs(a.getFloat(i).toDouble))
+      m = math.max(m, math.abs(VectorKernels.elem(a, i, aD)))
       i += 1
     }
     m
@@ -324,12 +363,14 @@ case class SqQDot(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
 
+  private lazy val aD = VectorKernels.isDoubleElem(left)
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    SqQDot.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    SqQDot.qdot(a.asInstanceOf[ArrayData], aD, b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long ${ev.value}_r = graft.functions.SqQDot.qdot($a, $b);
+      java.lang.Long ${ev.value}_r = graft.functions.SqQDot.qdot($a, $aD, $b);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r.longValue(); }
     """)
@@ -356,8 +397,8 @@ object SqQDot {
   /** non-ANSI double->int cast (NaN -> 0, +/-Inf -> Int.Max/Min) is
     * exactly Scala's toInt
     */
-  def qdot(a: ArrayData, qcode: ArrayData): java.lang.Long = {
-    val ma = SqMaxAbs.maxAbs(a)
+  def qdot(a: ArrayData, aD: Boolean, qcode: ArrayData): java.lang.Long = {
+    val ma = SqMaxAbs.maxAbs(a, aD)
     if (ma == null || qcode.numElements() != SqMaxAbs.Dims) return null
     val m = ma.doubleValue()
     var acc = 0L
@@ -366,7 +407,7 @@ object SqQDot {
       if (qcode.isNullAt(i)) return null
       val code =
         if (m == 0.0) 0
-        else round0(a.getFloat(i).toDouble * Scale / m).toInt
+        else round0(VectorKernels.elem(a, i, aD) * Scale / m).toInt
       acc += (code * qcode.getInt(i)).toLong
       i += 1
     }

@@ -1675,8 +1675,11 @@ object EmbQueries {
             !exists(col("embedding"), x => x.isNull))
           .select("embedding")
         val gram = udaf(new graft.functions.GramAgg(),
-          ExpressionEncoder[Array[Float]]())
-        val g = strict.agg(gram(col("embedding")).as("g"))
+          ExpressionEncoder[Array[Double]]())
+        // float -> double widening is lossless per element, and a
+        // double-element testdata regen makes the cast a no-op
+        val g = strict.agg(
+            gram(col("embedding").cast("array<double>")).as("g"))
           .collect()(0).getAs[org.apache.spark.sql.Row]("g")
         val n = g.getAs[Long]("n")
         val sArr = g.getAs[scala.collection.Seq[Long]]("s")

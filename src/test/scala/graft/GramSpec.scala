@@ -29,15 +29,17 @@ class GramSpec extends AnyFunSuite {
     val sparkSide = df
       .select(round(col("v").cast("double") * 1e6, 0).cast("long").as("s"))
       .collect().map(_.getLong(0))
-    val jvmSide = vals.map(GramAgg.snap6)
+    // the query side widens float embeddings to double before the udaf;
+    // .toDouble here is that same (lossless) widening
+    val jvmSide = vals.map(v => GramAgg.snap6(v.toDouble))
     assert(sparkSide.toSeq == jvmSide.toSeq)
   }
 
-  private val genVec: Gen[Array[Float]] =
-    Gen.containerOfN[Array, Float](GramAgg.D,
-      Gen.chooseNum(-1.0f, 1.0f).map(f => math.rint(f * 8) .toFloat / 8))
+  private val genVec: Gen[Array[Double]] =
+    Gen.containerOfN[Array, Double](GramAgg.D,
+      Gen.chooseNum(-1.0, 1.0).map(f => math.rint(f * 8) / 8))
 
-  private def brute(vs: Seq[Array[Float]]): (Long, Array[Long], Array[Long]) = {
+  private def brute(vs: Seq[Array[Double]]): (Long, Array[Long], Array[Long]) = {
     val D = GramAgg.D
     val s = new Array[Long](D)
     val p = new Array[Long](GramAgg.P)
