@@ -572,6 +572,36 @@ object DocQueries {
           |    // (CAST(s_tot AS HUGEINT) * n) AS BIGINT) AS boost_ppm
           |FROM g CROSS JOIN st ORDER BY lang""".stripMargin)),
 
+    // Deterministic round-robin INTERLEAVE across sources — the
+    // training-order construction that spreads each source evenly
+    // through the epoch without RNG (consecutive same-source runs bias
+    // gradient batches; a seeded shuffle isn't reproducible across
+    // engines/partitionings, but rank-then-(rank, source) order is).
+    // Position p reads: "the p-th document a sequential trainer sees".
+    // Scale shape: per-source rank windows (partitioned — each source
+    // sorts independently), then the global (rn, source) order is a
+    // RANGE partition + local sort when materializing the full epoch;
+    // this query emits the bounded head through a top-k heap
+    // (TakeOrderedAndProject — no global sort here).
+    Q(
+      "doc_interleave_order",
+      (s, d) => {
+        // '' for null source everywhere: the engines' opposite default
+        // null orderings must never pick different LIMIT-boundary rows
+        val w = Window.partitionBy("src").orderBy("doc_id")
+        docs(s, d)
+          .select(coalesce(col("source"), lit("")).as("src"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .orderBy("rn", "src", "doc_id")
+          .limit(30)
+      },
+      Some(
+        """SELECT coalesce(source, '') AS src, doc_id,
+          |  row_number() OVER (PARTITION BY coalesce(source, '')
+          |    ORDER BY doc_id) AS rn
+          |FROM documents
+          |ORDER BY rn, src, doc_id LIMIT 30""".stripMargin)),
+
     // Length-quartile strata per language (ntile): the per-stratum
     // assignment behind length-balanced eval sets and curriculum
     // ordering. Ties are broken by doc_id so both engines assign
