@@ -53,6 +53,14 @@ object CacheRegistry {
     }
   }
 
+  /** Read an existing memo entry without building — for frames that are
+    * registered as a SIDE EFFECT of another tag's build (e.g. the CC
+    * star-edge frame registered by the minhash pair build). Callers
+    * must have forced the owning build first.
+    */
+  def get(tag: String, s: SparkSession, dir: String): Option[DataFrame] =
+    Option(memos.get((tag, s, dir)))
+
   /** Persist `df` and record the handle so [[clear]] can unpersist it. */
   def track(s: SparkSession, df: DataFrame): DataFrame = {
     df.persist()

@@ -121,15 +121,36 @@ object DedupQueries {
     graft.CacheRegistry.memo("dedup_minhash_pairs", s, dir)(
       buildMinhashPairs(s, dir))
 
+  /** STAR-edge representation of the same duplicate graph the expanded
+    * pair set describes: (canonical → member) within each exact-dup
+    * group plus the banded (canonical → canonical) near-dup pairs.
+    * Registered as a side effect of [[buildMinhashPairs]] (the two
+    * frames share one lineage so they can never drift). Edge volume is
+    * LINEAR in corpus size where the all-pairs expansion is quadratic
+    * in exact-group size — the 30x scale probe measured a ~2,000-member
+    * null-text group turning the expanded set into 2.18M pairs; the
+    * star frame carries ~2,000 edges for the same group with PROVABLY
+    * identical connected components (a star connects the clique, cross
+    * edges connect canonicals, and component labels are min member ids
+    * either way).
+    */
+  private def starEdges(s: SparkSession, dir: String): DataFrame = {
+    minhashPairs(s, dir) // forces the build that registers the star tag
+    graft.CacheRegistry.get("dedup_cc_star", s, dir).getOrElse(
+      sys.error("dedup_cc_star must be registered by buildMinhashPairs"))
+  }
+
   /** memoized connected-component labels over the near-dup pair graph —
     * the single lineage dedup_cc_clusters / dedup_cc_canonical /
     * dedup_savings_report all consume (one definition so they can
-    * never drift).
+    * never drift). CC consumes the LINEAR star-edge frame, not the
+    * quadratic all-pairs expansion — identical components, scale-safe
+    * input (see [[starEdges]]).
     */
   private def ccLabels(s: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.memo("dedup_cc_labels", s, dir)(
       graft.operators.ConnectedComponents.run(
-        minhashPairs(s, dir).select(col("a_id"), col("b_id"))))
+        starEdges(s, dir).select(col("a_id"), col("b_id"))))
 
   /** Materialize the shared memoized lineages (minhash signature/pair
     * persist + CC label rounds) outside any single query's timer. Bench
@@ -228,6 +249,14 @@ object DedupQueries {
       .join(members.select(col("canon_id").as("b_id"), col("doc_id").as("mb")), "b_id")
       .select(least(col("ma"), col("mb")).as("a_id"),
         greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    // register the LINEAR star-edge twin of the graph for CC (see
+    // starEdges): canonical→member inside exact groups + the bounded
+    // canonical near-dup pairs. Persisted — label propagation reads it
+    // once per round.
+    graft.CacheRegistry.memo("dedup_cc_star", s, dir)(
+      track(s, withCanon.filter(col("doc_id") =!= col("canon_id"))
+        .select(col("canon_id").as("a_id"), col("doc_id").as("b_id"))
+        .unionByName(canonPairs.select("a_id", "b_id"))))
     // persist the bounded final pair set: dedup_minhash_survivors (and
     // any later consumer) reuses materialized rows instead of re-running
     // the banding lineage under its own write action
