@@ -191,8 +191,26 @@ object EmbQueries {
   def annBandOfSql(c: String, b: Int): String =
     s"(($c >> ${AnnBandBits * b}) & $AnnBandMask)"
 
-  /** k-means cluster count (emb_kmeans / emb_semantic_dedup) */
+  /** k-means MINIMUM cluster count (emb_kmeans / emb_semantic_dedup);
+    * the effective count is max(K, n div KDiv) — see kmeansRanked
+    */
   private val K = 8
+
+  /** √n divisor for the effective cluster count: kk = max(K,
+    * floor(sqrt(n)) div KSqrtDiv) — the textbook IVF sizing (nlist ≈
+    * √n), which BALANCES the two costs that pull K in opposite
+    * directions: assignment work is n·kk and within-cluster pair work
+    * is ~n²/kk, so kk ∝ √n makes both n^1.5 (a fixed kk leaves pairs
+    * quadratic — the 30x probe measured emb_eval_contamination at
+    * 24.7 s; kk ∝ n leaves assignment quadratic — measured 32.5 s on
+    * emb_kmeans). At every pinned oracle scale (n ≤ 2000,
+    * √2000/6 = 7 < 8) the effective count stays K, so hashes there are
+    * unchanged. IEEE sqrt is correctly rounded, so both engines compute
+    * the same integer. At 10⁹+ vectors a deployment additionally
+    * indexes the CENTROID lookup itself (ANN over kk centroids) — the
+    * composition emb_ivfpq_ann already demonstrates.
+    */
+  private val KSqrtDiv = 6
 
   /** product quantization (emb_pq_ann): PqSub x PqDim = 64 dims, PqK
     * codebook entries per subspace. MUST sit above qs — the oracle
@@ -1619,10 +1637,16 @@ object EmbQueries {
     // query shows whether the prefix dims are the high-variance ones)
     // and behind PCA/feature-pruning decisions. Exact cross-engine: on
     // the 1e6 grid, n*Σv² - (Σv)² is an integer; sums accumulate as
-    // DECIMAL(38,0)/HUGEINT (wrap-proof, loud-NULL past the final
-    // BIGINT cast), the mean is the shared exact grid-mean division.
-    // Shape at scale: posexplode then ONE partial-agg'd shuffle on dim —
-    // reducer state is |dims| cells regardless of corpus size.
+    // DECIMAL(38,0)/HUGEINT (wrap-proof, loud past any overflow), and
+    // the OUTPUT is the sample variance at grid scale — numerator div
+    // (n·(n−1)) — because the raw numerator grows as n²·grid² and
+    // leaves BIGINT near ~50k vectors (the 30x embeddings probe threw
+    // CAST_OVERFLOW on the previous var_num contract; the variance
+    // itself is corpus-size-bounded ~grid², so var_um2 fits BIGINT at
+    // ANY n while staying an exact integral division on both engines).
+    // The mean is the shared exact grid-mean division. Shape at scale:
+    // posexplode then ONE partial-agg'd shuffle on dim — reducer state
+    // is |dims| cells regardless of corpus size.
     Q(
       "emb_dim_variance",
       (s, d) =>
@@ -1636,8 +1660,11 @@ object EmbQueries {
             sum((col("vi") * col("vi")).cast("decimal(38,0)")).as("s2"),
             expr(mean6Expr("vi")).as("mean_v"))
           .select(col("dim"), col("n"), col("mean_v"),
-            (col("n").cast("decimal(38,0)") * col("s2") -
-              col("s1") * col("s1")).cast("long").as("var_num"))
+            when(col("n") < 2, lit(null).cast("long"))
+              .otherwise(expr(
+                """CAST((CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1)
+                  | DIV (CAST(n AS DECIMAL(19,0)) * (n - 1)) AS BIGINT)"""
+                  .stripMargin)).as("var_um2"))
           .orderBy("dim"),
       Some(
         s"""WITH scaled AS (
@@ -1648,8 +1675,10 @@ object EmbQueries {
            |        FROM embeddings)
            |)
            |SELECT dim, count(vi) AS n, ${mean6Sql("vi")} AS mean_v,
-           |  CAST(count(vi) * sum(vi * vi) - sum(vi) * sum(vi) AS BIGINT)
-           |    AS var_num
+           |  CASE WHEN count(vi) < 2 THEN NULL
+           |    ELSE CAST((count(vi) * sum(vi * vi) - sum(vi) * sum(vi))
+           |      // (count(vi) * (count(vi) - 1)) AS BIGINT) END
+           |    AS var_um2
            |FROM scaled GROUP BY dim ORDER BY dim""".stripMargin)),
 
     // Top correlated dimension pairs — the off-diagonal of the exact
@@ -1871,15 +1900,31 @@ object EmbQueries {
     * ~2.5 s/query at sf0.1, BENCH_r06).
     */
   private def sqApproxDots(e: DataFrame): DataFrame = {
-    val qrow = broadcast(sqCodes(e).filter(col("vec_id") === 0)
+    // vec_id pre-filter INSIDE the quantizer lineage: CombineFilters
+    // keeps child conjuncts first, so the one-row cut runs before the
+    // interpreted HOF quantizer CASE. The previous post-filter order
+    // evaluated that chain on EVERY corpus row of the build-side scan —
+    // measured 18 s of a 19 s query at a 60k-vector probe, invisible at
+    // 2k vectors.
+    val qrow = broadcast(sqCodes(e.filter(col("vec_id") === 0))
       .select(col("code").as("qcode"), col("ma").as("qma")))
-    e.filter(col("vec_id") =!= 0).crossJoin(qrow)
+    // The off-contract exclusion filters on SqMaxAbs of the CORPUS side
+    // only — the equivalent set (SqQDot is NULL exactly when the
+    // corpus-side maxAbs is, since the broadcast qcode is always the
+    // valid 64-int row or absent). A filter on qdot itself references
+    // BOTH join sides, and Catalyst then plants it as the
+    // BroadcastNestedLoopJoin CONDITION — evaluated interpreted per row
+    // and recomputed again in the projection: measured 21 s vs ~2 s at
+    // a 60k-vector probe. Left-side-only, it pushes to the scan and
+    // stays codegen'd.
+    e.filter(col("vec_id") =!= 0 &&
+        graft.functions.SqMaxAbs.column(col("embedding")).isNotNull)
+      .crossJoin(qrow)
       .select(col("vec_id"),
         graft.functions.SqMaxAbs.column(col("embedding")).as("ma"),
         col("qma"),
         graft.functions.SqQDot.column(col("embedding"), col("qcode"))
           .as("qdot"))
-      .filter(col("qdot").isNotNull)
       .select(col("vec_id"), col("qdot"),
         round(col("qdot").cast("double") * col("ma") * col("qma") /
           lit((SqScale * SqScale).toDouble), 6).as("approx_dot"))
@@ -2249,7 +2294,13 @@ object EmbQueries {
     */
   private def kmeansRanked(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).select("vec_id", "embedding")
-    val cent0 = e.filter(col("vec_id") < K)
+    // ADAPTIVE cluster count — kk = max(K, √n div KSqrtDiv); see the
+    // KSqrtDiv scaladoc for the balance argument and probe numbers. The
+    // oracle computes the same expression (kmeansCte's scalar subquery).
+    val kRow = broadcast(e.agg(
+      expr(s"greatest($K, CAST(floor(sqrt(count(1))) AS BIGINT)" +
+        s" div $KSqrtDiv)").as("kk")))
+    val cent0 = e.crossJoin(kRow).filter(col("vec_id") < col("kk"))
       .select(col("vec_id").cast("int").as("cid"),
         transform(col("embedding"), v => round(v.cast("double"), 6)).as("cvec"))
     val round1 = nearest(e, cent0).select(col("cid"), col("embedding"))
@@ -2278,7 +2329,10 @@ object EmbQueries {
     s"""WITH c0 AS (
        |  SELECT CAST(vec_id AS INT) AS cid,
        |    list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS cvec
-       |  FROM embeddings WHERE vec_id < $K
+       |  FROM embeddings
+       |  WHERE vec_id < (SELECT greatest($K,
+       |      CAST(floor(sqrt(count(*))) AS BIGINT) // $KSqrtDiv)
+       |    FROM embeddings)
        |), d1 AS (
        |  SELECT e.vec_id, e.embedding, c.cid,
        |    ${l2("e.embedding", "c.cvec")} AS d2
