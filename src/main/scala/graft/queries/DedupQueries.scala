@@ -1411,6 +1411,116 @@ object DedupQueries {
            |    / count(*), 6) AS drop_ratio
            |FROM ranked GROUP BY doc_id
            |HAVING count(CASE WHEN rn > 1 THEN 1 END) > 0
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS algorithm): slide a w-gram window over the
+    // doc's k-gram hash sequence and keep the RIGHTMOST MINIMUM of each
+    // window. Unlike mod-p sampling, winnowing gives a worst-case
+    // guarantee — any shared substring of >= w+k-1 tokens yields a
+    // shared fingerprint — and a density bound: each selected
+    // fingerprint covers at most w windows, so
+    // n_windows/w <= n_fp <= n_windows (emitted as `bound_ok`, an
+    // integer cross-multiplied check). The rightmost-min tie-break is
+    // encoded IN the ordering key: min over md5hex || '#' ||
+    // lpad(1e6 - pos) picks the smallest hash first, then (because the
+    // suffix inverts position) the largest position — one string min,
+    // bit-identical on both engines, no stateful scan. Scale shape:
+    // the k-gram explode is corpus-linear, BOTH window functions
+    // (frame min + per-doc gram count) partition by doc_id and reuse
+    // ONE doc_id exchange — no global window, no self-join, partitions
+    // bounded by document length. Short docs (< k tokens) fall back to
+    // a single whole-text gram so every doc reports a row (the
+    // shingleCol coalesce convention).
+    Q(
+      "dedup_winnow_fingerprints",
+      (s, d) => {
+        val W = 4 // window width in grams; k = 4-token grams
+        val frameW = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+            W - 1)
+        val docW = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+        val grams = toks(s, d)
+          .select(col("doc_id"),
+            posexplode(
+              when(size(col("tok")) >= 4,
+                transform(sequence(lit(1), size(col("tok")) - 3), i =>
+                  md5(concat_ws(" ",
+                    element_at(col("tok"), i),
+                    element_at(col("tok"), i + 1),
+                    element_at(col("tok"), i + 2),
+                    element_at(col("tok"), i + 3)))))
+                .otherwise(array(
+                  md5(coalesce(array_join(col("tok"), " "), lit(""))))))
+              .as(Seq("p0", "h")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+        grams
+          .withColumn("selk",
+            min(concat(col("h"), lit("#"),
+              lpad((lit(1000000) - col("pos")).cast("string"), 7, "0")))
+              .over(frameW))
+          .withColumn("g_cnt", count(lit(1)).over(docW))
+          // valid window starts only: the trailing w-1 positions open
+          // frames that a full window already covers (clipped frames
+          // would re-pick their suffix minima and break the bound)
+          .filter(col("pos") <= greatest(col("g_cnt") - (W - 1), lit(1)))
+          .select(col("doc_id"), col("g_cnt"),
+            greatest(col("g_cnt") - (W - 1), lit(1)).as("n_win"),
+            substring(col("selk"), 1, 32).as("sel_h"),
+            (lit(1000000) -
+              substring(col("selk"), 34, 7).cast("long")).as("sel_pos"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(max(col("g_cnt")).as("n_grams"),
+            max(col("n_win")).as("n_windows"),
+            count(lit(1)).as("n_fp"),
+            min(col("sel_h")).as("fp_checksum"))
+          .select(col("doc_id"), col("n_grams"), col("n_windows"),
+            col("n_fp"),
+            (col("n_fp") * W >= col("n_windows") &&
+              col("n_fp") <= col("n_windows")).as("bound_ok"),
+            col("fp_checksum"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), g AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(tok) >= 4
+           |    THEN list_transform(range(1, len(tok) - 2), i ->
+           |      md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
+           |        || tok[i+3]))
+           |    ELSE [md5(coalesce(array_to_string(tok, ' '), ''))] END AS gr
+           |  FROM toksrc
+           |), e AS (
+           |  SELECT doc_id, CAST(pos AS INT) AS pos,
+           |    gr[CAST(pos AS INT)] AS h, len(gr) AS g_cnt
+           |  FROM (SELECT doc_id, gr,
+           |          unnest(range(1, len(gr) + 1)) AS pos FROM g)
+           |), sel AS (
+           |  SELECT DISTINCT doc_id, g_cnt,
+           |    greatest(g_cnt - 3, 1) AS n_win,
+           |    substr(selk, 1, 32) AS sel_h,
+           |    1000000 - CAST(substr(selk, 34, 7) AS BIGINT) AS sel_pos
+           |  FROM (
+           |    SELECT doc_id, pos, g_cnt,
+           |      min(h || '#' || lpad(CAST(1000000 - pos AS VARCHAR), 7, '0'))
+           |        OVER (PARTITION BY doc_id ORDER BY pos
+           |              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selk
+           |    FROM e)
+           |  WHERE pos <= greatest(g_cnt - 3, 1)
+           |)
+           |SELECT doc_id, CAST(max(g_cnt) AS BIGINT) AS n_grams,
+           |  CAST(max(n_win) AS BIGINT) AS n_windows,
+           |  CAST(count(*) AS BIGINT) AS n_fp,
+           |  (count(*) * 4 >= max(n_win) AND count(*) <= max(n_win))
+           |    AS bound_ok,
+           |  min(sel_h) AS fp_checksum
+           |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
