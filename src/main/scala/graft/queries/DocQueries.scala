@@ -858,7 +858,88 @@ object DocQueries {
           |)
           |SELECT lang, n_before, delta, n_before + delta AS n_after,
           |  n_before + delta = n_direct AS ivm_holds
-          |FROM agg ORDER BY lang""".stripMargin))
+          |FROM agg ORDER BY lang""".stripMargin)),
+
+    // SCD Type-2 history build — the validity-interval dimension table
+    // a warehouse keeps when attributes change over re-crawls (the
+    // batch sibling of doc_ivm_lang_counts' changelog and the
+    // SCD-1 upsert sink's keep-latest): three simulated crawls rewrite
+    // lang for doc_id%10==0 (crawl 2 -> 'en') and doc_id%20==0
+    // (crawl 3 -> 'fr'); change detection (lag) keeps a version row
+    // ONLY when the attribute actually changed, then valid_to chains
+    // from the NEXT version's valid_from (lead) with 999 as the
+    // open-interval sentinel and is_current its flag. By construction
+    // the intervals per key are contiguous, non-overlapping, and
+    // exactly one is open — version_no (row_number) makes that
+    // hash-visible. Output keeps only multi-version docs (the history
+    // a dashboard queries); single-version keys would triple the row
+    // count with no information. Scale shape: a 3x explode then ONE
+    // doc_id-partitioned window chain (lag + lead + row_number share
+    // the exchange and sort); no join, no global window, output
+    // bounded by the changed-key count — at 100 TB the explode is the
+    // crawl count (bounded), never corpus^2.
+    Q(
+      "doc_scd2_history",
+      (s, d) => {
+        val lang0 = coalesce(col("lang"), lit("__null"))
+        val w = Window.partitionBy("doc_id").orderBy("crawl")
+        val wd = Window.partitionBy("doc_id")
+        docs(s, d)
+          .select(col("doc_id"), explode(array(
+            struct(lit(1).as("crawl"), lang0.as("lang_v")),
+            struct(lit(2).as("crawl"),
+              when(col("doc_id") % 10 === 0, lit("en")).otherwise(lang0)
+                .as("lang_v")),
+            struct(lit(3).as("crawl"),
+              when(col("doc_id") % 20 === 0, lit("fr"))
+                .when(col("doc_id") % 10 === 0, lit("en")).otherwise(lang0)
+                .as("lang_v")))).as("v"))
+          .select(col("doc_id"), col("v.crawl").as("crawl"),
+            col("v.lang_v").as("lang_v"))
+          .withColumn("prev", lag(col("lang_v"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("lang_v"))
+          .withColumn("version_no", row_number().over(w))
+          .withColumn("valid_from", col("crawl"))
+          .withColumn("valid_to",
+            coalesce(lead(col("crawl"), 1).over(w), lit(999)))
+          .withColumn("n_versions", count(lit(1)).over(wd))
+          .filter(col("n_versions") >= 2)
+          .select(col("doc_id"), col("version_no"), col("lang_v"),
+            col("valid_from"), col("valid_to"),
+            (col("valid_to") === 999).as("is_current"))
+          .orderBy("doc_id", "valid_from")
+      },
+      Some(
+        """WITH src AS (
+          |  SELECT doc_id, coalesce(lang, '__null') AS lang0
+          |  FROM documents
+          |), versions AS (
+          |  SELECT doc_id, 1 AS crawl, lang0 AS lang_v FROM src
+          |  UNION ALL
+          |  SELECT doc_id, 2,
+          |    CASE WHEN doc_id % 10 = 0 THEN 'en' ELSE lang0 END FROM src
+          |  UNION ALL
+          |  SELECT doc_id, 3,
+          |    CASE WHEN doc_id % 20 = 0 THEN 'fr'
+          |         WHEN doc_id % 10 = 0 THEN 'en' ELSE lang0 END FROM src
+          |), chg AS (
+          |  SELECT doc_id, crawl, lang_v,
+          |    lag(lang_v) OVER (PARTITION BY doc_id ORDER BY crawl) AS prev
+          |  FROM versions
+          |), kept AS (
+          |  SELECT doc_id, crawl, lang_v,
+          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY crawl)
+          |      AS INT) AS version_no,
+          |    CAST(coalesce(lead(crawl)
+          |      OVER (PARTITION BY doc_id ORDER BY crawl), 999) AS INT)
+          |      AS valid_to,
+          |    count(*) OVER (PARTITION BY doc_id) AS n_versions
+          |  FROM chg WHERE prev IS NULL OR prev <> lang_v
+          |)
+          |SELECT doc_id, version_no, lang_v, CAST(crawl AS INT)
+          |    AS valid_from, valid_to, valid_to = 999 AS is_current
+          |FROM kept WHERE n_versions >= 2
+          |ORDER BY doc_id, valid_from""".stripMargin))
   )
 
   /** doc_compaction_plan's per-doc file assignment, shared with the
