@@ -163,6 +163,7 @@ object DedupQueries {
     */
   def warmShared(s: SparkSession, dir: String): Unit = {
     ccLabels(s, dir).write.format("noop").mode("overwrite").save()
+    winnowSel(s, dir).write.format("noop").mode("overwrite").save()
     ()
   }
 
@@ -1434,44 +1435,8 @@ object DedupQueries {
     // shingleCol coalesce convention).
     Q(
       "dedup_winnow_fingerprints",
-      (s, d) => {
-        val W = 4 // window width in grams; k = 4-token grams
-        val frameW = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-            W - 1)
-        val docW = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id")
-        val grams = toks(s, d)
-          .select(col("doc_id"),
-            posexplode(
-              when(size(col("tok")) >= 4,
-                transform(sequence(lit(1), size(col("tok")) - 3), i =>
-                  md5(concat_ws(" ",
-                    element_at(col("tok"), i),
-                    element_at(col("tok"), i + 1),
-                    element_at(col("tok"), i + 2),
-                    element_at(col("tok"), i + 3)))))
-                .otherwise(array(
-                  md5(coalesce(array_join(col("tok"), " "), lit(""))))))
-              .as(Seq("p0", "h")))
-          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
-        grams
-          .withColumn("selk",
-            min(concat(col("h"), lit("#"),
-              lpad((lit(1000000) - col("pos")).cast("string"), 7, "0")))
-              .over(frameW))
-          .withColumn("g_cnt", count(lit(1)).over(docW))
-          // valid window starts only: the trailing w-1 positions open
-          // frames that a full window already covers (clipped frames
-          // would re-pick their suffix minima and break the bound)
-          .filter(col("pos") <= greatest(col("g_cnt") - (W - 1), lit(1)))
-          .select(col("doc_id"), col("g_cnt"),
-            greatest(col("g_cnt") - (W - 1), lit(1)).as("n_win"),
-            substring(col("selk"), 1, 32).as("sel_h"),
-            (lit(1000000) -
-              substring(col("selk"), 34, 7).cast("long")).as("sel_pos"))
-          .distinct()
+      (s, d) =>
+        winnowSel(s, d)
           .groupBy("doc_id")
           .agg(max(col("g_cnt")).as("n_grams"),
             max(col("n_win")).as("n_windows"),
@@ -1479,48 +1444,156 @@ object DedupQueries {
             min(col("sel_h")).as("fp_checksum"))
           .select(col("doc_id"), col("n_grams"), col("n_windows"),
             col("n_fp"),
-            (col("n_fp") * W >= col("n_windows") &&
+            (col("n_fp") * WinnowW >= col("n_windows") &&
               col("n_fp") <= col("n_windows")).as("bound_ok"),
             col("fp_checksum"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some(
-        s"""WITH cleaned AS (
-           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
-           |), toksrc AS (
-           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
-           |), g AS (
-           |  SELECT doc_id,
-           |    CASE WHEN len(tok) >= 4
-           |    THEN list_transform(range(1, len(tok) - 2), i ->
-           |      md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
-           |        || tok[i+3]))
-           |    ELSE [md5(coalesce(array_to_string(tok, ' '), ''))] END AS gr
-           |  FROM toksrc
-           |), e AS (
-           |  SELECT doc_id, CAST(pos AS INT) AS pos,
-           |    gr[CAST(pos AS INT)] AS h, len(gr) AS g_cnt
-           |  FROM (SELECT doc_id, gr,
-           |          unnest(range(1, len(gr) + 1)) AS pos FROM g)
-           |), sel AS (
-           |  SELECT DISTINCT doc_id, g_cnt,
-           |    greatest(g_cnt - 3, 1) AS n_win,
-           |    substr(selk, 1, 32) AS sel_h,
-           |    1000000 - CAST(substr(selk, 34, 7) AS BIGINT) AS sel_pos
-           |  FROM (
-           |    SELECT doc_id, pos, g_cnt,
-           |      min(h || '#' || lpad(CAST(1000000 - pos AS VARCHAR), 7, '0'))
-           |        OVER (PARTITION BY doc_id ORDER BY pos
-           |              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selk
-           |    FROM e)
-           |  WHERE pos <= greatest(g_cnt - 3, 1)
-           |)
+        s"""$winnowCteSql
            |SELECT doc_id, CAST(max(g_cnt) AS BIGINT) AS n_grams,
            |  CAST(max(n_win) AS BIGINT) AS n_windows,
            |  CAST(count(*) AS BIGINT) AS n_fp,
            |  (count(*) * 4 >= max(n_win) AND count(*) <= max(n_win))
            |    AS bound_ok,
            |  min(sel_h) AS fp_checksum
-           |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing's detection half: candidate near-dup pairs from SHARED
+    // winnowed fingerprints — the consumer that turns the per-doc
+    // fingerprint sample into the document-similarity index MOSS
+    // serves. Requiring >= 2 shared fingerprints suppresses the
+    // single-common-phrase collisions a lone shared 4-gram minimum
+    // produces. Scale shape: the same banding discipline as every
+    // other pair miner here — fingerprints shuffle once on sel_h, a
+    // partition-count window applies the [2, MaxBucket] bucket cap
+    // (an over-popular fingerprint carries no discriminating power and
+    // would explode quadratically), and only capped buckets self-join,
+    // so pair volume is sum(bucket^2) <= MaxBucket * |fingerprints| —
+    // never corpus^2.
+    Q(
+      "dedup_winnow_shared_pairs",
+      (s, d) => {
+        val fps = winnowSel(s, d)
+          .select(col("doc_id"), col("sel_h")).distinct()
+        val qf = fps
+          .withColumn("bs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("sel_h")))
+          .filter(col("bs") >= 2 && col("bs") <= MaxBucket)
+          .select(col("sel_h"), col("doc_id"))
+        qf.select(col("sel_h"), col("doc_id").as("a_id"))
+          .join(qf.select(col("sel_h"), col("doc_id").as("b_id")), "sel_h")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        s"""$winnowCteSql, fps AS (
+           |  SELECT DISTINCT doc_id, sel_h FROM sel
+           |), qf AS (
+           |  SELECT doc_id, sel_h FROM (
+           |    SELECT doc_id, sel_h,
+           |      count(*) OVER (PARTITION BY sel_h) AS bs FROM fps)
+           |  WHERE bs BETWEEN 2 AND $MaxBucket
+           |)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(count(*) AS BIGINT) AS n_shared
+           |FROM qf a JOIN qf b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY a_id, b_id""".stripMargin))
   )
+
+  // ---- winnowing (MOSS) shared lineage --------------------------------
+
+  /** winnowing window width in grams (k = 4-token grams; detection
+    * guarantee threshold = w + k - 1 = 7 tokens)
+    */
+  val WinnowW = 4
+
+  /** Selected winnowing fingerprints: one row per distinct
+    * (doc, position, hash) rightmost-window-minimum, with the per-doc
+    * gram and window counts carried alongside. THE single definition
+    * shared by dedup_winnow_fingerprints (per-doc report) and
+    * dedup_winnow_shared_pairs (pair mining) — [[winnowCteSql]] is its
+    * oracle twin and the two must evolve together. Memoized + persisted
+    * per (session, dir) like every shared produce-consume lineage here:
+    * the selection is ~2/(w+1) of the gram count (corpus-linear but
+    * cheap to hold), and the second consumer reuses materialized rows
+    * instead of re-tokenizing the corpus.
+    */
+  private def winnowSel(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("dedup_winnow_sel", s, d)(
+      graft.CacheRegistry.track(s, buildWinnowSel(s, d)))
+
+  private def buildWinnowSel(s: SparkSession, d: String): DataFrame = {
+    val frameW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        WinnowW - 1)
+    val docW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    toks(s, d)
+      .select(col("doc_id"),
+        posexplode(
+          when(size(col("tok")) >= 4,
+            transform(sequence(lit(1), size(col("tok")) - 3), i =>
+              md5(concat_ws(" ",
+                element_at(col("tok"), i),
+                element_at(col("tok"), i + 1),
+                element_at(col("tok"), i + 2),
+                element_at(col("tok"), i + 3)))))
+            .otherwise(array(
+              md5(coalesce(array_join(col("tok"), " "), lit(""))))))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      .withColumn("selk",
+        min(concat(col("h"), lit("#"),
+          lpad((lit(1000000) - col("pos")).cast("string"), 7, "0")))
+          .over(frameW))
+      .withColumn("g_cnt", count(lit(1)).over(docW))
+      // valid window starts only: the trailing w-1 positions open
+      // frames that a full window already covers (clipped frames
+      // would re-pick their suffix minima and break the bound)
+      .filter(col("pos") <= greatest(col("g_cnt") - (WinnowW - 1), lit(1)))
+      .select(col("doc_id"), col("g_cnt"),
+        greatest(col("g_cnt") - (WinnowW - 1), lit(1)).as("n_win"),
+        substring(col("selk"), 1, 32).as("sel_h"),
+        (lit(1000000) -
+          substring(col("selk"), 34, 7).cast("long")).as("sel_pos"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[winnowSel]]: CTE chain ending in `sel` */
+  private def winnowCteSql: String =
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+       |), toksrc AS (
+       |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+       |), g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tok) >= 4
+       |    THEN list_transform(range(1, len(tok) - 2), i ->
+       |      md5(concat(tok[i], ' ', tok[i+1], ' ', tok[i+2], ' ',
+       |        tok[i+3])))
+       |    ELSE [md5(coalesce(array_to_string(tok, ' '), ''))] END AS gr
+       |  FROM toksrc
+       |), e AS (
+       |  SELECT doc_id, CAST(pos AS INT) AS pos,
+       |    gr[CAST(pos AS INT)] AS h, len(gr) AS g_cnt
+       |  FROM (SELECT doc_id, gr,
+       |          unnest(range(1, len(gr) + 1)) AS pos FROM g)
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, g_cnt,
+       |    greatest(g_cnt - 3, 1) AS n_win,
+       |    substr(selk, 1, 32) AS sel_h,
+       |    1000000 - CAST(substr(selk, 34, 7) AS BIGINT) AS sel_pos
+       |  FROM (
+       |    SELECT doc_id, pos, g_cnt,
+       |      min(h || '#' || lpad(CAST(1000000 - pos AS VARCHAR), 7, '0'))
+       |        OVER (PARTITION BY doc_id ORDER BY pos
+       |              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selk
+       |    FROM e)
+       |  WHERE pos <= greatest(g_cnt - 3, 1)
+       |)""".stripMargin
 }

@@ -121,6 +121,67 @@ object EventQueries {
            |  event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY bucket_s, event_type""".stripMargin)),
 
+    // OHLC bars — the open/high/low/close + volume candlestick
+    // aggregate every time-series store serves (financial ticks,
+    // telemetry gauges), per hour per event_type. Open/close are
+    // FIRST/LAST-by-event-time selections with the (ts, event_id)
+    // collision-free tie-break: a row_number window ranks each
+    // (bucket, type) partition once, close reuses the SAME partition
+    // count (rn == cnt) so the descending twin window — and its second
+    // sort — never exists. All four OHLC values are carried, never
+    // computed, so doubles are bit-exact cross-engine; volume is the
+    // decimal-exact dsum. Scale shape: one (bucket, type) exchange
+    // shared by the window pair and the final agg; partitions are
+    // bounded by events-per-hour-per-type (the same granularity every
+    // windowed query here shuffles on), output |buckets|x|types|.
+    Q(
+      "ev_ohlc_bars",
+      (s, d) => {
+        val w = Window.partitionBy("bucket_s", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val wb = Window.partitionBy("bucket_s", "event_type")
+        ev(s, d)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+            col("value").isNotNull)
+          .select(
+            (epochS(col("ts")) - (epochS(col("ts")) % 3600)).as("bucket_s"),
+            col("event_type"), col("ts"), col("event_id"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wb))
+          .groupBy("bucket_s", "event_type")
+          .agg(
+            max(when(col("rn") === 1, col("value"))).as("open_v"),
+            max(col("value")).as("high_v"),
+            min(col("value")).as("low_v"),
+            max(when(col("rn") === col("cnt"), col("value"))).as("close_v"),
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("volume"))
+          .orderBy("bucket_s", "event_type")
+      },
+      Some(
+        s"""WITH e AS (
+           |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es,
+           |    event_type, ts, event_id, value
+           |  FROM events
+           |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           |    AND value IS NOT NULL
+           |), b AS (
+           |  SELECT es - (es % 3600) AS bucket_s, event_type, value,
+           |    row_number() OVER (PARTITION BY es - (es % 3600), event_type
+           |      ORDER BY ts, event_id) AS rn,
+           |    count(*) OVER (PARTITION BY es - (es % 3600), event_type)
+           |      AS cnt
+           |  FROM e
+           |)
+           |SELECT bucket_s, event_type,
+           |  max(CASE WHEN rn = 1 THEN value END) AS open_v,
+           |  max(value) AS high_v,
+           |  min(value) AS low_v,
+           |  max(CASE WHEN rn = cnt THEN value END) AS close_v,
+           |  count(*) AS n_events,
+           |  ${dsumSql("value")} AS volume
+           |FROM b GROUP BY 1, 2 ORDER BY bucket_s, event_type""".stripMargin)),
+
     // Sliding 10-minute window, 5-minute slide: each event lands in two
     // windows; DuckDB twin = union of the two tumbling phases
     Q(
