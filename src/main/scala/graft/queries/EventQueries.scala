@@ -609,6 +609,59 @@ object EventQueries {
         """SELECT event_type, true AS p50_in_bounds, true AS p95_in_bounds
           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // Winsorized (percentile-clipped) robust stats — the outlier
+    // treatment a metrics/training-signal pipeline applies before
+    // averaging heavy-tailed values: clip at the exact interpolated
+    // [p05, p95] and report how much mass moved. Bounds round at 4 dp
+    // so the DECIMAL(18,4) sum grid represents them EXACTLY (a 6-dp
+    // bound would round again inside the decimal cast — a fresh
+    // cross-engine boundary; a 4-dp-rounded double sits ~1e-13 from
+    // its grid point, never at a cast tie). Clipped values are then
+    // least/greatest SELECTIONS of carried doubles or that exact
+    // bound, so both sums are order-independent decimal sums. Scale
+    // shape: the bounds aggregate is the sort-based exact percentile
+    // (its 100 TB sketch replacement is ev_value_percentiles_approx's
+    // documented path), broadcast back as a |types|-row join; one
+    // corpus scan + one partial-agg'd type shuffle after that.
+    Q(
+      "ev_value_winsorized",
+      (s, d) => {
+        val b = ev(s, d).filter(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.05)"), 4).as("p05"),
+            round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        ev(s, d).filter(col("value").isNotNull)
+          .join(broadcast(b), "event_type")
+          .withColumn("w",
+            least(greatest(col("value"), col("p05")), col("p95")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(col("p05")).as("p05"),
+            max(col("p95")).as("p95"),
+            count(when(col("value") < col("p05"), 1)).as("n_clip_low"),
+            count(when(col("value") > col("p95"), 1)).as("n_clip_high"),
+            dsum(col("value")).as("sum_raw"),
+            dsum(col("w")).as("sum_winsor"))
+          .orderBy("event_type")
+      },
+      Some(
+        s"""WITH v AS (
+           |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+           |), b AS (
+           |  SELECT event_type,
+           |    round(quantile_cont(value, 0.05), 4) AS p05,
+           |    round(quantile_cont(value, 0.95), 4) AS p95
+           |  FROM v GROUP BY 1
+           |)
+           |SELECT v.event_type, count(*) AS n, p05, p95,
+           |  count(CASE WHEN value < p05 THEN 1 END) AS n_clip_low,
+           |  count(CASE WHEN value > p95 THEN 1 END) AS n_clip_high,
+           |  ${dsumSql("value")} AS sum_raw,
+           |  ${dsumSql("least(greatest(value, p05), p95)")} AS sum_winsor
+           |FROM v JOIN b USING (event_type)
+           |GROUP BY v.event_type, p05, p95
+           |ORDER BY event_type""".stripMargin)),
+
     // AS-OF join (an operator Spark lacks natively), expressed by
     // composing built-ins per the preference order: bounded range join
     // (same user, click within 1 h BEFORE the purchase) + row_number
