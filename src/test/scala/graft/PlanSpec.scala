@@ -798,4 +798,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(900))
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
+
+  test("winnowing selection: one scan, doc_id-only hash exchanges, no join") {
+    val p = plan("dedup_winnow_fingerprints")
+    // frame-min + gram-count windows and the per-doc aggregates all ride
+    // the doc_id partitioning; the only hash exchanges in the plan (also
+    // inside the memoized InMemoryRelation, whose cached plan prints in
+    // the same dump) cluster on doc_id
+    val ex = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("doc_id")), ex.mkString("; "))
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(900))
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(900))
+  }
+
+  test("winnowing pairs: bucket-capped equi-join, never a cartesian") {
+    val p = plan("dedup_winnow_shared_pairs")
+    // the [2, MaxBucket] cap is a sel_h-partitioned count window; the
+    // pair stage is an equi-join on sel_h — an uncapped or key-less
+    // formulation would surface as a nested-loop/cartesian here
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
+  test("SCD-2 history: one scan, one doc_id window chain, no join") {
+    val p = plan("doc_scd2_history")
+    val ex = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("doc_id")), ex.mkString("; "))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(900))
+    assert(!p.contains("Join"), p.take(900))
+  }
+
+  test("OHLC bars: one scan, one (bucket, type) exchange for both windows") {
+    val p = plan("ev_ohlc_bars")
+    val ex = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    // the ascending row_number window, the partition-count window, and
+    // the final agg all cluster on (bucket_s, event_type): exactly one
+    // data exchange, and no descending twin sort exists
+    assert(ex.size == 1 && ex.head.contains("bucket_s") &&
+      ex.head.contains("event_type"), ex.mkString("; "))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(900))
+    assert(!p.contains("Join"), p.take(900))
+  }
+
+  test("winsorized stats: percentile bounds broadcast back, no shuffle join") {
+    val p = plan("ev_value_winsorized")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(900))
+  }
 }
