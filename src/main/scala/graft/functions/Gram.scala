@@ -24,7 +24,8 @@ import org.apache.spark.sql.expressions.Aggregator
 class GramAgg extends Aggregator[Array[Double], GramAgg.Buf, GramAgg.Buf] {
   import GramAgg._
 
-  override def zero: Buf = Buf(0L, new Array[Long](D), new Array[Long](P))
+  override def zero: Buf =
+    Buf(0L, new Array[Long](D), new Array[Long](P), new Array[Long](D))
 
   // Array[Double] input (the caller widens float embeddings — lossless
   // per IEEE, and a future double-element testdata regen is then a
@@ -39,6 +40,7 @@ class GramAgg extends Aggregator[Array[Double], GramAgg.Buf, GramAgg.Buf] {
     var k = 0
     while (i < D) {
       b.s(i) = Math.addExact(b.s(i), v(i))
+      b.q(i) = Math.addExact(b.q(i), Math.multiplyExact(v(i), v(i)))
       var j = i + 1
       while (j < D) {
         b.p(k) = Math.addExact(b.p(k), Math.multiplyExact(v(i), v(j)))
@@ -46,15 +48,19 @@ class GramAgg extends Aggregator[Array[Double], GramAgg.Buf, GramAgg.Buf] {
       }
       i += 1
     }
-    Buf(b.n + 1, b.s, b.p)
+    Buf(b.n + 1, b.s, b.p, b.q)
   }
 
   override def merge(b1: Buf, b2: Buf): Buf = {
     var i = 0
-    while (i < D) { b1.s(i) = Math.addExact(b1.s(i), b2.s(i)); i += 1 }
+    while (i < D) {
+      b1.s(i) = Math.addExact(b1.s(i), b2.s(i))
+      b1.q(i) = Math.addExact(b1.q(i), b2.q(i))
+      i += 1
+    }
     var k = 0
     while (k < P) { b1.p(k) = Math.addExact(b1.p(k), b2.p(k)); k += 1 }
-    Buf(b1.n + b2.n, b1.s, b1.p)
+    Buf(b1.n + b2.n, b1.s, b1.p, b1.q)
   }
 
   override def finish(reduction: Buf): Buf = reduction
@@ -68,9 +74,12 @@ object GramAgg {
   val P: Int = D * (D - 1) / 2
 
   /** n rows folded, s = per-dim Σvᵢ (length D), p = upper-triangle
-    * Σvᵢvⱼ in row-major (i, j>i) order (length P)
+    * Σvᵢvⱼ in row-major (i, j>i) order (length P), q = diagonal Σvᵢ²
+    * (length D) — q completes the second-moment matrix so one buffer
+    * serves covariance AND the PCA power iteration
     */
-  final case class Buf(n: Long, s: Array[Long], p: Array[Long])
+  final case class Buf(n: Long, s: Array[Long], p: Array[Long],
+      q: Array[Long])
 
   /** pair index of (i, j), i < j, in the row-major upper triangle */
   def pairIndex(i: Int, j: Int): Int = i * (2 * D - i - 1) / 2 + (j - i - 1)

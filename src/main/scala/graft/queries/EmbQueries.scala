@@ -1699,17 +1699,7 @@ object EmbQueries {
     Q(
       "emb_covariance_topk",
       (s, d) => {
-        val strict = emb(s, d)
-          .filter(size(col("embedding")) === 64 &&
-            !exists(col("embedding"), x => x.isNull))
-          .select("embedding")
-        val gram = udaf(new graft.functions.GramAgg(),
-          ExpressionEncoder[Array[Double]]())
-        // float -> double widening is lossless per element, and a
-        // double-element testdata regen makes the cast a no-op
-        val g = strict.agg(
-            gram(col("embedding").cast("array<double>")).as("g"))
-          .collect()(0).getAs[org.apache.spark.sql.Row]("g")
+        val g = gramBuffer(s, d)
         val n = g.getAs[Long]("n")
         val sArr = g.getAs[scala.collection.Seq[Long]]("s")
         val pArr = g.getAs[scala.collection.Seq[Long]]("p")
@@ -1762,6 +1752,125 @@ object EmbQueries {
           |JOIN s si ON si.dim = p.i
           |JOIN s sj ON sj.dim = p.j
           |ORDER BY abs(cov_num) DESC, i, j LIMIT 20""".stripMargin)),
+
+    // Top principal component by POWER ITERATION over the exact
+    // integer covariance matrix — the PCA direction behind the
+    // whitening / rotation / MRL-ordering decisions emb_covariance_topk
+    // and emb_dim_variance measure pairwise. Exactness is the point:
+    // the covariance numerators C = n·Σxy − Σx·Σy come from the shared
+    // GramAgg buffer (integers on the 1e6 grid), the iteration runs
+    // v ← C·v three times from the all-ones start, and between
+    // iterations every entry is truncated toward zero to 10 significant
+    // digits (divide by 10^(digits−10)) — a DOCUMENTED deterministic
+    // rescale both engines reproduce digit-for-digit, chosen so every
+    // intermediate fits HUGEINT (|w| ≤ 64·|C|max·1e10 ≈ 1e31 « 1.7e38)
+    // and the final ppm numerator (v·1e6) stays under 1e38. Loadings
+    // are emitted as integer ppm of the max-|v| component, so NO float
+    // exists anywhere in the lineage. Three fixed steps are the
+    // deterministic-contract form (production iterates to a tolerance);
+    // an all-zero iterate (n ≤ 1, or a zero matrix) degrades to ppm=0
+    // identically on both engines. Scale shape: the corpus cost is the
+    // one memoized GramAgg pass (fixed buffer, partial-agg'd); the
+    // iteration itself is 64x64 driver-side arithmetic — a
+    // post-aggregation scalar like the count-min/freq-items reads.
+    Q(
+      "emb_pca_power_iteration",
+      (s, d) => {
+        val D = graft.functions.GramAgg.D
+        val g = gramBuffer(s, d)
+        val n = g.getAs[Long]("n")
+        val sv = g.getAs[scala.collection.Seq[Long]]("s")
+        val pv = g.getAs[scala.collection.Seq[Long]]("p")
+        val qv = g.getAs[scala.collection.Seq[Long]]("q")
+        val C = Array.tabulate(D, D) { (i, j) =>
+          if (i == j) BigInt(n) * qv(i) - BigInt(sv(i)) * sv(i)
+          else {
+            val k = graft.functions.GramAgg
+              .pairIndex(math.min(i, j), math.max(i, j))
+            BigInt(n) * pv(k) - BigInt(sv(i)) * sv(j)
+          }
+        }
+        // BigInt / truncates toward zero — the oracle mirrors with the
+        // sign-split floor-div; rescale keeps 10 significant digits
+        def step(v: Array[BigInt]): Array[BigInt] = {
+          val w = Array.tabulate(D)(i =>
+            (0 until D).map(j => C(i)(j) * v(j)).sum)
+          val maxAbs = w.map(_.abs).max
+          val gDiv =
+            if (maxAbs == 0) BigInt(1)
+            else BigInt(10).pow(math.max(0, maxAbs.toString.length - 10))
+          w.map(_ / gDiv)
+        }
+        val v3 = step(step(step(Array.fill(D)(BigInt(1)))))
+        val ma = v3.map(_.abs).max
+        val rows = (0 until D).map { i =>
+          val ppm = if (ma == 0) 0L else ((v3(i) * 1000000) / ma).toLong
+          org.apache.spark.sql.Row(i, ppm)
+        }
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("dim",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("loading_ppm",
+              org.apache.spark.sql.types.LongType))))
+          .orderBy("dim")
+      },
+      Some(
+        """WITH strict AS (
+          |  SELECT list_transform(embedding,
+          |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS v
+          |  FROM embeddings
+          |  WHERE len(embedding) = 64
+          |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          |), nn AS (SELECT count(*) AS n FROM strict),
+          |sums AS (
+          |  SELECT i.i AS dim, coalesce(sum(v[i.i + 1]), 0) AS sd
+          |  FROM range(0, 64) i(i) LEFT JOIN strict ON true GROUP BY 1
+          |), prods AS (
+          |  SELECT i.i AS i, j.j AS j,
+          |    coalesce(sum(CAST(v[i.i + 1] AS HUGEINT) * v[j.j + 1]), 0)
+          |      AS sxy
+          |  FROM range(0, 64) i(i) JOIN range(0, 64) j(j) ON i.i <= j.j
+          |  LEFT JOIN strict ON true GROUP BY 1, 2
+          |), ctri AS (
+          |  SELECT p.i, p.j,
+          |    CAST(nn.n AS HUGEINT) * p.sxy
+          |      - CAST(si.sd AS HUGEINT) * sj.sd AS cij
+          |  FROM prods p CROSS JOIN nn
+          |  JOIN sums si ON si.dim = p.i JOIN sums sj ON sj.dim = p.j
+          |), cf AS (
+          |  SELECT i, j, cij FROM ctri
+          |  UNION ALL SELECT j, i, cij FROM ctri WHERE i <> j
+          |), v0 AS (SELECT i.i AS i, CAST(1 AS HUGEINT) AS vi
+          |          FROM range(0, 64) i(i)),
+          |w1 AS (SELECT cf.i, sum(cf.cij * v0.vi) AS wi
+          |       FROM cf JOIN v0 ON v0.i = cf.j GROUP BY 1),
+          |g1 AS (SELECT CAST('1' || repeat('0', greatest(
+          |         len(CAST(max(abs(wi)) AS VARCHAR)) - 10, 0)) AS HUGEINT)
+          |         AS gd FROM w1),
+          |v1 AS (SELECT i, CASE WHEN wi < 0 THEN -((-wi) // gd)
+          |         ELSE wi // gd END AS vi FROM w1, g1),
+          |w2 AS (SELECT cf.i, sum(cf.cij * v1.vi) AS wi
+          |       FROM cf JOIN v1 ON v1.i = cf.j GROUP BY 1),
+          |g2 AS (SELECT CAST('1' || repeat('0', greatest(
+          |         len(CAST(max(abs(wi)) AS VARCHAR)) - 10, 0)) AS HUGEINT)
+          |         AS gd FROM w2),
+          |v2 AS (SELECT i, CASE WHEN wi < 0 THEN -((-wi) // gd)
+          |         ELSE wi // gd END AS vi FROM w2, g2),
+          |w3 AS (SELECT cf.i, sum(cf.cij * v2.vi) AS wi
+          |       FROM cf JOIN v2 ON v2.i = cf.j GROUP BY 1),
+          |g3 AS (SELECT CAST('1' || repeat('0', greatest(
+          |         len(CAST(max(abs(wi)) AS VARCHAR)) - 10, 0)) AS HUGEINT)
+          |         AS gd FROM w3),
+          |v3 AS (SELECT i, CASE WHEN wi < 0 THEN -((-wi) // gd)
+          |         ELSE wi // gd END AS vi FROM w3, g3),
+          |m AS (SELECT max(abs(vi)) AS ma FROM v3)
+          |SELECT CAST(v3.i AS INT) AS dim,
+          |  CAST(CASE WHEN m.ma = 0 THEN 0
+          |       WHEN vi < 0 THEN -((-vi * 1000000) // m.ma)
+          |       ELSE (vi * 1000000) // m.ma END AS BIGINT) AS loading_ppm
+          |FROM v3, m ORDER BY dim""".stripMargin)),
 
     // Per-cluster SILHOUETTE (centroid form) — the clustering-quality
     // eval a curation pipeline runs after k-means before trusting the
@@ -2023,6 +2132,31 @@ object EmbQueries {
   def warmShared(s: SparkSession, dir: String): Unit = {
     pqCodes(s, dir).write.format("noop").mode("overwrite").save()
     ()
+  }
+
+  /** The exact integer second-moment buffer over the strict 64-dim
+    * corpus — ONE GramAgg pass (n, per-dim sums s, upper-triangle
+    * products p, diagonal squares q), memoized + persisted per
+    * (session, dir) and shared by emb_covariance_topk and
+    * emb_pca_power_iteration so the covariance both read can never
+    * drift. The 1-row frame is the persisted unit; consumers collect it
+    * (a post-aggregation scalar, the cms/freq-items precedent).
+    */
+  private def gramBuffer(s: SparkSession, d: String)
+      : org.apache.spark.sql.Row = {
+    val df = graft.CacheRegistry.memo("emb_gram", s, d) {
+      val gram = udaf(new graft.functions.GramAgg(),
+        ExpressionEncoder[Array[Double]]())
+      // float -> double widening is lossless per element, and a
+      // double-element testdata regen makes the cast a no-op
+      graft.CacheRegistry.track(s,
+        emb(s, d)
+          .filter(size(col("embedding")) === 64 &&
+            !exists(col("embedding"), x => x.isNull))
+          .select("embedding")
+          .agg(gram(col("embedding").cast("array<double>")).as("g")))
+    }
+    df.collect()(0).getAs[org.apache.spark.sql.Row]("g")
   }
 
   /** query ADC table (j, cid, pd): the query subvector against every

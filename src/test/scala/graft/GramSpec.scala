@@ -39,19 +39,22 @@ class GramSpec extends AnyFunSuite {
     Gen.containerOfN[Array, Double](GramAgg.D,
       Gen.chooseNum(-1.0, 1.0).map(f => math.rint(f * 8) / 8))
 
-  private def brute(vs: Seq[Array[Double]]): (Long, Array[Long], Array[Long]) = {
+  private def brute(vs: Seq[Array[Double]])
+      : (Long, Array[Long], Array[Long], Array[Long]) = {
     val D = GramAgg.D
     val s = new Array[Long](D)
     val p = new Array[Long](GramAgg.P)
+    val q = new Array[Long](D)
     vs.foreach { a =>
       val v = a.map(GramAgg.snap6)
       for (i <- 0 until D) {
         s(i) += v(i)
+        q(i) += v(i) * v(i)
         for (j <- i + 1 until D)
           p(GramAgg.pairIndex(i, j)) += v(i) * v(j)
       }
     }
-    (vs.size.toLong, s, p)
+    (vs.size.toLong, s, p, q)
   }
 
   test("one-pass fold equals the brute-force definition; merge of any split equals whole") {
@@ -59,14 +62,16 @@ class GramSpec extends AnyFunSuite {
     val prop = Prop.forAll(Gen.listOfN(6, genVec), Gen.chooseNum(0, 100)) {
       (vs, cut) =>
         val whole = vs.foldLeft(agg.zero)(agg.reduce)
-        val (bn, bs, bp) = brute(vs)
+        val (bn, bs, bp, bq) = brute(vs)
         val k = if (vs.isEmpty) 0 else cut % (vs.size + 1)
         val (l, r) = vs.splitAt(k)
         val merged = agg.merge(
           l.foldLeft(agg.zero)(agg.reduce),
           r.foldLeft(agg.zero)(agg.reduce))
-        whole.n == bn && whole.s.sameElements(bs) && whole.p.sameElements(bp) &&
-          merged.n == bn && merged.s.sameElements(bs) && merged.p.sameElements(bp)
+        whole.n == bn && whole.s.sameElements(bs) &&
+          whole.p.sameElements(bp) && whole.q.sameElements(bq) &&
+          merged.n == bn && merged.s.sameElements(bs) &&
+          merged.p.sameElements(bp) && merged.q.sameElements(bq)
     }
     val r = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
