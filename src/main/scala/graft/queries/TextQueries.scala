@@ -209,6 +209,86 @@ object TextQueries {
            |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin
       }),
 
+    // Zipf rank-frequency fit — the power-law diagnostic a corpus team
+    // runs before trusting token statistics: natural text follows
+    // freq ∝ rank^(−s) with s ≈ 1, and a corpus that does NOT (flat or
+    // cliff-shaped curves) signals boilerplate, templating, or broken
+    // tokenization. The slope estimate is an ALL-INTEGER least squares
+    // over (⌊log2 rank⌋, ⌊log2 count⌋) of the top-256 terms — the
+    // dyadic-log convention of doc_dsir_weights/doc_unigram_surprisal
+    // (length(bin(x))−1 on the oracle side, numberOfLeadingZeros here)
+    // — emitted as the exact (slope_num, slope_den) pair with the
+    // s ∈ [0.5, 2] verdict cross-multiplied. Scale shape: ONE
+    // partial-agg'd vocabulary shuffle, a TakeOrderedAndProject top-K,
+    // and the 256-point regression folds on the driver (the
+    // post-aggregation-scalar precedent of count-min/covariance) — no
+    // global window, no second corpus pass.
+    Q(
+      "doc_zipf_fit",
+      (s, d) => {
+        val K = 256
+        val top = toks(s, d)
+          .select(explode(col("tok")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(K)
+          .collect()
+        def log2(x: Long): Long =
+          63L - java.lang.Long.numberOfLeadingZeros(x)
+        val pts = top.map(r => r.getAs[Long]("cnt"))
+          .zipWithIndex
+          .map { case (c, i) => (log2(i + 1L), log2(c)) }
+        val kn = pts.length.toLong
+        val sk = pts.map(_._1).sum
+        val sl = pts.map(_._2).sum
+        val skl = pts.map(p => p._1 * p._2).sum
+        val sk2 = pts.map(p => p._1 * p._1).sum
+        val num = kn * skl - sk * sl
+        val den = kn * sk2 - sk * sk
+        val top1 = if (top.isEmpty) 0L else top.map(_.getAs[Long]("cnt")).max
+        val zipfian = den > 0 && -2 * num >= den && -num <= 2 * den
+        s.createDataFrame(
+          s.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(kn, top1, num, den, zipfian)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_terms",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("top1_count",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("slope_num",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("slope_den",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("zipfian",
+              org.apache.spark.sql.types.BooleanType))))
+      },
+      Some(
+        s"""$tokCte, tf AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(tok) AS term FROM t) GROUP BY 1
+           |), topk AS (
+           |  SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 256
+           |), pts AS (
+           |  SELECT CAST(length(bin(row_number()
+           |      OVER (ORDER BY cnt DESC, term))) - 1 AS BIGINT) AS k,
+           |    CAST(length(bin(cnt)) - 1 AS BIGINT) AS l
+           |  FROM topk
+           |), agg AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           |    CAST(coalesce(count(*) * sum(k * l) - sum(k) * sum(l), 0)
+           |      AS BIGINT) AS slope_num,
+           |    CAST(coalesce(count(*) * sum(k * k) - sum(k) * sum(k), 0)
+           |      AS BIGINT) AS slope_den
+           |  FROM pts
+           |)
+           |SELECT n_terms,
+           |  CAST(coalesce((SELECT max(cnt) FROM topk), 0) AS BIGINT)
+           |    AS top1_count,
+           |  slope_num, slope_den,
+           |  (slope_den > 0 AND -2 * slope_num >= slope_den
+           |    AND -slope_num <= 2 * slope_den) AS zipfian
+           |FROM agg""".stripMargin)),
+
     // Corpus-statistics quality filter: per doc, the fraction of its
     // DISTINCT tokens that are corpus-rare (document frequency <= 2) —
     // the OCR-garbage/typo detector that per-doc features (doc_quality)
