@@ -2131,6 +2131,10 @@ object EmbQueries {
     */
   def warmShared(s: SparkSession, dir: String): Unit = {
     pqCodes(s, dir).write.format("noop").mode("overwrite").save()
+    // the shared GramAgg second-moment pass (emb_covariance_topk +
+    // emb_pca_power_iteration) — without this, whichever consumer runs
+    // first alphabetically absorbs the one corpus fold
+    gramBuffer(s, dir)
     ()
   }
 
