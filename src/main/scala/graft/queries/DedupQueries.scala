@@ -1472,35 +1472,78 @@ object DedupQueries {
     // never corpus^2.
     Q(
       "dedup_winnow_shared_pairs",
+      (s, d) => winnowPairs(s, d).orderBy("a_id", "b_id"),
+      Some(
+        s"""$winnowPairsCteSql
+           |SELECT a_id, b_id, n_shared FROM wpairs
+           |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ROUGE-1 clipped-overlap verification of the winnowed candidate
+    // pairs — the unigram precision/recall scorer (Lin, ACL'04 wkshp)
+    // a dedup pipeline runs over MINED candidates before acting on
+    // them: overlap = Σ_t min(tf_a, tf_b) (clipped counts, the ROUGE
+    // convention), and F1 = 2·overlap/(len_a+len_b) ≥ 0.5 is the
+    // cross-multiplied `high_sim` verdict — counts and lengths are
+    // integers, no division on either engine. Scale shape: the scorer
+    // touches ONLY candidate docs — the pair set is the memoized
+    // winnowPairs lineage and term frequencies come from a broadcast
+    // semi-join (toksFor) over the bounded candidate id set, so the
+    // corpus is never re-tokenized; the per-pair term join fans out as
+    // pairs × terms-per-doc, linear in the candidate volume the
+    // bucket cap already bounds.
+    Q(
+      "dedup_pair_rouge_overlap",
       (s, d) => {
-        val fps = winnowSel(s, d)
-          .select(col("doc_id"), col("sel_h")).distinct()
-        val qf = fps
-          .withColumn("bs", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("sel_h")))
-          .filter(col("bs") >= 2 && col("bs") <= MaxBucket)
-          .select(col("sel_h"), col("doc_id"))
-        qf.select(col("sel_h"), col("doc_id").as("a_id"))
-          .join(qf.select(col("sel_h"), col("doc_id").as("b_id")), "sel_h")
-          .filter(col("a_id") < col("b_id"))
+        val pairs = winnowPairs(s, d)
+        val ids = pairs.select(col("a_id").as("doc_id"))
+          .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+        val tf = toksFor(s, d, ids)
+          .select(col("doc_id"), explode(col("tok")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        val lens = tf.groupBy("doc_id").agg(sum(col("c")).as("len"))
+        pairs
+          .join(tf.select(col("doc_id").as("a_id"), col("term"),
+            col("c").as("ca")), Seq("a_id"))
+          .join(tf.select(col("doc_id").as("b_id"), col("term"),
+            col("c").as("cb")), Seq("b_id", "term"))
           .groupBy("a_id", "b_id")
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 2)
+          .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+          .join(lens.select(col("doc_id").as("a_id"),
+            col("len").as("len_a")), Seq("a_id"))
+          .join(lens.select(col("doc_id").as("b_id"),
+            col("len").as("len_b")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), col("overlap"),
+            col("len_a"), col("len_b"),
+            (col("overlap") * 4 >= col("len_a") + col("len_b"))
+              .as("high_sim"))
           .orderBy("a_id", "b_id")
       },
       Some(
-        s"""$winnowCteSql, fps AS (
-           |  SELECT DISTINCT doc_id, sel_h FROM sel
-           |), qf AS (
-           |  SELECT doc_id, sel_h FROM (
-           |    SELECT doc_id, sel_h,
-           |      count(*) OVER (PARTITION BY sel_h) AS bs FROM fps)
-           |  WHERE bs BETWEEN 2 AND $MaxBucket
+        s"""$winnowPairsCteSql, ids AS (
+           |  SELECT a_id AS doc_id FROM wpairs
+           |  UNION SELECT b_id FROM wpairs
+           |), tf AS (
+           |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT t.doc_id, unnest(t.tok) AS term
+           |        FROM toksrc t JOIN ids USING (doc_id))
+           |  GROUP BY 1, 2
+           |), lens AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS len
+           |  FROM tf GROUP BY 1
+           |), ovl AS (
+           |  SELECT p.a_id, p.b_id,
+           |    CAST(sum(least(ta.c, tb.c)) AS BIGINT) AS overlap
+           |  FROM wpairs p
+           |  JOIN tf ta ON ta.doc_id = p.a_id
+           |  JOIN tf tb ON tb.doc_id = p.b_id AND tb.term = ta.term
+           |  GROUP BY 1, 2
            |)
-           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           |  CAST(count(*) AS BIGINT) AS n_shared
-           |FROM qf a JOIN qf b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
-           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |SELECT o.a_id, o.b_id, o.overlap,
+           |  la.len AS len_a, lb.len AS len_b,
+           |  (o.overlap * 4 >= la.len + lb.len) AS high_sim
+           |FROM ovl o
+           |JOIN lens la ON la.doc_id = o.a_id
+           |JOIN lens lb ON lb.doc_id = o.b_id
            |ORDER BY a_id, b_id""".stripMargin))
   )
 
@@ -1563,6 +1606,50 @@ object DedupQueries {
           substring(col("selk"), 34, 7).cast("long")).as("sel_pos"))
       .distinct()
   }
+
+  /** Candidate near-dup pairs sharing >= 2 winnowed fingerprints under
+    * the [2, MaxBucket] bucket cap — THE single pair definition shared
+    * by dedup_winnow_shared_pairs (the report) and
+    * dedup_pair_rouge_overlap (the verification scorer), memoized +
+    * persisted so the scorer reuses materialized pairs.
+    * [[winnowPairsCteSql]] is the oracle twin.
+    */
+  private def winnowPairs(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("dedup_winnow_pairs", s, d)(
+      graft.CacheRegistry.track(s, {
+        val fps = winnowSel(s, d)
+          .select(col("doc_id"), col("sel_h")).distinct()
+        val qf = fps
+          .withColumn("bs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("sel_h")))
+          .filter(col("bs") >= 2 && col("bs") <= MaxBucket)
+          .select(col("sel_h"), col("doc_id"))
+        qf.select(col("sel_h"), col("doc_id").as("a_id"))
+          .join(qf.select(col("sel_h"), col("doc_id").as("b_id")), "sel_h")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      }))
+
+  /** DuckDB twin of [[winnowPairs]]: extends [[winnowCteSql]] with the
+    * fps/qf/wpairs CTEs (no line may start with `||` — the outer
+    * stripMargin would eat a pipe, see the verify-skill gotcha)
+    */
+  private def winnowPairsCteSql: String =
+    s"""$winnowCteSql, fps AS (
+       |  SELECT DISTINCT doc_id, sel_h FROM sel
+       |), qf AS (
+       |  SELECT doc_id, sel_h FROM (
+       |    SELECT doc_id, sel_h,
+       |      count(*) OVER (PARTITION BY sel_h) AS bs FROM fps)
+       |  WHERE bs BETWEEN 2 AND $MaxBucket
+       |), wpairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM qf a JOIN qf b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |)""".stripMargin
 
   /** DuckDB twin of [[winnowSel]]: CTE chain ending in `sel` */
   private def winnowCteSql: String =
