@@ -164,6 +164,9 @@ object DedupQueries {
   def warmShared(s: SparkSession, dir: String): Unit = {
     ccLabels(s, dir).write.format("noop").mode("overwrite").save()
     winnowSel(s, dir).write.format("noop").mode("overwrite").save()
+    // the pair set over that selection — consumed by both
+    // dedup_winnow_shared_pairs and dedup_pair_rouge_overlap
+    winnowPairs(s, dir).write.format("noop").mode("overwrite").save()
     ()
   }
 
