@@ -1547,7 +1547,76 @@ object DedupQueries {
            |FROM ovl o
            |JOIN lens la ON la.doc_id = o.a_id
            |JOIN lens lb ON lb.doc_id = o.b_id
-           |ORDER BY a_id, b_id""".stripMargin))
+           |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Winnowing recall/precision against the SAME Jaccard >= 0.5
+    // ground truth dedup_minhash_recall measures — so the two detectors
+    // produce directly comparable quality rows on one truth set (the
+    // cross-detector evidence that decides which miner a pipeline
+    // trusts at which threshold). Truth: exact all-pairs shingle
+    // Jaccard on the bounded doc_id < 150 block (the quadratic join is
+    // confined there); found: the memoized winnow pair lineage cut to
+    // the same block. Winnow candidates are 4-gram window minima, not
+    // Jaccard-verified, so unlike the minhash row BOTH recall and
+    // precision are informative here.
+    Q(
+      "dedup_winnow_recall",
+      (s, d) => {
+        val sets = shingleSets(toks(s, d).filter(col("doc_id") < 150))
+        val truth = sets.select(col("doc_id").as("a_id"), col("st").as("sa"))
+          .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")),
+            col("a_id") < col("b_id"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .filter(col("inter").cast("double") /
+            greatest(size(col("sa")) + size(col("sb")) - col("inter"),
+              lit(1)) >= 0.5)
+          .select("a_id", "b_id")
+        val found = winnowPairs(s, d)
+          .filter(col("a_id") < 150 && col("b_id") < 150)
+          .select("a_id", "b_id")
+        val nT = truth.agg(count(lit(1)).as("n_true"))
+        val nF = found.agg(count(lit(1)).as("n_found"))
+        val nO = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))
+        nT.crossJoin(nF).crossJoin(nO)
+          .select(col("n_true"), col("n_found"), col("n_overlap"),
+            round(col("n_overlap").cast("double") /
+              greatest(col("n_true"), lit(1)), 6).as("recall"),
+            round(col("n_overlap").cast("double") /
+              greatest(col("n_found"), lit(1)), 6).as("precision"))
+      },
+      Some(
+        s"""$winnowPairsCteSql, foundw AS (
+           |  SELECT a_id, b_id FROM wpairs
+           |  WHERE a_id < 150 AND b_id < 150
+           |), cleaned150 AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |  WHERE doc_id < 150
+           |), tk150 AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned150
+           |), sets150 AS (
+           |  SELECT doc_id, list_distinct($shingleSqlExpr) AS st
+           |  FROM tk150
+           |), jp AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    len(list_filter(a.st, x -> list_contains(b.st, x))) AS inter,
+           |    len(a.st) AS la, len(b.st) AS lb
+           |  FROM sets150 a JOIN sets150 b ON a.doc_id < b.doc_id
+           |), truth AS (
+           |  SELECT a_id, b_id FROM jp
+           |  WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.5
+           |), c AS (
+           |  SELECT (SELECT count(*) FROM truth) AS n_true,
+           |    (SELECT count(*) FROM foundw) AS n_found,
+           |    (SELECT count(*) FROM truth JOIN foundw USING (a_id, b_id))
+           |      AS n_overlap
+           |)
+           |SELECT n_true, n_found, n_overlap,
+           |  round(CAST(n_overlap AS DOUBLE) / greatest(n_true, 1), 6)
+           |    AS recall,
+           |  round(CAST(n_overlap AS DOUBLE) / greatest(n_found, 1), 6)
+           |    AS precision
+           |FROM c""".stripMargin))
   )
 
   // ---- winnowing (MOSS) shared lineage --------------------------------
