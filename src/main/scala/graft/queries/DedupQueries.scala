@@ -1616,7 +1616,66 @@ object DedupQueries {
            |    AS recall,
            |  round(CAST(n_overlap AS DOUBLE) / greatest(n_found, 1), 6)
            |    AS precision
-           |FROM c""".stripMargin))
+           |FROM c""".stripMargin)),
+
+    // Cross-detector agreement matrix — minhash vs winnowing found-sets
+    // on the bounded doc_id < 150 block: the side-by-side an index team
+    // reads before choosing which miner (or both) to trust, the direct
+    // set-level complement of the two per-detector recall rows that
+    // share one truth definition. Agreement is the exact Jaccard of
+    // the two pair sets, emitted as the cross-multiplied
+    // `majority_agree` verdict (2·|W∩M| >= |W∪M|) beside the raw
+    // counts — no division. Both sides are memoized lineages
+    // (minhashPairs, winnowPairs) cut to the block; the compare is a
+    // full-outer join over two bounded pair sets.
+    Q(
+      "dedup_detector_agreement",
+      (s, d) => {
+        def cut(df: DataFrame, tag: String): DataFrame =
+          df.filter(col("a_id") < 150 && col("b_id") < 150)
+            .select(col("a_id"), col("b_id"), lit(1).as(tag))
+        val m = cut(minhashPairs(s, d), "in_m")
+        val w = cut(winnowPairs(s, d), "in_w")
+        m.join(w, Seq("a_id", "b_id"), "full_outer")
+          .agg(
+            count(col("in_m")).as("n_minhash"),
+            count(col("in_w")).as("n_winnow"),
+            count(when(col("in_m") === 1 && col("in_w") === 1, 1))
+              .as("n_both"),
+            count(when(col("in_m") === 1 && col("in_w").isNull, 1))
+              .as("n_only_minhash"),
+            count(when(col("in_w") === 1 && col("in_m").isNull, 1))
+              .as("n_only_winnow"))
+          .withColumn("majority_agree",
+            col("n_both") * 2 >=
+              col("n_both") + col("n_only_minhash") + col("n_only_winnow"))
+      },
+      Some(
+        s"""$winnowPairsCteSql, mh AS (
+           |  SELECT a_id, b_id FROM ($minhashSql)
+           |  WHERE a_id < 150 AND b_id < 150
+           |), wn AS (
+           |  SELECT a_id, b_id FROM wpairs
+           |  WHERE a_id < 150 AND b_id < 150
+           |), j AS (
+           |  SELECT coalesce(mh.a_id, wn.a_id) AS a_id,
+           |    (mh.a_id IS NOT NULL) AS in_m,
+           |    (wn.a_id IS NOT NULL) AS in_w
+           |  FROM mh FULL OUTER JOIN wn
+           |    ON mh.a_id = wn.a_id AND mh.b_id = wn.b_id
+           |)
+           |SELECT CAST(count(CASE WHEN in_m THEN 1 END) AS BIGINT)
+           |    AS n_minhash,
+           |  CAST(count(CASE WHEN in_w THEN 1 END) AS BIGINT) AS n_winnow,
+           |  CAST(count(CASE WHEN in_m AND in_w THEN 1 END) AS BIGINT)
+           |    AS n_both,
+           |  CAST(count(CASE WHEN in_m AND NOT in_w THEN 1 END) AS BIGINT)
+           |    AS n_only_minhash,
+           |  CAST(count(CASE WHEN in_w AND NOT in_m THEN 1 END) AS BIGINT)
+           |    AS n_only_winnow,
+           |  count(CASE WHEN in_m AND in_w THEN 1 END) * 2 >=
+           |    count(CASE WHEN in_m OR in_w THEN 1 END) AS majority_agree
+           |FROM j""".stripMargin))
   )
 
   // ---- winnowing (MOSS) shared lineage --------------------------------
