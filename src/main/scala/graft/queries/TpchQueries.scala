@@ -631,6 +631,246 @@ object TpchQueries {
            |      HAVING ${dsumSql("l_quantity")} > 250.0) q
            |  ON o_orderkey = q.l_orderkey
            |JOIN customer ON c_custkey = o_custkey
-           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ----- Q2 flavor: minimum-cost supplier per part within a region.
+    // The schema has no partsupp, so the supplier-part cost fact is
+    // DERIVED from lineitem: cost(part, supp) = min observed unit price
+    // (l_extendedprice / l_quantity — one IEEE division both engines
+    // perform identically; min over identical doubles is exact).
+    // Spark-first shape vs the textbook correlated-subquery form the
+    // oracle keeps: (1) part filter becomes a broadcast semi-join BEFORE
+    // the per-part min — valid because min-cost within a part's group
+    // is independent of other parts — so everything downstream runs on
+    // the filtered slice only; (2) the correlated "= (SELECT min...)"
+    // becomes a per-part window min over the (part,supp) aggregate —
+    // one l_partkey exchange, no second aggregate, no min-match
+    // self-join (the first cut planned an extra (partkey,cost) shuffle
+    // + SortMergeJoin; the Q17 window precedent removes both);
+    // (3) supplier⋈nation⋈region is a broadcast chain — the fact side
+    // never shuffles for the region predicate.
+    Q(
+      "star_q2_min_cost_supplier",
+      (s, d) => {
+        val euroSupp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val wantedParts = t(s, d, "part")
+          .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
+          .select("p_partkey", "p_name")
+        val ps = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+          .join(broadcast(wantedParts.select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+          .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        ps.withColumn("min_cost",
+            min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+          .filter(col("cost") === col("min_cost"))
+          .join(broadcast(wantedParts), col("l_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+      },
+      Some(
+        """WITH ps AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    min(l_extendedprice / l_quantity) AS cost
+          |  FROM lineitem GROUP BY 1, 2),
+          |eps AS (
+          |  SELECT ps.*, s_acctbal, s_name, n_name
+          |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE')
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+          |FROM eps JOIN part ON p_partkey = l_partkey
+          |WHERE p_type = 'STANDARD' AND p_size <= 15
+          |  AND cost = (SELECT min(cost) FROM eps e2
+          |              WHERE e2.l_partkey = eps.l_partkey)
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)),
+
+    // ----- Q11 flavor: important stock value per part. No partsupp /
+    // availqty, so "stock value" is re-expressed as delivered revenue
+    // sum(extendedprice * (1 - discount)) restricted to suppliers of one
+    // region, and the HAVING fraction (value > 0.1% of total) is decided
+    // by exact decimal cross-multiplication (value * 1000 > total) —
+    // no ratio is ever materialized, so the gate is order-independent
+    // at any scale. Shape: broadcast semi-join of the fact on the ~20
+    // region suppliers, ONE groupBy(partkey) decimal agg, then a 1-row
+    // broadcast of the grand total against the per-part rows.
+    Q(
+      "star_q11_important_stock",
+      (s, d) => {
+        val euroSuppKeys = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").select("n_nationkey",
+            "n_regionkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey")
+        val v = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(broadcast(euroSuppKeys),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy("l_partkey")
+          .agg(sum(col("l_extendedprice").cast(D) *
+            (lit(1.0) - col("l_discount")).cast(D)).as("val_dec"))
+        v.crossJoin(broadcast(v.agg(sum(col("val_dec")).as("total_dec"))))
+          .filter(col("val_dec") * 1000 > col("total_dec"))
+          .select(col("l_partkey").as("p_partkey"),
+            col("val_dec").cast("double").as("value"))
+          .orderBy(col("value").desc, col("p_partkey"))
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT l_partkey,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |        CAST(1.0 - l_discount AS DECIMAL(18,4))) AS val_dec
+          |  FROM lineitem
+          |  WHERE l_suppkey IN (
+          |    SELECT s_suppkey FROM supplier
+          |    JOIN nation ON s_nationkey = n_nationkey
+          |    JOIN region ON n_regionkey = r_regionkey
+          |    WHERE r_name = 'EUROPE')
+          |  GROUP BY 1)
+          |SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS value
+          |FROM v, (SELECT sum(val_dec) AS total_dec FROM v) t
+          |WHERE val_dec * 1000 > total_dec
+          |ORDER BY value DESC, p_partkey""".stripMargin)),
+
+    // ----- Q13 flavor: customer order-count distribution. The
+    // comment-pattern exclusion of the textbook query is re-expressed
+    // on a column this schema has (priority '4-NOT SPECIFIED' stands in
+    // for the excluded class). All-integer: LEFT join keyed on custkey
+    // (one shuffle, both sides on the key), count(o_orderkey) counts
+    // only matches, and the distribution re-agg is over <=|distinct
+    // counts| rows — negligible at any scale. The left join keeps
+    // zero-order customers, the part a semi-join formulation would lose.
+    Q(
+      "star_q13_order_distribution",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select("o_orderkey", "o_custkey")
+        t(s, d, "customer").select("c_custkey")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some(
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders
+          |    ON c_custkey = o_custkey
+          |    AND o_orderpriority <> '4-NOT SPECIFIED'
+          |  GROUP BY c_custkey)
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ----- Q15 flavor: top supplier by quarter revenue. The revenue
+    // aggregate stays DECIMAL end-to-end so the max-match equality is
+    // exact (a double round-trip could tie-break differently per
+    // engine); only the output column is cast. Shape: one
+    // groupBy(suppkey) over the date-pruned scan (predicate lands in
+    // PushedFilters), a 1-row broadcast max, equality filter, broadcast
+    // supplier lookup. Returns ALL argmax suppliers on a tie — the
+    // textbook view semantics. The explicit isNotNull(l_suppkey) below
+    // (mirrored in the oracle) exists for the PLAN, not the values: the
+    // supplier join implies it on one branch only, which de-canonicalizes
+    // the two rev subtrees and blocks ReuseExchange — with it, the
+    // date-pruned lineitem scan + suppkey aggregate runs ONCE and the
+    // max side reuses the shuffle output (PlanSpec-pinned).
+    Q(
+      "star_q15_top_supplier",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+            col("l_suppkey").isNotNull)
+          .groupBy("l_suppkey")
+          .agg(sum(col("l_extendedprice").cast(D) *
+            (lit(1.0) - col("l_discount")).cast(D)).as("r_dec"))
+        rev.crossJoin(broadcast(rev.agg(max(col("r_dec")).as("mr"))))
+          .filter(col("r_dec") === col("mr"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("r_dec").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |        CAST(1.0 - l_discount AS DECIMAL(18,4))) AS r_dec
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01'
+          |    AND l_suppkey IS NOT NULL
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, CAST(r_dec AS DOUBLE) AS total_revenue
+          |FROM rev JOIN supplier ON l_suppkey = s_suppkey,
+          |  (SELECT max(r_dec) AS mr FROM rev) m
+          |WHERE r_dec = mr
+          |ORDER BY s_suppkey""".stripMargin)),
+
+    // ----- Q22 flavor: dormant high-balance customers. The textbook
+    // phone-prefix country codes become a nationkey set (no phone
+    // column), and "never ordered" becomes "no order since 1999"
+    // (this testdata gives every customer at least one order, which
+    // would make the textbook anti-join vacuously empty). The
+    // above-average-balance test is exact decimal cross-multiplication
+    // (bal * n > sum) against a 1-row broadcast of the positive-balance
+    // pool stats — no average is materialized. The anti join keys on
+    // custkey against the date-pruned orders slice; at scale both sides
+    // shuffle on the key once (or AQE broadcasts the pruned side).
+    Q(
+      "star_q22_dormant_customers",
+      (s, d) => {
+        val pool = t(s, d, "customer")
+          .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal").cast(D).as("bal"))
+        val stats = pool.filter(col("bal") > 0)
+          .agg(count(lit(1)).as("cnt"), sum(col("bal")).as("s"))
+        val recent = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select("o_custkey")
+        pool.crossJoin(broadcast(stats))
+          .filter(col("bal") * col("cnt") > col("s"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal")).cast("double").as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some(
+        """WITH pool AS (
+          |  SELECT c_custkey, c_nationkey,
+          |    CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+          |  FROM customer
+          |  WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+          |a AS (SELECT count(*) AS cnt, sum(bal) AS s
+          |      FROM pool WHERE bal > 0)
+          |SELECT c_nationkey, count(*) AS numcust,
+          |  CAST(sum(bal) AS DOUBLE) AS totacctbal
+          |FROM pool, a
+          |WHERE bal * cnt > s
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }
