@@ -505,28 +505,42 @@ object TpchQueries {
     // ----- Q21 flavor: the sole-late supplier on multi-supplier
     // finished orders. Reference shape: lineitem self-joined twice
     // (EXISTS another supplier, NOT EXISTS another LATE supplier).
-    // Spark-first rewrite: ONE orders⋈lineitem pass aggregated per
-    // order — distinct suppliers, distinct late suppliers, and (via
-    // max over the 0-or-1 survivor) the sole late suppkey — then the
-    // order-level filter ns≥2 ∧ nl=1. Three lineitem passes become one
-    // shuffle; the oracle keeps the textbook correlated form, so the
-    // hash gate proves the rewrite equivalent. Lateness adapted to
-    // shipdate > orderdate + 90 days.
+    // Spark-first rewrite, two-level: (1) collapse lineitem to one row
+    // per (order, supplier) carrying max(l_shipdate) — a supplier is
+    // late on an order iff its LATEST line is late, so the per-pair max
+    // preserves lateness exactly; (2) join the finished orders and
+    // aggregate per order with PLAIN count/max — the pair level already
+    // made suppliers distinct, so no countDistinct survives. The first
+    // cut used two countDistincts over the joined fact rows; at the
+    // 30x star probe that planned an Expand x3 (54M expanded rows) +
+    // an extra wide exchange and went 6x super-linear (2.9 s -> 18.6 s).
+    // This form repartitions the fact ONCE by l_orderkey; the pair agg
+    // (ClusteredDistribution satisfied by the orderkey partitioning),
+    // the orders join, and the per-order agg all reuse that one
+    // exchange — no Expand anywhere (PlanSpec-pinned). The oracle keeps
+    // the textbook correlated form, so the hash gate proves the rewrite
+    // equivalent. Lateness adapted to shipdate > orderdate + 90 days.
     Q(
       "star_q21_sole_late_supplier",
       (s, d) => {
         val ord = t(s, d, "orders")
           .filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val late = col("l_shipdate") >
-          col("o_orderdate") + expr("INTERVAL 90 DAYS")
-        val perOrder = t(s, d, "lineitem")
+        val perPair = t(s, d, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate")
+          // countDistinct ignored null suppkeys; the pair form must too
+          .filter(col("l_suppkey").isNotNull)
+          .repartition(col("l_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("l_shipdate")).as("max_ship"))
+        val late = col("max_ship") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS")
+        val perOrder = perPair
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderkey")
           .agg(
-            countDistinct(col("l_suppkey")).as("ns"),
-            countDistinct(when(late, col("l_suppkey"))).as("nl"),
+            count(lit(1)).as("ns"),
+            count(when(late, 1)).as("nl"),
             max(when(late, col("l_suppkey"))).as("sole_suppkey"))
           .filter(col("ns") >= 2 && col("nl") === 1)
         perOrder

@@ -728,13 +728,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
 
-  test("Q21 rewrite: one lineitem pass, no self-join, dims broadcast") {
+  test("Q21 rewrite: one lineitem pass, no self-join, no distinct Expand") {
     val p = plan("star_q21_sole_late_supplier")
     // the textbook EXISTS/NOT-EXISTS form needs three lineitem reads;
     // the aggregate rewrite reads it once (plus orders + the supplier
     // dim) and never self-joins lineitem
     assert("FileScan parquet".r.findAllIn(p).size == 3, p.take(1200))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(1200))
+    // the pair level already de-duplicates suppliers, so no
+    // countDistinct survives to plan an Expand — the 30x star probe
+    // measured the Expand form 6x super-linear before this pin
+    assert(!p.contains("Expand"), p.take(1200))
     assert(p.contains("partial_count"), p.take(1200))
   }
 
