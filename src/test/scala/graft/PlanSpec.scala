@@ -716,6 +716,42 @@ class PlanSpec extends AnyFunSuite {
         s"stale whitelist entries: ${(allowed -- hits).toSeq.sorted}")
   }
 
+  test("suite-wide: Expand only ever multiplies bounded inputs (pinned set)") {
+    // ExpandExec multiplies every input row by its projection count —
+    // rollup/cube/grouping-sets legitimately pay it, and multi-distinct
+    // aggregates are silently rewritten into it (star_q21's original
+    // two-countDistinct form planned an Expand x3 over the joined fact
+    // rows and went 6x super-linear at the 30x star probe before the
+    // two-level rewrite removed it). This guard walks every registered
+    // query's physical plan and pins the exact set allowed to Expand;
+    // each member multiplies a provably pre-aggregated or dimension-
+    // bounded input, never raw fact rows:
+    //   star_rollup / star_cube / star_grouping_sets — grouping-set
+    //     lattices over the (returnflag, linestatus) / nation grains:
+    //     fixed multiplier = |grouping sets| (<= 4), partial-agg'd
+    //     before any exchange
+    //   star_unpivot_nation — unpivot IS an Expand by definition; the
+    //     multiplier is the fixed unpivoted column count over
+    //     dimension-bounded (per-nation aggregate) rows
+    //   ev_sliding_10min — window(slide < duration) assigns each event
+    //     to duration/slide = 2 overlapping windows via Expand x2, the
+    //     standard sliding-window plan; multiplier fixed at 2
+    // Adding Expand anywhere else (usually by writing two distinct
+    // aggregates into one agg) fails here and must be consciously
+    // whitelisted or rewritten two-level like Q21.
+    import org.apache.spark.sql.execution.ExpandExec
+    val allowed = Set("star_rollup", "star_cube", "star_grouping_sets",
+      "star_unpivot_nation", "ev_sliding_10min")
+    val hits = Registry.all.flatMap { q =>
+      val p = q.build(spark, TestSpark.sf0001).queryExecution.sparkPlan
+      val n = p.collect { case e: ExpandExec => e }.size
+      if (n > 0) Some(q.name) else None
+    }.toSet
+    assert(hits == allowed,
+      s"unexpected Expand: ${(hits -- allowed).toSeq.sorted}; " +
+        s"stale whitelist entries: ${(allowed -- hits).toSeq.sorted}")
+  }
+
   test("Q6: all three predicates push to the parquet scan, 4-column read") {
     val p = plan("star_q6_forecast_revenue")
     // shipdate range, discount bounds, and quantity bound all reach the
