@@ -48,6 +48,10 @@ class RegistrySpec extends AnyFunSuite {
     assert(n("doc_mg_heavy_hitters") == 1) // single verdict row
     assert(n("doc_heavy_hitters_tworound") == 5) // certified top-5
     assert(n("ev_hll_intersection") == 1)
+    assert(n("star_q2_min_cost_supplier") == 13) // argmin ties included
+    assert(n("star_q13_order_distribution") == 14) // distinct c_counts
+    assert(n("star_q15_top_supplier") == 1) // unique max at this sf
+    assert(n("star_q22_dormant_customers") == 1)
   }
 
   // Guard against testdata-regeneration drift: the driver has shipped
