@@ -385,14 +385,14 @@ object DedupQueries {
   // shingle width), so neither may carry a private copy
 
   /** deterministic 80/10/10 split on the md5 of the stable doc key */
-  private def splitCol: Column = {
+  private[queries] def splitCol: Column = {
     val bucket =
       expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10)")
         .cast("long") % 100
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
 
-  private val splitCaseSql: String =
+  private[queries] val splitCaseSql: String =
     """CASE
       |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
       |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
@@ -401,12 +401,18 @@ object DedupQueries {
   /** 8-token shingles as md5 digests; short docs fall back to the
     * whole-text digest (8 is in the usual 8–13 decontamination range)
     */
-  private def sh8Col: Column =
+  private[queries] def sh8Col: Column =
     when(size(col("tok")) >= 8,
       transform(sequence(lit(1), size(col("tok")) - 7), i =>
         md5(concat_ws(" ",
           (0 until 8).map(o => element_at(col("tok"), i + o)): _*))))
       .otherwise(array(md5(coalesce(array_join(col("tok"), " "), lit("")))))
+
+  /** DuckDB twin of [[sh8Col]] (single expression, usable inline) */
+  private[queries] def sh8Sql(tok: String): String =
+    s"CASE WHEN len($tok) >= 8 THEN list_transform(range(1, len($tok) - 6)," +
+      s" i -> md5(array_to_string($tok[i:i+7], ' ')))" +
+      s" ELSE [md5(coalesce(array_to_string($tok, ' '), ''))] END"
 
   /** oracle chain shared by both decontamination queries: cleaned ->
     * toksrc -> split -> sh (8-token digests) -> ex (distinct test
@@ -421,11 +427,7 @@ object DedupQueries {
        |  SELECT doc_id, tok, $splitCaseSql AS split
        |  FROM toksrc
        |), sh AS (
-       |  SELECT doc_id, split,
-       |    CASE WHEN len(tok) >= 8
-       |      THEN list_transform(range(1, len(tok) - 6),
-       |             i -> md5(array_to_string(tok[i:i+7], ' ')))
-       |      ELSE [md5(coalesce(array_to_string(tok, ' '), ''))] END AS shl
+       |  SELECT doc_id, split, ${sh8Sql("tok")} AS shl
        |  FROM split
        |), ex AS (
        |  SELECT DISTINCT unnest(shl) AS g FROM sh WHERE split = 'test'

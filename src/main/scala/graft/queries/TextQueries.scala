@@ -37,6 +37,60 @@ object TextQueries {
        |  SELECT *, ${tokensSql("text_clean")} AS tok FROM cleaned
        |)""".stripMargin
 
+  /** Quality-gate signals + reasons bitmask over every document —
+    * shared by doc_quality_gate and doc_pipeline_funnel so the two can
+    * never disagree on a gate bit. Carries (doc_id, lang, text_clean,
+    * tok, n_tokens, lang_pred, reasons) for downstream stages.
+    */
+  private def gateFrame(s: SparkSession, d: String): DataFrame = {
+    val base = toks(s, d)
+      .withColumn("n_tokens", size(col("tok")))
+      .withColumn("n_stop", countIn(col("tok"), LangMarkers.head._2))
+      .withColumn("n_distinct", size(array_distinct(col("tok"))))
+      .withColumn("mc",
+        graft.functions.LangMarkerCounts.column(col("tok")))
+    val counts = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(col("mc"), i + 1)
+    }.toMap
+    base
+      .withColumn("lang_pred", langPred(counts))
+      .withColumn("reasons",
+        (when(!col("n_tokens").between(5, 1000), 1).otherwise(0) +
+          when(col("n_stop") * 100 <= col("n_tokens"), 2).otherwise(0) +
+          when(col("n_tokens") > 0 &&
+            (col("n_tokens") - col("n_distinct")) * 5 >
+              col("n_tokens") * 3, 4).otherwise(0) +
+          when(col("lang_pred") === "und", 8).otherwise(0)).cast("int"))
+      .select(col("doc_id"), col("lang"), col("text_clean"), col("tok"),
+        col("n_tokens"), col("lang_pred"), col("reasons"))
+  }
+
+  /** DuckDB twin of [[gateFrame]]: tokCte -> m (signals) -> g (reasons,
+    * carrying lang/text_clean/tok for funnel stages) */
+  private def gateCte: String = {
+    val langCounts = LangMarkers.map { case (l, ws) =>
+      s"${countInSql("tok", ws)} AS c_$l"
+    }.mkString(",\n    ")
+    s"""$tokCte, m AS (
+       |  SELECT doc_id, lang, text_clean, tok, len(tok) AS n_tokens,
+       |    ${countInSql("tok", LangMarkers.head._2)} AS n_stop,
+       |    len(list_distinct(tok)) AS n_distinct,
+       |    $langCounts
+       |  FROM t
+       |), g AS (
+       |  SELECT doc_id, lang, text_clean, tok, n_tokens,
+       |    CAST(CASE WHEN NOT (n_tokens BETWEEN 5 AND 1000)
+       |           THEN 1 ELSE 0 END
+       |      + CASE WHEN n_stop * 100 <= n_tokens THEN 2 ELSE 0 END
+       |      + CASE WHEN n_tokens > 0
+       |               AND (n_tokens - n_distinct) * 5 > n_tokens * 3
+       |           THEN 4 ELSE 0 END
+       |      + CASE WHEN ($langPredSql) = 'und' THEN 8 ELSE 0 END
+       |      AS INT) AS reasons
+       |  FROM m
+       |)""".stripMargin
+  }
+
   /** argmax over per-language marker counts; ties => 'und' */
   private def langPred(counts: Map[String, Column]): Column = {
     val langs = LangMarkers.map(_._1)
@@ -835,54 +889,15 @@ object TextQueries {
     // shuffles before the final ORDER BY — the gate is scan-speed.
     Q(
       "doc_quality_gate",
-      (s, d) => {
-        val base = toks(s, d)
-          .withColumn("n_tokens", size(col("tok")))
-          .withColumn("n_stop", countIn(col("tok"), LangMarkers.head._2))
-          .withColumn("n_distinct", size(array_distinct(col("tok"))))
-          .withColumn("mc",
-            graft.functions.LangMarkerCounts.column(col("tok")))
-        val counts = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
-          l -> element_at(col("mc"), i + 1)
-        }.toMap
-        base
-          .withColumn("lang_pred", langPred(counts))
-          .withColumn("reasons",
-            (when(!col("n_tokens").between(5, 1000), 1).otherwise(0) +
-              when(col("n_stop") * 100 <= col("n_tokens"), 2).otherwise(0) +
-              when(col("n_tokens") > 0 &&
-                (col("n_tokens") - col("n_distinct")) * 5 >
-                  col("n_tokens") * 3, 4).otherwise(0) +
-              when(col("lang_pred") === "und", 8).otherwise(0)).cast("int"))
+      (s, d) =>
+        gateFrame(s, d)
           .select(col("doc_id"), col("n_tokens"), col("reasons"),
             (col("reasons") === 0).as("keep"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val langCounts = LangMarkers.map { case (l, ws) =>
-          s"${countInSql("tok", ws)} AS c_$l"
-        }.mkString(",\n    ")
-        s"""$tokCte, m AS (
-           |  SELECT doc_id, len(tok) AS n_tokens,
-           |    ${countInSql("tok", LangMarkers.head._2)} AS n_stop,
-           |    len(list_distinct(tok)) AS n_distinct,
-           |    $langCounts
-           |  FROM t
-           |), g AS (
-           |  SELECT doc_id, n_tokens,
-           |    CAST(CASE WHEN NOT (n_tokens BETWEEN 5 AND 1000)
-           |           THEN 1 ELSE 0 END
-           |      + CASE WHEN n_stop * 100 <= n_tokens THEN 2 ELSE 0 END
-           |      + CASE WHEN n_tokens > 0
-           |               AND (n_tokens - n_distinct) * 5 > n_tokens * 3
-           |           THEN 4 ELSE 0 END
-           |      + CASE WHEN ($langPredSql) = 'und' THEN 8 ELSE 0 END
-           |      AS INT) AS reasons
-           |  FROM m
-           |)
+          .orderBy("doc_id"),
+      Some(
+        s"""$gateCte
            |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep
-           |FROM g ORDER BY doc_id""".stripMargin
-      }),
+           |FROM g ORDER BY doc_id""".stripMargin)),
 
     // Vocabulary coverage curve: what fraction of all token OCCURRENCES
     // the top-{5,10,25} terms cover — the measurement behind vocab
@@ -1437,7 +1452,153 @@ object TextQueries {
            |SELECT rank, term, n_exact,
            |  (SELECT min(n_exact) FROM top) * 257 > (SELECT n FROM tot)
            |    AS certified
-           |FROM top ORDER BY rank""".stripMargin))
+           |FROM top ORDER BY rank""".stripMargin)),
+
+    // CAPSTONE: the whole pretraining-data pipeline as ONE composed
+    // query — the per-stage survival funnel (docs + tokens) a corpus
+    // team reads before a training run:
+    //   1 raw          every document
+    //   2 nonempty     >=1 token after clean (F1)
+    //   3 quality      gate bitmask == 0 (gateFrame — the SAME reasons
+    //                  doc_quality_gate emits, by construction)
+    //   4 exact_dedup  keep-first per md5(text_clean) — computed as a
+    //                  row_number over PARTITION (fp, q3): including the
+    //                  survival flag in the partition key scopes the
+    //                  rank to quality survivors without a second pass
+    //   5 train_split  the deterministic md5-bucket 80/10/10 split
+    //                  (DedupQueries.splitCol — lockstep with the
+    //                  decontamination queries)
+    //   6 decontam     drop survivors sharing an 8-token shingle digest
+    //                  with ANY test-split doc (doc_decontaminate's
+    //                  broadcast-semi shape: test digests broadcast,
+    //                  train side probes map-side)
+    //   7 token_budget per-lang running token sum <= 5000 in doc_id
+    //                  order (doc_token_budget_sample's contract)
+    // All counters are integers; the one wide frame is aggregated ONCE
+    // into 7 conditional (docs, tokens) pairs and unpivoted via stack —
+    // output is always exactly 7 rows. Scale: stages 1-5 and 7 are flags
+    // on a single corpus pass (two lang/fp hash windows, both
+    // partitioned); stage 6 adds the bounded shingle semi-join. The
+    // funnel proves the building blocks COMPOSE — each stage's rule is
+    // the same one its standalone query oracles.
+    Q(
+      "doc_pipeline_funnel",
+      (s, d) => {
+        val f1 = gateFrame(s, d)
+          .withColumn("fp", md5(coalesce(col("text_clean"), lit(""))))
+          .withColumn("split", DedupQueries.splitCol)
+          .withColumn("q2", col("n_tokens") >= 1)
+          .withColumn("q3", col("n_tokens") >= 1 && col("reasons") === 0)
+        val wFp = Window.partitionBy(col("fp"), col("q3"))
+          .orderBy(col("doc_id"))
+        val f2 = f1
+          .withColumn("rn", row_number().over(wFp))
+          .withColumn("q4", col("q3") && col("rn") === 1)
+          .withColumn("q5",
+            col("q3") && col("rn") === 1 && col("split") === "train")
+        val testSh = f1.filter(col("split") === "test")
+          .select(explode(DedupQueries.sh8Col).as("g")).distinct()
+        val hit = f2.filter(col("q5"))
+          .select(col("doc_id"), explode(DedupQueries.sh8Col).as("g"))
+          .join(broadcast(testSh), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("contam", lit(true))
+        val wLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val f3 = f2.join(hit, Seq("doc_id"), "left")
+          .withColumn("q6",
+            col("q5") && !coalesce(col("contam"), lit(false)))
+        val f4 = f3
+          .withColumn("cum",
+            sum(when(col("q6"), col("n_tokens")).otherwise(0))
+              .over(wLang).cast("long"))
+          .withColumn("q7", col("q6") && col("cum") <= 5000)
+        def dt(q: Column, k: Int) = Seq(
+          count(when(q, 1)).as(s"d$k"),
+          coalesce(sum(when(q, col("n_tokens")).otherwise(0)), lit(0))
+            .cast("long").as(s"t$k"))
+        val aggs = Seq(
+          count(lit(1)).as("d1"),
+          coalesce(sum(col("n_tokens")), lit(0)).cast("long").as("t1")) ++
+          dt(col("q2"), 2) ++ dt(col("q3"), 3) ++ dt(col("q4"), 4) ++
+          dt(col("q5"), 5) ++ dt(col("q6"), 6) ++ dt(col("q7"), 7)
+        f4.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(
+            """stack(7,
+              |  1, 'raw',         d1, t1,
+              |  2, 'nonempty',    d2, t2,
+              |  3, 'quality',     d3, t3,
+              |  4, 'exact_dedup', d4, t4,
+              |  5, 'train_split', d5, t5,
+              |  6, 'decontam',    d6, t6,
+              |  7, 'token_budget', d7, t7)
+              |AS (stage, stage_name, n_docs, n_tokens)""".stripMargin)
+          .orderBy("stage")
+      },
+      Some(
+        s"""$gateCte, f1 AS (
+           |  SELECT g.*, md5(coalesce(text_clean, '')) AS fp,
+           |    ${DedupQueries.splitCaseSql} AS split,
+           |    (n_tokens >= 1) AS q2,
+           |    (n_tokens >= 1 AND reasons = 0) AS q3
+           |  FROM g
+           |), f2 AS (
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY fp, q3 ORDER BY doc_id)
+           |      AS rn
+           |  FROM f1
+           |), f2b AS (
+           |  SELECT *, (q3 AND rn = 1) AS q4,
+           |    (q3 AND rn = 1 AND split = 'train') AS q5
+           |  FROM f2
+           |), testsh AS (
+           |  SELECT DISTINCT unnest(${DedupQueries.sh8Sql("tok")}) AS sg
+           |  FROM f1 WHERE split = 'test'
+           |), trainsh AS (
+           |  SELECT doc_id, unnest(${DedupQueries.sh8Sql("tok")}) AS sg
+           |  FROM f2b WHERE q5
+           |), hit AS (
+           |  SELECT DISTINCT t.doc_id FROM trainsh t JOIN testsh e
+           |  USING (sg)
+           |), f3 AS (
+           |  SELECT f.*, (q5 AND h.doc_id IS NULL) AS q6
+           |  FROM f2b f LEFT JOIN hit h USING (doc_id)
+           |), f4 AS (
+           |  SELECT *,
+           |    CAST(sum(CASE WHEN q6 THEN n_tokens ELSE 0 END)
+           |      OVER (PARTITION BY lang ORDER BY doc_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum
+           |  FROM f3
+           |), f5 AS (
+           |  SELECT *, (q6 AND cum <= 5000) AS q7 FROM f4
+           |), a AS (
+           |  SELECT count(*) AS d1,
+           |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t1,
+           |    count(CASE WHEN q2 THEN 1 END) AS d2,
+           |    CAST(coalesce(sum(CASE WHEN q2 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t2,
+           |    count(CASE WHEN q3 THEN 1 END) AS d3,
+           |    CAST(coalesce(sum(CASE WHEN q3 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t3,
+           |    count(CASE WHEN q4 THEN 1 END) AS d4,
+           |    CAST(coalesce(sum(CASE WHEN q4 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t4,
+           |    count(CASE WHEN q5 THEN 1 END) AS d5,
+           |    CAST(coalesce(sum(CASE WHEN q5 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t5,
+           |    count(CASE WHEN q6 THEN 1 END) AS d6,
+           |    CAST(coalesce(sum(CASE WHEN q6 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t6,
+           |    count(CASE WHEN q7 THEN 1 END) AS d7,
+           |    CAST(coalesce(sum(CASE WHEN q7 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t7
+           |  FROM f5
+           |)
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS INTEGER) AS stage, 'raw' AS stage_name,
+           |         d1 AS n_docs, t1 AS n_tokens FROM a
+           |  UNION ALL SELECT 2, 'nonempty', d2, t2 FROM a
+           |  UNION ALL SELECT 3, 'quality', d3, t3 FROM a
+           |  UNION ALL SELECT 4, 'exact_dedup', d4, t4 FROM a
+           |  UNION ALL SELECT 5, 'train_split', d5, t5 FROM a
+           |  UNION ALL SELECT 6, 'decontam', d6, t6 FROM a
+           |  UNION ALL SELECT 7, 'token_budget', d7, t7 FROM a
+           |) ORDER BY stage""".stripMargin))
   )
 
   /** DuckDB twin of Sentiment.polarityDouble — the FULL model: per-match

@@ -890,6 +890,19 @@ class PlanSpec extends AnyFunSuite {
       p.take(900))
   }
 
+  test("pipeline funnel: partitioned windows, broadcast decontam probe") {
+    val p = plan("doc_pipeline_funnel")
+    // the two rank/cumsum windows are keyed ((fp,q3) and lang) — the
+    // suite-wide global-window guard would catch a partition-less one;
+    // the decontamination stage is the broadcast semi probe, and the
+    // 7-row unpivot is a Generate (stack), never an Expand
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1, p.take(1200))
+    assert(p.contains("Generate"), p.take(1200))
+    assert(!p.contains("Expand") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("Q2: part filter semi-joins before the agg, per-part min is a window") {
     val p = plan("star_q2_min_cost_supplier")
     // the correlated min becomes one l_partkey window over the filtered
