@@ -1419,6 +1419,69 @@ object DedupQueries {
            |HAVING count(CASE WHEN rn > 1 THEN 1 END) > 0
            |ORDER BY doc_id""".stripMargin)),
 
+    // Passage-level FREQUENCY-THRESHOLD drop — the C4 rule (Raffel et
+    // al., JMLR'20 §2.2 dropped any line occurring >= 3 times in the
+    // corpus), the complement of dedup_passage_rewrite's keep-first
+    // rank: here EVERY copy of a passage whose corpus frequency
+    // reaches 3 is dropped, including the first — boilerplate
+    // (headers, license blocks, navigation chrome) is assumed
+    // worthless in any document, whereas keep-first assumes one copy
+    // is legitimate. Same non-overlapping 32-token passage lineage;
+    // the rank window becomes a per-digest count window (partition
+    // size = digest multiplicity, never corpus-sized), so the two
+    // rules price identically and differ ONLY in the drop predicate —
+    // the side-by-side a corpus team reads when choosing the rule.
+    Q(
+      "dedup_passage_threshold",
+      (s, d) => {
+        val P = 32
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ph")
+        toks(s, d)
+          .filter(size(col("tok")) >= 1)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0),
+                floor((size(col("tok")) - lit(1)) / lit(P)).cast("int")),
+              i => md5(array_join(slice(col("tok"), i * P + 1, lit(P)), " "))))
+              .as(Seq("pos", "ph")))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pass"),
+            count(when(col("cnt") >= 3, 1)).as("n_dropped"))
+          .select(col("doc_id"), col("n_pass"),
+            (col("n_pass") - col("n_dropped")).as("n_kept"),
+            col("n_dropped"),
+            round(col("n_dropped").cast("double") / col("n_pass"), 6)
+              .as("drop_ratio"))
+          .filter(col("n_dropped") > 0)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), pass AS (
+           |  SELECT doc_id, CAST(i AS INT) AS pos,
+           |    md5(array_to_string(list_slice(tok,
+           |      CAST(i AS INT) * 32 + 1, CAST(i AS INT) * 32 + 32), ' '))
+           |      AS ph
+           |  FROM (SELECT doc_id, tok,
+           |          unnest(range(0, (len(tok) - 1) // 32 + 1)) AS i
+           |        FROM toksrc WHERE len(tok) >= 1)
+           |), counted AS (
+           |  SELECT doc_id, ph, count(*) OVER (PARTITION BY ph) AS cnt
+           |  FROM pass
+           |)
+           |SELECT doc_id, count(*) AS n_pass,
+           |  count(*) - count(CASE WHEN cnt >= 3 THEN 1 END) AS n_kept,
+           |  count(CASE WHEN cnt >= 3 THEN 1 END) AS n_dropped,
+           |  round(CAST(count(CASE WHEN cnt >= 3 THEN 1 END) AS DOUBLE)
+           |    / count(*), 6) AS drop_ratio
+           |FROM counted GROUP BY doc_id
+           |HAVING count(CASE WHEN cnt >= 3 THEN 1 END) > 0
+           |ORDER BY doc_id""".stripMargin)),
+
     // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
     // SIGMOD'03 — the MOSS algorithm): slide a w-gram window over the
     // doc's k-gram hash sequence and keep the RIGHTMOST MINIMUM of each
