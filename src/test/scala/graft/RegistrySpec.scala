@@ -52,6 +52,24 @@ class RegistrySpec extends AnyFunSuite {
     assert(n("star_q13_order_distribution") == 14) // distinct c_counts
     assert(n("star_q15_top_supplier") == 1) // unique max at this sf
     assert(n("star_q22_dormant_customers") == 1)
+    assert(n("doc_pipeline_funnel") == 7) // one row per funnel stage
+  }
+
+  test("pipeline funnel stages are monotone non-increasing") {
+    val rows = Registry.byName("doc_pipeline_funnel").build(spark, dir)
+      .orderBy("stage").collect()
+    assert(rows.length == 7)
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    // each stage filters the previous — survival can only shrink
+    docs.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"docs grew: ${docs.mkString(",")}")
+    }
+    toks.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"tokens grew: ${toks.mkString(",")}")
+    }
+    // and the gate genuinely cuts at this sf (raw > quality survivors)
+    assert(docs.head > docs(2))
   }
 
   // Guard against testdata-regeneration drift: the driver has shipped
