@@ -752,6 +752,61 @@ class PlanSpec extends AnyFunSuite {
         s"stale whitelist entries: ${(allowed -- hits).toSeq.sorted}")
   }
 
+  test("suite-wide: nested-loop joins only ever build bounded frames") {
+    // A BroadcastNestedLoopJoin with a corpus-sized build side is the
+    // quiet cousin of the cartesian product — every row of the stream
+    // side scans the whole build array. The suite's ~50 BNLJs are all
+    // deliberate 1-row/stat/query-frame crosses; this guard proves the
+    // property SEMANTICALLY instead of pinning 50 names: each build
+    // side must match one of the repo's bounded conventions —
+    //   (a) a global (grouping-key-free) aggregate — exactly 1 row;
+    //   (b) a Limit / TakeOrderedAndProject / literal LocalRelation;
+    //   (c) the query-frame convention: a pushed point/range filter on
+    //       vec_id with a small literal (<= 9 query vectors);
+    //   (d) the centroid convention: a collect_list aggregate keyed
+    //       ONLY on label (|labels| rows, dimension-bounded);
+    //   (e) the ground-truth block convention: a pushed doc_id < N
+    //       (N <= 999) literal filter — the deliberately bounded
+    //       all-pairs baselines the recall evals compare against
+    //       (SCALE.md documents these as NOT the scale path).
+    // CartesianProduct is banned outright, everywhere.
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{
+      GlobalLimitExec, LocalTableScanExec, SparkPlan,
+      TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val vecIdFrame =
+      "\\((vec_id#\\d+L? (=|<) \\d|doc_id#\\d+L? < \\d{1,3})\\)".r
+    def boundedBuild(p: SparkPlan): Boolean = p.collectFirst {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => ()
+      case a: BaseAggregateExec
+          if a.groupingExpressions.forall(_.toString.startsWith("label#")) =>
+        ()
+      case _: LocalTableScanExec => ()
+      case _: TakeOrderedAndProjectExec => ()
+      case _: GlobalLimitExec => ()
+      case f: org.apache.spark.sql.execution.FilterExec
+          if vecIdFrame.findFirstIn(f.condition.toString).isDefined =>
+        ()
+    }.isDefined
+    val offenders = Registry.all.flatMap { q =>
+      val p = q.build(spark, TestSpark.sf0001).queryExecution.sparkPlan
+      val bad = p.collect {
+        case _: CartesianProductExec => "cartesian"
+        case j: BroadcastNestedLoopJoinExec
+            if !boundedBuild(j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }) =>
+          "unbounded-bnlj"
+      }
+      if (bad.nonEmpty) Some(q.name -> bad.distinct.mkString("+")) else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("Q6: all three predicates push to the parquet scan, 4-column read") {
     val p = plan("star_q6_forecast_revenue")
     // shipdate range, discount bounds, and quantity bound all reach the
