@@ -22,6 +22,91 @@ object StarQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.t(s, d, n)
 
+  /** ONE builder for the scalar-max-revenue (TPC-H Q15) shape, shared
+    * by `star_top_supplier` (1996 quarter) and `star_q15_top_supplier`
+    * (1997 quarter) so the pair can never diverge again — round 6's
+    * ReuseExchange fix initially landed in only one of the two copies.
+    * Revenue stays DECIMAL through the max-match equality (a double
+    * round-trip could tie-break differently per engine); the explicit
+    * isNotNull(l_suppkey), mirrored in the oracle, exists for the PLAN:
+    * the supplier join implies it on one branch only, which
+    * de-canonicalizes the two rev subtrees and blocks ReuseExchange —
+    * with it, the date-pruned scan + suppkey aggregate runs ONCE and
+    * the 1-row max reuses the shuffle output (PlanSpec-pinned).
+    * Returns ALL argmax suppliers on a tie — the textbook view
+    * semantics.
+    */
+  private[queries] def topSupplierQ(name: String, lo: String, hi: String): Q =
+    Q(
+      name,
+      (s, d) => {
+        val D = DecimalType(18, 4)
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+            col("l_shipdate") < lit(hi).cast("timestamp") &&
+            col("l_suppkey").isNotNull)
+          .groupBy("l_suppkey")
+          .agg(sum(col("l_extendedprice").cast(D) *
+            (lit(1.0) - col("l_discount")).cast(D)).as("rev_dec"))
+        rev.crossJoin(broadcast(rev.agg(max(col("rev_dec")).as("mr"))))
+          .filter(col("rev_dec") === col("mr"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev_dec").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(
+        s"""WITH rev AS (
+           |  SELECT l_suppkey,
+           |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           |        CAST(1.0 - l_discount AS DECIMAL(18,4))) AS rev_dec
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '$lo'
+           |    AND l_shipdate < TIMESTAMP '$hi'
+           |    AND l_suppkey IS NOT NULL
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+           |FROM rev JOIN supplier ON l_suppkey = s_suppkey,
+           |  (SELECT max(rev_dec) AS mr FROM rev) m
+           |WHERE rev_dec = mr
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** ONE builder for the order-count-distribution (TPC-H Q13) shape,
+    * shared by `star_cust_order_dist` and `star_q13_order_distribution`
+    * — same plan, parameterized only by the excluded priority class
+    * (the stand-in for the textbook comment-pattern filter). The LEFT
+    * join keeps zero-order customers — the rows a semi-join loses —
+    * with the exclusion on the JOIN side so an excluded order never
+    * turns its customer into a zero-order row; count(o_orderkey), not
+    * count(*), makes null-extended rows count 0. All-integer two-level
+    * aggs; the distribution re-agg shuffles |distinct counts| rows.
+    */
+  private[queries] def custOrderDistQ(name: String, excluded: String): Q =
+    Q(
+      name,
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= excluded)
+          .select("o_orderkey", "o_custkey")
+        t(s, d, "customer").select("c_custkey")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some(
+        s"""SELECT c_count, count(*) AS custdist FROM (
+           |  SELECT c_custkey, count(o_orderkey) AS c_count
+           |  FROM customer LEFT JOIN orders
+           |    ON c_custkey = o_custkey
+           |    AND o_orderpriority <> '$excluded'
+           |  GROUP BY c_custkey)
+           |GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
   val qs: Seq[Q] = Seq(
     // TPC-H Q1-flavor pricing summary: full lineitem scan, 2-key hash agg
     Q(
@@ -590,86 +675,12 @@ object StarQueries {
            |JOIN customer ON o_custkey = c_custkey
            |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin)),
 
-    // TPC-H Q13 flavor (customer order-count distribution): LEFT OUTER
-    // customer ⋈ orders with the filter ON THE JOIN CONDITION (an
-    // URGENT-priority order must not turn its customer into a zero-order
-    // row — a WHERE would), per-customer count, then the count-of-counts
-    // histogram. Scale shape: one custkey shuffle for the outer join +
-    // first agg (orders pre-projected to 2 columns, partial-agg'd);
-    // the second agg runs over |customers| rows already reduced to one
-    // small int each, and its output is bounded by the max order count
-    // per customer (dozens), not the corpus. count(o_orderkey) — not
-    // count(*) — is what makes the null-extended rows count as 0.
-    Q(
-      "star_cust_order_dist",
-      (s, d) => {
-        val cust = t(s, d, "customer").select("c_custkey")
-        val ord = t(s, d, "orders")
-          .filter(col("o_orderpriority") =!= "1-URGENT")
-          .select("o_orderkey", "o_custkey")
-        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
-          .groupBy("c_custkey")
-          .agg(count(col("o_orderkey")).as("c_count"))
-          .groupBy("c_count")
-          .agg(count(lit(1)).as("custdist"))
-          .orderBy(col("custdist").desc, col("c_count").desc)
-      },
-      Some(
-        """WITH per_cust AS (
-          |  SELECT c_custkey, count(o_orderkey) AS c_count
-          |  FROM customer
-          |  LEFT OUTER JOIN orders
-          |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-          |  GROUP BY c_custkey
-          |)
-          |SELECT c_count, count(*) AS custdist
-          |FROM per_cust
-          |GROUP BY c_count
-          |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+    // TPC-H Q13 flavor — see custOrderDistQ; the '1-URGENT' exclusion
+    // is this variant's stand-in for the comment-pattern filter
+    custOrderDistQ("star_cust_order_dist", "1-URGENT"),
 
-    // TPC-H Q15 flavor (top supplier): per-supplier revenue over a
-    // 3-month shipdate window, then the supplier(s) AT the maximum via
-    // a scalar-max join — the "create view revenue…" query without the
-    // view. Exactness: revenue stays DECIMAL through the max comparison
-    // (a double max could tie-break differently across engines); only
-    // the output casts to double. Scale shape: the window filter pushes
-    // to the lineitem scan, one l_suppkey shuffle with map-side
-    // partials, and the 1-row max broadcasts back into the bounded
-    // per-supplier aggregate — the fact table is scanned once and never
-    // joined at full width.
-    Q(
-      "star_top_supplier",
-      (s, d) => {
-        val D = DecimalType(18, 4)
-        val rev = t(s, d, "lineitem")
-          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-          .groupBy("l_suppkey")
-          .agg(sum(col("l_extendedprice").cast(D) *
-            (lit(1.0) - col("l_discount")).cast(D)).as("rev_dec"))
-        val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
-        rev.join(broadcast(mx), col("rev_dec") === col("max_dec"))
-          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
-            col("l_suppkey") === col("s_suppkey"))
-          .select(col("s_suppkey"), col("s_name"),
-            col("rev_dec").cast("double").as("total_revenue"))
-          .orderBy("s_suppkey")
-      },
-      Some(
-        """WITH revenue AS (
-          |  SELECT l_suppkey,
-          |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          |        CAST(1.0 - l_discount AS DECIMAL(18,4))) AS rev_dec
-          |  FROM lineitem
-          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          |    AND l_shipdate < TIMESTAMP '1996-04-01'
-          |  GROUP BY l_suppkey
-          |)
-          |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
-          |FROM revenue
-          |JOIN supplier ON l_suppkey = s_suppkey
-          |WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
-          |ORDER BY s_suppkey""".stripMargin)),
+    // TPC-H Q15 flavor (1996 quarter) — see topSupplierQ
+    topSupplierQ("star_top_supplier", "1996-01-01", "1996-04-01"),
 
     // TPC-H Q22 flavor (global sales opportunity): customers with
     // above-average positive balance and NO orders — per nation, count

@@ -761,84 +761,17 @@ object TpchQueries {
           |WHERE val_dec * 1000 > total_dec
           |ORDER BY value DESC, p_partkey""".stripMargin)),
 
-    // ----- Q13 flavor: customer order-count distribution. The
-    // comment-pattern exclusion of the textbook query is re-expressed
-    // on a column this schema has (priority '4-NOT SPECIFIED' stands in
-    // for the excluded class). All-integer: LEFT join keyed on custkey
-    // (one shuffle, both sides on the key), count(o_orderkey) counts
-    // only matches, and the distribution re-agg is over <=|distinct
-    // counts| rows — negligible at any scale. The left join keeps
-    // zero-order customers, the part a semi-join formulation would lose.
-    Q(
-      "star_q13_order_distribution",
-      (s, d) => {
-        val ord = t(s, d, "orders")
-          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
-          .select("o_orderkey", "o_custkey")
-        t(s, d, "customer").select("c_custkey")
-          .join(ord, col("c_custkey") === col("o_custkey"), "left")
-          .groupBy("c_custkey")
-          .agg(count(col("o_orderkey")).as("c_count"))
-          .groupBy("c_count")
-          .agg(count(lit(1)).as("custdist"))
-          .orderBy(col("custdist").desc, col("c_count").desc)
-      },
-      Some(
-        """SELECT c_count, count(*) AS custdist FROM (
-          |  SELECT c_custkey, count(o_orderkey) AS c_count
-          |  FROM customer LEFT JOIN orders
-          |    ON c_custkey = o_custkey
-          |    AND o_orderpriority <> '4-NOT SPECIFIED'
-          |  GROUP BY c_custkey)
-          |GROUP BY c_count
-          |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+    // ----- Q13 flavor: customer order-count distribution — the SAME
+    // builder as star_cust_order_dist (StarQueries.custOrderDistQ),
+    // parameterized by this variant's excluded priority class.
+    StarQueries.custOrderDistQ(
+      "star_q13_order_distribution", "4-NOT SPECIFIED"),
 
-    // ----- Q15 flavor: top supplier by quarter revenue. The revenue
-    // aggregate stays DECIMAL end-to-end so the max-match equality is
-    // exact (a double round-trip could tie-break differently per
-    // engine); only the output column is cast. Shape: one
-    // groupBy(suppkey) over the date-pruned scan (predicate lands in
-    // PushedFilters), a 1-row broadcast max, equality filter, broadcast
-    // supplier lookup. Returns ALL argmax suppliers on a tie — the
-    // textbook view semantics. The explicit isNotNull(l_suppkey) below
-    // (mirrored in the oracle) exists for the PLAN, not the values: the
-    // supplier join implies it on one branch only, which de-canonicalizes
-    // the two rev subtrees and blocks ReuseExchange — with it, the
-    // date-pruned lineitem scan + suppkey aggregate runs ONCE and the
-    // max side reuses the shuffle output (PlanSpec-pinned).
-    Q(
-      "star_q15_top_supplier",
-      (s, d) => {
-        val rev = t(s, d, "lineitem")
-          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
-            col("l_suppkey").isNotNull)
-          .groupBy("l_suppkey")
-          .agg(sum(col("l_extendedprice").cast(D) *
-            (lit(1.0) - col("l_discount")).cast(D)).as("r_dec"))
-        rev.crossJoin(broadcast(rev.agg(max(col("r_dec")).as("mr"))))
-          .filter(col("r_dec") === col("mr"))
-          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
-            col("l_suppkey") === col("s_suppkey"))
-          .select(col("s_suppkey"), col("s_name"),
-            col("r_dec").cast("double").as("total_revenue"))
-          .orderBy("s_suppkey")
-      },
-      Some(
-        """WITH rev AS (
-          |  SELECT l_suppkey,
-          |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          |        CAST(1.0 - l_discount AS DECIMAL(18,4))) AS r_dec
-          |  FROM lineitem
-          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-          |    AND l_shipdate < TIMESTAMP '1997-04-01'
-          |    AND l_suppkey IS NOT NULL
-          |  GROUP BY 1)
-          |SELECT s_suppkey, s_name, CAST(r_dec AS DOUBLE) AS total_revenue
-          |FROM rev JOIN supplier ON l_suppkey = s_suppkey,
-          |  (SELECT max(r_dec) AS mr FROM rev) m
-          |WHERE r_dec = mr
-          |ORDER BY s_suppkey""".stripMargin)),
+    // ----- Q15 flavor (1997 quarter) — the SAME builder as
+    // star_top_supplier (StarQueries.topSupplierQ), which carries the
+    // ReuseExchange one-scan pin for BOTH variants.
+    StarQueries.topSupplierQ(
+      "star_q15_top_supplier", "1997-01-01", "1997-04-01"),
 
     // ----- Q22 flavor: dormant high-balance customers. The textbook
     // phone-prefix country codes become a nationkey set (no phone

@@ -763,12 +763,17 @@ class PlanSpec extends AnyFunSuite {
     //   (b) a Limit / TakeOrderedAndProject / literal LocalRelation;
     //   (c) the query-frame convention: a pushed point/range filter on
     //       vec_id with a small literal (<= 9 query vectors);
-    //   (d) the centroid convention: a collect_list aggregate keyed
-    //       ONLY on label (|labels| rows, dimension-bounded);
+    //   (d) the bounded-domain aggregate convention: an aggregate
+    //       keyed ONLY on label / cluster-id / partition-id columns —
+    //       |labels|, k (√n cluster count), or |partitions| rows,
+    //       never corpus rows;
     //   (e) the ground-truth block convention: a pushed doc_id < N
     //       (N <= 999) literal filter — the deliberately bounded
     //       all-pairs baselines the recall evals compare against
-    //       (SCALE.md documents these as NOT the scale path).
+    //       (SCALE.md documents these as NOT the scale path);
+    //   (f) the seed-frame convention: a nested BNLJ whose condition
+    //       compares vec_id against a 1-row scalar (vec_id < kk, the
+    //       √n k-means seed count) — output is kk rows by definition.
     // CartesianProduct is banned outright, everywhere.
     import org.apache.spark.sql.execution.joins.{
       BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -779,18 +784,42 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     val vecIdFrame =
       "\\((vec_id#\\d+L? (=|<) \\d|doc_id#\\d+L? < \\d{1,3})\\)".r
-    def boundedBuild(p: SparkPlan): Boolean = p.collectFirst {
-      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => ()
+    // Walk DOWN only through nodes that cannot increase cardinality
+    // (project/filter/sort/exchange wrappers): a bounded node buried
+    // under a join or generate does NOT bound the build side, so a
+    // corpus-sized `fact.crossJoin(oneRowStats)` build correctly fails
+    // even though it contains a global aggregate somewhere below.
+    import org.apache.spark.sql.execution.{
+      FilterExec, ProjectExec, SortExec, UnaryExecNode}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val boundedKeys = Seq("label#", "cid#", "pid#")
+    val seedFrame = "vec_id#\\d+L? < \\w+#\\d+L?".r
+    def boundedBuild(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
       case a: BaseAggregateExec
-          if a.groupingExpressions.forall(_.toString.startsWith("label#")) =>
-        ()
-      case _: LocalTableScanExec => ()
-      case _: TakeOrderedAndProjectExec => ()
-      case _: GlobalLimitExec => ()
-      case f: org.apache.spark.sql.execution.FilterExec
+          if a.groupingExpressions.forall(g =>
+            boundedKeys.exists(g.toString.startsWith)) =>
+        true
+      case _: LocalTableScanExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: GlobalLimitExec => true
+      case f: FilterExec
           if vecIdFrame.findFirstIn(f.condition.toString).isDefined =>
-        ()
-    }.isDefined
+        true
+      case j: BroadcastNestedLoopJoinExec
+          if j.condition.exists(c =>
+            seedFrame.findFirstIn(c.toString).isDefined) =>
+        true
+      // cardinality-preserving / -reducing wrappers: recurse
+      case u @ (_: ProjectExec | _: FilterExec | _: SortExec |
+          _: Exchange) =>
+        boundedBuild(u.asInstanceOf[UnaryExecNode].child)
+      case u: UnaryExecNode
+          if u.getClass.getSimpleName.contains("Limit") =>
+        true
+      // anything else (scan, join, generate, union, ...) is unbounded
+      case _ => false
+    }
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, TestSpark.sf0001).queryExecution.sparkPlan
       val bad = p.collect {
