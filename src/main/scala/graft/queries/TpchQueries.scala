@@ -773,7 +773,13 @@ object TpchQueries {
     StarQueries.topSupplierQ(
       "star_q15_top_supplier", "1997-01-01", "1997-04-01"),
 
-    // ----- Q22 flavor: dormant high-balance customers. The textbook
+    // ----- Q22 flavor: dormant high-balance customers. Sibling of
+    // star_idle_rich_customers (same cross-multiplied above-average +
+    // LeftAnti core), kept separate because the variants exercise
+    // DIFFERENT planner paths: idle_rich anti-joins the full orders key
+    // set and aggregates globally; this one date-prunes the anti side,
+    // restricts the pool to a nationkey set, and rolls up per nation.
+    // The textbook
     // phone-prefix country codes become a nationkey set (no phone
     // column), and "never ordered" becomes "no order since 1999"
     // (this testdata gives every customer at least one order, which
