@@ -128,18 +128,61 @@ object Bench {
     queries.EmbQueries.warmShared(spark, sfDir)
     val sharedWarmSec = (System.nanoTime() - sharedWarmT0) / 1e9
     var failed = List.empty[String]
+    // Per-query SHUFFLE/INPUT byte meter: the scale claims in SCALE.md
+    // are about shuffle volume, so measure it instead of arguing it.
+    // A SparkListener accumulates task metrics; listener delivery is
+    // async, so after each query a 1-row marker job is run and we wait
+    // until the bus (FIFO) has delivered the marker's task — at that
+    // point every event of the query itself has been processed. The
+    // marker job's own bytes are zero (spark.range), so it never
+    // pollutes the counters.
+    val shufR = new java.util.concurrent.atomic.AtomicLong
+    val shufW = new java.util.concurrent.atomic.AtomicLong
+    val inB = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            inB.addAndGet(m.inputMetrics.bytesRead)
+          }
+          tasks.incrementAndGet()
+          ()
+        }
+      })
+    def drainListenerBus(): Unit = {
+      val before = tasks.get()
+      // marker job: single stage (no shuffle/input bytes of its own);
+      // its task-end event queues AFTER everything the query emitted
+      spark.range(1).write.format("noop").mode("overwrite").save()
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (tasks.get() == before && System.nanoTime() < deadline)
+        Thread.sleep(5)
+    }
     // deterministic name order: shared produce-consume lineages
     // (minhash pairs -> survivors, simhash fps -> pair mining, emb pairs
     // -> crosscheck) always charge the build to the same (first) query,
     // so per-query numbers are comparable across runs
+    val byteMetrics =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      drainListenerBus()
+      val (r0, w0, i0) = (shufR.get(), shufW.get(), inB.get())
       val t0 = System.nanoTime()
       try {
         // A noop-sink write materializes EVERY column of the result, so
         // Catalyst cannot prune projected compute (UDF/expression columns)
         // or drop terminal sorts the way it can under a bare count().
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        drainListenerBus()
+        byteMetrics(name) =
+          (shufR.get() - r0, shufW.get() - w0, inB.get() - i0)
+        Some(name -> sec)
       } catch {
         case e: Throwable =>
           // a failed query must be visible, not silently averaged in
@@ -159,8 +202,16 @@ object Bench {
     // the full map lives in the file.
     val fullQs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // measured per-query byte volumes (BENCH_FULL.json only — the
+    // printed line must stay inside the driver's tail window); the
+    // "queries" map keeps its name->seconds shape for the driver
+    val bytesJson = byteMetrics.toSeq.sortBy(_._1)
+      .map { case (k, (r, w, i)) =>
+        "\"" + k + "\":{\"shuffle_read\":" + r +
+          ",\"shuffle_write\":" + w + ",\"input\":" + i + "}"
+      }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"shared_warm_sec":$sharedWarmSec,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"shared_warm_sec":$sharedWarmSec,"queries":$fullQs,"bytes":$bytesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // GLOBAL line cap, not a fixed queries-map budget: round 4 proved a
