@@ -223,8 +223,10 @@ object Bench {
     val lineCap = 1200
     val slowest = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val shuffleWriteMb =
+      byteMetrics.valuesIterator.map(_._2).sum / 1e6
     def line(qs: String, shown: Int): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"shared_warm_sec":${f"$sharedWarmSec%.3f"},"queries_shown":$shown,"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"shared_warm_sec":${f"$sharedWarmSec%.3f"},"shuffle_write_mb":${f"$shuffleWriteMb%.1f"},"queries_shown":$shown,"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val fixedLen = line("{}", 0).length
     val kept = slowest
       .scanLeft(0)((acc, s) => acc + s.length + 1)
