@@ -155,13 +155,22 @@ object Bench {
         }
       })
     def drainListenerBus(): Unit = {
-      val before = tasks.get()
-      // marker job: single stage (no shuffle/input bytes of its own);
-      // its task-end event queues AFTER everything the query emitted
+      // marker job: single stage, no bytes of its own; by the time this
+      // blocking save returns, every task of the PRECEDING query has
+      // completed, so all its events are already posted to the bus
       spark.range(1).write.format("noop").mode("overwrite").save()
+      // then wait for QUIESCENCE (no new task events for 3 consecutive
+      // 10 ms polls) rather than for a specific count: a straggler
+      // query event arriving between snapshot and marker would satisfy
+      // a count check early and leak its bytes into the next window
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      while (tasks.get() == before && System.nanoTime() < deadline)
-        Thread.sleep(5)
+      var last = -1L
+      var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val v = tasks.get()
+        if (v == last) stable += 1 else { stable = 0; last = v }
+        Thread.sleep(10)
+      }
     }
     // deterministic name order: shared produce-consume lineages
     // (minhash pairs -> survivors, simhash fps -> pair mining, emb pairs
