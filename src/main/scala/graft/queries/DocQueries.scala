@@ -602,6 +602,39 @@ object DocQueries {
           |FROM documents
           |ORDER BY rn, src, doc_id LIMIT 30""".stripMargin)),
 
+    // Deterministic TRAINING-ORDER shuffle: the "shuffle your
+    // pretraining corpus" step as a seeded hash permutation — order by
+    // md5(seed || doc_id) — plus the shard each doc trains from (first
+    // hash byte mod 8, the training-file assignment). Properties a
+    // seeded rand() lacks: re-run-stable, repartition-stable, and a new
+    // epoch is just a new seed string — no state to carry. Scale shape:
+    // the ORDER BY plans the standard range-partitioned distributed
+    // sort (sampled range exchange + per-partition sort — NEVER a
+    // single-partition collapse; the suite's global-window guard would
+    // catch that form); a shard-file writer at 100 TB would instead
+    // repartition(shard) + sortWithinPartitions(shuffle_key) and skip
+    // the global order entirely — same keys, same contract.
+    Q(
+      "doc_train_shuffle",
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"))
+          .withColumn("shuffle_key",
+            md5(concat(lit("graft-epoch-1:"), col("doc_id").cast("string"))))
+          .withColumn("shard",
+            (expr("conv(substring(shuffle_key, 1, 2), 16, 10)")
+              .cast("int") % 8).cast("int"))
+          .orderBy("shuffle_key"),
+      Some(
+        """SELECT doc_id,
+          |  md5('graft-epoch-1:' || CAST(doc_id AS VARCHAR))
+          |    AS shuffle_key,
+          |  CAST(CAST(('0x' || substr(
+          |      md5('graft-epoch-1:' || CAST(doc_id AS VARCHAR)), 1, 2))
+          |    AS BIGINT) % 8 AS INT) AS shard
+          |FROM documents
+          |ORDER BY shuffle_key""".stripMargin)),
+
     // Length-quartile strata per language (ntile): the per-stratum
     // assignment behind length-balanced eval sets and curriculum
     // ordering. Ties are broken by doc_id so both engines assign
