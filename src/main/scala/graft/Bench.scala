@@ -140,21 +140,27 @@ object Bench {
     val shufW = new java.util.concurrent.atomic.AtomicLong
     val inB = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = e.taskMetrics
-          if (m != null) {
-            shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-            shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-            inB.addAndGet(m.inputMetrics.bytesRead)
-          }
-          tasks.incrementAndGet()
-          ()
+    val metricsListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          inB.addAndGet(m.inputMetrics.bytesRead)
         }
-      })
-    def drainListenerBus(): Unit = {
+        tasks.incrementAndGet()
+        ()
+      }
+    }
+    // removed again after the run (below) so a second bench over the
+    // same SparkSession can't double-count task bytes
+    spark.sparkContext.addSparkListener(metricsListener)
+    // returns true iff the bus reached quiescence before the deadline;
+    // false means the preceding query's bytes may leak into the next
+    // window — recorded per query so degraded attribution is VISIBLE
+    // in BENCH_FULL.json instead of silently blending
+    def drainListenerBus(): Boolean = {
       // marker job: single stage, no bytes of its own; by the time this
       // blocking save returns, every task of the PRECEDING query has
       // completed, so all its events are already posted to the bus
@@ -171,15 +177,16 @@ object Bench {
         if (v == last) stable += 1 else { stable = 0; last = v }
         Thread.sleep(10)
       }
+      stable >= 3
     }
     // deterministic name order: shared produce-consume lineages
     // (minhash pairs -> survivors, simhash fps -> pair mining, emb pairs
     // -> crosscheck) always charge the build to the same (first) query,
     // so per-query numbers are comparable across runs
-    val byteMetrics =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    val byteMetrics = scala.collection.mutable
+      .LinkedHashMap.empty[String, (Long, Long, Long, Boolean)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      drainListenerBus()
+      val preDrained = drainListenerBus()
       val (r0, w0, i0) = (shufR.get(), shufW.get(), inB.get())
       val t0 = System.nanoTime()
       try {
@@ -188,9 +195,10 @@ object Bench {
         // or drop terminal sorts the way it can under a bare count().
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        drainListenerBus()
+        val postDrained = drainListenerBus()
         byteMetrics(name) =
-          (shufR.get() - r0, shufW.get() - w0, inB.get() - i0)
+          (shufR.get() - r0, shufW.get() - w0, inB.get() - i0,
+            preDrained && postDrained)
         Some(name -> sec)
       } catch {
         case e: Throwable =>
@@ -215,12 +223,14 @@ object Bench {
     // printed line must stay inside the driver's tail window); the
     // "queries" map keeps its name->seconds shape for the driver
     val bytesJson = byteMetrics.toSeq.sortBy(_._1)
-      .map { case (k, (r, w, i)) =>
+      .map { case (k, (r, w, i, drained)) =>
         "\"" + k + "\":{\"shuffle_read\":" + r +
-          ",\"shuffle_write\":" + w + ",\"input\":" + i + "}"
+          ",\"shuffle_write\":" + w + ",\"input\":" + i +
+          ",\"drained\":" + drained + "}"
       }.mkString("{", ",", "}")
+    val drainTimeouts = byteMetrics.valuesIterator.count(!_._4)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"shared_warm_sec":$sharedWarmSec,"queries":$fullQs,"bytes":$bytesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"shared_warm_sec":$sharedWarmSec,"drain_timeouts":$drainTimeouts,"queries":$fullQs,"bytes":$bytesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // GLOBAL line cap, not a fixed queries-map budget: round 4 proved a
@@ -244,6 +254,7 @@ object Bench {
     // run / outputStrategy := StdoutOutput — the prefix is what kept the
     // driver's parsed field null in rounds 3-5.
     println(line(kept.mkString("{", ",", "}"), kept.size))
+    spark.sparkContext.removeSparkListener(metricsListener)
     CacheRegistry.clear(spark) // no pinned storage outlives the run
     spark.stop()
   }

@@ -1750,6 +1750,14 @@ object DedupQueries {
     */
   val WinnowW = 4
 
+  /** Upper bound on grams-per-doc the winnow tie-break can encode: the
+    * rightmost-min pick rides on lexicographic order of the fixed-width
+    * 13-digit string (1e12 - pos), which only sorts correctly while the
+    * value stays non-negative. 1e12 grams is ~4 TB of text in ONE
+    * document — unreachable in practice — and [[buildWinnowSel]] raises
+    * (rather than mis-selects) if a doc ever exceeds it. */
+  val WinnowPosBound = 1000000000000L
+
   /** Selected winnowing fingerprints: one row per distinct
     * (doc, position, hash) rightmost-window-minimum, with the per-doc
     * gram and window counts carried alongside. THE single definition
@@ -1788,7 +1796,7 @@ object DedupQueries {
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
       .withColumn("selk",
         min(concat(col("h"), lit("#"),
-          lpad((lit(1000000) - col("pos")).cast("string"), 7, "0")))
+          lpad((lit(WinnowPosBound) - col("pos")).cast("string"), 13, "0")))
           .over(frameW))
       .withColumn("g_cnt", count(lit(1)).over(docW))
       // valid window starts only: the trailing w-1 positions open
@@ -1798,8 +1806,17 @@ object DedupQueries {
       .select(col("doc_id"), col("g_cnt"),
         greatest(col("g_cnt") - (WinnowW - 1), lit(1)).as("n_win"),
         substring(col("selk"), 1, 32).as("sel_h"),
-        (lit(1000000) -
-          substring(col("selk"), 34, 7).cast("long")).as("sel_pos"))
+        // pos beyond the encoding bound would make (bound - pos)
+        // negative and its '-'-prefixed string sort before every digit,
+        // corrupting the rightmost-min pick — so over-bound docs fail
+        // loudly here (once per selected row, after the ~2/(w+1) cut)
+        // instead of silently selecting wrong fingerprints
+        when(col("g_cnt") <= WinnowPosBound,
+          lit(WinnowPosBound) -
+            substring(col("selk"), 34, 13).cast("long"))
+          .otherwise(raise_error(
+            lit("winnow tie-break: doc exceeds 1e12 grams")).cast("long"))
+          .as("sel_pos"))
       .distinct()
   }
 
@@ -1870,10 +1887,14 @@ object DedupQueries {
        |  SELECT DISTINCT doc_id, g_cnt,
        |    greatest(g_cnt - 3, 1) AS n_win,
        |    substr(selk, 1, 32) AS sel_h,
-       |    1000000 - CAST(substr(selk, 34, 7) AS BIGINT) AS sel_pos
+       |    CASE WHEN g_cnt <= 1000000000000
+       |      THEN 1000000000000 - CAST(substr(selk, 34, 13) AS BIGINT)
+       |      ELSE CAST(error('winnow tie-break: doc exceeds 1e12 grams')
+       |        AS BIGINT) END AS sel_pos
        |  FROM (
        |    SELECT doc_id, pos, g_cnt,
-       |      min(h || '#' || lpad(CAST(1000000 - pos AS VARCHAR), 7, '0'))
+       |      min(h || '#' ||
+       |          lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0'))
        |        OVER (PARTITION BY doc_id ORDER BY pos
        |              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selk
        |    FROM e)

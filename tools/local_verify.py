@@ -17,6 +17,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_class(t):
+    """Collapse DuckDB type names into the equivalence classes the
+    driver's hasher treats identically. Widths it provably normalizes
+    (int32 vs int64) share a class; HUGEINT (int128 / Arrow decimal128)
+    does NOT — it hashed differently from BIGINT in round 6 despite
+    equal values, so it must be its own class. Same for DECIMAL vs
+    float: silent type drift between the Spark output and the oracle is
+    exactly what this gate exists to catch before the driver does."""
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if t in ("HUGEINT", "UBIGINT", "UHUGEINT"):
+        return "int128"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t
+
+
+def col_types(con, query):
+    """name -> type_class for a query's output columns, via DESCRIBE."""
+    rows = con.execute(f"DESCRIBE {query}").fetchall()
+    return {r[0]: type_class(r[1]) for r in rows}
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -50,10 +79,17 @@ def main():
             got_cols = [d[0] for d in con.description]
             exp = con.execute(sql).fetchall()
             exp_cols = [d[0] for d in con.description]
+            got_types = col_types(
+                con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            exp_types = col_types(con, f"({sql})")
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        type_mismatch = [
+            (c, got_types[c], exp_types[c])
+            for c in sorted(set(got_types) & set(exp_types))
+            if got_types[c] != exp_types[c]]
         # driver sorts columns by name before hashing values
         gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
@@ -61,6 +97,10 @@ def main():
         e = [tuple(norm(r[i]) for i in ei) for r in exp]
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} vs {sorted(exp_cols)}")
+            n_fail += 1
+        elif type_mismatch:
+            print(f"FAIL {name}: type mismatch (spark vs oracle): "
+                  f"{type_mismatch}")
             n_fail += 1
         elif len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
