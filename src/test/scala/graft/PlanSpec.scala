@@ -521,6 +521,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(900))
   }
 
+  test("IVF+PQ served: probe prunes the persisted index at the directory level") {
+    val p = plan("emb_ivfpq_served")
+    // the cell IN (…) probe must land as a PartitionFilter on the index
+    // scan (only the probed cells' directories are listed — the 100 TB
+    // read story), never as a data Filter above it ([^\]]* keeps the
+    // match inside the bracket, the doc_partitioned_scan convention)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      p.take(1500))
+    assert(!p.contains("PushedFilters: [In(cell"), p.take(1500))
+    // shortlist + rerank both heap-reduce; the rerank joins the bounded
+    // shortlist broadcast — the float corpus never shuffles
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2, p.take(900))
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
   test("KS drift and passage rewrite: window pipelines, no join anywhere") {
     for (q <- Seq("ev_ks_drift", "dedup_passage_rewrite")) {
       val p = plan(q)

@@ -120,6 +120,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session state survives checkpoint recovery; late rows cannot reopen closed sessions") {
+    val in = tmp("sessrec_in")
+    val out = tmp("sessrec_out")
+    val ckpt = tmp("sessrec_ckpt")
+    // file sink, not memory: the memory sink cannot recover from a
+    // checkpoint (the recovery IS what this test pins)
+    def start() = NewsStream.sessionizedCounts(NewsStream.pipeline(spark, in))
+      .writeStream.format("json").option("path", out)
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/sess")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    def emitted() = spark.read
+      .schema("sentiment STRING, session_start TIMESTAMP, " +
+        "session_end TIMESTAMP, n BIGINT")
+      .json(out)
+    // run 1: open three sessions (00:00:00..02, one per sentiment) and
+    // STOP — their state lives only in the checkpointed state store now
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 3)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(emitted().count() == 0) // watermark trails
+    } finally q1.stop()
+    // run 2 against the SAME checkpoint: batch 2 (00:02:00..02) must
+    // MERGE into the RECOVERED sessions (within the 5-min gap), and
+    // batch 30 pushes the watermark to 00:20, closing them
+    NewsStream.writeSampleBatch(in, batchId = 2, rows = 3)
+    NewsStream.writeSampleBatch(in, batchId = 30, rows = 1)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      q2.processAllAvailable()
+      val rows = emitted()
+        .select(col("sentiment"), col("session_start").cast("string"),
+          col("n"))
+        .collect()
+      // n=2 per sentiment, session_start from PRE-RESTART batch 0: the
+      // merge across the restart is only possible via recovered state
+      assert(rows.length == 3, rows.mkString("; "))
+      assert(rows.forall(_.getLong(2) == 2), rows.mkString("; "))
+      assert(rows.forall(_.getString(1).startsWith("2024-01-01 00:00:0")),
+        rows.mkString("; "))
+      // a late replay of batch 1 (00:01:xx, far behind the 00:20
+      // watermark) must be DROPPED — emitted sessions are immutable in
+      // append mode, so reopening one would double-count downstream
+      NewsStream.writeSampleBatch(in, batchId = 1, rows = 3)
+      q2.processAllAvailable()
+      q2.processAllAvailable()
+      assert(emitted().count() == 3, emitted().collect().mkString("; "))
+    } finally q2.stop()
+  }
+
   test("watermarked tumbling window emits closed windows in append mode") {
     val in = tmp("win_in")
     val ckpt = tmp("win_ckpt")
