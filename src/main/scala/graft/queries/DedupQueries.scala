@@ -79,6 +79,27 @@ object DedupQueries {
     toksDf.withColumn("sh", shingleCol)
       .select(col("doc_id"), array_distinct(col("sh")).as("st"))
 
+  /** distinct word-bigram set per doc — the gram shape shared by
+    * dedup_ngram_jaccard (bounded all-pairs eval block) and
+    * dedup_prefix_jaccard (whole-corpus prefix-filtered join), one
+    * definition so the exact baseline and the scalable join can never
+    * diverge on what a "gram" is. Short docs (< 2 tokens) fall back to
+    * the raw token list, mirroring [[bigramsSqlExpr]].
+    */
+  private def bigramSets(toksDf: DataFrame): DataFrame =
+    toksDf.select(col("doc_id"),
+      array_distinct(when(size(col("tok")) >= 2,
+        transform(sequence(lit(1), size(col("tok")) - 1), i =>
+          concat_ws(" ", element_at(col("tok"), i),
+            element_at(col("tok"), i + 1))))
+        .otherwise(col("tok"))).as("g"))
+
+  /** DuckDB twin of [[bigramSets]]'s gram expression over a `tok` column */
+  private val bigramsSqlExpr: String =
+    "list_distinct(CASE WHEN len(tok) >= 2 " +
+      "THEN list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1]) " +
+      "ELSE tok END)"
+
   /** DuckDB twin of [[shingleCol]] over a `tok` column */
   private def shingleSqlExpr: String =
     "CASE WHEN len(tok) >= 3 " +
@@ -934,14 +955,7 @@ object DedupQueries {
     Q(
       "dedup_ngram_jaccard",
       (s, d) => {
-        val grams = toks(s, d)
-          .filter(col("doc_id") < 150)
-          .select(col("doc_id"),
-            array_distinct(when(size(col("tok")) >= 2,
-              transform(sequence(lit(1), size(col("tok")) - 1), i =>
-                concat_ws(" ", element_at(col("tok"), i),
-                  element_at(col("tok"), i + 1))))
-              .otherwise(col("tok"))).as("g"))
+        val grams = bigramSets(toks(s, d).filter(col("doc_id") < 150))
         val a = grams.select(col("doc_id").as("a_id"), col("g").as("ga"))
         val b = grams.select(col("doc_id").as("b_id"), col("g").as("gb"))
         a.join(b, col("a_id") < col("b_id"))
@@ -962,12 +976,7 @@ object DedupQueries {
            |), toksrc AS (
            |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
            |), grams AS (
-           |  SELECT doc_id,
-           |    list_distinct(CASE WHEN len(tok) >= 2
-           |      THEN list_transform(range(1, len(tok)),
-           |             i -> tok[i] || ' ' || tok[i+1])
-           |      ELSE tok END) AS g
-           |  FROM toksrc
+           |  SELECT doc_id, $bigramsSqlExpr AS g FROM toksrc
            |), j AS (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            |    len(list_filter(a.g, x -> list_contains(b.g, x))) AS inter,
@@ -978,6 +987,107 @@ object DedupQueries {
            |  round(CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1), 6) AS jaccard
            |FROM j
            |WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.4
+           |ORDER BY a_id, b_id""".stripMargin)),
+
+    // EXACT set-similarity join over the WHOLE corpus via prefix
+    // filtering (the AllPairs/PPJoin family: Bayardo et al. WWW'07,
+    // Xiao et al. WWW'08) — where dedup_ngram_jaccard is the quadratic
+    // baseline confined to a 150-doc eval block and MinHash trades
+    // recall for speed, this is the exact-threshold scale path: every
+    // pair with bigram Jaccard >= 0.5, no block bound, no probabilistic
+    // misses. The filter: order each doc's gram set by GLOBAL document
+    // frequency (rarest first, ties by gram — one total order both
+    // engines compute identically), keep only the first
+    // n - ceil(t*n) + 1 grams as join keys; any pair meeting J >= t
+    // provably shares a prefix gram, so the equi-join on prefix grams
+    // generates a complete candidate set. PrefixJaccardSpec
+    // brute-force-checks that completeness property on random corpora.
+    // Scale shape: df counting and the df join are linear token-stream
+    // shuffles; the candidate join fans out only on PREFIX grams, which
+    // by construction are each doc's RAREST — the high-df grams that
+    // would explode a naive gram join sort to the suffix and never
+    // become keys. A 2x size filter (J >= 0.5 forces
+    // max(|a|,|b|) <= 2*min(|a|,|b|)) prunes candidates before the
+    // exact verify, and the verify itself is integer cross-multiplied
+    // (inter*2 >= union), never a float compare. Nothing is quadratic
+    // in corpus size — candidates are bounded by prefix co-occurrence,
+    // the quantity the algorithm exists to minimize.
+    Q(
+      "dedup_prefix_jaccard",
+      (s, d) => {
+        val grams = bigramSets(toks(s, d))
+        val posting = grams.select(col("doc_id"), explode(col("g")).as("gram"))
+        val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+        // per-doc gram list sorted by the global (df, gram) order; the
+        // struct sort gives rarest-first, the only order under which
+        // the prefix bound holds
+        val sorted = posting.join(dfreq, "gram")
+          .groupBy("doc_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("df"), col("gram")))),
+            x => x.getField("gram")).as("sg"))
+          .withColumn("n", size(col("sg")))
+        // prefix length for J >= 0.5: n - ceil(n/2) + 1 (integer form)
+        val plen = col("n") - floor((col("n") + 1) / 2).cast("int") + 1
+        val pfx = sorted.select(col("doc_id"), col("n"),
+          explode(slice(col("sg"), lit(1), plen)).as("gram"))
+        val cand = pfx.as("a").join(pfx.as("b"),
+            col("a.gram") === col("b.gram") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        cand
+          .join(grams.select(col("doc_id").as("a_id"), col("g").as("ga")),
+            "a_id")
+          .join(grams.select(col("doc_id").as("b_id"), col("g").as("gb")),
+            "b_id")
+          .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+          .withColumn("uni",
+            greatest(size(col("ga")) + size(col("gb")) - col("inter"),
+              lit(1)))
+          .filter(col("inter") * 2 >= col("uni"))
+          .select(col("a_id"), col("b_id"),
+            round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), grams AS (
+           |  SELECT doc_id, $bigramsSqlExpr AS g FROM toksrc
+           |), posting AS (
+           |  SELECT doc_id, unnest(g) AS gram FROM grams
+           |), dfreq AS (
+           |  SELECT gram, count(*) AS df FROM posting GROUP BY 1
+           |), sorted AS (
+           |  SELECT p.doc_id,
+           |    list_transform(list_sort(list({'df': d.df, 'g': p.gram})),
+           |      x -> x.g) AS sg
+           |  FROM posting p JOIN dfreq d USING (gram) GROUP BY p.doc_id
+           |), pfx AS (
+           |  SELECT doc_id, len(sg) AS n,
+           |    unnest(sg[1:(len(sg) - (len(sg) + 1) // 2 + 1)]) AS gram
+           |  FROM sorted
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM pfx a JOIN pfx b ON a.gram = b.gram
+           |    AND a.doc_id < b.doc_id AND b.n <= a.n * 2 AND a.n <= b.n * 2
+           |), v AS (
+           |  SELECT c.a_id, c.b_id,
+           |    len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
+           |    len(ga.g) AS la, len(gb.g) AS lb
+           |  FROM cand c
+           |  JOIN grams ga ON ga.doc_id = c.a_id
+           |  JOIN grams gb ON gb.doc_id = c.b_id
+           |)
+           |SELECT a_id, b_id,
+           |  round(CAST(inter AS DOUBLE)
+           |    / greatest(la + lb - inter, 1), 6) AS jaccard
+           |FROM v
+           |WHERE inter * 2 >= greatest(la + lb - inter, 1)
            |ORDER BY a_id, b_id""".stripMargin)),
 
     // Exact SUBSTRING dedup at fixed window granularity — the
