@@ -79,6 +79,25 @@ object DedupQueries {
     toksDf.withColumn("sh", shingleCol)
       .select(col("doc_id"), array_distinct(col("sh")).as("st"))
 
+  /** Ground-truth near-dup pairs on the bounded doc_id < 150 eval
+    * block: exact all-pairs 3-shingle Jaccard >= 0.5 — the single
+    * definition dedup_minhash_recall, dedup_winnow_recall and
+    * dedup_cc_bcubed all evaluate against (one truth so the detector
+    * scores are comparable). The quadratic join is confined to the
+    * 150-doc block by construction.
+    */
+  private def exactTruthPairs(s: SparkSession, d: String): DataFrame = {
+    val sets = shingleSets(toks(s, d).filter(col("doc_id") < 150))
+    sets.select(col("doc_id").as("a_id"), col("st").as("sa"))
+      .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")),
+        col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter").cast("double") /
+        greatest(size(col("sa")) + size(col("sb")) - col("inter"),
+          lit(1)) >= 0.5)
+      .select("a_id", "b_id")
+  }
+
   /** distinct word-bigram set per doc — the gram shape shared by
     * dedup_ngram_jaccard (bounded all-pairs eval block) and
     * dedup_prefix_jaccard (whole-corpus prefix-filtered join), one
@@ -1284,15 +1303,7 @@ object DedupQueries {
     Q(
       "dedup_minhash_recall",
       (s, d) => {
-        val sets = shingleSets(toks(s, d).filter(col("doc_id") < 150))
-        val truth = sets.select(col("doc_id").as("a_id"), col("st").as("sa"))
-          .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")),
-            col("a_id") < col("b_id"))
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-          .filter(col("inter").cast("double") /
-            greatest(size(col("sa")) + size(col("sb")) - col("inter"),
-              lit(1)) >= 0.5)
-          .select("a_id", "b_id")
+        val truth = exactTruthPairs(s, d)
         val found = minhashPairs(s, d)
           .filter(col("a_id") < 150 && col("b_id") < 150)
           .select("a_id", "b_id")
@@ -1339,6 +1350,143 @@ object DedupQueries {
            |  round(CAST(n_overlap AS DOUBLE) / greatest(n_found, 1), 6)
            |    AS precision
            |FROM c""".stripMargin)),
+
+    // B-CUBED cluster evaluation (Bagga & Baldwin '98; the standard
+    // extrinsic clustering metric alongside pair F1) of each detector's
+    // duplicate CLUSTERS against the exact-Jaccard ground truth on the
+    // eval block — dedup_minhash_recall / dedup_winnow_recall score the
+    // PAIR detectors; this scores the cluster RESOLUTION the pipeline
+    // actually acts on (B³ punishes over-merging chains that pair
+    // recall cannot see: a-b and b-c found but not a-c still false-
+    // merges a 3-cluster). One row per detector: minhash (Jaccard-
+    // verified pairs, expected near-perfect) and winnow (UNVERIFIED
+    // shared-fingerprint candidates, where over-merge shows up — the
+    // informative row). All three clusterings are connected components
+    // over block-restricted pair sets — Spark runs the distributed CC
+    // operator on each bounded graph; the oracle mirrors it with
+    // recursive-CTE transitive closure keyed by detector. Per element
+    // e: P(e) = |C(e) ∩ T(e)|/|C(e)|, R(e) likewise over T(e);
+    // averaged. EXACTNESS: every ratio is integer floor-division at
+    // 1e6 scale (`div` / `//`, identical truncation cross-engine for
+    // these positive operands) — integer end-to-end, the suite's
+    // micro-unit convention.
+    Q(
+      "dedup_cc_bcubed",
+      (s, d) => {
+        val block = Tables.t(s, d, "documents")
+          .filter(col("doc_id") < 150).select("doc_id")
+        def blockPairs(pairs: DataFrame): DataFrame = pairs
+          .filter(col("a_id") < 150 && col("b_id") < 150)
+          .select("a_id", "b_id")
+        def labels(pairs: DataFrame, out: String): DataFrame =
+          block.join(
+            graft.operators.ConnectedComponents.run(pairs)
+              .select(col("id").as("doc_id"), col("cluster_id")),
+            Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              coalesce(col("cluster_id"), col("doc_id")).as(out))
+        val tlabels = labels(exactTruthPairs(s, d), "tl")
+        def b3(pred: DataFrame, detector: String): DataFrame = {
+          val e = tlabels.join(labels(blockPairs(pred), "pl"), "doc_id")
+          val pc = e.groupBy("pl").agg(count(lit(1)).as("pc"))
+          val tc = e.groupBy("tl").agg(count(lit(1)).as("tc"))
+          val ic = e.groupBy("pl", "tl").agg(count(lit(1)).as("ic"))
+          e.join(ic, Seq("pl", "tl")).join(pc, "pl").join(tc, "tl")
+            .select(expr("(ic * 1000000) div pc").as("pmu"),
+              expr("(ic * 1000000) div tc").as("rmu"))
+            .agg(count(lit(1)).as("n_docs"),
+              expr("coalesce(sum(pmu), 0) div greatest(count(1), 1)")
+                .as("p_micro"),
+              expr("coalesce(sum(rmu), 0) div greatest(count(1), 1)")
+                .as("r_micro"))
+            .select(lit(detector).as("detector"), col("n_docs"),
+              col("p_micro").as("b3_precision_micro"),
+              col("r_micro").as("b3_recall_micro"),
+              expr("(2 * p_micro * r_micro) " +
+                "div greatest(p_micro + r_micro, 1)").as("b3_f1_micro"))
+        }
+        b3(minhashPairs(s, d), "minhash")
+          .unionByName(b3(winnowPairs(s, d), "winnow"))
+          .orderBy("detector")
+      },
+      Some(
+        // winnowPairsCteSql carries the whole winnow lineage as a WITH
+        // chain; the closure CTEs below need RECURSIVE on that WITH.
+        // Truth CTEs are b-prefixed: the winnow chain already owns the
+        // `cleaned`/`toksrc` names (corpus-wide, no block filter).
+        winnowPairsCteSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          s""", blk AS (
+           |  SELECT doc_id FROM documents WHERE doc_id < 150
+           |), bcleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |  WHERE doc_id < 150
+           |), btk AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM bcleaned
+           |), bsets AS (
+           |  SELECT doc_id, list_distinct($shingleSqlExpr) AS st FROM btk
+           |), bjp AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    len(list_filter(a.st, x -> list_contains(b.st, x))) AS inter,
+           |    len(a.st) AS la, len(b.st) AS lb
+           |  FROM bsets a JOIN bsets b ON a.doc_id < b.doc_id
+           |), truthp AS (
+           |  SELECT a_id, b_id FROM bjp
+           |  WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.5
+           |), predp AS (
+           |  SELECT 'minhash' AS det, a_id, b_id FROM ($minhashSql)
+           |  WHERE a_id < 150 AND b_id < 150
+           |  UNION ALL
+           |  SELECT 'winnow' AS det, a_id, b_id FROM wpairs
+           |  WHERE a_id < 150 AND b_id < 150
+           |), tsym AS (
+           |  SELECT a_id AS a, b_id AS b FROM truthp
+           |  UNION SELECT b_id, a_id FROM truthp
+           |), treach AS (
+           |  SELECT a, b FROM tsym
+           |  UNION SELECT r.a, s.b FROM treach r JOIN tsym s ON r.b = s.a
+           |), tlab AS (
+           |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))
+           |    AS tl
+           |  FROM blk d LEFT JOIN treach r ON r.a = d.doc_id
+           |  GROUP BY d.doc_id
+           |), psym AS (
+           |  SELECT det, a_id AS a, b_id AS b FROM predp
+           |  UNION SELECT det, b_id, a_id FROM predp
+           |), preach AS (
+           |  SELECT det, a, b FROM psym
+           |  UNION SELECT r.det, r.a, s.b FROM preach r
+           |    JOIN psym s ON r.det = s.det AND r.b = s.a
+           |), plab AS (
+           |  SELECT dd.det, d.doc_id,
+           |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS pl
+           |  FROM blk d CROSS JOIN (SELECT DISTINCT det FROM
+           |    (VALUES ('minhash'), ('winnow')) v(det)) dd
+           |  LEFT JOIN preach r ON r.det = dd.det AND r.a = d.doc_id
+           |  GROUP BY dd.det, d.doc_id
+           |), b3_e AS (
+           |  SELECT p.det, p.doc_id, p.pl, t.tl
+           |  FROM plab p JOIN tlab t USING (doc_id)
+           |), b3_pc AS (SELECT det, pl, count(*) AS b3_pc FROM b3_e GROUP BY 1, 2
+           |), b3_tc AS (SELECT det, tl, count(*) AS b3_tc FROM b3_e GROUP BY 1, 2
+           |), b3_ic AS (
+           |  SELECT det, pl, tl, count(*) AS b3_ic FROM b3_e GROUP BY 1, 2, 3
+           |), b3_per AS (
+           |  SELECT b3_e.det, (b3_ic.b3_ic * 1000000) // b3_pc.b3_pc AS pmu,
+           |    (b3_ic.b3_ic * 1000000) // b3_tc.b3_tc AS rmu
+           |  FROM b3_e JOIN b3_ic USING (det, pl, tl) JOIN b3_pc USING (det, pl)
+           |    JOIN b3_tc USING (det, tl)
+           |), b3_agg AS (
+           |  SELECT det, count(*) AS n_docs,
+           |    coalesce(sum(pmu), 0) // greatest(count(*), 1) AS p_micro,
+           |    coalesce(sum(rmu), 0) // greatest(count(*), 1) AS r_micro
+           |  FROM b3_per GROUP BY det
+           |)
+           |SELECT det AS detector, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(p_micro AS BIGINT) AS b3_precision_micro,
+           |  CAST(r_micro AS BIGINT) AS b3_recall_micro,
+           |  CAST((2 * p_micro * r_micro)
+           |    // greatest(p_micro + r_micro, 1) AS BIGINT) AS b3_f1_micro
+           |FROM b3_agg ORDER BY detector""".stripMargin)),
 
     // Dedup impact report: the one-row summary a curation run emits
     // before committing a dedup pass — corpus size, docs caught in
@@ -1737,15 +1885,7 @@ object DedupQueries {
     Q(
       "dedup_winnow_recall",
       (s, d) => {
-        val sets = shingleSets(toks(s, d).filter(col("doc_id") < 150))
-        val truth = sets.select(col("doc_id").as("a_id"), col("st").as("sa"))
-          .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")),
-            col("a_id") < col("b_id"))
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-          .filter(col("inter").cast("double") /
-            greatest(size(col("sa")) + size(col("sb")) - col("inter"),
-              lit(1)) >= 0.5)
-          .select("a_id", "b_id")
+        val truth = exactTruthPairs(s, d)
         val found = winnowPairs(s, d)
           .filter(col("a_id") < 150 && col("b_id") < 150)
           .select("a_id", "b_id")
