@@ -226,6 +226,31 @@ object EmbQueries {
     */
   private val IvfPqShortN = 20
 
+  /** nDCG position discounts 1/log2(pos+1) for pos 1..5, as FIXED
+    * micro-integer literals (round(1e6/log2(pos+1))): both engines
+    * consume the same constants, so the metric never computes a
+    * runtime log2 (whose final ulp is engine-specific).
+    */
+  private val NdcgDiscMicro = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+
+  /** ideal DCG@5 in micro units: all five positions relevant */
+  private val NdcgIdcgMicro = NdcgDiscMicro.sum
+
+  /** exact cosine top-5 for the query vector — the ground truth ranking
+    * emb_recall_eval and emb_ndcg_eval both measure against
+    */
+  private def exactTop5(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(qv)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** IVF-flavored ANN (emb_ivf_ann, reused by emb_recall_eval): coarse
     * codebook = per-label centroids (rounded so both engines agree
     * bit-for-bit), inverted lists = cell assignment by nearest
@@ -267,6 +292,40 @@ object EmbQueries {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc_nulls_last, col("c_label"))
     dists.withColumn("rn", row_number().over(w))
+  }
+
+  /** LSH top-5 for the query vector (emb_lsh_ann; reused by
+    * emb_ndcg_eval): band-bucketed candidates, exact cosine on the
+    * bounded candidate set only.
+    */
+  private def lshTop5(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val withSig = e.withColumn("sig", signature(col("embedding")))
+    val qRow = broadcast(withSig.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("sig").as("qsig")))
+    val anyBand = (0 until AnnBands).map(b =>
+      annBandOf(col("sig"), b) === annBandOf(col("qsig"), b)).reduce(_ || _)
+    withSig.crossJoin(qRow)
+      .filter(col("vec_id") =!= 0 && anyBand)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** DuckDB twin of [[lshTop5]] — a complete WITH...SELECT, nestable
+    * as a parenthesized subquery (emb_ndcg_eval does)
+    */
+  private lazy val lshSql: String = {
+    val anyBand = (0 until AnnBands).map(b =>
+      s"${annBandOfSql("sig", b)} = ${annBandOfSql("qsig", b)}").mkString(" OR ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${signatureSql("embedding")} AS sig
+       |  FROM embeddings
+       |), q AS (SELECT embedding AS qv, sig AS qsig FROM b WHERE vec_id = 0)
+       |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+       |FROM b, q WHERE vec_id <> 0 AND ($anyBand)
+       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
   }
 
   private def ivfTop5(s: SparkSession, d: String): DataFrame = {
@@ -455,33 +514,7 @@ object EmbQueries {
     // the signature — see annBandOf), so the expensive cosine runs on
     // ~AnnBands/2^AnnBandBits of the corpus. Fully oracle-checkable
     // because the hyperplanes are a fixed arithmetic pattern, not RNG.
-    Q(
-      "emb_lsh_ann",
-      (s, d) => {
-        val e = emb(s, d)
-        val withSig = e.withColumn("sig", signature(col("embedding")))
-        val qRow = broadcast(withSig.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv"), col("sig").as("qsig")))
-        val anyBand = (0 until AnnBands).map(b =>
-          annBandOf(col("sig"), b) === annBandOf(col("qsig"), b)).reduce(_ || _)
-        withSig.crossJoin(qRow)
-          .filter(col("vec_id") =!= 0 && anyBand)
-          .select(col("vec_id"),
-            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(5)
-      },
-      Some {
-        val anyBand = (0 until AnnBands).map(b =>
-          s"${annBandOfSql("sig", b)} = ${annBandOfSql("qsig", b)}").mkString(" OR ")
-        s"""WITH b AS (
-           |  SELECT vec_id, embedding, ${signatureSql("embedding")} AS sig
-           |  FROM embeddings
-           |), q AS (SELECT embedding AS qv, sig AS qsig FROM b WHERE vec_id = 0)
-           |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
-           |FROM b, q WHERE vec_id <> 0 AND ($anyBand)
-           |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
-      }),
+    Q("emb_lsh_ann", (s, d) => lshTop5(s, d), Some(lshSql)),
 
     // Label-count sanity aggregate (cheap groupBy for the ANN surface)
     Q(
@@ -508,16 +541,7 @@ object EmbQueries {
     Q(
       "emb_recall_eval",
       (s, d) => {
-        val e = emb(s, d)
-        val qv = broadcast(e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv")))
-        val exact = e.filter(col("vec_id") =!= 0)
-          .crossJoin(qv)
-          .select(col("vec_id"),
-            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(5)
-          .select("vec_id")
+        val exact = exactTop5(s, d).select("vec_id")
         val approx = ivfTop5(s, d).select("vec_id")
         exact.join(approx, Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("n_overlap"))
@@ -898,6 +922,85 @@ object EmbQueries {
           .limit(5)
       },
       Some(ivfpqSql)),
+
+    // nDCG@5 of every ANN method against the exact ranking — the rank-
+    // aware retrieval metric that recall@k (emb_recall_eval /
+    // emb_ivfpq_recall) cannot express: recall treats "right ids, wrong
+    // order" as perfect; nDCG discounts each hit by its position
+    // (Järvelin & Kekäläinen, TOIS'02). One row per method (exact as
+    // the =1.0 sanity row, ivf, ivfpq, lsh), binary relevance against
+    // the exact top-5. EXACTNESS: the log2 discounts are FIXED micro-
+    // integer literals shared by both engines (never a runtime log2,
+    // whose last ulp is engine-specific), so DCG is an integer dot
+    // product and nDCG an integer division — exact end-to-end. Each
+    // method's list is a bounded 5-row TakeOrderedAndProject output;
+    // the re-rank windows sort 5 rows (PlanSpec global-window
+    // whitelist member).
+    Q(
+      "emb_ndcg_eval",
+      (s, d) => {
+        val exact = exactTop5(s, d)
+        val exactIds = broadcast(
+          exact.select(col("vec_id")).withColumn("rel", lit(1L)))
+        val discArr = array(NdcgDiscMicro.map(lit): _*)
+        def row(ranked: DataFrame, method: String): DataFrame =
+          ranked.select(col("vec_id"), col("sim"))
+            .withColumn("pos", row_number().over(
+              Window.orderBy(col("sim").desc, col("vec_id"))))
+            .join(exactIds, Seq("vec_id"), "left_outer")
+            .groupBy()
+            .agg(sum(coalesce(col("rel"), lit(0L)) *
+              element_at(discArr, col("pos"))).as("dcg_micro"))
+            .select(lit(method).as("method"),
+              col("dcg_micro"),
+              expr(s"CAST((dcg_micro * 1000000) div $NdcgIdcgMicro" +
+                " AS BIGINT)").as("ndcg_micro"))
+        row(exact, "exact")
+          .unionByName(row(ivfTop5(s, d), "ivf"))
+          .unionByName(row(ivfpqTop5(s, d), "ivfpq"))
+          .unionByName(row(lshTop5(s, d), "lsh"))
+          .orderBy("method")
+      },
+      Some {
+        val discRows = NdcgDiscMicro.zipWithIndex
+          .map { case (m, i) => s"(${i + 1}, $m)" }.mkString(", ")
+        s"""WITH q AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), exact5 AS (
+           |  SELECT vec_id, sim,
+           |    row_number() OVER (ORDER BY sim DESC, vec_id) AS pos
+           |  FROM (
+           |    SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |    FROM embeddings, q WHERE vec_id <> 0
+           |    ORDER BY sim DESC, vec_id LIMIT 5)
+           |), disc(pos, dm) AS (
+           |  VALUES $discRows
+           |), scored AS (
+           |  SELECT 'exact' AS method, vec_id, pos FROM exact5
+           |  UNION ALL
+           |  SELECT 'ivf' AS method, vec_id,
+           |    row_number() OVER (ORDER BY sim DESC, vec_id) AS pos
+           |  FROM ($ivfSql) r
+           |  UNION ALL
+           |  SELECT 'ivfpq' AS method, vec_id,
+           |    row_number() OVER (ORDER BY sim DESC, vec_id) AS pos
+           |  FROM ($ivfpqSql) r
+           |  UNION ALL
+           |  SELECT 'lsh' AS method, vec_id,
+           |    row_number() OVER (ORDER BY sim DESC, vec_id) AS pos
+           |  FROM ($lshSql) r
+           |), j AS (
+           |  SELECT s.method,
+           |    d.dm * (CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS dm
+           |  FROM scored s JOIN disc d USING (pos)
+           |  LEFT JOIN (SELECT vec_id FROM exact5) e ON e.vec_id = s.vec_id
+           |)
+           |SELECT method, CAST(sum(dm) AS BIGINT) AS dcg_micro,
+           |  CAST((sum(dm) * 1000000) // $NdcgIdcgMicro AS BIGINT)
+           |    AS ndcg_micro
+           |FROM j GROUP BY method ORDER BY method""".stripMargin
+      }),
 
     // HYBRID retrieval (the RAG serving shape): a keyword channel and a
     // vector channel each produce a bounded ranked list, fused by

@@ -568,6 +568,68 @@ object EventQueries {
            |      FROM events)
            |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // Simple linear regression (value vs time) per event type — the
+    // drift-line statistic behind "is this metric trending", computed
+    // EXACTLY: x is epoch seconds centered on a fixed 2024-01-01
+    // literal, y is the 1e6-grid value, all four moments accumulate as
+    // DECIMAL(38,0)/HUGEINT (overflow is NULL — loud), and the closed-
+    // form slope (n·Σxy−Σx·Σy)/(n·Σxx−Σx²) and intercept
+    // (Σy·Σxx−Σx·Σxy)/den are emitted by INTEGER truncating division
+    // at nano/micro scale — identical `div`/`//` semantics cross-
+    // engine, never a rounded double (the sd_v precedent). One scan,
+    // one partial-agg'd shuffle. Headroom: with centered x ≤ 2.6e6 s
+    // the 38-digit numerators hold to ~1e9 rows PER GROUP; beyond
+    // that, re-center x per group (a second pass) before widening —
+    // the NULL makes the need visible rather than silently wrapping.
+    // Degenerate groups (n<2 or constant x) emit NULL via nullif(den).
+    Q(
+      "ev_linreg_by_type",
+      (s, d) => {
+        val base = ev(s, d)
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            (epochS(col("ts")) - lit(1704067200L))
+              .cast("decimal(19,0)").as("x"),
+            round(col("value").cast("double") * 1e6, 0).cast("long")
+              .cast("decimal(19,0)").as("y"))
+        base.groupBy("event_type")
+          .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+            sum(col("x")).cast("decimal(38,0)").as("sx"),
+            sum(col("y")).cast("decimal(38,0)").as("sy"),
+            sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+            sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"))
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num_s"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+            (col("sy") * col("sxx") - col("sx") * col("sxy")).as("num_i"))
+          .select(col("event_type"), col("n"),
+            expr("CAST((num_s * 1000) div nullif(den, 0) AS BIGINT)")
+              .as("slope_nano"),
+            expr("CAST(num_i div nullif(den, 0) AS BIGINT)")
+              .as("intercept_micro"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+          |    CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT) AS y
+          |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          |), m AS (
+          |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(x) AS HUGEINT) AS sx,
+          |    CAST(sum(y) AS HUGEINT) AS sy,
+          |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+          |    sum(CAST(x AS HUGEINT) * y) AS sxy
+          |  FROM base GROUP BY 1
+          |)
+          |SELECT event_type, CAST(n AS BIGINT) AS n,
+          |  CAST((1000 * (n * sxy - sx * sy))
+          |    // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_nano,
+          |  CAST((sy * sxx - sx * sxy)
+          |    // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS intercept_micro
+          |FROM m ORDER BY event_type""".stripMargin)),
+
     // Exact interpolated percentiles (the reference has no percentile
     // surface at all — SURVEY §2.5 negative finding); Spark `percentile`
     // and DuckDB `quantile_cont` share the standard interpolation

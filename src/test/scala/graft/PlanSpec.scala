@@ -11,8 +11,36 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def plan(name: String): String =
-    Registry.byName(name).build(spark, TestSpark.sf0001)
-      .queryExecution.executedPlan.toString
+    stripInitialPlans(Registry.byName(name).build(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString)
+
+  /** A materialized AQE subtree (e.g. a shared InMemoryRelation some
+    * earlier query already executed, isFinalPlan=true) prints BOTH a
+    * "== Final Plan ==" and an "== Initial Plan ==" section — the same
+    * physical operators TWICE. Drop each initial-plan section (the
+    * marker line plus every deeper-indented line under it), or every
+    * node-count assertion here becomes sensitive to which test
+    * happened to materialize a shared cache first.
+    */
+  private def stripInitialPlans(p: String): String = {
+    def contentIdx(l: String): Int = l.indexWhere(c => !" :+|-".contains(c))
+    val out = new StringBuilder
+    var skip = -1
+    p.split("\n", -1).foreach { l =>
+      val ci = contentIdx(l)
+      // section content prints at the SAME content index as its marker
+      // (the "+- " of "+- == Initial Plan ==" becomes "   " on child
+      // lines), so >= — the section is AdaptiveSparkPlan's last child,
+      // nothing legitimate follows at that exact level
+      if (skip >= 0 && (ci < 0 || ci >= skip)) () // inside a skipped section
+      else {
+        skip = -1
+        if (ci >= 0 && l.startsWith("== Initial Plan ==", ci)) skip = ci
+        else { out.append(l); out.append('\n') }
+      }
+    }
+    out.toString
+  }
 
   test("star_q5: all dimension joins broadcast") {
     val p = plan("star_q5_region_revenue")
@@ -713,12 +741,14 @@ class PlanSpec extends AnyFunSuite {
     //   ev_new_users_curve    — running sum over the day domain
     //   emb_hybrid_rrf        — rank over TakeOrderedAndProject top-50s
     //   emb_rrf_rank_quality  — inherits both + rank over the fused top-10
+    //   emb_ndcg_eval         — position re-rank over four 5-row
+    //                           TakeOrderedAndProject outputs
     // Adding a new global window anywhere else fails here and must be
     // consciously whitelisted (or range-partitioned like emb_auc).
     import org.apache.spark.sql.execution.window.WindowExec
     val allowed = Set("doc_sentiment_pct", "doc_vocab_coverage",
       "ev_ks_drift", "ev_new_users_curve", "emb_hybrid_rrf",
-      "emb_rrf_rank_quality")
+      "emb_rrf_rank_quality", "emb_ndcg_eval")
     val hits = Registry.all.flatMap { q =>
       // sparkPlan (pre-AQE) so WindowExec nodes are directly collectable
       val p = q.build(spark, TestSpark.sf0001).queryExecution.sparkPlan
