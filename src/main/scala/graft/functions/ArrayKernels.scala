@@ -53,3 +53,57 @@ object MaxMultiplicity {
   def column(c: Column): Column =
     GraftSqlBridge.column(MaxMultiplicity(GraftSqlBridge.expression(c)))
 }
+
+/** `graft_sorted_intersect_size(array<string>, array<string>) -> int`:
+  * intersection cardinality of two DISTINCT, ASCENDING-SORTED string
+  * arrays (i.e. `array_sort(array_distinct(...))` outputs — the same
+  * binary UTF8 order array_sort uses) by a single merge pass. Replaces
+  * `size(array_intersect(a, b))` in the set-similarity verify join,
+  * where the built-in's per-row hash-set build was ~100x the cost of
+  * the merge (dedup_prefix_jaccard spent 33 of its 41 s there at
+  * sf0.1). Contract: inputs sorted + distinct; NULL elements are
+  * skipped; a NULL array yields NULL.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSize.interSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectSize.interSize($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sorted_intersect_size"
+}
+
+object SortedIntersectSize {
+  def interSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectSize(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -1026,21 +1026,53 @@ object DedupQueries {
     // by construction are each doc's RAREST — the high-df grams that
     // would explode a naive gram join sort to the suffix and never
     // become keys. A 2x size filter (J >= 0.5 forces
-    // max(|a|,|b|) <= 2*min(|a|,|b|)) prunes candidates before the
-    // exact verify, and the verify itself is integer cross-multiplied
-    // (inter*2 >= union), never a float compare. Nothing is quadratic
-    // in corpus size — candidates are bounded by prefix co-occurrence,
-    // the quantity the algorithm exists to minimize.
+    // max(|a|,|b|) <= 2*min(|a|,|b|)) and the PPJoin positional bound
+    // prune candidates before the exact verify, and the verify itself
+    // is integer cross-multiplied (inter*2 >= union), never a float
+    // compare. Nothing is quadratic in corpus size — candidates are
+    // bounded by prefix co-occurrence, the quantity the algorithm
+    // exists to minimize.
+    //
+    // MEASURED WORST CASE (sf0.1): the synthetic corpus has only ~931
+    // distinct bigrams over 5,000 docs (every gram df~285 — no rare
+    // grams for the prefix to exploit), so candidates are 5.5M of the
+    // 12.5M possible pairs: near-adversarial for ANY prefix scheme.
+    // Three fixes keep it linear-cost-per-candidate anyway, measured
+    // 78 s -> ~13 s: (1) the verify's size(array_intersect) — a
+    // per-row hash-set build — replaced by the codegen'd
+    // SortedIntersectSize merge kernel over plain-sorted gram arrays;
+    // (2) AQE's byte-targeted coalescing collapsed the tiny-bytes/
+    // CPU-dense pair stream to 4 tasks (38 of 44 s), so the CPU-heavy
+    // exchanges pin the session's shuffle parallelism explicitly;
+    // (3) the doubly-consumed tokenize lineage spreads the one-split
+    // scan before projecting. On a Zipf-vocabulary corpus (any real
+    // text at 100 TB) the prefix filter does the heavy lifting these
+    // constants can't.
     Q(
       "dedup_prefix_jaccard",
       (s, d) => {
-        val grams = bigramSets(toks(s, d))
+        // AQE's byte-targeted coalescing is WRONG for this query: its
+        // shuffles are tiny in bytes (pairs of longs; ~13 MB at sf0.1)
+        // but CPU-dense per row, and AQE collapsed the verify stream to
+        // 4 tasks (38 of the query's 44 s). The CPU-heavy exchanges pin
+        // the session's configured shuffle parallelism explicitly —
+        // a user-specified repartition width is exempt from coalescing.
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // tokenize AFTER a round-robin spread of the raw rows: the
+        // documents scan is one file split at test scale, and this
+        // lineage is consumed twice (both prefix sides), so an
+        // unspread tokenize runs twice single-threaded
+        val grams = bigramSets(
+          Tables.t(s, d, "documents").repartition(nPart)
+            .select(col("doc_id"),
+              graft.functions.NormTokens.column(col("text")).as("tok")))
         val posting = grams.select(col("doc_id"), explode(col("g")).as("gram"))
         val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
         // per-doc gram list sorted by the global (df, gram) order; the
         // struct sort gives rarest-first, the only order under which
         // the prefix bound holds
         val sorted = posting.join(dfreq, "gram")
+          .repartition(nPart, col("doc_id"))
           .groupBy("doc_id")
           .agg(transform(
             array_sort(collect_list(struct(col("df"), col("gram")))),
@@ -1049,22 +1081,43 @@ object DedupQueries {
         // prefix length for J >= 0.5: n - ceil(n/2) + 1 (integer form)
         val plen = col("n") - floor((col("n") + 1) / 2).cast("int") + 1
         val pfx = sorted.select(col("doc_id"), col("n"),
-          explode(slice(col("sg"), lit(1), plen)).as("gram"))
+          posexplode(slice(col("sg"), lit(1), plen)).as(Seq("i0", "gram")))
+          .select(col("doc_id"), col("n"), (col("i0") + 1).as("i"),
+            col("gram"))
+        // PPJoin positional filter (Xiao et al. WWW'08): a shared gram
+        // at 1-based positions (i, j) bounds the overlap by
+        // min(i-1, j-1) + 1 + min(na-i, nb-j) — common grams strictly
+        // before it, itself, common grams after. J >= 0.5 needs
+        // overlap >= ceil((na+nb)/3); every shared-gram row of a TRUE
+        // pair satisfies the bound (it upper-bounds the actual
+        // overlap), so dropping failing rows loses no pair.
+        val alpha = floor((col("a.n") + col("b.n") + 2) / 3)
         val cand = pfx.as("a").join(pfx.as("b"),
             col("a.gram") === col("b.gram") &&
               col("a.doc_id") < col("b.doc_id") &&
-              col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2)
+              col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2 &&
+              least(col("a.i") - 1, col("b.i") - 1) + 1 +
+                least(col("a.n") - col("a.i"), col("b.n") - col("b.i"))
+                >= alpha)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .repartition(nPart, col("a_id"), col("b_id"))
           .distinct()
+        // verify on PLAIN-SORTED gram arrays via the codegen'd merge
+        // kernel — the same exact intersection size(array_intersect)
+        // computes, at merge cost instead of a per-row hash-set build
+        // (33 s -> ~2 s over the sf0.1 candidate set)
+        val gsort = grams.select(col("doc_id"),
+          array_sort(col("g")).as("gs"), size(col("g")).as("ng"))
+        val inter = graft.functions.SortedIntersectSize.column(
+          col("ga"), col("gb"))
         cand
-          .join(grams.select(col("doc_id").as("a_id"), col("g").as("ga")),
-            "a_id")
-          .join(grams.select(col("doc_id").as("b_id"), col("g").as("gb")),
-            "b_id")
-          .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+          .join(gsort.select(col("doc_id").as("a_id"), col("gs").as("ga"),
+            col("ng").as("na")), "a_id")
+          .join(gsort.select(col("doc_id").as("b_id"), col("gs").as("gb"),
+            col("ng").as("nb")), "b_id")
+          .withColumn("inter", inter)
           .withColumn("uni",
-            greatest(size(col("ga")) + size(col("gb")) - col("inter"),
-              lit(1)))
+            greatest(col("na") + col("nb") - col("inter"), lit(1)))
           .filter(col("inter") * 2 >= col("uni"))
           .select(col("a_id"), col("b_id"),
             round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
@@ -1086,14 +1139,20 @@ object DedupQueries {
            |    list_transform(list_sort(list({'df': d.df, 'g': p.gram})),
            |      x -> x.g) AS sg
            |  FROM posting p JOIN dfreq d USING (gram) GROUP BY p.doc_id
-           |), pfx AS (
+           |), pfx0 AS (
            |  SELECT doc_id, len(sg) AS n,
-           |    unnest(sg[1:(len(sg) - (len(sg) + 1) // 2 + 1)]) AS gram
+           |    unnest(list_transform(
+           |      sg[1:(len(sg) - (len(sg) + 1) // 2 + 1)],
+           |      (x, ix) -> {'g': x, 'ix': ix})) AS u
            |  FROM sorted
+           |), pfx AS (
+           |  SELECT doc_id, n, u.ix AS i, u.g AS gram FROM pfx0
            |), cand AS (
            |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            |  FROM pfx a JOIN pfx b ON a.gram = b.gram
            |    AND a.doc_id < b.doc_id AND b.n <= a.n * 2 AND a.n <= b.n * 2
+           |    AND least(a.i - 1, b.i - 1) + 1
+           |      + least(a.n - a.i, b.n - b.i) >= (a.n + b.n + 2) // 3
            |), v AS (
            |  SELECT c.a_id, c.b_id,
            |    len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,

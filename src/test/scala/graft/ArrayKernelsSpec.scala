@@ -52,4 +52,39 @@ class ArrayKernelsSpec extends AnyFunSuite {
     // `*(n)` is the whole-stage-codegen span marker in the plan string
     assert(plan.contains("*(1)"), plan.take(400))
   }
+  test("SortedIntersectSize kernel == size(array_intersect), random + edges") {
+    import spark.implicits._
+    import graft.functions.SortedIntersectSize
+    val rnd = new scala.util.Random(23)
+    val sample: Seq[(Seq[String], Seq[String])] = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("a")),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("x"), Seq("x"))) ++
+      Seq.fill(200) {
+        def s() = (0 until rnd.nextInt(60))
+          .map(_ => s"g${rnd.nextInt(40)}").distinct
+        (s(), s())
+      }
+    val rows = sample.toDF("a", "b")
+      .select(
+        SortedIntersectSize.column(
+          array_sort(col("a")), array_sort(col("b"))).as("k"),
+        size(array_intersect(col("a"), col("b"))).as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+  }
+
+  test("SortedIntersectSize: null array -> null") {
+    import spark.implicits._
+    import graft.functions.SortedIntersectSize
+    val df = Seq(
+      (1, Seq("a", "b"), Seq("b")),
+      (2, null.asInstanceOf[Seq[String]], Seq("b"))).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      SortedIntersectSize.column(col("a"), col("b")).as("k"))
+      .orderBy("id").collect()
+    assert(got(0).getInt(1) == 1)
+    assert(got(1).isNullAt(1))
+  }
 }
