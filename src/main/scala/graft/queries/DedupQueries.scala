@@ -1047,7 +1047,14 @@ object DedupQueries {
     // (3) the doubly-consumed tokenize lineage spreads the one-split
     // scan before projecting. On a Zipf-vocabulary corpus (any real
     // text at 100 TB) the prefix filter does the heavy lifting these
-    // constants can't.
+    // constants can't. The 30x salted probe goes further (SCALE.md,
+    // round-7 section): replication multiplies original-gram dfs by N
+    // until high-df grams re-enter prefixes and candidates go
+    // quadratic (5.5M -> 115M at 30x; DuckDB runs the identical curve,
+    // so it is the algorithm meeting the corpus, not the engine).
+    // Mitigation path if real data ever showed this density: suffix
+    // filtering (ppjoin+) or length-bucketed re-partitioning of the
+    // high-df tail.
     Q(
       "dedup_prefix_jaccard",
       (s, d) => {
@@ -1071,7 +1078,9 @@ object DedupQueries {
         // per-doc gram list sorted by the global (df, gram) order; the
         // struct sort gives rarest-first, the only order under which
         // the prefix bound holds
-        val sorted = posting.join(dfreq, "gram")
+        // dfreq is the gram DICTIONARY — Heaps-law corpus-sized at
+        // 100 TB, so it shuffles like every other corpus-sized side
+        val sorted = posting.join(dfreq.hint("shuffle_hash"), "gram")
           .repartition(nPart, col("doc_id"))
           .groupBy("doc_id")
           .agg(transform(
@@ -1092,7 +1101,15 @@ object DedupQueries {
         // pair satisfies the bound (it upper-bounds the actual
         // overlap), so dropping failing rows loses no pair.
         val alpha = floor((col("a.n") + col("b.n") + 2) / 3)
-        val cand = pfx.as("a").join(pfx.as("b"),
+        // every join below hints shuffle_hash: the prefix table and the
+        // gram-array table are both CORPUS-SIZED, and Catalyst's size
+        // estimate under Generate(explode) is low enough that it chose
+        // to BROADCAST them — fine at sf0.1 (3 MB), an OOM at the 30x
+        // probe (a ~6M-row exploded broadcast), and wrong at 100 TB by
+        // definition. Shuffle-hash keys the pair join on gram and the
+        // verify on doc_id; per-partition builds are corpus/nPart.
+        val cand = pfx.as("a")
+          .join(pfx.hint("shuffle_hash").as("b"),
             col("a.gram") === col("b.gram") &&
               col("a.doc_id") < col("b.doc_id") &&
               col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2 &&
@@ -1108,6 +1125,7 @@ object DedupQueries {
         // (33 s -> ~2 s over the sf0.1 candidate set)
         val gsort = grams.select(col("doc_id"),
           array_sort(col("g")).as("gs"), size(col("g")).as("ng"))
+          .hint("shuffle_hash")
         val inter = graft.functions.SortedIntersectSize.column(
           col("ga"), col("gb"))
         cand

@@ -549,6 +549,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(900))
   }
 
+  test("prefix Jaccard: corpus-sized join sides shuffle, never broadcast") {
+    val p = plan("dedup_prefix_jaccard")
+    // the prefix table and the gram-array table are corpus-sized;
+    // Catalyst's under-estimate beneath Generate(explode) once planned
+    // them as broadcasts (OOM at the 30x probe — SCALE.md round-7
+    // section). The pair join and both verify joins must be
+    // shuffle-hash; the only broadcast allowed is none at all.
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 3, p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("IVF+PQ served: probe prunes the persisted index at the directory level") {
     val p = plan("emb_ivfpq_served")
     // the cell IN (…) probe must land as a PartitionFilter on the index
