@@ -415,6 +415,52 @@ object DocQueries {
            |  md5(coalesce(array_to_string(tok, ' '), '')) AS fingerprint
            |FROM toks ORDER BY doc_id""".stripMargin)),
 
+    // RAG chunking with overlap: fixed 32-token windows at stride 24
+    // (8-token overlap so no retrieval boundary splits an answer span)
+    // — the serving-side complement of doc_sequence_pack's
+    // training-side packing. One scan, a ~n/stride-per-doc explode
+    // (corpus-linear), no shuffle before the output sort; each chunk
+    // travels as its md5 (the downstream chunk-store join key), never
+    // re-materializing text. Docs whose normalized token stream is
+    // empty produce no chunks (filtered identically on both sides —
+    // Spark's sequence() would otherwise infer a DESCENDING step for
+    // n=0 and DuckDB's truncating -1//24 would emit a phantom chunk).
+    Q(
+      "doc_chunk_overlap",
+      (s, d) => {
+        val W = 32
+        val S = 24
+        val start = col("k") * S + 1
+        scored(s, d)
+          .select(col("doc_id"), col("tok"), size(col("tok")).as("n"))
+          .filter(col("n") >= 1)
+          .select(col("doc_id"), col("tok"),
+            explode(sequence(lit(0),
+              floor((col("n") - 1) / lit(S)).cast("int"))).as("k"))
+          .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+            start.cast("long").as("chunk_start"),
+            size(slice(col("tok"), start, lit(W))).cast("long")
+              .as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(col("tok"), start, lit(W))))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(
+        s"""$cte2, base AS (
+           |  SELECT doc_id, tok, len(tok) AS n FROM toks
+           |  WHERE len(tok) >= 1
+           |), ch AS (
+           |  SELECT doc_id, tok, n,
+           |    unnest(range(CAST((n - 1) // 24 AS INT) + 1)) AS k
+           |  FROM base
+           |)
+           |SELECT doc_id, k AS chunk_idx,
+           |  k * 24 + 1 AS chunk_start,
+           |  len(tok[(k * 24 + 1):(k * 24 + 32)]) AS n_chunk_tokens,
+           |  md5(array_to_string(tok[(k * 24 + 1):(k * 24 + 32)], ' '))
+           |    AS chunk_md5
+           |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Token-budget sampling: take documents per language in stable
     // doc_id order until each language's cumulative token count reaches
     // the budget — the "give me N tokens per language" selection step of
