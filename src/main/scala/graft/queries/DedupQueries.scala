@@ -1047,14 +1047,14 @@ object DedupQueries {
     // (3) the doubly-consumed tokenize lineage spreads the one-split
     // scan before projecting. On a Zipf-vocabulary corpus (any real
     // text at 100 TB) the prefix filter does the heavy lifting these
-    // constants can't. The 30x salted probe goes further (SCALE.md,
-    // round-7 section): replication multiplies original-gram dfs by N
-    // until high-df grams re-enter prefixes and candidates go
-    // quadratic (5.5M -> 115M at 30x; DuckDB runs the identical curve,
-    // so it is the algorithm meeting the corpus, not the engine).
-    // Mitigation path if real data ever showed this density: suffix
-    // filtering (ppjoin+) or length-bucketed re-partitioning of the
-    // high-df tail.
+    // constants can't — the 30x salted probe measures it near-FLAT
+    // (35 s for 30x the docs; candidates collapse to 613k because the
+    // rare salt grams own the prefixes — SCALE.md round-7 section,
+    // which also records the broadcast-at-scale bug and the
+    // salt-vs-normalizer probe-tool bug this probe surfaced). If
+    // production data ever showed synthetic-grade density, the
+    // mitigation path is suffix filtering (ppjoin+) or length-bucketed
+    // re-partitioning of the high-df tail.
     Q(
       "dedup_prefix_jaccard",
       (s, d) => {

@@ -35,8 +35,16 @@ import hashlib
 def salt_text(text, r):
     if text is None:
         return None
-    tag = hashlib.md5(text.encode()).hexdigest()[:6]
-    salt = f"zr{r}g{tag}"
+    # LETTERS-ONLY tag: the engine's normalizer strips digits, so a hex
+    # tag like "3fa2b1" used to collapse — ~6% of tags are all-digit and
+    # every such salt normalized to the SAME bare token, welding a
+    # cross-replica mega-cluster that sent the prefix-join probe
+    # candidates quadratic (5.5M -> 115M at 30x; root-caused round 7).
+    # The salt must survive normalization to do its job.
+    hextag = hashlib.md5(text.encode()).hexdigest()[:6]
+    tag = "".join("ghijklmnopqrstuv"[int(c, 16)] for c in hextag)
+    rtag = "".join("ghijklmnopqrstuv"[int(c, 16)] for c in f"{r:x}")
+    salt = f"zr{rtag}g{tag}"
     toks = text.split(" ")
     out = []
     for k, t in enumerate(toks):
