@@ -1455,16 +1455,31 @@ object DedupQueries {
         def blockPairs(pairs: DataFrame): DataFrame = pairs
           .filter(col("a_id") < 150 && col("b_id") < 150)
           .select("a_id", "b_id")
-        def labels(pairs: DataFrame, out: String): DataFrame =
+        // ONE CC invocation labels all three clusterings: the graphs
+        // are made disjoint by id-space offsets (block ids < 150, so
+        // 2e9 strides can never collide), unioned, and labeled
+        // together — components never span offsets, and the min-member
+        // label is offset-consistent, so subtracting the offset
+        // recovers each graph's own labels. Three separate runs cost
+        // 3x the fixed per-round action latency for identical output.
+        val Off = 2000000000L
+        def shift(pairs: DataFrame, o: Long): DataFrame = pairs
+          .select((col("a_id") + o).as("a_id"), (col("b_id") + o).as("b_id"))
+        val labs = graft.operators.ConnectedComponents.run(
+          shift(exactTruthPairs(s, d), 0L)
+            .unionByName(shift(blockPairs(minhashPairs(s, d)), Off))
+            .unionByName(shift(blockPairs(winnowPairs(s, d)), 2 * Off)))
+        def labels(o: Long, out: String): DataFrame =
           block.join(
-            graft.operators.ConnectedComponents.run(pairs)
-              .select(col("id").as("doc_id"), col("cluster_id")),
+            labs.filter(col("id") >= o && col("id") < o + Off)
+              .select((col("id") - o).as("doc_id"),
+                (col("cluster_id") - o).as(out)),
             Seq("doc_id"), "left_outer")
             .select(col("doc_id"),
-              coalesce(col("cluster_id"), col("doc_id")).as(out))
-        val tlabels = labels(exactTruthPairs(s, d), "tl")
-        def b3(pred: DataFrame, detector: String): DataFrame = {
-          val e = tlabels.join(labels(blockPairs(pred), "pl"), "doc_id")
+              coalesce(col(out), col("doc_id")).as(out))
+        val tlabels = labels(0L, "tl")
+        def b3(predOff: Long, detector: String): DataFrame = {
+          val e = tlabels.join(labels(predOff, "pl"), "doc_id")
           val pc = e.groupBy("pl").agg(count(lit(1)).as("pc"))
           val tc = e.groupBy("tl").agg(count(lit(1)).as("tc"))
           val ic = e.groupBy("pl", "tl").agg(count(lit(1)).as("ic"))
@@ -1482,8 +1497,8 @@ object DedupQueries {
               expr("(2 * p_micro * r_micro) " +
                 "div greatest(p_micro + r_micro, 1)").as("b3_f1_micro"))
         }
-        b3(minhashPairs(s, d), "minhash")
-          .unionByName(b3(winnowPairs(s, d), "winnow"))
+        b3(Off, "minhash")
+          .unionByName(b3(2 * Off, "winnow"))
           .orderBy("detector")
       },
       Some(
