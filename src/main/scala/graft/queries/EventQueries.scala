@@ -630,6 +630,236 @@ object EventQueries {
           |    // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS intercept_micro
           |FROM m ORDER BY event_type""".stripMargin)),
 
+    // Welch two-sample t-test between every pair of event types — the
+    // A/B-experiment readout (unequal variances, unequal n). No float
+    // sneaks in before the last step: values snap to the 1e6 grid, the
+    // three moments (n, Σy, Σy²) accumulate as DECIMAL(38,0)/HUGEINT,
+    // and t² is emitted by STAGED truncating integer division —
+    // variance at 1e12 scale ((nQ−S²) div (n(n−1))), standard-error²
+    // as var div n summed across arms, mean-diff at micro scale — the
+    // identical `div`/`//` chain on both engines (ev_linreg_by_type
+    // precedent; every operand here is non-negative except the mean
+    // diff, which is only ever squared). significant_5pct compares the
+    // milli-scaled t² against 3842 (1.96² = 3.8416), an integer
+    // compare. Scale shape: ONE partial-agg'd shuffle to a
+    // type-domain-sized frame, then a self-join on that tiny frame —
+    // pairs are |types|², never row-scaled. Headroom: nQ ≤ 38 digits
+    // holds to ~2e10 rows per arm at |value| ≤ 500; overflow is a loud
+    // NULL (ANSI decimal), never a wrap.
+    Q(
+      "ev_welch_ttest",
+      (s, d) => {
+        val m = ev(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value").cast("double") * 1e6, 0).cast("long")
+              .cast("decimal(19,0)").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+            sum(col("y")).cast("decimal(38,0)").as("sy"),
+            sum(col("y") * col("y")).cast("decimal(38,0)").as("q"))
+          .select(col("event_type"), col("n"), col("sy"),
+            expr("""CAST((n * q - sy * sy)
+                    div nullif(n * (n - 1), 0) AS DECIMAL(38,0))""")
+              .as("var_e12"))
+        val a = m.select(col("event_type").as("type_a"),
+          col("n").as("na"), col("sy").as("sa"), col("var_e12").as("va"))
+        val b = m.select(col("event_type").as("type_b"),
+          col("n").as("nb"), col("sy").as("sb"), col("var_e12").as("vb"))
+        a.join(b, col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            col("na").cast("long").as("n_a"),
+            col("nb").cast("long").as("n_b"),
+            expr("CAST(sa div na - sb div nb AS BIGINT)")
+              .as("mean_diff_micro"),
+            expr("""CAST((
+                (sa div na - sb div nb) * (sa div na - sb div nb) * 1000)
+                div nullif(va div na + vb div nb, 0) AS BIGINT)""")
+              .as("t2_milli"))
+          .withColumn("significant_5pct",
+            coalesce(col("t2_milli") >= 3842, lit(false)))
+          .orderBy("type_a", "type_b")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(y) AS HUGEINT) AS sy,
+          |    sum(CAST(y AS HUGEINT) * y) AS q
+          |  FROM (SELECT event_type,
+          |          CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT)
+          |            AS y
+          |        FROM events WHERE value IS NOT NULL)
+          |  GROUP BY 1
+          |), v AS (
+          |  SELECT event_type, n, sy,
+          |    (n * q - sy * sy) // nullif(n * (n - 1), 0) AS var_e12
+          |  FROM m
+          |)
+          |SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+          |  CAST(a.sy // a.n - b.sy // b.n AS BIGINT) AS mean_diff_micro,
+          |  CAST(((a.sy // a.n - b.sy // b.n)
+          |      * (a.sy // a.n - b.sy // b.n) * 1000)
+          |    // nullif(a.var_e12 // a.n + b.var_e12 // b.n, 0) AS BIGINT)
+          |    AS t2_milli,
+          |  coalesce(((a.sy // a.n - b.sy // b.n)
+          |      * (a.sy // a.n - b.sy // b.n) * 1000)
+          |    // nullif(a.var_e12 // a.n + b.var_e12 // b.n, 0) >= 3842,
+          |    FALSE) AS significant_5pct
+          |FROM v a JOIN v b ON a.event_type < b.event_type
+          |ORDER BY type_a, type_b""".stripMargin)),
+
+    // CUSUM changepoint scan per event type — "which day did this
+    // metric shift" over daily value sums, the classic mean-shift
+    // detector. All-integer: with per-day (n_i, S_i) and per-type
+    // totals (N, T), the cumulative deviation C_k = Σ_{i≤k}(S_i·N −
+    // T·n_i) is N × (running sum − expected share) — exact
+    // DECIMAL(38,0); the reported magnitude renormalizes by div N back
+    // to micro-value units. Days bucket as epoch_day = epoch_seconds
+    // div 86400 — pure integer, no calendar/timezone surface at all.
+    // The argmax day resolves by (max |C_k|, then earliest day): a
+    // groupBy max + semi-join-back, both on the days×types-sized daily
+    // frame, never row-scaled. Scale shape: one partial-agg'd shuffle
+    // to daily grain, a per-type window over day order (bounded
+    // running sum), and type-sized joins after that.
+    Q(
+      "ev_cusum_changepoint",
+      (s, d) => {
+        val daily = ev(s, d)
+          .filter(col("ts").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_type"),
+            (epochS(col("ts")) / 86400L).cast("long").as("epoch_day"),
+            round(col("value").cast("double") * 1e6, 0).cast("long")
+              .cast("decimal(19,0)").as("y"))
+          .groupBy("event_type", "epoch_day")
+          .agg(count(lit(1)).cast("decimal(19,0)").as("ni"),
+            sum(col("y")).cast("decimal(38,0)").as("si"))
+        val tw = Window.partitionBy("event_type")
+        val cw = Window.partitionBy("event_type").orderBy("epoch_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cusum = daily
+          .withColumn("nn", sum(col("ni")).over(tw).cast("decimal(19,0)"))
+          .withColumn("tt", sum(col("si")).over(tw).cast("decimal(38,0)"))
+          .withColumn("ck",
+            abs(sum(col("si") * col("nn") - col("tt") * col("ni")).over(cw))
+              .cast("decimal(38,0)"))
+        val peak = cusum.groupBy("event_type")
+          .agg(max(col("ck")).as("mk"), count(lit(1)).as("n_days"))
+        cusum.join(peak, "event_type")
+          .filter(col("ck") === col("mk"))
+          .groupBy(col("event_type"), col("n_days"),
+            expr("CAST(mk div nn AS BIGINT)").as("max_cusum_micro"))
+          .agg(min(col("epoch_day")).as("changepoint_day"))
+          .select(col("event_type"), col("n_days"),
+            col("changepoint_day"), col("max_cusum_micro"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS epoch_day,
+          |    CAST(count(*) AS HUGEINT) AS ni,
+          |    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1e6, 0)
+          |      AS BIGINT)) AS HUGEINT) AS si
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND value IS NOT NULL
+          |    AND event_type IS NOT NULL
+          |  GROUP BY 1, 2
+          |), tot AS (
+          |  SELECT event_type, sum(ni) AS nn, sum(si) AS tt
+          |  FROM daily GROUP BY 1
+          |), cusum AS (
+          |  SELECT d.event_type, d.epoch_day, t.nn,
+          |    abs(sum(d.si * t.nn - t.tt * d.ni)
+          |      OVER (PARTITION BY d.event_type ORDER BY d.epoch_day
+          |            ROWS UNBOUNDED PRECEDING)) AS ck
+          |  FROM daily d JOIN tot t ON d.event_type = t.event_type
+          |), peak AS (
+          |  SELECT event_type, max(ck) AS mk, count(*) AS n_days
+          |  FROM cusum GROUP BY 1
+          |)
+          |SELECT c.event_type, p.n_days,
+          |  min(c.epoch_day) AS changepoint_day,
+          |  CAST(p.mk // c.nn AS BIGINT) AS max_cusum_micro
+          |FROM cusum c JOIN peak p
+          |  ON c.event_type = p.event_type AND c.ck = p.mk
+          |GROUP BY 1, 2, 4
+          |ORDER BY c.event_type""".stripMargin)),
+
+    // Lag-1 autocorrelation of DAILY EVENT COUNTS per type — "is
+    // yesterday predictive of today", the seasonality/burstiness
+    // readout. Pairs (x_t, x_{t+1}) form by an equi-join on
+    // (type, epoch_day + 1) — calendar-gap days simply produce no
+    // pair (documented; the gap-fill-to-zero variant is ev_gap_fill's
+    // shape composed here if wanted). Pearson r over the pairs uses
+    // exact integer moments; the ONLY float step is the final
+    // num/sqrt(dx·dy), which rounds at scale 0 on the 1e6-scaled
+    // numerator BEFORE the divide (the sd_v precedent: scale-0
+    // round of a double is cross-engine stable, 6-dp round of a
+    // quotient is not). Daily counts keep every moment far inside
+    // 2^53 up to ~9e6 daily events per type per day at 10k days —
+    // beyond that the counts themselves need the decimal widening,
+    // and the doubles here would need the same rework.
+    Q(
+      "ev_autocorr_daily",
+      (s, d) => {
+        val daily = ev(s, d)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            (epochS(col("ts")) / 86400L).cast("long").as("epoch_day"))
+          .agg(count(lit(1)).as("x"))
+        val nxt = daily.select(col("event_type"),
+          (col("epoch_day") - 1).as("epoch_day"), col("x").as("x1"))
+        val pairs = daily.join(nxt, Seq("event_type", "epoch_day"))
+        pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("m"),
+            sum(col("x")).as("sx"), sum(col("x1")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x1") * col("x1")).as("syy"),
+            sum(col("x") * col("x1")).as("sxy"))
+          .select(col("event_type"), col("m").as("n_pairs"),
+            (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("m") * col("sxx") - col("sx") * col("sx")).as("dx"),
+            (col("m") * col("syy") - col("sy") * col("sy")).as("dy"))
+          .select(col("event_type"), col("n_pairs"),
+            when(col("dx") <= 0 || col("dy") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(col("num").cast("double") * 1e6 /
+                sqrt(col("dx").cast("double") * col("dy").cast("double")),
+                0) / 1e6)
+              .as("r1"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS epoch_day,
+          |    count(*) AS x
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |  GROUP BY 1, 2
+          |), pairs AS (
+          |  SELECT a.event_type, a.x, b.x AS x1
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type
+          |    AND b.epoch_day = a.epoch_day + 1
+          |), mom AS (
+          |  SELECT event_type, count(*) AS m,
+          |    sum(x) AS sx, sum(x1) AS sy,
+          |    sum(x * x) AS sxx, sum(x1 * x1) AS syy,
+          |    sum(x * x1) AS sxy
+          |  FROM pairs GROUP BY 1
+          |)
+          |SELECT event_type, m AS n_pairs,
+          |  CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+          |    THEN NULL
+          |    ELSE round(CAST(m * sxy - sx * sy AS DOUBLE) * 1e6
+          |      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+          |           * CAST(m * syy - sy * sy AS DOUBLE)), 0) / 1e6
+          |    END AS r1
+          |FROM mom ORDER BY event_type""".stripMargin)),
+
     // Exact interpolated percentiles (the reference has no percentile
     // surface at all — SURVEY §2.5 negative finding); Spark `percentile`
     // and DuckDB `quantile_cont` share the standard interpolation

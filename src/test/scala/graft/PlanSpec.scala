@@ -823,9 +823,10 @@ class PlanSpec extends AnyFunSuite {
     //   (c) the query-frame convention: a pushed point/range filter on
     //       vec_id with a small literal (<= 9 query vectors);
     //   (d) the bounded-domain aggregate convention: an aggregate
-    //       keyed ONLY on label / cluster-id / partition-id columns —
-    //       |labels|, k (√n cluster count), or |partitions| rows,
-    //       never corpus rows;
+    //       keyed ONLY on label / cluster-id / partition-id /
+    //       event_type columns — |labels|, k (√n cluster count),
+    //       |partitions|, or the event-type taxonomy (ev_welch_ttest's
+    //       pair frame), never corpus rows;
     //   (e) the ground-truth block convention: a pushed doc_id < N
     //       (N <= 999) literal filter — the deliberately bounded
     //       all-pairs baselines the recall evals compare against
@@ -851,7 +852,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.{
       FilterExec, ProjectExec, SortExec, UnaryExecNode}
     import org.apache.spark.sql.execution.exchange.Exchange
-    val boundedKeys = Seq("label#", "cid#", "pid#")
+    val boundedKeys = Seq("label#", "cid#", "pid#", "event_type#")
     val seedFrame = "vec_id#\\d+L? < \\w+#\\d+L?".r
     def boundedBuild(p: SparkPlan): Boolean = p match {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
