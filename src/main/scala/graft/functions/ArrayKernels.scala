@@ -107,3 +107,59 @@ object SortedIntersectSize {
     GraftSqlBridge.column(SortedIntersectSize(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
+
+/** `graft_sorted_intersect_size_long(array<bigint>, array<bigint>) -> int`:
+  * the [[SortedIntersectSize]] merge pass over ASCENDING-SORTED long
+  * arrays — the hash-prescreen variant. dedup_prefix_jaccard's verify
+  * prescreens candidate pairs on sorted xxhash64 gram arrays (8 bytes
+  * per element instead of a ~20-byte string, primitive compares
+  * instead of UTF8 memcmp) and only exact-verifies the survivors; the
+  * MULTISET hash intersection can only ever OVERcount the true string
+  * intersection (each shared gram occupies one matching hash slot on
+  * both sides), so the prescreen admits every true pair by
+  * construction. Contract: inputs numerically sorted; duplicates
+  * (hash collisions) are counted multiset-style — that is exactly the
+  * property the ≥-bound needs. Null elements are not expected (grams
+  * are non-null) and count as smallest via getLong's 0 default only
+  * if a caller violates that contract.
+  */
+case class SortedIntersectSizeLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSizeLong.interSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectSizeLong.interSize($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeLong =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sorted_intersect_size_long"
+}
+
+object SortedIntersectSizeLong {
+  def interSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectSizeLong(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -1037,15 +1037,25 @@ object DedupQueries {
     // distinct bigrams over 5,000 docs (every gram df~285 — no rare
     // grams for the prefix to exploit), so candidates are 5.5M of the
     // 12.5M possible pairs: near-adversarial for ANY prefix scheme.
-    // Three fixes keep it linear-cost-per-candidate anyway, measured
-    // 78 s -> ~13 s: (1) the verify's size(array_intersect) — a
+    // Five fixes keep it linear-cost-per-candidate anyway, measured
+    // 78 s -> ~8 s: (1) the verify's size(array_intersect) — a
     // per-row hash-set build — replaced by the codegen'd
     // SortedIntersectSize merge kernel over plain-sorted gram arrays;
     // (2) AQE's byte-targeted coalescing collapsed the tiny-bytes/
     // CPU-dense pair stream to 4 tasks (38 of 44 s), so the CPU-heavy
     // exchanges pin the session's shuffle parallelism explicitly;
     // (3) the doubly-consumed tokenize lineage spreads the one-split
-    // scan before projecting. On a Zipf-vocabulary corpus (any real
+    // scan before projecting; (4) the AllPairs ASYMMETRIC index
+    // prefix (~n/3 on the canonically smaller doc vs the probe's
+    // ~n/2) cuts candidate generation; (5) the verify runs TWO-PASS —
+    // an xxhash64-array prescreen (8-byte elements in the pair
+    // exchange, provably no false negatives) then exact string verify
+    // on survivor docs only. The two-pass trade by regime: when
+    // candidates >> true pairs (this corpus: 4.8M -> 256) it halves
+    // the query; when candidates ~ true pairs (the salted probes,
+    // where every candidate IS a near-dup) it costs ~12% — the verify
+    // there is output-bound either way, which is the scale property
+    // that matters. On a Zipf-vocabulary corpus (any real
     // text at 100 TB) the prefix filter does the heavy lifting these
     // constants can't — the 30x salted probe measures it near-FLAT
     // (35 s for 30x the docs; candidates collapse to 613k because the
@@ -1077,7 +1087,11 @@ object DedupQueries {
         val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
         // per-doc gram list sorted by the global (df, gram) order; the
         // struct sort gives rarest-first, the only order under which
-        // the prefix bound holds
+        // the prefix bound holds. (A doc_id-partitioned row_number
+        // window was tried instead of collect_list + array_sort +
+        // slice + posexplode and measured 2 s SLOWER at sf0.1 — the
+        // per-doc in-memory struct sorts beat one big Tungsten
+        // (doc_id, df, gram) row sort here.)
         // dfreq is the gram DICTIONARY — Heaps-law corpus-sized at
         // 100 TB, so it shuffles like every other corpus-sized side
         val sorted = posting.join(dfreq.hint("shuffle_hash"), "gram")
@@ -1087,12 +1101,31 @@ object DedupQueries {
             array_sort(collect_list(struct(col("df"), col("gram")))),
             x => x.getField("gram")).as("sg"))
           .withColumn("n", size(col("sg")))
-        // prefix length for J >= 0.5: n - ceil(n/2) + 1 (integer form)
+        // PROBE prefix length for J >= 0.5: n - ceil(t*n) + 1
+        // = n - ceil(n/2) + 1 (integer form)
         val plen = col("n") - floor((col("n") + 1) / 2).cast("int") + 1
         val pfx = sorted.select(col("doc_id"), col("n"),
           posexplode(slice(col("sg"), lit(1), plen)).as(Seq("i0", "gram")))
           .select(col("doc_id"), col("n"), (col("i0") + 1).as("i"),
             col("gram"))
+        // INDEX prefix (AllPairs asymmetry, Bayardo WWW'07 §3.1): under
+        // the canonical (n, doc_id) processing order the SMALLER doc of
+        // a pair only needs its first n - ceil(2t/(1+t)*n) + 1 grams
+        // indexed (t=0.5: n - ceil(2n/3) + 1 ~ n/3, vs the probe's
+        // ~n/2). Lemma: J >= t with nx <= ny forces overlap
+        // >= alpha = ceil(t/(1+t)*(nx+ny)), and an overlap-alpha pair
+        // must share a gram inside prefix(nx-alpha+1) x prefix
+        // (ny-alpha+1); alpha >= ceil(2t/(1+t)*nx) bounds the index
+        // side and alpha >= ceil(t*ny) (via nx >= t*ny) the probe side.
+        // The index prefix is by construction a PREFIX of the probe
+        // prefix, so it derives as a position filter — no second
+        // explode. PrefixJaccardSpec brute-force-checks completeness
+        // across the J~0.5 boundary; the DuckDB oracle deliberately
+        // keeps the SYMMETRIC two-probe-prefix form, so the gate
+        // cross-checks the tightened filter against an independently
+        // complete candidate scheme.
+        val ilen = col("n") - floor((col("n") * 2 + 2) / 3).cast("int") + 1
+        val idx = pfx.filter(col("i") <= ilen)
         // PPJoin positional filter (Xiao et al. WWW'08): a shared gram
         // at 1-based positions (i, j) bounds the overlap by
         // min(i-1, j-1) + 1 + min(na-i, nb-j) — common grams strictly
@@ -1108,27 +1141,77 @@ object DedupQueries {
         // probe (a ~6M-row exploded broadcast), and wrong at 100 TB by
         // definition. Shuffle-hash keys the pair join on gram and the
         // verify on doc_id; per-partition builds are corpus/nPart.
-        val cand = pfx.as("a")
+        val cand = idx.as("a")
           .join(pfx.hint("shuffle_hash").as("b"),
             col("a.gram") === col("b.gram") &&
-              col("a.doc_id") < col("b.doc_id") &&
-              col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2 &&
+              // canonical order: the index side is the smaller doc
+              (col("a.n") < col("b.n") ||
+                (col("a.n") === col("b.n") &&
+                  col("a.doc_id") < col("b.doc_id"))) &&
+              // size filter: J >= 0.5 forces the larger <= 2x smaller
+              col("b.n") <= col("a.n") * 2 &&
               least(col("a.i") - 1, col("b.i") - 1) + 1 +
                 least(col("a.n") - col("a.i"), col("b.n") - col("b.i"))
                 >= alpha)
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
           .repartition(nPart, col("a_id"), col("b_id"))
           .distinct()
-        // verify on PLAIN-SORTED gram arrays via the codegen'd merge
-        // kernel — the same exact intersection size(array_intersect)
-        // computes, at merge cost instead of a per-row hash-set build
-        // (33 s -> ~2 s over the sf0.1 candidate set)
-        val gsort = grams.select(col("doc_id"),
-          array_sort(col("g")).as("gs"), size(col("g")).as("ng"))
+        // TWO-PASS verify. The exact merge-kernel verify over sorted
+        // STRING gram arrays already replaced size(array_intersect)'s
+        // per-row hash-set build (33 s -> ~2 s at sf0.1), but shipping
+        // a ~2 KB string array with every candidate row through the
+        // second doc_id exchange was still ~8 of the query's ~13 s on
+        // the adversarial corpus (4.8M candidates for 256 true pairs).
+        // Pass 1 PRESCREENS on sorted xxhash64 gram arrays — 8 bytes
+        // per gram in the exchange, primitive compares in the kernel.
+        // No exactness is given up: the multiset hash intersection can
+        // only OVERcount the string intersection (each shared gram
+        // fills one matching hash slot on both sides), so
+        // J_hash >= J_true and the 3*ih >= na+nb cut (algebraically
+        // J_hash >= 0.5) admits every true pair. Pass 2 exact-verifies
+        // the surviving pairs on the true string arrays — a
+        // survivor-sized frame joined against the corpus arrays, which
+        // never re-enters a corpus-wide exchange carrying payload.
+        val ghash = grams.select(col("doc_id"),
+          array_sort(transform(col("g"), x => xxhash64(x))).as("gh"),
+          size(col("g")).as("ng"))
+          .hint("shuffle_hash")
+        val ih = graft.functions.SortedIntersectSizeLong.column(
+          col("ha"), col("hb"))
+        // the repartition below is load-bearing twice over: it pins the
+        // CPU-dense pair stream's parallelism, AND all three pass-2
+        // consumers (the two survivor-id branches and the pair join)
+        // read the SAME exchange via AQE stage reuse, so the prescreen
+        // lineage materializes once, not three times
+        val survivors = cand
+          .join(ghash.select(col("doc_id").as("a_id"), col("gh").as("ha"),
+            col("ng").as("na")), "a_id")
+          .join(ghash.select(col("doc_id").as("b_id"), col("gh").as("hb"),
+            col("ng").as("nb")), "b_id")
+          .filter(ih * 3 >= col("na") + col("nb"))
+          .select(col("a_id"), col("b_id"))
+          .repartition(nPart, col("a_id"), col("b_id"))
+        // pass 2 re-tokenizes ONLY survivor docs (the toksFor semi-join
+        // prune pattern, shuffle-hash because survivor counts scale
+        // with the corpus's true duplicate mass) — without this prune
+        // the exact pass would be a third corpus-wide tokenize, which
+        // the salted 10x/30x probes measured as the dominant cost
+        val survIds = survivors.select(col("a_id").as("doc_id"))
+          .union(survivors.select(col("b_id").as("doc_id")))
+          .distinct()
+          .hint("shuffle_hash")
+        val gsort = bigramSets(
+          Tables.t(s, d, "documents")
+            .join(survIds, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"),
+              graft.functions.NormTokens.column(col("text")).as("tok")))
+          .select(col("doc_id"),
+            array_sort(col("g")).as("gs"), size(col("g")).as("ng"))
           .hint("shuffle_hash")
         val inter = graft.functions.SortedIntersectSize.column(
           col("ga"), col("gb"))
-        cand
+        survivors
           .join(gsort.select(col("doc_id").as("a_id"), col("gs").as("ga"),
             col("ng").as("na")), "a_id")
           .join(gsort.select(col("doc_id").as("b_id"), col("gs").as("gb"),

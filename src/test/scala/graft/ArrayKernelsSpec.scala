@@ -75,6 +75,47 @@ class ArrayKernelsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
   }
 
+  test("SortedIntersectSizeLong == size(array_intersect); hash multiset >= string intersect") {
+    import spark.implicits._
+    import graft.functions.SortedIntersectSizeLong
+    val rnd = new scala.util.Random(29)
+    val sample: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(Long.MinValue, 0L, Long.MaxValue),
+        Seq(Long.MinValue, Long.MaxValue))) ++
+      Seq.fill(200) {
+        def s() = (0 until rnd.nextInt(60))
+          .map(_ => rnd.nextInt(40).toLong).distinct
+        (s(), s())
+      }
+    val rows = sample.toDF("a", "b")
+      .select(
+        SortedIntersectSizeLong.column(
+          array_sort(col("a")), array_sort(col("b"))).as("k"),
+        size(array_intersect(col("a"), col("b"))).as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+    // the prescreen's soundness bound: for DISTINCT string sets, the
+    // multiset intersection of their (possibly colliding) hashes never
+    // undercounts the true string intersection
+    val strs: Seq[(Seq[String], Seq[String])] = Seq.fill(200) {
+      def s() = (0 until (1 + rnd.nextInt(30)))
+        .map(_ => s"t${rnd.nextInt(12)}").distinct
+      (s(), s())
+    }
+    val bound = strs.toDF("a", "b")
+      .select(
+        SortedIntersectSizeLong.column(
+          array_sort(expr("transform(a, x -> xxhash64(x) % 4)")),
+          array_sort(expr("transform(b, x -> xxhash64(x) % 4)"))).as("ih"),
+        size(array_intersect(col("a"), col("b"))).as("it"))
+      .collect()
+    // % 4 forces heavy collisions; the bound must still hold
+    bound.foreach(r => assert(r.getInt(0) >= r.getInt(1), r))
+  }
+
   test("SortedIntersectSize: null array -> null") {
     import spark.implicits._
     import graft.functions.SortedIntersectSize
