@@ -860,6 +860,233 @@ object EventQueries {
           |    END AS r1
           |FROM mom ORDER BY event_type""".stripMargin)),
 
+    // Mergeable fixed-bin histogram quantile — the deterministic,
+    // engine-independent cousin of the approx_percentile sketch (whose
+    // registers are engine-private, forcing ev_value_percentiles_approx
+    // into an envelope check). Stage 1 builds per-INPUT-PARTITION
+    // partial histograms (groupBy event_type, spark_partition_id, bin),
+    // stage 2 merges them by plain summation — the mergeable-summary
+    // property made visible in the plan, hll_partial_merge's pattern
+    // for quantiles. Because counts are associative the merged
+    // histogram is bit-identical however the input was split, so the
+    // DuckDB oracle just builds the histogram directly. The p50
+    // estimate interpolates uniformly inside the k-th-rank bin in pure
+    // integer arithmetic (midpoint convention, truncating div); the
+    // exact interpolated percentile rides alongside so the sketch
+    // error is visible in the output. Bins = value div 8 (units), so
+    // the cumulative window per type is bounded by the VALUE RANGE
+    // (~62 bins here), never row count. Negative values would bucket
+    // by truncation on both engines — consistent cross-engine, though
+    // a floor-binning refinement would tighten the estimate there.
+    Q(
+      "ev_hist_quantile_merge",
+      (s, d) => {
+        val binw = 8000000L // 8 value-units at the 1e6 micro grid
+        val partial = ev(s, d)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type"),
+            round(col("value").cast("double") * 1e6, 0).cast("long")
+              .as("vi"),
+            spark_partition_id().as("pid"))
+          .select(col("event_type"), expr(s"vi div $binw").as("bin"),
+            col("pid"))
+          .groupBy("event_type", "pid", "bin")
+          .agg(count(lit(1)).as("pc"))
+        val merged = partial.groupBy("event_type", "bin")
+          .agg(sum(col("pc")).as("c"))
+        val tw = Window.partitionBy("event_type")
+        val cw = Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val est = merged
+          .withColumn("n", sum(col("c")).over(tw))
+          .withColumn("cum", sum(col("c")).over(cw))
+          .withColumn("k", expr("(n + 1) div 2"))
+          .filter(col("cum") - col("c") < col("k") &&
+            col("cum") >= col("k"))
+          .select(col("event_type"), col("n"),
+            (col("bin") * binw +
+              expr(s"($binw * (2 * (k - (cum - c)) - 1)) div (2 * c)"))
+              .as("est_p50_micro"))
+        val exact = ev(s, d)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type"), col("value"),
+            round(col("value").cast("double") * 1e6, 0).cast("long")
+              .as("vi"))
+          .groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+            countDistinct(expr(s"vi div $binw")).as("n_bins"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("n"), col("n_bins"),
+            col("est_p50_micro"), col("exact_p50"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT event_type,
+          |    CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT) AS vi,
+          |    value
+          |  FROM events
+          |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+          |), h AS (
+          |  SELECT event_type, vi // 8000000 AS bin, count(*) AS c
+          |  FROM v GROUP BY 1, 2
+          |), cum AS (
+          |  SELECT event_type, bin, c,
+          |    sum(c) OVER (PARTITION BY event_type) AS n,
+          |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+          |                 ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM h
+          |), est AS (
+          |  SELECT event_type, CAST(n AS BIGINT) AS n,
+          |    CAST(bin * 8000000 +
+          |      (8000000 * (2 * ((n + 1) // 2 - (cum - c)) - 1))
+          |        // (2 * c) AS BIGINT) AS est_p50_micro
+          |  FROM cum
+          |  WHERE cum - c < (n + 1) // 2 AND cum >= (n + 1) // 2
+          |), ex AS (
+          |  SELECT event_type,
+          |    round(quantile_cont(value, 0.5), 6) AS exact_p50,
+          |    count(DISTINCT vi // 8000000) AS n_bins
+          |  FROM v GROUP BY 1
+          |)
+          |SELECT e.event_type, e.n, x.n_bins, e.est_p50_micro, x.exact_p50
+          |FROM est e JOIN ex x USING (event_type)
+          |ORDER BY event_type""".stripMargin)),
+
+    // EXACT global median by distributed selection — the answer to
+    // "exact percentile at 100 TB" that neither the sort-based
+    // `percentile` aggregate (all values through one reducer) nor a
+    // global rank window (one-partition collapse) survives. The
+    // emb_auc_centroid range-partitioned ranking: repartitionByRange on
+    // the value + in-partition sort + per-partition (count, min-id)
+    // offsets broadcast back, global rank = local position + offset;
+    // then keep ONLY the two middle order statistics. Both middles are
+    // emitted as exact micro-grid integers — an even-count median
+    // average would round; the two order statistics never do. Ties may
+    // straddle partition boundaries, which is fine: order STATISTICS
+    // are invariant to which duplicate lands at which rank.
+    Q(
+      "ev_value_median_exact",
+      (s, d) => {
+        val v = ev(s, d)
+          .filter(col("value").isNotNull)
+          .select(round(col("value").cast("double") * 1e6, 0)
+            .cast("long").as("vi"))
+        val nf = v.agg(count(lit(1)).as("n"))
+        val ranked = v
+          .repartitionByRange(col("vi"))
+          .sortWithinPartitions(col("vi"))
+          .select(col("vi"), spark_partition_id().as("pid"),
+            monotonically_increasing_id().as("mid"))
+        val stats = ranked.groupBy("pid")
+          .agg(count(lit(1)).as("cnt"), min(col("mid")).as("mid0"))
+        val offsets = stats.as("a")
+          .join(broadcast(stats.select(col("pid").as("p2"),
+            col("cnt").as("c2"))), col("p2") < col("a.pid"), "left")
+          .groupBy(col("a.pid").as("pid"), col("a.mid0").as("mid0"))
+          .agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
+        val sel = ranked.join(broadcast(offsets), "pid")
+          .withColumn("r", col("mid") - col("mid0") + col("off") + 1L)
+          .crossJoin(broadcast(nf))
+          .filter(col("r") === expr("(n + 1) div 2") ||
+            col("r") === expr("n div 2 + 1"))
+          .agg(
+            max(when(col("r") === expr("(n + 1) div 2"), col("vi")))
+              .as("median_lo_micro"),
+            max(when(col("r") === expr("n div 2 + 1"), col("vi")))
+              .as("median_hi_micro"))
+        nf.crossJoin(broadcast(sel))
+          .select(col("n"), col("median_lo_micro"), col("median_hi_micro"))
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT)
+          |    AS vi
+          |  FROM events WHERE value IS NOT NULL
+          |), s AS (
+          |  SELECT vi, row_number() OVER (ORDER BY vi) AS r FROM v
+          |)
+          |SELECT (SELECT count(*) FROM v) AS n,
+          |  (SELECT vi FROM s, (SELECT count(*) AS n FROM v)
+          |   WHERE r = (n + 1) // 2) AS median_lo_micro,
+          |  (SELECT vi FROM s, (SELECT count(*) AS n FROM v)
+          |   WHERE r = n // 2 + 1) AS median_hi_micro""".stripMargin)),
+
+    // Two-proportion z-test on conversion — the discrete twin of
+    // ev_welch_ttest: users hash-split into arms by user_id parity (a
+    // deterministic assignment both engines share), conversion = "at
+    // least 14 purchase events" (this corpus gives EVERY user a
+    // purchase — median ~14 — so the ≥1 form is degenerate; 14 splits
+    // the population), pooled z² carried as ONE exact
+    // rational: z² = (c1·n2 − c2·n1)²·(n1+n2) /
+    // (n1·n2·(c1+c2)·(n1+n2−c1−c2)), emitted by a single truncating
+    // division at milli scale. Degenerate pools (nobody / everybody
+    // converted, an empty arm) emit NULL via nullif. Headroom: the
+    // numerator stays inside DECIMAL(38,0) to ~1e8 users per arm;
+    // beyond that it NULLs loudly (ANSI decimal), never wraps. One
+    // user-keyed partial-agg'd shuffle to per-user rows, then ONE
+    // conditional global aggregate — no arm self-join at all.
+    Q(
+      "ev_ab_conversion_ztest",
+      (s, d) => {
+        val perUser = ev(s, d)
+          .filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(when(count(when(col("event_type") === "purchase", 1))
+            >= 14, 1L).otherwise(0L).as("converted"))
+          .select((col("user_id") % 2).as("arm"), col("converted"))
+        perUser
+          .agg(
+            count(when(col("arm") === 0, 1)).cast("decimal(19,0)")
+              .as("na"),
+            count(when(col("arm") === 1, 1)).cast("decimal(19,0)")
+              .as("nb"),
+            coalesce(sum(when(col("arm") === 0, col("converted"))), lit(0L))
+              .cast("decimal(19,0)").as("ca"),
+            coalesce(sum(when(col("arm") === 1, col("converted"))), lit(0L))
+              .cast("decimal(19,0)").as("cb"))
+          .select(
+            col("na").cast("long").as("n_a"),
+            col("nb").cast("long").as("n_b"),
+            col("ca").cast("long").as("conv_a"),
+            col("cb").cast("long").as("conv_b"),
+            expr("""CAST(((ca * nb - cb * na) * (ca * nb - cb * na)
+                * (na + nb) * 1000)
+                div nullif(na * nb * (ca + cb)
+                  * (na + nb - ca - cb), 0) AS BIGINT)""")
+              .as("z2_milli"))
+          .withColumn("significant_5pct",
+            coalesce(col("z2_milli") >= 3842, lit(false)))
+      },
+      Some(
+        """WITH pu AS (
+          |  SELECT user_id % 2 AS arm,
+          |    CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1
+          |      END) >= 14 THEN 1 ELSE 0 END AS converted
+          |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+          |), m AS (
+          |  SELECT
+          |    CAST(count(CASE WHEN arm = 0 THEN 1 END) AS HUGEINT) AS na,
+          |    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS HUGEINT) AS nb,
+          |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN converted END), 0)
+          |      AS HUGEINT) AS ca,
+          |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN converted END), 0)
+          |      AS HUGEINT) AS cb
+          |  FROM pu
+          |)
+          |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          |  CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+          |  CAST(((ca * nb - cb * na) * (ca * nb - cb * na)
+          |      * (na + nb) * 1000)
+          |    // nullif(na * nb * (ca + cb)
+          |      * (na + nb - ca - cb), 0) AS BIGINT) AS z2_milli,
+          |  coalesce(((ca * nb - cb * na) * (ca * nb - cb * na)
+          |      * (na + nb) * 1000)
+          |    // nullif(na * nb * (ca + cb)
+          |      * (na + nb - ca - cb), 0) >= 3842, FALSE)
+          |    AS significant_5pct
+          |FROM m""".stripMargin)),
+
     // Exact interpolated percentiles (the reference has no percentile
     // surface at all — SURVEY §2.5 negative finding); Spark `percentile`
     // and DuckDB `quantile_cont` share the standard interpolation

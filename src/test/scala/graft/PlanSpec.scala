@@ -742,6 +742,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(1200))
   }
 
+  test("exact median: range-partitioned selection, no window, no sort-merge") {
+    val p = plan("ev_value_median_exact")
+    // the distributed-selection claim: global rank comes from a range
+    // exchange + per-partition offsets, never a WindowExec (which
+    // would collapse to one partition) and never percentile()'s
+    // single-reducer value collection
+    assert(!p.contains("Window"), p.take(900))
+    assert(p.contains("rangepartitioning(vi"), p.take(900))
+    assert(!p.contains("percentile"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("hist quantile merge: two-level aggregation, windows keyed by type") {
+    val p = plan("ev_hist_quantile_merge")
+    // stage-1 partials (type, pid, bin) then the merge (type, bin):
+    // both hash aggregates partial+final, and every window carries a
+    // partition spec (the suite-wide global-window guard double-checks)
+    assert(p.contains("partial_count"), p.take(900))
+    assert(p.contains("partial_sum"), p.take(900))
+    assert(p.contains("Window"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
   test("suite-wide: global windows only ever sort bounded frames (pinned set)") {
     // A partition-less WindowExec collapses its input to ONE partition —
     // the textbook scale-killer (emb_auc_centroid shipped one through

@@ -77,6 +77,68 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_hist_quantile_merge: estimate within one bin of the exact median") {
+    val rows =
+      Registry.byName("ev_hist_quantile_merge").build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val t = r.getString(0)
+      val v = events.filter(_._1 == t).map(_._3).sorted
+      assert(r.getLong(1) == v.size, s"$t n")
+      val exactLo = v((v.size - 1) / 2) // lower middle order statistic
+      val est = r.getLong(3) / 1e6
+      // the estimate interpolates inside the rank-k bin, so it can
+      // never be more than one 8-unit bin from the k-th value
+      assert(math.abs(est - exactLo) <= 8.0 + 1e-6,
+        s"$t: est $est vs exact-lo $exactLo")
+    }
+  }
+
+  test("ev_value_median_exact returns the true middle order statistics") {
+    val r =
+      Registry.byName("ev_value_median_exact").build(spark, dir).collect()
+    assert(r.length == 1)
+    val v = events.map(x => math.round(x._3 * 1e6)).sorted
+    // spec loads only ts/type/value-non-null rows; the query filters
+    // value only — recompute from the query's own population
+    import org.apache.spark.sql.functions._
+    val vv = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(round(col("value").cast("double") * 1e6, 0).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vv.length
+    assert(r(0).getLong(0) == n)
+    assert(r(0).getLong(1) == vv((n + 1) / 2 - 1), "lo order statistic")
+    assert(r(0).getLong(2) == vv(n / 2), "hi order statistic")
+    assert(v.nonEmpty) // silence unused warning path
+  }
+
+  test("ev_ab_conversion_ztest matches a double-precision pooled z^2") {
+    val r = Registry.byName("ev_ab_conversion_ztest")
+      .build(spark, dir).collect()
+    assert(r.length == 1)
+    import org.apache.spark.sql.functions._
+    val pu = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === "purchase", 1)).as("np"))
+      .collect().map(x => (x.getLong(0), x.getLong(1) >= 14))
+    val (a, b) = pu.partition(_._1 % 2 == 0)
+    val (na, nb) = (a.length.toDouble, b.length.toDouble)
+    val (ca, cb) = (a.count(_._2).toDouble, b.count(_._2).toDouble)
+    assert(r(0).getLong(0) == na.toLong && r(0).getLong(1) == nb.toLong)
+    assert(r(0).getLong(2) == ca.toLong && r(0).getLong(3) == cb.toLong)
+    val p = (ca + cb) / (na + nb)
+    if (p == 0 || p == 1 || na == 0 || nb == 0) assert(r(0).isNullAt(4))
+    else {
+      val z2 = math.pow(ca / na - cb / nb, 2) /
+        (p * (1 - p) * (1 / na + 1 / nb))
+      val got = r(0).getLong(4) / 1000.0
+      assert(math.abs(got - z2) <= z2 * 0.001 + 0.002,
+        s"engine $got vs double $z2")
+      assert(r(0).getBoolean(5) == (r(0).getLong(4) >= 3842))
+    }
+  }
+
   test("ev_autocorr_daily matches a double-precision Pearson r1") {
     val rows =
       Registry.byName("ev_autocorr_daily").build(spark, dir).collect()
