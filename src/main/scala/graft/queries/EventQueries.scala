@@ -1087,6 +1087,116 @@ object EventQueries {
           |    AS significant_5pct
           |FROM m""".stripMargin)),
 
+    // Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
+    // values — the NONPARAMETRIC two-sample test beside ev_welch_ttest
+    // (parametric) and ev_ab_conversion_ztest (proportions). Exact
+    // midranks with the tie correction, no float until nothing is left
+    // to round: per DISTINCT grid value the midrank rides ×2
+    // (2·cum_before + c + 1), U rides ×2, and the tie-corrected
+    // z² = (U2−n1n2)²·3·N(N−1) / (n1n2·((N+1)N(N−1)−ΣT)) emits by one
+    // truncating division at milli scale. The cumulative count BEFORE
+    // each distinct value is a DISTRIBUTED PREFIX SUM — range-partition
+    // the distinct-value frame on vi, run the running sum per partition
+    // (a pid-keyed window, never partition-less), add broadcast
+    // per-partition offsets: the ev_value_median_exact machinery turned
+    // from selection to prefix aggregation. Headroom: the z² numerator
+    // holds to ~1e8 rows per arm in DECIMAL(38,0); past that it NULLs
+    // loudly. Scale shape: one partial-agg'd shuffle to the distinct
+    // value grid (bounded by value-range × 1e6, not row count), one
+    // range exchange of that grid, bounded offset frames.
+    Q(
+      "ev_mann_whitney",
+      (s, d) => {
+        val byv = ev(s, d)
+          .filter(col("value").isNotNull &&
+            col("event_type").isin("click", "purchase"))
+          .select(
+            round(col("value").cast("double") * 1e6, 0).cast("long")
+              .as("vi"),
+            when(col("event_type") === "click", 1L).otherwise(0L)
+              .as("is1"))
+          .groupBy("vi")
+          .agg(sum(col("is1")).as("c1"),
+            sum(lit(1L) - col("is1")).as("c2"))
+          .withColumn("c", col("c1") + col("c2"))
+        val part = byv
+          .repartitionByRange(col("vi"))
+          .sortWithinPartitions(col("vi"))
+          .withColumn("pid", spark_partition_id())
+        val pw = Window.partitionBy("pid").orderBy("vi")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = part.withColumn("lcum", sum(col("c")).over(pw))
+        val ptot = part.groupBy("pid").agg(sum(col("c")).as("pc"))
+        val off = ptot.as("a")
+          .join(broadcast(ptot.select(col("pid").as("p2"),
+            col("pc").as("pc2"))), col("p2") < col("a.pid"), "left")
+          .groupBy(col("a.pid").as("pid"))
+          .agg(coalesce(sum(col("pc2")), lit(0L)).as("off"))
+        local.join(broadcast(off), "pid")
+          .select(col("c1"), col("c2"), col("c"),
+            // midrank ×2 of this distinct value's tie block
+            (lit(2L) * (col("off") + col("lcum") - col("c")) +
+              col("c") + 1L).cast("decimal(38,0)").as("rank2"))
+          .agg(
+            sum(col("c1")).cast("decimal(19,0)").as("n1"),
+            sum(col("c2")).cast("decimal(19,0)").as("n2"),
+            sum(col("c1").cast("decimal(19,0)") * col("rank2"))
+              .cast("decimal(38,0)").as("r1x2"),
+            sum(col("c").cast("decimal(19,0)") * col("c") * col("c") -
+              col("c")).cast("decimal(38,0)").as("ties"))
+          .select(
+            col("n1").cast("long").as("n_click"),
+            col("n2").cast("long").as("n_purchase"),
+            expr("CAST(r1x2 - n1 * (n1 + 1) AS BIGINT)").as("u2"),
+            expr("""CAST(((r1x2 - n1 * (n1 + 1) - n1 * n2)
+                * (r1x2 - n1 * (n1 + 1) - n1 * n2)
+                * 3 * (n1 + n2) * (n1 + n2 - 1) * 1000)
+                div nullif(n1 * n2 *
+                  ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - ties), 0)
+                AS BIGINT)""").as("z2_milli"))
+          .withColumn("significant_5pct",
+            coalesce(col("z2_milli") >= 3842, lit(false)))
+      },
+      Some(
+        """WITH pool AS (
+          |  SELECT CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT)
+          |      AS vi,
+          |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+          |  FROM events
+          |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+          |), byv AS (
+          |  SELECT vi, CAST(sum(is1) AS HUGEINT) AS c1,
+          |    CAST(sum(1 - is1) AS HUGEINT) AS c2,
+          |    CAST(count(*) AS HUGEINT) AS c
+          |  FROM pool GROUP BY 1
+          |), r AS (
+          |  SELECT c1, c2, c,
+          |    2 * (sum(c) OVER (ORDER BY vi ROWS UNBOUNDED PRECEDING) - c)
+          |      + c + 1 AS rank2
+          |  FROM byv
+          |), m AS (
+          |  SELECT sum(c1) AS n1, sum(c2) AS n2,
+          |    sum(c1 * rank2) AS r1x2,
+          |    sum(c * c * c - c) AS ties
+          |  FROM r
+          |)
+          |SELECT CAST(n1 AS BIGINT) AS n_click,
+          |  CAST(n2 AS BIGINT) AS n_purchase,
+          |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+          |  CAST(((r1x2 - n1 * (n1 + 1) - n1 * n2)
+          |      * (r1x2 - n1 * (n1 + 1) - n1 * n2)
+          |      * 3 * (n1 + n2) * (n1 + n2 - 1) * 1000)
+          |    // nullif(n1 * n2 *
+          |      ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - ties), 0)
+          |    AS BIGINT) AS z2_milli,
+          |  coalesce(((r1x2 - n1 * (n1 + 1) - n1 * n2)
+          |      * (r1x2 - n1 * (n1 + 1) - n1 * n2)
+          |      * 3 * (n1 + n2) * (n1 + n2 - 1) * 1000)
+          |    // nullif(n1 * n2 *
+          |      ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - ties), 0)
+          |    >= 3842, FALSE) AS significant_5pct
+          |FROM m""".stripMargin)),
+
     // Exact interpolated percentiles (the reference has no percentile
     // surface at all — SURVEY §2.5 negative finding); Spark `percentile`
     // and DuckDB `quantile_cont` share the standard interpolation

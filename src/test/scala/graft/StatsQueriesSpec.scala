@@ -139,6 +139,39 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_mann_whitney matches a double-precision midrank U and z^2") {
+    val r =
+      Registry.byName("ev_mann_whitney").build(spark, dir).collect()
+    assert(r.length == 1)
+    import org.apache.spark.sql.functions._
+    val pool = Tables.events(spark, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        round(col("value").cast("double") * 1e6, 0).cast("long").as("vi"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n1 = pool.count(_._1 == "click").toDouble
+    val n2 = pool.count(_._1 == "purchase").toDouble
+    assert(r(0).getLong(0) == n1.toLong && r(0).getLong(1) == n2.toLong)
+    // midranks: sort pooled values, average rank within tie blocks
+    val sorted = pool.sortBy(_._2)
+    val midrank = sorted.groupBy(_._2).map { case (v, xs) =>
+      val idxs = sorted.zipWithIndex.filter(_._1._2 == v).map(_._2 + 1)
+      v -> idxs.sum.toDouble / idxs.size
+    }
+    val r1 = pool.filter(_._1 == "click").map(x => midrank(x._2)).sum
+    val u = r1 - n1 * (n1 + 1) / 2
+    assert(math.abs(r(0).getLong(2) / 2.0 - u) <= 1e-6, s"U: ${r(0)}")
+    val nn = n1 + n2
+    val ties = sorted.groupBy(_._2).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val v = n1 * n2 / 12 * ((nn + 1) - ties / (nn * (nn - 1)))
+    val z2 = (u - n1 * n2 / 2) * (u - n1 * n2 / 2) / v
+    val got = r(0).getLong(3) / 1000.0
+    assert(math.abs(got - z2) <= z2 * 0.01 + 0.002,
+      s"z2 engine $got vs double $z2")
+  }
+
   test("ev_autocorr_daily matches a double-precision Pearson r1") {
     val rows =
       Registry.byName("ev_autocorr_daily").build(spark, dir).collect()
