@@ -98,10 +98,15 @@ object Bench {
       // (BENCH_r06 / VERDICT r6) — the BpeRunCount kernel and the
       // tf/df/rank window cascade each compile several codegen classes
       // that only their first run pays for.
+      // dedup_prefix_jaccard joined after its round-7 two-pass verify
+      // rework: the prescreen + exact-verify stages compile ~10 fresh
+      // codegen classes (two merge kernels, the hash transform), worth
+      // ~3-4 s of first-run cost at sf0.1 vs its ~8-9 s warm steady
+      // state.
       Seq("dedup_cc_clusters", "dedup_incremental_batch",
         "dedup_substring_windows", "dedup_exact_stats",
         "dedup_simhash_pairs", "doc_token_count_bpe",
-        "doc_tfidf_top_terms")
+        "doc_tfidf_top_terms", "dedup_prefix_jaccard")
         .foreach { n =>
           Registry.byName(n).build(spark, warmDir.getAbsolutePath)
             .write.format("noop").mode("overwrite").save()

@@ -236,5 +236,50 @@ object FormatQueries {
           |SELECT source, count(*) AS n_docs,
           |  count(n_chars) AS n_with_chars,
           |  CAST(sum(n_chars) AS BIGINT) AS chars
-          |FROM m GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin)))
+          |FROM m GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin)),
+
+    // Dynamic partition overwrite — the idempotent-backfill primitive
+    // of a partitioned corpus: rewrite ONE language's partition (here a
+    // re-crawl of lang=en that dropped every doc_id % 3 == 0) and prove
+    // every other partition is untouched, byte-for-byte, via per-lang
+    // counts AND a doc_id checksum. partitionOverwriteMode=dynamic is
+    // what makes the overwrite replace only the partitions present in
+    // the incoming frame — STATIC mode (the default) would silently
+    // DELETE every other language, the classic backfill catastrophe;
+    // this query is the regression test a 100 TB lake runs before
+    // trusting a writer with that switch. NULL langs land in the
+    // default partition and read back as NULL, unharmed by the en
+    // rewrite. The layout is memoized per (session, dir) like every
+    // format materialization; the rewrite itself is a narrow
+    // per-partition encode, no shuffle.
+    Q(
+      "doc_partition_overwrite",
+      (s, d) => {
+        val table = CacheRegistry.memo("fmt_dpo", s, d) {
+          val path = scratch("dpo", d)
+          docs(s, d).write.mode("overwrite")
+            .partitionBy("lang").parquet(path)
+          docs(s, d)
+            .filter(col("lang") === "en" && !(col("doc_id") % 3 === 0))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("lang").parquet(path)
+          s.read.parquet(path)
+        }
+        table.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy(col("lang").asc_nulls_first)
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT lang, doc_id FROM documents
+          |  WHERE lang IS NULL OR lang <> 'en'
+          |  UNION ALL
+          |  SELECT lang, doc_id FROM documents
+          |  WHERE lang = 'en' AND doc_id % 3 <> 0
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+          |FROM m GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin)))
 }
