@@ -1197,6 +1197,213 @@ object EventQueries {
           |    >= 3842, FALSE) AS significant_5pct
           |FROM m""".stripMargin)),
 
+    // The A/B experiment READOUT — the events-side capstone
+    // composition (doc_pipeline_funnel's role for the statistics
+    // block): ONE experiment (arms by user_id parity), THREE lenses in
+    // one table — conversion z² (proportions), Welch t² on the event
+    // values (parametric means), Mann-Whitney z² on the same values
+    // (nonparametric ranks) — each all-integer with a single milli
+    // truncating division, exactly the arithmetic of its standalone
+    // query (ev_ab_conversion_ztest / ev_welch_ttest / ev_mann_whitney
+    // remain the canonical per-statistic forms; this row composes
+    // their machinery against a common arm split, the report a real
+    // experimentation platform renders). Three bounded aggregates
+    // union to three rows; the rank lens reuses the distributed
+    // prefix-sum over the distinct-value grid.
+    Q(
+      "ev_ab_report",
+      (s, d) => {
+        val base = ev(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), (col("user_id") % 2).as("arm"),
+            col("event_type"), col("value"))
+        // lens 1: conversion (>= 14 purchases, the corpus median rule)
+        val conv = base
+          .groupBy("user_id", "arm")
+          .agg(when(count(when(col("event_type") === "purchase", 1))
+            >= 14, 1L).otherwise(0L).as("cv"))
+          .agg(
+            count(when(col("arm") === 0, 1)).cast("decimal(19,0)")
+              .as("na"),
+            count(when(col("arm") === 1, 1)).cast("decimal(19,0)")
+              .as("nb"),
+            coalesce(sum(when(col("arm") === 0, col("cv"))), lit(0L))
+              .cast("decimal(19,0)").as("ca"),
+            coalesce(sum(when(col("arm") === 1, col("cv"))), lit(0L))
+              .cast("decimal(19,0)").as("cb"))
+          .select(lit("conversion").as("metric"),
+            col("na").cast("long").as("n_a"),
+            col("nb").cast("long").as("n_b"),
+            expr("""CAST(((ca * nb - cb * na) * (ca * nb - cb * na)
+                * (na + nb) * 1000)
+                div nullif(na * nb * (ca + cb)
+                  * (na + nb - ca - cb), 0) AS BIGINT)""")
+              .as("stat_milli"))
+        // lens 2: Welch t² on per-event values between arms
+        val vals = base.filter(col("value").isNotNull)
+          .select(col("arm"),
+            round(col("value").cast("double") * 1e6, 0).cast("long")
+              .cast("decimal(19,0)").as("y"))
+        val welch = vals
+          .agg(
+            count(when(col("arm") === 0, 1)).cast("decimal(19,0)")
+              .as("na"),
+            count(when(col("arm") === 1, 1)).cast("decimal(19,0)")
+              .as("nb"),
+            coalesce(sum(when(col("arm") === 0, col("y"))),
+              lit(0).cast("decimal(38,0)")).as("sa"),
+            coalesce(sum(when(col("arm") === 1, col("y"))),
+              lit(0).cast("decimal(38,0)")).as("sb"),
+            coalesce(sum(when(col("arm") === 0, col("y") * col("y"))),
+              lit(0).cast("decimal(38,0)")).as("qa"),
+            coalesce(sum(when(col("arm") === 1, col("y") * col("y"))),
+              lit(0).cast("decimal(38,0)")).as("qb"))
+          .select(lit("mean_value").as("metric"),
+            col("na").cast("long").as("n_a"),
+            col("nb").cast("long").as("n_b"),
+            expr("""CAST(((sa div na - sb div nb)
+                * (sa div na - sb div nb) * 1000)
+                div nullif(
+                  ((na * qa - sa * sa) div nullif(na * (na - 1), 0))
+                    div na
+                  + ((nb * qb - sb * sb) div nullif(nb * (nb - 1), 0))
+                    div nb, 0) AS BIGINT)""")
+              .as("stat_milli"))
+        // lens 3: Mann-Whitney z² on the same values (midranks over
+        // the distinct grid, distributed prefix sum for cum-before)
+        val byv = vals
+          .select(col("y").cast("long").as("vi"),
+            when(col("arm") === 0, 1L).otherwise(0L).as("is1"))
+          .groupBy("vi")
+          .agg(sum(col("is1")).as("c1"),
+            sum(lit(1L) - col("is1")).as("c2"))
+          .withColumn("c", col("c1") + col("c2"))
+        val part = byv
+          .repartitionByRange(col("vi"))
+          .sortWithinPartitions(col("vi"))
+          .withColumn("pid", spark_partition_id())
+        val pw = Window.partitionBy("pid").orderBy("vi")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ptot = part.groupBy("pid").agg(sum(col("c")).as("pc"))
+        val off = ptot.as("a")
+          .join(broadcast(ptot.select(col("pid").as("p2"),
+            col("pc").as("pc2"))), col("p2") < col("a.pid"), "left")
+          .groupBy(col("a.pid").as("pid"))
+          .agg(coalesce(sum(col("pc2")), lit(0L)).as("off"))
+        val mw = part.withColumn("lcum", sum(col("c")).over(pw))
+          .join(broadcast(off), "pid")
+          .select(col("c1"), col("c2"), col("c"),
+            (lit(2L) * (col("off") + col("lcum") - col("c")) +
+              col("c") + 1L).cast("decimal(38,0)").as("rank2"))
+          .agg(
+            sum(col("c1")).cast("decimal(19,0)").as("n1"),
+            sum(col("c2")).cast("decimal(19,0)").as("n2"),
+            sum(col("c1").cast("decimal(19,0)") * col("rank2"))
+              .cast("decimal(38,0)").as("r1x2"),
+            sum(col("c").cast("decimal(19,0)") * col("c") * col("c") -
+              col("c")).cast("decimal(38,0)").as("ties"))
+          .select(lit("rank_sum").as("metric"),
+            col("n1").cast("long").as("n_a"),
+            col("n2").cast("long").as("n_b"),
+            expr("""CAST(((r1x2 - n1 * (n1 + 1) - n1 * n2)
+                * (r1x2 - n1 * (n1 + 1) - n1 * n2)
+                * 3 * (n1 + n2) * (n1 + n2 - 1) * 1000)
+                div nullif(n1 * n2 *
+                  ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - ties), 0)
+                AS BIGINT)""").as("stat_milli"))
+        conv.unionByName(welch).unionByName(mw)
+          .withColumn("significant_5pct",
+            coalesce(col("stat_milli") >= 3842, lit(false)))
+          .orderBy("metric")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT user_id, user_id % 2 AS arm, event_type, value
+          |  FROM events WHERE user_id IS NOT NULL
+          |), pu AS (
+          |  SELECT arm,
+          |    CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1
+          |      END) >= 14 THEN 1 ELSE 0 END AS cv
+          |  FROM base GROUP BY user_id, arm
+          |), convm AS (
+          |  SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS HUGEINT)
+          |      AS na,
+          |    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS HUGEINT) AS nb,
+          |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN cv END), 0)
+          |      AS HUGEINT) AS ca,
+          |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN cv END), 0)
+          |      AS HUGEINT) AS cb
+          |  FROM pu
+          |), conv AS (
+          |  SELECT 'conversion' AS metric, CAST(na AS BIGINT) AS n_a,
+          |    CAST(nb AS BIGINT) AS n_b,
+          |    CAST(((ca * nb - cb * na) * (ca * nb - cb * na)
+          |        * (na + nb) * 1000)
+          |      // nullif(na * nb * (ca + cb)
+          |        * (na + nb - ca - cb), 0) AS BIGINT) AS stat_milli
+          |  FROM convm
+          |), vals AS (
+          |  SELECT arm,
+          |    CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT) AS y
+          |  FROM base WHERE value IS NOT NULL
+          |), wm AS (
+          |  SELECT
+          |    CAST(count(CASE WHEN arm = 0 THEN 1 END) AS HUGEINT) AS na,
+          |    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS HUGEINT) AS nb,
+          |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN y END), 0)
+          |      AS HUGEINT) AS sa,
+          |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN y END), 0)
+          |      AS HUGEINT) AS sb,
+          |    CAST(coalesce(sum(CASE WHEN arm = 0
+          |      THEN CAST(y AS HUGEINT) * y END), 0) AS HUGEINT) AS qa,
+          |    CAST(coalesce(sum(CASE WHEN arm = 1
+          |      THEN CAST(y AS HUGEINT) * y END), 0) AS HUGEINT) AS qb
+          |  FROM vals
+          |), welch AS (
+          |  SELECT 'mean_value' AS metric, CAST(na AS BIGINT) AS n_a,
+          |    CAST(nb AS BIGINT) AS n_b,
+          |    CAST(((sa // na - sb // nb) * (sa // na - sb // nb) * 1000)
+          |      // nullif(
+          |        ((na * qa - sa * sa) // nullif(na * (na - 1), 0)) // na
+          |        + ((nb * qb - sb * sb) // nullif(nb * (nb - 1), 0))
+          |          // nb, 0) AS BIGINT) AS stat_milli
+          |  FROM wm
+          |), byv AS (
+          |  SELECT y AS vi,
+          |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+          |      AS c1,
+          |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+          |      AS c2,
+          |    CAST(count(*) AS HUGEINT) AS c
+          |  FROM vals GROUP BY 1
+          |), rr AS (
+          |  SELECT c1, c2, c,
+          |    2 * (sum(c) OVER (ORDER BY vi ROWS UNBOUNDED PRECEDING) - c)
+          |      + c + 1 AS rank2
+          |  FROM byv
+          |), mm AS (
+          |  SELECT sum(c1) AS n1, sum(c2) AS n2,
+          |    sum(c1 * rank2) AS r1x2, sum(c * c * c - c) AS ties
+          |  FROM rr
+          |), mw AS (
+          |  SELECT 'rank_sum' AS metric, CAST(n1 AS BIGINT) AS n_a,
+          |    CAST(n2 AS BIGINT) AS n_b,
+          |    CAST(((r1x2 - n1 * (n1 + 1) - n1 * n2)
+          |        * (r1x2 - n1 * (n1 + 1) - n1 * n2)
+          |        * 3 * (n1 + n2) * (n1 + n2 - 1) * 1000)
+          |      // nullif(n1 * n2 *
+          |        ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - ties), 0)
+          |      AS BIGINT) AS stat_milli
+          |  FROM mm
+          |), u AS (
+          |  SELECT * FROM conv UNION ALL
+          |  SELECT * FROM welch UNION ALL
+          |  SELECT * FROM mw
+          |)
+          |SELECT metric, n_a, n_b, stat_milli,
+          |  coalesce(stat_milli >= 3842, FALSE) AS significant_5pct
+          |FROM u ORDER BY metric""".stripMargin)),
+
     // Exact interpolated percentiles (the reference has no percentile
     // surface at all — SURVEY §2.5 negative finding); Spark `percentile`
     // and DuckDB `quantile_cont` share the standard interpolation

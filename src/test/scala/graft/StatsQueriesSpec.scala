@@ -172,6 +172,20 @@ class StatsQueriesSpec extends AnyFunSuite {
       s"z2 engine $got vs double $z2")
   }
 
+  test("ev_ab_report's conversion lens equals the standalone z-test") {
+    val rep = Registry.byName("ev_ab_report").build(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None
+        else Some(r.getLong(3)))).toMap
+    assert(rep.keySet == Set("conversion", "mean_value", "rank_sum"))
+    val zt = Registry.byName("ev_ab_conversion_ztest")
+      .build(spark, dir).collect()(0)
+    val (na, nb, z) = rep("conversion")
+    assert(na == zt.getLong(0) && nb == zt.getLong(1))
+    assert(z == (if (zt.isNullAt(4)) None else Some(zt.getLong(4))),
+      "conversion lens drifted from ev_ab_conversion_ztest")
+  }
+
   test("ev_autocorr_daily matches a double-precision Pearson r1") {
     val rows =
       Registry.byName("ev_autocorr_daily").build(spark, dir).collect()
