@@ -1404,6 +1404,71 @@ object EventQueries {
           |  coalesce(stat_milli >= 3842, FALSE) AS significant_5pct
           |FROM u ORDER BY metric""".stripMargin)),
 
+    // Forecast-quality eval: seasonal-naive (x̂_t = x_{t-7}) vs naive
+    // (x̂_t = x_{t-1}) MAE on daily event counts per type — the
+    // baseline pair every capacity/traffic forecasting system reports
+    // before anything fancier earns its keep. Counts are integers, so
+    // MAE is an exact rational emitted at micro scale by one
+    // truncating division; seasonal_better is the cross-multiplied
+    // integer compare of the two rationals (sum7·n1 < sum1·n7), no
+    // float anywhere. Lag pairs form by equi-joins on (type, day−k)
+    // over the days×types daily frame — calendar-gap days simply
+    // produce no pair (the ev_autocorr_daily convention).
+    Q(
+      "ev_seasonal_naive_mae",
+      (s, d) => {
+        val daily = ev(s, d)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            (epochS(col("ts")) / 86400L).cast("long").as("epoch_day"))
+          .agg(count(lit(1)).as("x"))
+        def lagged(k: Int) = daily.select(col("event_type"),
+          (col("epoch_day") - k).as("epoch_day"), col("x").as("xh"))
+        def err(k: Int, tag: String) = daily
+          .join(lagged(k), Seq("event_type", "epoch_day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as(s"n$tag"),
+            sum(abs(col("x") - col("xh"))).as(s"sae$tag"))
+        err(7, "7").join(err(1, "1"), "event_type")
+          .select(col("event_type"),
+            col("n7"), expr("CAST((sae7 * 1000000) div n7 AS BIGINT)")
+              .as("mae7_micro"),
+            col("n1"), expr("CAST((sae1 * 1000000) div n1 AS BIGINT)")
+              .as("mae1_micro"),
+            (col("sae7") * col("n1") < col("sae1") * col("n7"))
+              .as("seasonal_better"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS epoch_day,
+          |    count(*) AS x
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |  GROUP BY 1, 2
+          |), e7 AS (
+          |  SELECT a.event_type, count(*) AS n7,
+          |    sum(abs(a.x - b.x)) AS sae7
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type
+          |    AND b.epoch_day = a.epoch_day - 7
+          |  GROUP BY 1
+          |), e1 AS (
+          |  SELECT a.event_type, count(*) AS n1,
+          |    sum(abs(a.x - b.x)) AS sae1
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type
+          |    AND b.epoch_day = a.epoch_day - 1
+          |  GROUP BY 1
+          |)
+          |SELECT e7.event_type, n7,
+          |  CAST((sae7 * 1000000) // n7 AS BIGINT) AS mae7_micro,
+          |  n1, CAST((sae1 * 1000000) // n1 AS BIGINT) AS mae1_micro,
+          |  sae7 * n1 < sae1 * n7 AS seasonal_better
+          |FROM e7 JOIN e1 USING (event_type)
+          |ORDER BY event_type""".stripMargin)),
+
     // Exact interpolated percentiles (the reference has no percentile
     // surface at all — SURVEY §2.5 negative finding); Spark `percentile`
     // and DuckDB `quantile_cont` share the standard interpolation
