@@ -186,6 +186,53 @@ class StatsQueriesSpec extends AnyFunSuite {
       "conversion lens drifted from ev_ab_conversion_ztest")
   }
 
+  test("designed micro-corpus: tie-heavy Mann-Whitney and a planted changepoint") {
+    import spark.implicits._
+    // click values: heavy tie blocks {1.0 x 6, 2.0 x 4}; purchase:
+    // {1.0 x 2, 2.0 x 6, 3.0 x 2} — midranks decide everything here.
+    // Naive midrank math (pooled n=20): value 1.0 spans ranks 1..8
+    // (midrank 4.5), 2.0 spans 9..18 (midrank 13.5), 3.0 spans 19..20
+    // (midrank 19.5). R_click = 6*4.5 + 4*13.5 = 81; U = 81 -
+    // n1(n1+1)/2 = 81 - 55 = 26; u2 = 52.
+    val clicks = Seq.fill(6)(1.0) ++ Seq.fill(4)(2.0)
+    val purchases = Seq.fill(2)(1.0) ++ Seq.fill(6)(2.0) ++
+      Seq.fill(2)(3.0)
+    // events at a planted mean shift: 'error' values 10.0 for days
+    // 0..9 then 50.0 for days 10..19 — CUSUM must peak at the shift.
+    // Timestamps from epoch millis (2024-01-01T00:00Z), NOT local wall
+    // time, so the epoch_day assertion is timezone-independent.
+    def ts(day: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    val rows =
+      clicks.zipWithIndex.map { case (v, i) =>
+        (i.toLong, ts(1), 1L, "click", v, "{}")
+      } ++ purchases.zipWithIndex.map { case (v, i) =>
+        (100L + i, ts(1), 2L, "purchase", v, "{}")
+      } ++ (0 until 20).map { d =>
+        (200L + d, ts(d), 3L, "error", if (d < 10) 10.0 else 50.0, "{}")
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("stats_micro").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val mw = Registry.byName("ev_mann_whitney").build(spark, dir)
+      .collect()(0)
+    assert(mw.getLong(0) == 10 && mw.getLong(1) == 10)
+    assert(mw.getLong(2) == 52, s"u2 with heavy ties: $mw")
+
+    val cs = Registry.byName("ev_cusum_changepoint").build(spark, dir)
+      .collect().find(_.getString(0) == "error").get
+    // the max |cumulative deviation| of a clean two-level shift lands
+    // on the last day of the first regime (day index 9 from epoch day
+    // of 2024-01-01 = 19723)
+    assert(cs.getLong(1) == 20, s"n_days: $cs")
+    assert(cs.getLong(2) == 19723L + 9L, s"changepoint day: $cs")
+    // |C_9| = N * |sum(first 10 days) - 10/20 * total| =
+    // 20 * |100 - 300| * 1e6 micro / N -> reported micro = 200e6
+    assert(cs.getLong(3) == 200000000L, s"cusum micro: $cs")
+  }
+
   test("ev_autocorr_daily matches a double-precision Pearson r1") {
     val rows =
       Registry.byName("ev_autocorr_daily").build(spark, dir).collect()
