@@ -210,6 +210,18 @@ class StatsQueriesSpec extends AnyFunSuite {
         (100L + i, ts(1), 2L, "purchase", v, "{}")
       } ++ (0 until 20).map { d =>
         (200L + d, ts(d), 3L, "error", if (d < 10) 10.0 else 50.0, "{}")
+      } ++ (0 until 10).map { d =>
+        // a PERFECT line for the regression pin: with x = seconds from
+        // 2024-01-01 (= 86400*d) and micro-y = 2*x + 5e6, value =
+        // 5 + 0.1728*d lands exactly on the 1e6 grid, so the closed
+        // form must return slope_nano = 2000, intercept_micro = 5e6
+        (300L + d, ts(d), 4L, "view", 5.0 + 0.1728 * d, "{}")
+      } ++ (0 until 10).flatMap { d =>
+        // alternating 1,2,1,2,... daily counts: every lag-1 pair is
+        // (1,2) or (2,1), a perfect negative correlation -> r1 = -1
+        (0 until (1 + d % 2)).map { j =>
+          (400L + d * 2 + j, ts(d), 5L, "signup", 1.0, "{}")
+        }
       }
     val dir = java.nio.file.Files
       .createTempDirectory("stats_micro").toString
@@ -231,6 +243,19 @@ class StatsQueriesSpec extends AnyFunSuite {
     // |C_9| = N * |sum(first 10 days) - 10/20 * total| =
     // 20 * |100 - 300| * 1e6 micro / N -> reported micro = 200e6
     assert(cs.getLong(3) == 200000000L, s"cusum micro: $cs")
+
+    val lr = Registry.byName("ev_linreg_by_type").build(spark, dir)
+      .collect().find(_.getString(0) == "view").get
+    assert(lr.getLong(1) == 10, s"linreg n: $lr")
+    assert(lr.getLong(2) == 2000L, s"slope_nano on a perfect line: $lr")
+    assert(lr.getLong(3) == 5000000L, s"intercept_micro: $lr")
+
+    val ac = Registry.byName("ev_autocorr_daily").build(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ac("signup").getDouble(2) == -1.0,
+      s"alternating counts must give r1 = -1: ${ac("signup")}")
+    // constant daily counts have zero variance -> NULL by contract
+    assert(ac("error").isNullAt(2), s"constant series: ${ac("error")}")
   }
 
   test("ev_autocorr_daily matches a double-precision Pearson r1") {
