@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeRunCount, CleanText, LangMarkerCounts, LshSig, MaxMultiplicity, MinHashShingleSig, MinHashSig, NormTokens, PolarityScore, SimHash64, SqMaxAbs, SqQDot, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{BpeRunCount, CleanText, LangMarkerCounts, LshSig, MaxMultiplicity, MinHashShingleSig, MinHashSig, NormTokens, PolarityScore, SimHash64, SortedIntersectSize, SortedIntersectSizeLong, SqMaxAbs, SqQDot, VecCosine, VecDot, VecL2Sq}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Attach with
@@ -66,7 +66,13 @@ object GraftExtensions {
     ("graft_sq_maxabs", classOf[SqMaxAbs],
       checked("graft_sq_maxabs", 1)(e => SqMaxAbs(e.head))),
     ("graft_sq_qdot", classOf[SqQDot],
-      checked("graft_sq_qdot", 2)(e => SqQDot(e(0), e(1)))))
+      checked("graft_sq_qdot", 2)(e => SqQDot(e(0), e(1)))),
+    ("graft_sorted_intersect_size", classOf[SortedIntersectSize],
+      checked("graft_sorted_intersect_size", 2)(e =>
+        SortedIntersectSize(e(0), e(1)))),
+    ("graft_sorted_intersect_size_long", classOf[SortedIntersectSizeLong],
+      checked("graft_sorted_intersect_size_long", 2)(e =>
+        SortedIntersectSizeLong(e(0), e(1)))))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

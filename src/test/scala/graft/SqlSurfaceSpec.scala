@@ -149,6 +149,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("merge kernels are SQL-callable and equal size(array_intersect)") {
+    withExtSession { s =>
+      val rows = s.sql(
+        """SELECT
+          |  graft_sorted_intersect_size(
+          |    array('a','b','c'), array('b','c','d')) AS ks,
+          |  graft_sorted_intersect_size_long(
+          |    array(1L, 2L, 3L), array(2L, 3L, 9L)) AS kl,
+          |  size(array_intersect(array('a','b','c'), array('b','c','d')))
+          |    AS es""".stripMargin).collect()
+      assert(rows(0).getInt(0) == 2 && rows(0).getInt(1) == 2 &&
+        rows(0).getInt(2) == 2)
+    }
+  }
+
   test("vector similarity search in pure SQL matches the kernel column API") {
     withExtSession { s =>
       s.sql(
