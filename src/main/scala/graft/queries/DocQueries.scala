@@ -960,27 +960,10 @@ object DocQueries {
     Q(
       "doc_scd2_history",
       (s, d) => {
-        val lang0 = coalesce(col("lang"), lit("__null"))
         val w = Window.partitionBy("doc_id").orderBy("crawl")
         val wd = Window.partitionBy("doc_id")
-        docs(s, d)
-          .select(col("doc_id"), explode(array(
-            struct(lit(1).as("crawl"), lang0.as("lang_v")),
-            struct(lit(2).as("crawl"),
-              when(col("doc_id") % 10 === 0, lit("en")).otherwise(lang0)
-                .as("lang_v")),
-            struct(lit(3).as("crawl"),
-              when(col("doc_id") % 20 === 0, lit("fr"))
-                .when(col("doc_id") % 10 === 0, lit("en")).otherwise(lang0)
-                .as("lang_v")))).as("v"))
-          .select(col("doc_id"), col("v.crawl").as("crawl"),
-            col("v.lang_v").as("lang_v"))
-          .withColumn("prev", lag(col("lang_v"), 1).over(w))
-          .filter(col("prev").isNull || col("prev") =!= col("lang_v"))
+        scd2Intervals(s, d)
           .withColumn("version_no", row_number().over(w))
-          .withColumn("valid_from", col("crawl"))
-          .withColumn("valid_to",
-            coalesce(lead(col("crawl"), 1).over(w), lit(999)))
           .withColumn("n_versions", count(lit(1)).over(wd))
           .filter(col("n_versions") >= 2)
           .select(col("doc_id"), col("version_no"), col("lang_v"),
@@ -989,37 +972,123 @@ object DocQueries {
           .orderBy("doc_id", "valid_from")
       },
       Some(
-        """WITH src AS (
-          |  SELECT doc_id, coalesce(lang, '__null') AS lang0
-          |  FROM documents
-          |), versions AS (
-          |  SELECT doc_id, 1 AS crawl, lang0 AS lang_v FROM src
-          |  UNION ALL
-          |  SELECT doc_id, 2,
-          |    CASE WHEN doc_id % 10 = 0 THEN 'en' ELSE lang0 END FROM src
-          |  UNION ALL
-          |  SELECT doc_id, 3,
-          |    CASE WHEN doc_id % 20 = 0 THEN 'fr'
-          |         WHEN doc_id % 10 = 0 THEN 'en' ELSE lang0 END FROM src
-          |), chg AS (
-          |  SELECT doc_id, crawl, lang_v,
-          |    lag(lang_v) OVER (PARTITION BY doc_id ORDER BY crawl) AS prev
-          |  FROM versions
-          |), kept AS (
-          |  SELECT doc_id, crawl, lang_v,
-          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY crawl)
-          |      AS INT) AS version_no,
-          |    CAST(coalesce(lead(crawl)
-          |      OVER (PARTITION BY doc_id ORDER BY crawl), 999) AS INT)
-          |      AS valid_to,
-          |    count(*) OVER (PARTITION BY doc_id) AS n_versions
-          |  FROM chg WHERE prev IS NULL OR prev <> lang_v
-          |)
-          |SELECT doc_id, version_no, lang_v, CAST(crawl AS INT)
-          |    AS valid_from, valid_to, valid_to = 999 AS is_current
-          |FROM kept WHERE n_versions >= 2
-          |ORDER BY doc_id, valid_from""".stripMargin))
+        s"""$scd2IntervalsCte, kept AS (
+           |  SELECT doc_id, crawl, lang_v,
+           |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY crawl)
+           |      AS INT) AS version_no,
+           |    valid_to,
+           |    count(*) OVER (PARTITION BY doc_id) AS n_versions
+           |  FROM iv
+           |)
+           |SELECT doc_id, version_no, lang_v, CAST(crawl AS INT)
+           |    AS valid_from, valid_to, valid_to = 999 AS is_current
+           |FROM kept WHERE n_versions >= 2
+           |ORDER BY doc_id, valid_from""".stripMargin)),
+
+    // Temporal AS-OF read over the SCD2 intervals — the query that
+    // makes a validity-interval table worth keeping: reconstruct the
+    // dimension's state at a past point (crawl 2) and at the present
+    // (crawl 3) in ONE pass by conditional aggregation over
+    // valid_from <= t < valid_to, and report the per-lang population
+    // shift between the two snapshots. Shares [[scd2Intervals]] /
+    // [[scd2IntervalsCte]] with doc_scd2_history verbatim, so the
+    // history the dashboard shows and the state this query
+    // reconstructs can never drift. Scale shape: the interval build's
+    // one doc_id window chain, then a |langs|-bounded aggregate — the
+    // as-of predicate never joins or re-scans.
+    Q(
+      "doc_scd2_asof",
+      (s, d) =>
+        scd2Intervals(s, d)
+          .groupBy(col("lang_v").as("lang"))
+          .agg(
+            count(when(col("valid_from") <= 2 && col("valid_to") > 2, 1))
+              .as("n_asof_crawl2"),
+            count(when(col("valid_from") <= 3 && col("valid_to") > 3, 1))
+              .as("n_asof_crawl3"))
+          .withColumn("shift",
+            col("n_asof_crawl3") - col("n_asof_crawl2"))
+          .filter(col("n_asof_crawl2") > 0 || col("n_asof_crawl3") > 0)
+          .orderBy("lang"),
+      Some(
+        s"""$scd2IntervalsCte
+           |SELECT lang_v AS lang,
+           |  count(CASE WHEN valid_from <= 2 AND valid_to > 2 THEN 1 END)
+           |    AS n_asof_crawl2,
+           |  count(CASE WHEN valid_from <= 3 AND valid_to > 3 THEN 1 END)
+           |    AS n_asof_crawl3,
+           |  count(CASE WHEN valid_from <= 3 AND valid_to > 3 THEN 1 END)
+           |  - count(CASE WHEN valid_from <= 2 AND valid_to > 2 THEN 1 END)
+           |    AS shift
+           |FROM iv
+           |GROUP BY 1
+           |HAVING count(CASE WHEN valid_from <= 2 AND valid_to > 2
+           |    THEN 1 END) > 0
+           |  OR count(CASE WHEN valid_from <= 3 AND valid_to > 3
+           |    THEN 1 END) > 0
+           |ORDER BY lang""".stripMargin))
   )
+
+  /** The SCD2 validity intervals (doc_id, crawl, lang_v, valid_from,
+    * valid_to) from three simulated crawls — THE single definition
+    * shared by doc_scd2_history and doc_scd2_asof (with
+    * [[scd2IntervalsCte]] its DuckDB twin) so the two can never drift.
+    * Change detection keeps a version only when lang actually changed;
+    * valid_to chains from the next version (999 = open interval).
+    */
+  private def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val lang0 = coalesce(col("lang"), lit("__null"))
+    val w = Window.partitionBy("doc_id").orderBy("crawl")
+    docs(s, d)
+      .select(col("doc_id"), explode(array(
+        struct(lit(1).as("crawl"), lang0.as("lang_v")),
+        struct(lit(2).as("crawl"),
+          when(col("doc_id") % 10 === 0, lit("en")).otherwise(lang0)
+            .as("lang_v")),
+        struct(lit(3).as("crawl"),
+          when(col("doc_id") % 20 === 0, lit("fr"))
+            .when(col("doc_id") % 10 === 0, lit("en")).otherwise(lang0)
+            .as("lang_v")))).as("v"))
+      .select(col("doc_id"), col("v.crawl").as("crawl"),
+        col("v.lang_v").as("lang_v"))
+      .withColumn("prev", lag(col("lang_v"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("lang_v"))
+      .withColumn("valid_from", col("crawl"))
+      .withColumn("valid_to",
+        coalesce(lead(col("crawl"), 1).over(w), lit(999)))
+      .drop("prev")
+  }
+
+  /** DuckDB twin of [[scd2Intervals]]; ends with CTE `iv`. A `def`,
+    * not a `val`: `qs` interpolates it eagerly at object init, and a
+    * forward val reference would read null (the EventQueries.PrScale
+    * lesson).
+    */
+  private def scd2IntervalsCte: String =
+    """WITH src AS (
+      |  SELECT doc_id, coalesce(lang, '__null') AS lang0
+      |  FROM documents
+      |), versions AS (
+      |  SELECT doc_id, 1 AS crawl, lang0 AS lang_v FROM src
+      |  UNION ALL
+      |  SELECT doc_id, 2,
+      |    CASE WHEN doc_id % 10 = 0 THEN 'en' ELSE lang0 END FROM src
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    CASE WHEN doc_id % 20 = 0 THEN 'fr'
+      |         WHEN doc_id % 10 = 0 THEN 'en' ELSE lang0 END FROM src
+      |), chg AS (
+      |  SELECT doc_id, crawl, lang_v,
+      |    lag(lang_v) OVER (PARTITION BY doc_id ORDER BY crawl) AS prev
+      |  FROM versions
+      |), iv AS (
+      |  SELECT doc_id, crawl, lang_v,
+      |    CAST(crawl AS INT) AS valid_from,
+      |    CAST(coalesce(lead(crawl)
+      |      OVER (PARTITION BY doc_id ORDER BY crawl), 999) AS INT)
+      |      AS valid_to
+      |  FROM chg WHERE prev IS NULL OR prev <> lang_v
+      |)""".stripMargin
 
   /** doc_compaction_plan's per-doc file assignment, shared with the
     * BucketingSpec test that EXECUTES the plan (repartition by
