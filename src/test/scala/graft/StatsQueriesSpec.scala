@@ -256,6 +256,25 @@ class StatsQueriesSpec extends AnyFunSuite {
       s"alternating counts must give r1 = -1: ${ac("signup")}")
     // constant daily counts have zero variance -> NULL by contract
     assert(ac("error").isNullAt(2), s"constant series: ${ac("error")}")
+
+    // histogram-quantile interpolation pin: 'error' is 10x10.0 +
+    // 10x50.0 -> bins 1 (vi 1e7 div 8e6) and 6; k = 10 lands as the
+    // 10th of 10 items in bin 1: est = 8e6 + (8e6*(2*10-1)) div 20
+    // = 15,600,000. Exact interpolated p50 of the bimodal set is 30.
+    val hq = Registry.byName("ev_hist_quantile_merge").build(spark, dir)
+      .collect().find(_.getString(0) == "error").get
+    assert(hq.getLong(1) == 20 && hq.getLong(2) == 2, s"hist bins: $hq")
+    assert(hq.getLong(3) == 15600000L, s"hist est interpolation: $hq")
+    assert(hq.getDouble(4) == 30.0, s"exact p50: $hq")
+
+    // distributed-median pin: the 65 pooled values sort to 1.0 x 23,
+    // 2.0 x 10 (cum 33), ... — n odd, both middle order statistics are
+    // rank 33 = 2.0
+    val med = Registry.byName("ev_value_median_exact").build(spark, dir)
+      .collect()(0)
+    assert(med.getLong(0) == 65, s"median n: $med")
+    assert(med.getLong(1) == 2000000L && med.getLong(2) == 2000000L,
+      s"median order statistics: $med")
   }
 
   test("ev_autocorr_daily matches a double-precision Pearson r1") {
