@@ -89,6 +89,21 @@ rows.append((1000, base + 3_600_000_000_000, 50, "view", 1.25, '{"k": 1}'))
 rows.append((1001, base, 100, "view", 2.5, '{"k": 2}'))
 rows.append((1002, base + 5 * 3_600_000_000_000, 100, "click", 7.75,
              '{"k": 3}'))
+# statistics-block probes:
+# - "purchase" from EVEN users only -> the parity A/B split has one
+#   arm fully unconverted (z-test degenerate pool must NULL, never
+#   divide by zero)
+# - "signup" values all IDENTICAL and single-day -> Mann-Whitney tie
+#   correction with one total tie block; welch/cusum degenerate paths
+# - a lone single-event type "solo" -> n=1 groups (sd/linreg NULL,
+#   cusum single day, autocorr no pairs)
+for j in range(6):
+    rows.append((1100 + j, base + j * 86_400_000_000_000, 2 * j, "purchase",
+                 3.0, '{"k": 4}'))
+for j in range(8):
+    rows.append((1200 + j, base + j * 3_600_000_000_000, 7, "signup",
+                 2.5, '{"k": 5}'))
+rows.append((1300, base + 40_000_000_000_000, 9, "solo", 1.0, '{"k": 6}'))
 ev = pa.table({
     "event_id": pa.array([r[0] for r in rows], pa.int64()),
     "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
