@@ -892,20 +892,26 @@ object EventQueries {
             col("pid"))
           .groupBy("event_type", "pid", "bin")
           .agg(count(lit(1)).as("pc"))
+        // counts ride as DECIMAL(38,0) through the interpolation: the
+        // binw * (2j - 1) product would silently wrap 64-bit Long at
+        // ~1e12 rows per bin while the oracle's HUGEINT stays exact —
+        // the silent-divergence-at-scale class the suite bans
         val merged = partial.groupBy("event_type", "bin")
-          .agg(sum(col("pc")).as("c"))
+          .agg(sum(col("pc")).cast("decimal(38,0)").as("c"))
         val tw = Window.partitionBy("event_type")
         val cw = Window.partitionBy("event_type").orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val est = merged
-          .withColumn("n", sum(col("c")).over(tw))
-          .withColumn("cum", sum(col("c")).over(cw))
-          .withColumn("k", expr("(n + 1) div 2"))
+          .withColumn("n", sum(col("c")).over(tw).cast("decimal(38,0)"))
+          .withColumn("cum", sum(col("c")).over(cw).cast("decimal(38,0)"))
+          .withColumn("k",
+            expr("CAST((n + 1) div 2 AS DECIMAL(38,0))"))
           .filter(col("cum") - col("c") < col("k") &&
             col("cum") >= col("k"))
-          .select(col("event_type"), col("n"),
-            (col("bin") * binw +
-              expr(s"($binw * (2 * (k - (cum - c)) - 1)) div (2 * c)"))
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            expr(s"""CAST(bin * $binw +
+                (CAST($binw AS DECIMAL(38,0)) * (2 * (k - (cum - c)) - 1))
+                div (2 * c) AS BIGINT)""")
               .as("est_p50_micro"))
         val exact = ev(s, d)
           .filter(col("value").isNotNull && col("event_type").isNotNull)
@@ -1424,16 +1430,22 @@ object EventQueries {
           .agg(count(lit(1)).as("x"))
         def lagged(k: Int) = daily.select(col("event_type"),
           (col("epoch_day") - k).as("epoch_day"), col("x").as("xh"))
+        // absolute-error sums as DECIMAL(38,0): sae * 1e6 would wrap
+        // 64-bit Long at ~9e12 total absolute error while the oracle's
+        // HUGEINT stays exact (the silent-divergence class)
         def err(k: Int, tag: String) = daily
           .join(lagged(k), Seq("event_type", "epoch_day"))
           .groupBy("event_type")
-          .agg(count(lit(1)).as(s"n$tag"),
-            sum(abs(col("x") - col("xh"))).as(s"sae$tag"))
+          .agg(count(lit(1)).cast("decimal(19,0)").as(s"n$tag"),
+            sum(abs(col("x") - col("xh"))).cast("decimal(38,0)")
+              .as(s"sae$tag"))
         err(7, "7").join(err(1, "1"), "event_type")
           .select(col("event_type"),
-            col("n7"), expr("CAST((sae7 * 1000000) div n7 AS BIGINT)")
+            col("n7").cast("long").as("n7"),
+            expr("CAST((sae7 * 1000000) div n7 AS BIGINT)")
               .as("mae7_micro"),
-            col("n1"), expr("CAST((sae1 * 1000000) div n1 AS BIGINT)")
+            col("n1").cast("long").as("n1"),
+            expr("CAST((sae1 * 1000000) div n1 AS BIGINT)")
               .as("mae1_micro"),
             (col("sae7") * col("n1") < col("sae1") * col("n7"))
               .as("seasonal_better"))
