@@ -268,7 +268,11 @@ object FormatQueries {
         }
         table.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
-            sum(col("doc_id")).as("id_checksum"))
+            // DECIMAL(38,0) accumulate then narrow: a Long sum would
+            // silently wrap at ~1e12 x 1e12-magnitude ids while the
+            // oracle's HUGEINT stays exact; overflow now NULLs loudly
+            sum(col("doc_id").cast("decimal(38,0)")).cast("long")
+              .as("id_checksum"))
           .orderBy(col("lang").asc_nulls_first)
       },
       Some(
