@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft_max_multiplicity(array<string>) -> int`: the count of the most
@@ -16,8 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * matching the SQL composition (x = b is never true for NULL); an
   * empty/all-NULL array yields 0.
   */
-case class MaxMultiplicity(child: Expression) extends UnaryExpression {
+case class MaxMultiplicity(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+
+  // Analysis-time type check: the kernel reads UTF8String slots from the
+  // UnsafeArrayData buffer; on any other element type it would
+  // reinterpret raw bytes. SQL-registered, so misuse must fail early.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType))
 
   override def nullSafeEval(a: Any): Any =
     MaxMultiplicity.maxCount(a.asInstanceOf[ArrayData])
@@ -65,8 +72,15 @@ object MaxMultiplicity {
   * skipped; a NULL array yields NULL.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+
+  // SQL-registered with a confusable `_long` twin: declare the element
+  // type so calling this on array<bigint> (which would reinterpret the
+  // UnsafeArrayData buffer via getUTF8String) is an analysis error.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
 
   override def nullSafeEval(a: Any, b: Any): Any =
     SortedIntersectSize.interSize(
@@ -124,8 +138,14 @@ object SortedIntersectSize {
   * if a caller violates that contract.
   */
 case class SortedIntersectSizeLong(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+
+  // Twin of SortedIntersectSize's guard: getLong on array<string> slots
+  // would read garbage; make the mismatch an analysis-time error.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def nullSafeEval(a: Any, b: Any): Any =
     SortedIntersectSizeLong.interSize(

@@ -949,8 +949,12 @@ object EmbQueries {
               Window.orderBy(col("sim").desc, col("vec_id"))))
             .join(exactIds, Seq("vec_id"), "left_outer")
             .groupBy()
-            .agg(sum(coalesce(col("rel"), lit(0L)) *
-              element_at(discArr, col("pos"))).as("dcg_micro"))
+            // coalesce the global-agg sum: an EMPTY ranked list (LSH
+            // with no band match on a degenerate corpus) must report
+            // dcg 0, matching the oracle's method-list LEFT JOIN —
+            // not a NULL row the oracle's GROUP BY would drop.
+            .agg(coalesce(sum(coalesce(col("rel"), lit(0L)) *
+              element_at(discArr, col("pos"))), lit(0L)).as("dcg_micro"))
             .select(lit(method).as("method"),
               col("dcg_micro"),
               expr(s"CAST((dcg_micro * 1000000) div $NdcgIdcgMicro" +
@@ -995,11 +999,15 @@ object EmbQueries {
            |      AS dm
            |  FROM scored s JOIN disc d USING (pos)
            |  LEFT JOIN (SELECT vec_id FROM exact5) e ON e.vec_id = s.vec_id
+           |), methods(method) AS (
+           |  VALUES ('exact'), ('ivf'), ('ivfpq'), ('lsh')
            |)
-           |SELECT method, CAST(sum(dm) AS BIGINT) AS dcg_micro,
-           |  CAST((sum(dm) * 1000000) // $NdcgIdcgMicro AS BIGINT)
-           |    AS ndcg_micro
-           |FROM j GROUP BY method ORDER BY method""".stripMargin
+           |SELECT m.method,
+           |  CAST(coalesce(sum(dm), 0) AS BIGINT) AS dcg_micro,
+           |  CAST((coalesce(sum(dm), 0) * 1000000) // $NdcgIdcgMicro
+           |    AS BIGINT) AS ndcg_micro
+           |FROM methods m LEFT JOIN j ON j.method = m.method
+           |GROUP BY m.method ORDER BY m.method""".stripMargin
       }),
 
     // HYBRID retrieval (the RAG serving shape): a keyword channel and a

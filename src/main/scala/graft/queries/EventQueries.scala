@@ -672,8 +672,16 @@ object EventQueries {
             col("nb").cast("long").as("n_b"),
             expr("CAST(sa div na - sb div nb AS BIGINT)")
               .as("mean_diff_micro"),
-            expr("""CAST((
-                (sa div na - sb div nb) * (sa div na - sb div nb) * 1000)
+            // Spark `div` emits BIGINT; the squared mean-diff * 1000
+            // would be 64-bit and wraps past |diff| ~ 9.6e7 micro —
+            // well inside the |value| <= 500 envelope. Re-widen each
+            // quotient to DECIMAL(38,0) BEFORE subtract/square so the
+            // numerator mirrors the oracle's all-HUGEINT chain and
+            // overflow stays a loud ANSI NULL, never a wrap.
+            expr("""CAST(((CAST(sa div na AS DECIMAL(38,0))
+                  - CAST(sb div nb AS DECIMAL(38,0)))
+                * (CAST(sa div na AS DECIMAL(38,0))
+                  - CAST(sb div nb AS DECIMAL(38,0))) * 1000)
                 div nullif(va div na + vb div nb, 0) AS BIGINT)""")
               .as("t2_milli"))
           .withColumn("significant_5pct",
@@ -1267,13 +1275,20 @@ object EventQueries {
           .select(lit("mean_value").as("metric"),
             col("na").cast("long").as("n_a"),
             col("nb").cast("long").as("n_b"),
-            expr("""CAST(((sa div na - sb div nb)
-                * (sa div na - sb div nb) * 1000)
+            // Same DECIMAL(38,0) re-widening as ev_welch_ttest (the
+            // squared mean-diff wraps in BIGINT past ~9.6e7 micro),
+            // plus nullif guards on na/nb: an empty arm (every user
+            // one parity) must emit NULL like the conversion lens and
+            // the oracle, not throw ANSI DIVIDE_BY_ZERO.
+            expr("""CAST(((CAST(sa div nullif(na, 0) AS DECIMAL(38,0))
+                  - CAST(sb div nullif(nb, 0) AS DECIMAL(38,0)))
+                * (CAST(sa div nullif(na, 0) AS DECIMAL(38,0))
+                  - CAST(sb div nullif(nb, 0) AS DECIMAL(38,0))) * 1000)
                 div nullif(
                   ((na * qa - sa * sa) div nullif(na * (na - 1), 0))
-                    div na
+                    div nullif(na, 0)
                   + ((nb * qb - sb * sb) div nullif(nb * (nb - 1), 0))
-                    div nb, 0) AS BIGINT)""")
+                    div nullif(nb, 0), 0) AS BIGINT)""")
               .as("stat_milli"))
         // lens 3: Mann-Whitney z² on the same values (midranks over
         // the distinct grid, distributed prefix sum for cum-before)
@@ -1368,11 +1383,13 @@ object EventQueries {
           |), welch AS (
           |  SELECT 'mean_value' AS metric, CAST(na AS BIGINT) AS n_a,
           |    CAST(nb AS BIGINT) AS n_b,
-          |    CAST(((sa // na - sb // nb) * (sa // na - sb // nb) * 1000)
+          |    CAST(((sa // nullif(na, 0) - sb // nullif(nb, 0))
+          |        * (sa // nullif(na, 0) - sb // nullif(nb, 0)) * 1000)
           |      // nullif(
-          |        ((na * qa - sa * sa) // nullif(na * (na - 1), 0)) // na
+          |        ((na * qa - sa * sa) // nullif(na * (na - 1), 0))
+          |          // nullif(na, 0)
           |        + ((nb * qb - sb * sb) // nullif(nb * (nb - 1), 0))
-          |          // nb, 0) AS BIGINT) AS stat_milli
+          |          // nullif(nb, 0), 0) AS BIGINT) AS stat_milli
           |  FROM wm
           |), byv AS (
           |  SELECT y AS vi,

@@ -116,6 +116,28 @@ class ArrayKernelsSpec extends AnyFunSuite {
     bound.foreach(r => assert(r.getInt(0) >= r.getInt(1), r))
   }
 
+  test("element-type mismatch is an analysis error, not a buffer reinterpret") {
+    import spark.implicits._
+    import graft.functions.{SortedIntersectSize, SortedIntersectSizeLong}
+    val longs = Seq((Seq(1L, 2L), Seq(2L))).toDF("a", "b")
+    val strs = Seq((Seq("a", "b"), Seq("b"))).toDF("a", "b")
+    // string kernel on array<bigint> must fail analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      longs.select(SortedIntersectSize.column(col("a"), col("b")))
+        .queryExecution.analyzed
+    }
+    // long kernel on array<string> must fail analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      strs.select(SortedIntersectSizeLong.column(col("a"), col("b")))
+        .queryExecution.analyzed
+    }
+    // max-multiplicity on array<bigint> must fail analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      longs.select(MaxMultiplicity.column(col("a")))
+        .queryExecution.analyzed
+    }
+  }
+
   test("SortedIntersectSize: null array -> null") {
     import spark.implicits._
     import graft.functions.SortedIntersectSize
