@@ -183,3 +183,120 @@ object SortedIntersectSizeLong {
     GraftSqlBridge.column(SortedIntersectSizeLong(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
+
+/** `graft_gram_count_sig(array<string>) -> binary(256)`: a 256-bucket
+  * byte histogram of xxhash64(gram) — the per-doc SUFFIX-FILTER
+  * signature of dedup_prefix_jaccard (the distributed adaptation of
+  * PPJoin+ suffix filtering, Xiao et al. WWW'08 §4: instead of a
+  * per-pair binary-search partition of the suffix — which would need
+  * the gram arrays shipped into the pair join — each doc carries a
+  * fixed-width count sketch and the pair join bounds the overlap by
+  * the histogram-intersection Σ_k min(cA[k], cB[k])). Soundness: grams
+  * in A∩B occupy the same bucket on both sides, so the Σ-min bound can
+  * only OVERcount the true set intersection — a `bound >= alpha` cut
+  * admits every true pair by construction (the same one-sided-error
+  * contract as the xxhash64 verify prescreen). Counters saturate at
+  * 255; [[SigOverlapBound]] treats a both-saturated bucket as
+  * unbounded, so saturation can never flip the bound below truth.
+  * NULL elements are skipped (posting-list semantics: a null gram
+  * never equi-joins).
+  */
+case class GramCountSig(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType))
+
+  override def nullSafeEval(a: Any): Any =
+    GramCountSig.build(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramCountSig.build($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramCountSig = copy(child = newChild)
+
+  override def prettyName: String = "graft_gram_count_sig"
+}
+
+object GramCountSig {
+  /** bucket count; a power of two so the bucket index is a mask. 256
+    * sizes the collision noise E[extra] ~ nA*nB/256 well under the
+    * J>=0.5 overlap bound alpha = (nA+nB)/3 for gram sets up to ~160
+    * elements — beyond that the filter degrades to pass-through
+    * (never to false negatives).
+    */
+  val Buckets = 256
+
+  def build(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val sig = new Array[Byte](Buckets)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(i), 42L)
+        val k = (h & (Buckets - 1)).toInt
+        if (sig(k) != -1) sig(k) = (sig(k) + 1).toByte // saturate at 0xFF
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def column(c: Column): Column =
+    GraftSqlBridge.column(GramCountSig(GraftSqlBridge.expression(c)))
+}
+
+/** `graft_sig_overlap_bound(binary, binary) -> int`: the histogram-
+  * intersection upper bound Σ_k min(cA[k], cB[k]) over two
+  * [[GramCountSig]] signatures. Returns Int.MaxValue when any bucket is
+  * saturated on BOTH sides (the only case where the stored min could
+  * undercount the true one) — the filter then passes the pair through
+  * to the exact verify rather than risk a false negative.
+  */
+case class SigOverlapBound(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.BinaryType,
+      org.apache.spark.sql.types.BinaryType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigOverlapBound.bound(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SigOverlapBound.bound($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigOverlapBound =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sig_overlap_bound"
+}
+
+object SigOverlapBound {
+  def bound(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var acc = 0
+    var k = 0
+    while (k < n) {
+      val va = a(k) & 0xFF
+      val vb = b(k) & 0xFF
+      if (va == 255 && vb == 255) return Int.MaxValue
+      acc += math.min(va, vb)
+      k += 1
+    }
+    acc
+  }
+
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SigOverlapBound(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -84,19 +84,28 @@ object DedupQueries {
     * definition dedup_minhash_recall, dedup_winnow_recall and
     * dedup_cc_bcubed all evaluate against (one truth so the detector
     * scores are comparable). The quadratic join is confined to the
-    * 150-doc block by construction.
+    * 150-doc block by construction. Memoized + persisted per (session,
+    * dir) — three consumers, the minhash/winnow-pairs convention — and
+    * the intersection runs the SortedIntersectSize merge kernel over
+    * pre-sorted distinct shingle arrays (identical value to
+    * size(array_intersect), measured ~3x the built-in here).
     */
-  private def exactTruthPairs(s: SparkSession, d: String): DataFrame = {
-    val sets = shingleSets(toks(s, d).filter(col("doc_id") < 150))
-    sets.select(col("doc_id").as("a_id"), col("st").as("sa"))
-      .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")),
-        col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .filter(col("inter").cast("double") /
-        greatest(size(col("sa")) + size(col("sb")) - col("inter"),
-          lit(1)) >= 0.5)
-      .select("a_id", "b_id")
-  }
+  private def exactTruthPairs(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("dedup_truth_pairs", s, d)(
+      graft.CacheRegistry.track(s, {
+        val sets = shingleSets(toks(s, d).filter(col("doc_id") < 150))
+          .select(col("doc_id"), array_sort(col("st")).as("st"))
+        sets.select(col("doc_id").as("a_id"), col("st").as("sa"))
+          .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")),
+            col("a_id") < col("b_id"))
+          .withColumn("inter",
+            graft.functions.SortedIntersectSize.column(
+              col("sa"), col("sb")))
+          .filter(col("inter").cast("double") /
+            greatest(size(col("sa")) + size(col("sb")) - col("inter"),
+              lit(1)) >= 0.5)
+          .select("a_id", "b_id")
+      }))
 
   /** distinct word-bigram set per doc — the gram shape shared by
     * dedup_ngram_jaccard (bounded all-pairs eval block) and
@@ -207,6 +216,9 @@ object DedupQueries {
     // the pair set over that selection — consumed by both
     // dedup_winnow_shared_pairs and dedup_pair_rouge_overlap
     winnowPairs(s, dir).write.format("noop").mode("overwrite").save()
+    // the eval-block ground truth — consumed by dedup_minhash_recall,
+    // dedup_winnow_recall and dedup_cc_bcubed
+    exactTruthPairs(s, dir).write.format("noop").mode("overwrite").save()
     ()
   }
 
@@ -503,6 +515,68 @@ object DedupQueries {
       graft.CacheRegistry.track(s,
         toks(s, dir).select(col("doc_id"),
           graft.functions.SimHash64.column(col("tok")).as("simhash"))))
+
+  /** dedup_prefix_jaccard's per-doc index frame: the global-df-ordered
+    * (rarest-first) gram array `sg`, its size `n`, and the 256-bucket
+    * suffix-filter count signature `sig` ([[graft.functions.GramCountSig]]).
+    * Memoized + persisted per (session, dir) — the simhashes/minhash-
+    * pairs precedent: every consumer of the AllPairs join (the two
+    * prefix sides, the hash-prescreen arrays, the exact-verify arrays)
+    * derives from THIS one frame, so the scan+tokenize+df-sort pass
+    * runs once per corpus, not once per consumer. (Before the memo,
+    * Catalyst pushed the tokenize projection below the round-robin
+    * repartition and each of the three consumers re-ran it on the
+    * single file split — 3 x 2 s single-threaded at sf0.1, with zero
+    * exchange reuse.) Cost: one row per doc (gram array ~ doc size —
+    * the same size class as the cached minhash signature table),
+    * released via CacheRegistry.clear.
+    *
+    * Per-doc gram list sorted by the global (df, gram) order; the
+    * struct sort gives rarest-first, the only order under which the
+    * prefix bound holds. (A doc_id-partitioned row_number window was
+    * tried instead of collect_list + array_sort + slice + posexplode
+    * and measured 2 s SLOWER at sf0.1 — the per-doc in-memory struct
+    * sorts beat one big Tungsten (doc_id, df, gram) row sort here.)
+    * dfreq is the gram DICTIONARY — Heaps-law corpus-sized at 100 TB,
+    * so it shuffles like every other corpus-sized side.
+    */
+  private def prefixSorted(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.memo("dedup_prefix_sorted", s, dir)(
+      graft.CacheRegistry.track(s, {
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // tokenize AFTER a round-robin spread of the raw rows: the
+        // documents scan is one file split at test scale
+        val grams = bigramSets(
+          Tables.t(s, dir, "documents").repartition(nPart)
+            .select(col("doc_id"),
+              graft.functions.NormTokens.column(col("text")).as("tok")))
+        val posting = grams.select(col("doc_id"),
+          explode(col("g")).as("gram"))
+        val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+        posting.join(dfreq.hint("shuffle_hash"), "gram")
+          .repartition(nPart, col("doc_id"))
+          .groupBy("doc_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("df"), col("gram")))),
+            x => x.getField("gram")).as("sg"))
+          .withColumn("n", size(col("sg")))
+          // SUFFIX-FILTER signature (PPJoin+ adapted for a distributed
+          // join, Xiao et al. WWW'08 §4): a 256-bucket count sketch of
+          // the doc's gram set. The pair join bounds the overlap by the
+          // histogram intersection Σ min(cA,cB) — which can only
+          // OVERcount the true overlap, so cutting bound < alpha loses
+          // no pair (PrefixJaccardSpec brute-force-checks completeness
+          // through this filter). This is what the positional bound
+          // cannot do on the dense synthetic vocabulary: positions say
+          // "everything after (i,j) COULD match"; the sketch measures
+          // how much actually CAN. Trade: +256 B per prefix row in the
+          // gram-join exchange (linear in corpus) buys pruning of the
+          // candidate stream (superlinear in vocabulary density) —
+          // sf0.1 measured 9.0M candidate rows -> 4.4k before the
+          // distinct/prescreen exchanges (256 true pairs).
+          .withColumn("sig",
+            graft.functions.GramCountSig.column(col("sg")))
+      }))
 
   private val simhashCte: String = {
     val fp = (0 until SimBits).map { b =>
@@ -1075,39 +1149,14 @@ object DedupQueries {
         // the session's configured shuffle parallelism explicitly —
         // a user-specified repartition width is exempt from coalescing.
         val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        // tokenize AFTER a round-robin spread of the raw rows: the
-        // documents scan is one file split at test scale, and this
-        // lineage is consumed twice (both prefix sides), so an
-        // unspread tokenize runs twice single-threaded
-        val grams = bigramSets(
-          Tables.t(s, d, "documents").repartition(nPart)
-            .select(col("doc_id"),
-              graft.functions.NormTokens.column(col("text")).as("tok")))
-        val posting = grams.select(col("doc_id"), explode(col("g")).as("gram"))
-        val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
-        // per-doc gram list sorted by the global (df, gram) order; the
-        // struct sort gives rarest-first, the only order under which
-        // the prefix bound holds. (A doc_id-partitioned row_number
-        // window was tried instead of collect_list + array_sort +
-        // slice + posexplode and measured 2 s SLOWER at sf0.1 — the
-        // per-doc in-memory struct sorts beat one big Tungsten
-        // (doc_id, df, gram) row sort here.)
-        // dfreq is the gram DICTIONARY — Heaps-law corpus-sized at
-        // 100 TB, so it shuffles like every other corpus-sized side
-        val sorted = posting.join(dfreq.hint("shuffle_hash"), "gram")
-          .repartition(nPart, col("doc_id"))
-          .groupBy("doc_id")
-          .agg(transform(
-            array_sort(collect_list(struct(col("df"), col("gram")))),
-            x => x.getField("gram")).as("sg"))
-          .withColumn("n", size(col("sg")))
+        val sorted = prefixSorted(s, d)
         // PROBE prefix length for J >= 0.5: n - ceil(t*n) + 1
         // = n - ceil(n/2) + 1 (integer form)
         val plen = col("n") - floor((col("n") + 1) / 2).cast("int") + 1
-        val pfx = sorted.select(col("doc_id"), col("n"),
+        val pfx = sorted.select(col("doc_id"), col("n"), col("sig"),
           posexplode(slice(col("sg"), lit(1), plen)).as(Seq("i0", "gram")))
-          .select(col("doc_id"), col("n"), (col("i0") + 1).as("i"),
-            col("gram"))
+          .select(col("doc_id"), col("n"), col("sig"),
+            (col("i0") + 1).as("i"), col("gram"))
         // INDEX prefix (AllPairs asymmetry, Bayardo WWW'07 §3.1): under
         // the canonical (n, doc_id) processing order the SMALLER doc of
         // a pair only needs its first n - ceil(2t/(1+t)*n) + 1 grams
@@ -1152,7 +1201,12 @@ object DedupQueries {
               col("b.n") <= col("a.n") * 2 &&
               least(col("a.i") - 1, col("b.i") - 1) + 1 +
                 least(col("a.n") - col("a.i"), col("b.n") - col("b.i"))
-                >= alpha)
+                >= alpha &&
+              // suffix filter: the count-sketch overlap bound must
+              // still clear alpha — evaluated last (the 256-byte merge
+              // runs only on rows the cheap scalar filters pass)
+              graft.functions.SigOverlapBound.column(
+                col("a.sig"), col("b.sig")) >= alpha)
           .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
           .repartition(nPart, col("a_id"), col("b_id"))
@@ -1173,9 +1227,17 @@ object DedupQueries {
         // the surviving pairs on the true string arrays — a
         // survivor-sized frame joined against the corpus arrays, which
         // never re-enters a corpus-wide exchange carrying payload.
-        val ghash = grams.select(col("doc_id"),
-          array_sort(transform(col("g"), x => xxhash64(x))).as("gh"),
-          size(col("g")).as("ng"))
+        // ghash/gsort both derive from `sorted` rather than re-running
+        // the scan+tokenize+bigram lineage: sg IS the gram set (just
+        // df-ordered), so re-sorting it is a per-row array_sort while
+        // the lineage below the doc_id repartition is byte-identical
+        // across all three consumers and AQE reuses that exchange —
+        // measured 2x the whole query at sf0.1 (the three corpus
+        // tokenizes were ~6 of 6.6 s once the suffix filter shrank
+        // everything downstream).
+        val ghash = sorted.select(col("doc_id"),
+          array_sort(transform(col("sg"), x => xxhash64(x))).as("gh"),
+          col("n").as("ng"))
           .hint("shuffle_hash")
         val ih = graft.functions.SortedIntersectSizeLong.column(
           col("ha"), col("hb"))
@@ -1192,22 +1254,20 @@ object DedupQueries {
           .filter(ih * 3 >= col("na") + col("nb"))
           .select(col("a_id"), col("b_id"))
           .repartition(nPart, col("a_id"), col("b_id"))
-        // pass 2 re-tokenizes ONLY survivor docs (the toksFor semi-join
-        // prune pattern, shuffle-hash because survivor counts scale
-        // with the corpus's true duplicate mass) — without this prune
-        // the exact pass would be a third corpus-wide tokenize, which
-        // the salted 10x/30x probes measured as the dominant cost
+        // pass 2 sorts the string arrays of ONLY survivor docs (the
+        // semi-join prune pattern, shuffle-hash because survivor counts
+        // scale with the corpus's true duplicate mass) — reading the
+        // same reused exchange as ghash instead of a third corpus-wide
+        // tokenize, which the salted 10x/30x probes measured as the
+        // dominant cost
         val survIds = survivors.select(col("a_id").as("doc_id"))
           .union(survivors.select(col("b_id").as("doc_id")))
           .distinct()
           .hint("shuffle_hash")
-        val gsort = bigramSets(
-          Tables.t(s, d, "documents")
-            .join(survIds, Seq("doc_id"), "left_semi")
-            .select(col("doc_id"),
-              graft.functions.NormTokens.column(col("text")).as("tok")))
+        val gsort = sorted
+          .join(survIds, Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
-            array_sort(col("g")).as("gs"), size(col("g")).as("ng"))
+            array_sort(col("sg")).as("gs"), col("n").as("ng"))
           .hint("shuffle_hash")
         val inter = graft.functions.SortedIntersectSize.column(
           col("ga"), col("gb"))
@@ -1552,21 +1612,28 @@ object DedupQueries {
           shift(exactTruthPairs(s, d), 0L)
             .unionByName(shift(blockPairs(minhashPairs(s, d)), Off))
             .unionByName(shift(blockPairs(winnowPairs(s, d)), 2 * Off)))
+        // every frame below is bounded by the 150-doc eval block (labs
+        // <= 3 x 150 rows), so the whole label/score cascade runs on
+        // BROADCAST joins — without the hints each tiny join costs a
+        // 32-partition exchange round-trip, and the ~25 stage barriers
+        // were the bulk of the query's 3.2 s fully-warm wall (the CC
+        // loop itself converges in one round here)
         def labels(o: Long, out: String): DataFrame =
-          block.join(
+          block.join(broadcast(
             labs.filter(col("id") >= o && col("id") < o + Off)
               .select((col("id") - o).as("doc_id"),
-                (col("cluster_id") - o).as(out)),
+                (col("cluster_id") - o).as(out))),
             Seq("doc_id"), "left_outer")
             .select(col("doc_id"),
               coalesce(col(out), col("doc_id")).as(out))
         val tlabels = labels(0L, "tl")
         def b3(predOff: Long, detector: String): DataFrame = {
-          val e = tlabels.join(labels(predOff, "pl"), "doc_id")
+          val e = tlabels.join(broadcast(labels(predOff, "pl")), "doc_id")
           val pc = e.groupBy("pl").agg(count(lit(1)).as("pc"))
           val tc = e.groupBy("tl").agg(count(lit(1)).as("tc"))
           val ic = e.groupBy("pl", "tl").agg(count(lit(1)).as("ic"))
-          e.join(ic, Seq("pl", "tl")).join(pc, "pl").join(tc, "tl")
+          e.join(broadcast(ic), Seq("pl", "tl"))
+            .join(broadcast(pc), "pl").join(broadcast(tc), "tl")
             .select(expr("(ic * 1000000) div pc").as("pmu"),
               expr("(ic * 1000000) div tc").as("rmu"))
             .agg(count(lit(1)).as("n_docs"),

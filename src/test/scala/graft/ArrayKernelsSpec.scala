@@ -116,6 +116,37 @@ class ArrayKernelsSpec extends AnyFunSuite {
     bound.foreach(r => assert(r.getInt(0) >= r.getInt(1), r))
   }
 
+  test("GramCountSig/SigOverlapBound: bound >= true set intersection, always") {
+    import spark.implicits._
+    import graft.functions.{GramCountSig, SigOverlapBound}
+    val rnd = new scala.util.Random(31)
+    // vocab small enough to force real overlaps AND hash-bucket
+    // collisions between non-shared elements
+    val sample: Seq[(Seq[String], Seq[String])] =
+      Seq((Seq.empty[String], Seq.empty[String]),
+        (Seq("x"), Seq("x")),
+        (Seq("x"), Seq("y"))) ++
+        Seq.fill(300) {
+          def s() = (0 until rnd.nextInt(120))
+            .map(_ => s"w${rnd.nextInt(200)}").distinct
+          (s(), s())
+        }
+    val rows = sample.toDF("a", "b")
+      .select(
+        SigOverlapBound.column(
+          GramCountSig.column(col("a")),
+          GramCountSig.column(col("b"))).as("bound"),
+        size(array_intersect(col("a"), col("b"))).as("true_inter"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) >= r.getInt(1), r))
+    // and the bound is TIGHT for identical sets (no self-inflation)
+    val self = Seq((1 to 100).map(i => s"t$i")).toDF("a")
+      .select(SigOverlapBound.column(
+        GramCountSig.column(col("a")), GramCountSig.column(col("a"))).as("b"),
+        size(col("a")).as("n")).collect()(0)
+    assert(self.getInt(0) == self.getInt(1))
+  }
+
   test("element-type mismatch is an analysis error, not a buffer reinterpret") {
     import spark.implicits._
     import graft.functions.{SortedIntersectSize, SortedIntersectSizeLong}
