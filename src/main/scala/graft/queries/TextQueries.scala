@@ -37,6 +37,21 @@ object TextQueries {
        |  SELECT *, ${tokensSql("text_clean")} AS tok FROM cleaned
        |)""".stripMargin
 
+  /** corpus term-frequency table (t, tf) — THE vocabulary frame of the
+    * tokenizer-training queries (doc_bpe_merge_ranks and the iterated
+    * doc_bpe_train_iters both derive from it; the trainer's three
+    * rounds alone consume it seven times). Memoized + persisted per
+    * (session, dir): one corpus-sized partial-agg'd shuffle, cached at
+    * vocabulary size (Heaps-law sublinear in the corpus — millions of
+    * rows at 100 TB, the frame a production trainer materializes
+    * first). Released via CacheRegistry.clear.
+    */
+  private def termTf(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.memo("text_term_tf", s, dir)(
+      graft.CacheRegistry.track(s,
+        toks(s, dir).select(explode(col("tok")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("tf"))))
+
   /** Quality-gate signals + reasons bitmask over every document —
     * shared by doc_quality_gate and doc_pipeline_funnel so the two can
     * never disagree on a gate bit. Carries (doc_id, lang, text_clean,
@@ -563,9 +578,7 @@ object TextQueries {
     Q(
       "doc_bpe_merge_ranks",
       (s, d) =>
-        toks(s, d)
-          .select(explode(col("tok")).as("t"))
-          .groupBy("t").agg(count(lit(1)).as("tf"))
+        termTf(s, d)
           .filter(length(col("t")) >= 2)
           .select(explode(expr(
             "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
@@ -583,6 +596,129 @@ object TextQueries {
            |SELECT substring(t, CAST(i AS INT), 2) AS pair,
            |  CAST(sum(tf) AS BIGINT) AS n
            |FROM ex GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    // Tokenizer TRAINING, iterated: three full BPE rounds — each round
+    // counts adjacent symbol-pair frequencies over the vocabulary
+    // (weighted by term frequency), picks the argmax merge (ties by
+    // (a, b) — one total order both engines share), APPLIES it to every
+    // term's symbol sequence, and re-counts. The apply step is what
+    // makes it a trainer rather than pair ranking (doc_bpe_merge_ranks
+    // stays the round-1 canonical form). EXACTNESS of the apply: a
+    // term's symbol sequence is kept as a delimiter-wrapped STRING
+    // ('|h||e||l||o|' — tokens are a-z only, see NormTokens, so '|' can
+    // never occur in a symbol) and a merge is a literal
+    // replace('|a||b|' -> '|ab|'): SQL replace scans left-to-right over
+    // non-overlapping occurrences in BOTH engines, which IS greedy BPE
+    // merge order ('|a||a||a|' merges once, the canonical behavior).
+    // n_applied falls out exactly as the corpus symbol-count drop
+    // (every applied merge removes one symbol). Scale shape: the
+    // corpus-sized work is the ONE memoized tf shuffle (termTf); all
+    // three rounds run over the distinct vocabulary — pair counts are
+    // vocab-sized partial-agg'd shuffles, each round's argmax is a
+    // 1-row TakeOrderedAndProject broadcast back into the vocab frame
+    // (never a driver loop over rows), and the merge itself is one
+    // codegen'd string replace per vocab row.
+    Q(
+      "doc_bpe_train_iters",
+      (s, d) => {
+        val s0 = termTf(s, d).select(
+          concat(lit("|"), array_join(expr(
+            "transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
+            "||"), lit("|")).as("sym"),
+          col("tf"))
+        def pairsOf(df: DataFrame): DataFrame =
+          df.select(col("tf"),
+            split(trim(col("sym"), "|"), "\\|\\|").as("sy"))
+            .filter(size(col("sy")) >= 2)
+            .select(col("tf"), explode(expr(
+              "transform(sequence(1, size(sy) - 1), i -> " +
+                "struct(element_at(sy, i) AS ma, " +
+                "element_at(sy, i + 1) AS mb))")).as("p"))
+            .groupBy(col("p.ma").as("ma"), col("p.mb").as("mb"))
+            .agg(sum(col("tf")).as("pair_n"))
+        def argmax(p: DataFrame): DataFrame =
+          p.orderBy(col("pair_n").desc, col("ma"), col("mb")).limit(1)
+        // LEFT join so a degenerate corpus with no pairs (all 1-char
+        // tokens) leaves the vocab unchanged instead of emptying it
+        def applyMerge(df: DataFrame, m: DataFrame): DataFrame =
+          df.withColumn("k", lit(1))
+            .join(broadcast(m.select(col("ma"), col("mb"))
+              .withColumn("k", lit(1))), Seq("k"), "left")
+            .select(coalesce(expr(
+              "replace(sym, concat('|', ma, '||', mb, '|'), " +
+                "concat('|', ma, mb, '|'))"), col("sym")).as("sym"),
+              col("tf"))
+        // corpus symbol count from the wrapping itself: each symbol
+        // carries exactly two '|'
+        def totOf(df: DataFrame): DataFrame =
+          df.agg(coalesce(sum(col("tf") * expr(
+            "(length(sym) - length(replace(sym, '|', ''))) div 2")),
+            lit(0L)).as("ts"))
+        def roundRow(r: Int, m: DataFrame, totPrev: DataFrame,
+            totAfter: DataFrame): DataFrame =
+          m.select(lit(r).as("round"), col("ma").as("merge_a"),
+            col("mb").as("merge_b"), col("pair_n"))
+            .crossJoin(broadcast(totPrev.select(col("ts").as("tp"))))
+            .crossJoin(broadcast(totAfter.select(col("ts").as("ta"))))
+            .select(col("round"), col("merge_a"), col("merge_b"),
+              col("pair_n"), col("ta").as("corpus_symbols_after"),
+              (col("tp") - col("ta")).as("n_applied"))
+        var cur = s0
+        var tot = totOf(s0)
+        val rows = (1 to 3).map { r =>
+          val m = argmax(pairsOf(cur))
+          val next = applyMerge(cur, m)
+          val ta = totOf(next)
+          val row = roundRow(r, m, tot, ta)
+          cur = next
+          tot = ta
+          row
+        }
+        rows.reduce(_ unionByName _).orderBy("round")
+      },
+      Some {
+        def roundCtes(r: Int): String =
+          s""", px$r AS (
+             |  SELECT sy, tf, unnest(range(1, len(sy))) AS i
+             |  FROM (SELECT string_split(trim(sym, '|'), '||') AS sy, tf
+             |        FROM s${r - 1})
+             |), p$r AS (
+             |  SELECT sy[CAST(i AS INT)] AS ma, sy[CAST(i AS INT) + 1] AS mb,
+             |    CAST(sum(tf) AS BIGINT) AS pair_n
+             |  FROM px$r GROUP BY 1, 2
+             |), m$r AS (
+             |  SELECT ma, mb, pair_n FROM p$r
+             |  ORDER BY pair_n DESC, ma, mb LIMIT 1
+             |), s$r AS (
+             |  SELECT coalesce(replace(sym, '|' || m.ma || '||' || m.mb || '|',
+             |      '|' || m.ma || m.mb || '|'), sym) AS sym, tf
+             |  FROM s${r - 1} LEFT JOIN m$r m ON TRUE
+             |), tot$r AS (
+             |  SELECT CAST(coalesce(sum(tf *
+             |      ((length(sym) - length(replace(sym, '|', ''))) // 2)), 0)
+             |    AS BIGINT) AS ts FROM s$r
+             |), r$r AS (
+             |  SELECT $r AS round, ma AS merge_a, mb AS merge_b, pair_n,
+             |    t1.ts AS corpus_symbols_after, t0.ts - t1.ts AS n_applied
+             |  FROM m$r CROSS JOIN tot${r - 1} t0 CROSS JOIN tot$r t1
+             |)""".stripMargin
+        s"""$tokCte, tf AS (
+           |  SELECT t, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT unnest(tok) AS t FROM t) GROUP BY 1
+           |), s0 AS (
+           |  SELECT '|' || array_to_string(list_transform(
+           |      range(1, length(t) + 1),
+           |      i -> substring(t, CAST(i AS INT), 1)), '||') || '|' AS sym,
+           |    tf
+           |  FROM tf
+           |), tot0 AS (
+           |  SELECT CAST(coalesce(sum(tf *
+           |      ((length(sym) - length(replace(sym, '|', ''))) // 2)), 0)
+           |    AS BIGINT) AS ts FROM s0
+           |)${roundCtes(1)}${roundCtes(2)}${roundCtes(3)}
+           |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           |UNION ALL SELECT * FROM r3 ORDER BY round""".stripMargin
+      }),
 
     // Approximate frequent items over the token stream — the sketch
     // completing the family (HLL distinct, quantile sketch, Bloom):

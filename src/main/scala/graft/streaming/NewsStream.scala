@@ -306,6 +306,61 @@ object NewsStream {
         (col("l1_num") * 2 > col("n_total") * shareDen).as("drift"))
   }
 
+  /** Beyond-reference: windowed A/B experiment counts — the stateful
+    * half of the streaming twin of the batch `ev_ab_report` conversion
+    * lens (and `ev_ab_conversion_ztest`). Arms split by title-hash
+    * parity (the user split a stream without user ids affords);
+    * "conversion" = positive sentiment. Watermarked tumbling windows in
+    * append mode, so only CLOSED windows ever reach the z² stage.
+    */
+  def windowedAbCounts(df: DataFrame): DataFrame =
+    df.withColumn("event_ts", try_to_timestamp(col("publishedAt")))
+      .filter(col("event_ts").isNotNull && col("title").isNotNull)
+      .withColumn("arm", pmod(xxhash64(col("title")), lit(2)))
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "5 minutes").as("w"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("sentiment") === "positive", 1L)
+          .otherwise(0L)), lit(0L)).as("conv"))
+
+  /** The z² half: applied per foreachBatch over the CLOSED windowed arm
+    * counts (the trendingPerWindow topology — rank/pivot math is not a
+    * streaming-supported op, so it runs as a bounded batch function on
+    * the append-mode output; per batch the input is <= 2 arm rows per
+    * closed window). The statistic is the batch lens's EXACT integer
+    * chain — ((ca·nb − cb·na)²·(na+nb)·1000) div
+    * (na·nb·(ca+cb)·(na+nb−ca−cb)), truncating division at milli
+    * scale, NULL on a degenerate pool (one-arm window / nobody /
+    * everybody converts), significant at z² >= 3.842 as an integer
+    * compare. StreamingSpec pins equality against an independent
+    * BigInt re-derivation over the same closed windows.
+    */
+  def abZtestPerWindow(closedCounts: DataFrame): DataFrame =
+    closedCounts
+      .select(col("w.start").as("w_start"), col("arm"), col("n"),
+        col("conv"))
+      .groupBy("w_start")
+      .agg(
+        coalesce(sum(when(col("arm") === 0, col("n"))), lit(0L))
+          .cast("decimal(19,0)").as("na"),
+        coalesce(sum(when(col("arm") === 1, col("n"))), lit(0L))
+          .cast("decimal(19,0)").as("nb"),
+        coalesce(sum(when(col("arm") === 0, col("conv"))), lit(0L))
+          .cast("decimal(19,0)").as("ca"),
+        coalesce(sum(when(col("arm") === 1, col("conv"))), lit(0L))
+          .cast("decimal(19,0)").as("cb"))
+      .select(col("w_start"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("ca").cast("long").as("conv_a"),
+        col("cb").cast("long").as("conv_b"),
+        expr("""CAST(((ca * nb - cb * na) * (ca * nb - cb * na)
+            * (na + nb) * 1000)
+            div nullif(na * nb * (ca + cb)
+              * (na + nb - ca - cb), 0) AS BIGINT)""").as("z2_milli"))
+      .withColumn("significant_5pct",
+        coalesce(col("z2_milli") >= 3842, lit(false)))
+
   /** Beyond-reference: gap-based SESSION windows over the stream — the
     * native stateful session operator (merging session state per key,
     * watermark-bounded), the streaming twin of the batch `ev_sessionize`

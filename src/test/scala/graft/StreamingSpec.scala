@@ -241,6 +241,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed A/B z-test over closed windows == the batch lens arithmetic") {
+    val in = tmp("ab_in")
+    val ckpt = tmp("ab_ckpt")
+    NewsStream.writeSampleBatch(in, batchId = 0, rows = 9)
+    NewsStream.writeSampleBatch(in, batchId = 5, rows = 7)
+    // topology under test: stateful windowed arm counts -> foreachBatch z²
+    val agg = NewsStream.windowedAbCounts(NewsStream.pipeline(spark, in))
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Long, Long, Long, Long,
+        Option[Long], Boolean)]())
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/ab")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        NewsStream.abZtestPerWindow(batch).collect().foreach(r =>
+          got.add((r.getAs[java.sql.Timestamp]("w_start").toString
+            .stripSuffix(".0"),
+            r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+            r.getAs[Long]("conv_a"), r.getAs[Long]("conv_b"),
+            if (r.isNullAt(r.fieldIndex("z2_milli"))) None
+            else Some(r.getAs[Long]("z2_milli")),
+            r.getAs[Boolean]("significant_5pct"))))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    // reference run: the same closed arm counts into a memory sink
+    val q2 = NewsStream.windowedAbCounts(NewsStream.pipeline(spark, in))
+      .writeStream.format("memory").queryName("t_ab_counts")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/ab_counts")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable(); q2.processAllAvailable()
+      // push the watermark past the filled windows so they close
+      NewsStream.writeSampleBatch(in, batchId = 30, rows = 3)
+      q.processAllAvailable(); q.processAllAvailable()
+      q2.processAllAvailable(); q2.processAllAvailable()
+      val rows = got.toArray(
+        Array.empty[(String, Long, Long, Long, Long, Option[Long], Boolean)])
+      assert(rows.nonEmpty, "no closed window was scored")
+      assert(rows.map(_._1).distinct.length == rows.length, rows.toSeq)
+      // independent BigInt re-derivation of the batch lens over the
+      // same closed windows (the StatsQueriesSpec convention)
+      val counts = spark.table("t_ab_counts")
+        .select(col("w.start").cast("string").as("s"), col("arm"),
+          col("n"), col("conv"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (w, rs) =>
+          def pick(a: Int, f: String): BigInt = BigInt(
+            rs.find(_.getAs[Long]("arm") == a)
+              .map(_.getAs[Long](f)).getOrElse(0L))
+          w -> (pick(0, "n"), pick(1, "n"), pick(0, "conv"),
+            pick(1, "conv"))
+        }
+      rows.foreach { case (w, nA, nB, cA, cB, z2, sig) =>
+        val (na, nb, ca, cb) = counts(w)
+        assert((na, nb, ca, cb) ==
+          (BigInt(nA), BigInt(nB), BigInt(cA), BigInt(cB)), w)
+        val den = na * nb * (ca + cb) * (na + nb - ca - cb)
+        val want =
+          if (den == 0) None
+          else Some(((ca * nb - cb * na).pow(2) * (na + nb) * 1000 / den)
+            .toLong)
+        assert(z2 == want, s"$w z2=$z2 want=$want")
+        assert(sig == want.exists(_ >= 3842), w)
+      }
+      // the deterministic sample must exercise a real two-arm window
+      assert(rows.exists(r => r._2 > 0 && r._3 > 0), rows.toSeq)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("chained dedup + windowed agg counts distinct langs per window") {
     val in = tmp("wdl_in")
     val ckpt = tmp("wdl_ckpt")
