@@ -136,6 +136,7 @@ object Bench {
     val sharedWarmT0 = System.nanoTime()
     queries.MlQueries.warm(spark)
     queries.DedupQueries.warmShared(spark, sfDir)
+    queries.TextQueries.warmShared(spark, sfDir)
     queries.EmbQueries.warmShared(spark, sfDir)
     val sharedWarmSec = (System.nanoTime() - sharedWarmT0) / 1e9
     var failed = List.empty[String]

