@@ -49,4 +49,26 @@ object Tables {
         case _                => df
       }
     }
+
+  /** `name` spread to shuffle width and PERSISTED — the build-side
+    * parallelism shim for MEMOIZED corpus lineages only (minhash
+    * signatures, the AllPairs gram index, winnow fingerprints, the
+    * vocabulary tf table). The testdata files are single-row-group
+    * parquet, so a scan is one unsplittable task and a per-row kernel
+    * directly above it runs single-threaded; worse, a bare
+    * repartition-then-compute does NOT fix it because Catalyst pushes
+    * deterministic Projects through Repartition, sinking the compute
+    * back below the exchange (measured on the 10x probe: the whole
+    * tokenize in 3 scan tasks, twice). A PERSISTED exchange is a
+    * boundary no projection crosses. Scope discipline: per-query plans
+    * stay scan-shaped — at 100 TB the scan arrives pre-split across
+    * thousands of files and repartitioning raw text would be a full
+    * corpus shuffle for nothing; only one-time index builds (which a
+    * production pipeline stages from many files anyway) read this.
+    */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    CacheRegistry.memo(s"tables_spread_$name", spark, dir)(
+      CacheRegistry.track(spark,
+        t(spark, dir, name).repartition(
+          spark.conf.get("spark.sql.shuffle.partitions").toInt)))
 }

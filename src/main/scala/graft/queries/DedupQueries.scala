@@ -42,6 +42,17 @@ object DedupQueries {
       .select(col("doc_id"),
         graft.functions.NormTokens.column(col("text")).as("tok"))
 
+  /** [[toks]] above the persisted spread ([[Tables.spread]]) — for the
+    * MEMOIZED one-time builders only (minhash signatures, winnow
+    * fingerprints, the AllPairs gram index): their per-doc kernels are
+    * the heavy part and a single-row-group scan would run them in one
+    * task. Per-query lineages keep the scan-shaped [[toks]].
+    */
+  private def toksSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.NormTokens.column(col("text")).as("tok"))
+
   /** Tokens for ONLY the given doc ids: the broadcast semi-join runs on
     * the raw relation BEFORE the tokenize projection. Order matters —
     * Catalyst does not push a semi-join below a Project, so
@@ -78,6 +89,210 @@ object DedupQueries {
   private def shingleSets(toksDf: DataFrame): DataFrame =
     toksDf.withColumn("sh", shingleCol)
       .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+
+  /** The verified J >= 0.5 pair set (a_id < b_id, exact jaccard) —
+    * the whole-corpus AllPairs/PPJoin join, extracted so
+    * dedup_prefix_jaccard (the pair listing) and dedup_nearest_dup
+    * (the per-doc nearest-duplicate report) share one construction.
+    * See dedup_prefix_jaccard's header comment for the algorithm.
+    */
+  private def prefixJaccardPairs(s: SparkSession, d: String): DataFrame = {
+
+        // AQE's byte-targeted coalescing is WRONG for this query: its
+        // shuffles are tiny in bytes (pairs of longs; ~13 MB at sf0.1)
+        // but CPU-dense per row, and AQE collapsed the verify stream to
+        // 4 tasks (38 of the query's 44 s). The CPU-heavy exchanges pin
+        // the session's configured shuffle parallelism explicitly —
+        // a user-specified repartition width is exempt from coalescing.
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val sorted = prefixSorted(s, d)
+        // PROBE prefix length for J >= 0.5: n - ceil(t*n) + 1
+        // = n - ceil(n/2) + 1 (integer form)
+        val plen = col("n") - floor((col("n") + 1) / 2).cast("int") + 1
+        val pfx = sorted.select(col("doc_id"), col("n"), col("sig"),
+          posexplode(slice(col("sg"), lit(1), plen)).as(Seq("i0", "gram")))
+          .select(col("doc_id"), col("n"), col("sig"),
+            (col("i0") + 1).as("i"), col("gram"))
+        // INDEX prefix (AllPairs asymmetry, Bayardo WWW'07 §3.1): under
+        // the canonical (n, doc_id) processing order the SMALLER doc of
+        // a pair only needs its first n - ceil(2t/(1+t)*n) + 1 grams
+        // indexed (t=0.5: n - ceil(2n/3) + 1 ~ n/3, vs the probe's
+        // ~n/2). Lemma: J >= t with nx <= ny forces overlap
+        // >= alpha = ceil(t/(1+t)*(nx+ny)), and an overlap-alpha pair
+        // must share a gram inside prefix(nx-alpha+1) x prefix
+        // (ny-alpha+1); alpha >= ceil(2t/(1+t)*nx) bounds the index
+        // side and alpha >= ceil(t*ny) (via nx >= t*ny) the probe side.
+        // The index prefix is by construction a PREFIX of the probe
+        // prefix, so it derives as a position filter — no second
+        // explode. PrefixJaccardSpec brute-force-checks completeness
+        // across the J~0.5 boundary; the DuckDB oracle deliberately
+        // keeps the SYMMETRIC two-probe-prefix form, so the gate
+        // cross-checks the tightened filter against an independently
+        // complete candidate scheme.
+        val ilen = col("n") - floor((col("n") * 2 + 2) / 3).cast("int") + 1
+        val idx = pfx.filter(col("i") <= ilen)
+        // PPJoin positional filter (Xiao et al. WWW'08): a shared gram
+        // at 1-based positions (i, j) bounds the overlap by
+        // min(i-1, j-1) + 1 + min(na-i, nb-j) — common grams strictly
+        // before it, itself, common grams after. J >= 0.5 needs
+        // overlap >= ceil((na+nb)/3); every shared-gram row of a TRUE
+        // pair satisfies the bound (it upper-bounds the actual
+        // overlap), so dropping failing rows loses no pair.
+        val alpha = floor((col("a.n") + col("b.n") + 2) / 3)
+        // every join below hints shuffle_hash: the prefix table and the
+        // gram-array table are both CORPUS-SIZED, and Catalyst's size
+        // estimate under Generate(explode) is low enough that it chose
+        // to BROADCAST them — fine at sf0.1 (3 MB), an OOM at the 30x
+        // probe (a ~6M-row exploded broadcast), and wrong at 100 TB by
+        // definition. Shuffle-hash keys the pair join on gram and the
+        // verify on doc_id; per-partition builds are corpus/nPart.
+        val cand = idx.as("a")
+          .join(pfx.hint("shuffle_hash").as("b"),
+            col("a.gram") === col("b.gram") &&
+              // canonical order: the index side is the smaller doc
+              (col("a.n") < col("b.n") ||
+                (col("a.n") === col("b.n") &&
+                  col("a.doc_id") < col("b.doc_id"))) &&
+              // size filter: J >= 0.5 forces the larger <= 2x smaller
+              col("b.n") <= col("a.n") * 2 &&
+              least(col("a.i") - 1, col("b.i") - 1) + 1 +
+                least(col("a.n") - col("a.i"), col("b.n") - col("b.i"))
+                >= alpha &&
+              // suffix filter: the count-sketch overlap bound must
+              // still clear alpha — evaluated last (the 256-byte merge
+              // runs only on rows the cheap scalar filters pass)
+              graft.functions.SigOverlapBound.column(
+                col("a.sig"), col("b.sig")) >= alpha)
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+          .repartition(nPart, col("a_id"), col("b_id"))
+          .distinct()
+        // TWO-PASS verify. The exact merge-kernel verify over sorted
+        // STRING gram arrays already replaced size(array_intersect)'s
+        // per-row hash-set build (33 s -> ~2 s at sf0.1), but shipping
+        // a ~2 KB string array with every candidate row through the
+        // second doc_id exchange was still ~8 of the query's ~13 s on
+        // the adversarial corpus (4.8M candidates for 256 true pairs).
+        // Pass 1 PRESCREENS on sorted xxhash64 gram arrays — 8 bytes
+        // per gram in the exchange, primitive compares in the kernel.
+        // No exactness is given up: the multiset hash intersection can
+        // only OVERcount the string intersection (each shared gram
+        // fills one matching hash slot on both sides), so
+        // J_hash >= J_true and the 3*ih >= na+nb cut (algebraically
+        // J_hash >= 0.5) admits every true pair. Pass 2 exact-verifies
+        // the surviving pairs on the true string arrays — a
+        // survivor-sized frame joined against the corpus arrays, which
+        // never re-enters a corpus-wide exchange carrying payload.
+        // ghash/gsort both derive from `sorted` rather than re-running
+        // the scan+tokenize+bigram lineage: sg IS the gram set (just
+        // df-ordered), so re-sorting it is a per-row array_sort while
+        // the lineage below the doc_id repartition is byte-identical
+        // across all three consumers and AQE reuses that exchange —
+        // measured 2x the whole query at sf0.1 (the three corpus
+        // tokenizes were ~6 of 6.6 s once the suffix filter shrank
+        // everything downstream).
+        val ghash = sorted.select(col("doc_id"),
+          array_sort(transform(col("sg"), x => xxhash64(x))).as("gh"),
+          col("n").as("ng"))
+          .hint("shuffle_hash")
+        val ih = graft.functions.SortedIntersectSizeLong.column(
+          col("ha"), col("hb"))
+        // the repartition pins the CPU-dense pair stream's parallelism;
+        // the PERSIST below is what makes the candidate join run ONCE.
+        // The survivors subtree has FIVE downstream references (the
+        // final verify join plus both survivor-id branches, each
+        // appearing under both gsort sides) and AQE stage reuse does
+        // NOT deduplicate them — the round-7 claim that it did was
+        // wrong: the stage profile showed the whole prefix explode +
+        // 9M-row candidate join executing five times (~30 s CPU of the
+        // query's ~60 s at sf0.1). The frame is output-sized (true
+        // pairs + prescreen stragglers — 256 rows of two longs here),
+        // so persisting it is the cheapest operation in the query; it
+        // is registered per-build with CacheRegistry so clear()
+        // releases it.
+        val survivors = graft.CacheRegistry.track(s, cand
+          .join(ghash.select(col("doc_id").as("a_id"), col("gh").as("ha"),
+            col("ng").as("na")), "a_id")
+          .join(ghash.select(col("doc_id").as("b_id"), col("gh").as("hb"),
+            col("ng").as("nb")), "b_id")
+          .filter(ih * 3 >= col("na") + col("nb"))
+          .select(col("a_id"), col("b_id"))
+          .repartition(nPart, col("a_id"), col("b_id")))
+        // pass 2 sorts the string arrays of ONLY survivor docs (the
+        // semi-join prune pattern, shuffle-hash because survivor counts
+        // scale with the corpus's true duplicate mass) — reading the
+        // same reused exchange as ghash instead of a third corpus-wide
+        // tokenize, which the salted 10x/30x probes measured as the
+        // dominant cost
+        val survIds = survivors.select(col("a_id").as("doc_id"))
+          .union(survivors.select(col("b_id").as("doc_id")))
+          .distinct()
+          .hint("shuffle_hash")
+        val gsort = sorted
+          .join(survIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            array_sort(col("sg")).as("gs"), col("n").as("ng"))
+          .hint("shuffle_hash")
+        val inter = graft.functions.SortedIntersectSize.column(
+          col("ga"), col("gb"))
+        survivors
+          .join(gsort.select(col("doc_id").as("a_id"), col("gs").as("ga"),
+            col("ng").as("na")), "a_id")
+          .join(gsort.select(col("doc_id").as("b_id"), col("gs").as("gb"),
+            col("ng").as("nb")), "b_id")
+          .withColumn("inter", inter)
+          .withColumn("uni",
+            greatest(col("na") + col("nb") - col("inter"), lit(1)))
+          .filter(col("inter") * 2 >= col("uni"))
+          .select(col("a_id"), col("b_id"),
+            round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
+  /** DuckDB twin of [[prefixJaccardPairs]] + the deterministic order */
+  private lazy val prefixJaccardSql: String =
+    s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), grams AS (
+           |  SELECT doc_id, $bigramsSqlExpr AS g FROM toksrc
+           |), posting AS (
+           |  SELECT doc_id, unnest(g) AS gram FROM grams
+           |), dfreq AS (
+           |  SELECT gram, count(*) AS df FROM posting GROUP BY 1
+           |), sorted AS (
+           |  SELECT p.doc_id,
+           |    list_transform(list_sort(list({'df': d.df, 'g': p.gram})),
+           |      x -> x.g) AS sg
+           |  FROM posting p JOIN dfreq d USING (gram) GROUP BY p.doc_id
+           |), pfx0 AS (
+           |  SELECT doc_id, len(sg) AS n,
+           |    unnest(list_transform(
+           |      sg[1:(len(sg) - (len(sg) + 1) // 2 + 1)],
+           |      (x, ix) -> {'g': x, 'ix': ix})) AS u
+           |  FROM sorted
+           |), pfx AS (
+           |  SELECT doc_id, n, u.ix AS i, u.g AS gram FROM pfx0
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM pfx a JOIN pfx b ON a.gram = b.gram
+           |    AND a.doc_id < b.doc_id AND b.n <= a.n * 2 AND a.n <= b.n * 2
+           |    AND least(a.i - 1, b.i - 1) + 1
+           |      + least(a.n - a.i, b.n - b.i) >= (a.n + b.n + 2) // 3
+           |), v AS (
+           |  SELECT c.a_id, c.b_id,
+           |    len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
+           |    len(ga.g) AS la, len(gb.g) AS lb
+           |  FROM cand c
+           |  JOIN grams ga ON ga.doc_id = c.a_id
+           |  JOIN grams gb ON gb.doc_id = c.b_id
+           |)
+           |SELECT a_id, b_id,
+           |  round(CAST(inter AS DOUBLE)
+           |    / greatest(la + lb - inter, 1), 6) AS jaccard
+           |FROM v
+           |WHERE inter * 2 >= greatest(la + lb - inter, 1)
+           |ORDER BY a_id, b_id""".stripMargin
 
   /** Ground-truth near-dup pairs on the bounded doc_id < 150 eval
     * block: exact all-pairs 3-shingle Jaccard >= 0.5 — the single
@@ -245,7 +460,7 @@ object DedupQueries {
     // token arrays; at 100 TB this is the signature store a real
     // pipeline stages to disk. coalesce mirrors the oracle: a
     // NULL-token doc fingerprints like an empty-token doc.
-    val sig = track(s, toks(s, dir)
+    val sig = track(s, toksSpread(s, dir)
       .withColumn("fp", md5(coalesce(array_join(col("tok"), " "), lit(""))))
       .withColumn("mh", graft.functions.MinHashShingleSig.column(col("tok")))
       .select("doc_id", "fp", "mh"))
@@ -519,7 +734,7 @@ object DedupQueries {
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.memo("dedup_simhash_fps", s, dir)(
       graft.CacheRegistry.track(s,
-        toks(s, dir).select(col("doc_id"),
+        toksSpread(s, dir).select(col("doc_id"),
           graft.functions.SimHash64.column(col("tok")).as("simhash"))))
 
   /** dedup_prefix_jaccard's per-doc index frame: the global-df-ordered
@@ -550,21 +765,16 @@ object DedupQueries {
     graft.CacheRegistry.memo("dedup_prefix_sorted", s, dir)(
       graft.CacheRegistry.track(s, {
         val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        // tokenize AFTER a round-robin spread of the raw rows: the
-        // documents scan is one file split at test scale. The PERSIST
-        // on the spread frame is the load-bearing part: Catalyst
-        // pushes a deterministic Project straight through Repartition
-        // (normally a win — fewer exchanged bytes), which would sink
-        // the tokenize below the exchange back to scan width — the
-        // 10x probe measured the whole tokenize running in 3
-        // scan-split tasks (16 s/task), twice, inside this build. A
-        // cached exchange is a boundary no projection crosses, so the
-        // tokenize above it runs at the cache's nPart width.
-        val spread = graft.CacheRegistry.track(s,
-          Tables.t(s, dir, "documents").repartition(nPart))
-        val grams = bigramSets(
-          spread.select(col("doc_id"),
-            graft.functions.NormTokens.column(col("text")).as("tok")))
+        // tokenize above the persisted spread (Tables.spread): the
+        // documents scan is one unsplittable task at test scale, and a
+        // bare repartition can't fix it — Catalyst pushes deterministic
+        // Projects through Repartition (normally a win — fewer
+        // exchanged bytes), sinking the tokenize below the exchange
+        // back to scan width; the 10x probe measured the whole
+        // tokenize running in 3 scan-split tasks (16 s/task), twice,
+        // inside this build. A persisted exchange is a boundary no
+        // projection crosses.
+        val grams = bigramSets(toksSpread(s, dir))
         val posting = grams.select(col("doc_id"),
           explode(col("g")).as("gram"))
         val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -1156,201 +1366,63 @@ object DedupQueries {
     // re-partitioning of the high-df tail.
     Q(
       "dedup_prefix_jaccard",
+      (s, d) => prefixJaccardPairs(s, d).orderBy("a_id", "b_id"),
+      Some(prefixJaccardSql)),
+
+    // Per-doc NEAREST-DUPLICATE report — the lookup a curation UI
+    // serves ("which doc is this one's duplicate, and how close"):
+    // every document joined to its best J >= 0.5 partner (highest
+    // jaccard, ties to the lowest other id) plus its duplicate-partner
+    // count, NULLs where the doc has none. Pure composition over the
+    // shared prefixJaccardPairs machinery: the pair set is
+    // output-sized (true near-dup pairs, never candidates), so the
+    // symmetrized frame, the per-doc rank window, and the left join
+    // back to the corpus are all duplicate-mass-bounded — the corpus
+    // is touched once for the id spine.
+    Q(
+      "dedup_nearest_dup",
       (s, d) => {
-        // AQE's byte-targeted coalescing is WRONG for this query: its
-        // shuffles are tiny in bytes (pairs of longs; ~13 MB at sf0.1)
-        // but CPU-dense per row, and AQE collapsed the verify stream to
-        // 4 tasks (38 of the query's 44 s). The CPU-heavy exchanges pin
-        // the session's configured shuffle parallelism explicitly —
-        // a user-specified repartition width is exempt from coalescing.
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val sorted = prefixSorted(s, d)
-        // PROBE prefix length for J >= 0.5: n - ceil(t*n) + 1
-        // = n - ceil(n/2) + 1 (integer form)
-        val plen = col("n") - floor((col("n") + 1) / 2).cast("int") + 1
-        val pfx = sorted.select(col("doc_id"), col("n"), col("sig"),
-          posexplode(slice(col("sg"), lit(1), plen)).as(Seq("i0", "gram")))
-          .select(col("doc_id"), col("n"), col("sig"),
-            (col("i0") + 1).as("i"), col("gram"))
-        // INDEX prefix (AllPairs asymmetry, Bayardo WWW'07 §3.1): under
-        // the canonical (n, doc_id) processing order the SMALLER doc of
-        // a pair only needs its first n - ceil(2t/(1+t)*n) + 1 grams
-        // indexed (t=0.5: n - ceil(2n/3) + 1 ~ n/3, vs the probe's
-        // ~n/2). Lemma: J >= t with nx <= ny forces overlap
-        // >= alpha = ceil(t/(1+t)*(nx+ny)), and an overlap-alpha pair
-        // must share a gram inside prefix(nx-alpha+1) x prefix
-        // (ny-alpha+1); alpha >= ceil(2t/(1+t)*nx) bounds the index
-        // side and alpha >= ceil(t*ny) (via nx >= t*ny) the probe side.
-        // The index prefix is by construction a PREFIX of the probe
-        // prefix, so it derives as a position filter — no second
-        // explode. PrefixJaccardSpec brute-force-checks completeness
-        // across the J~0.5 boundary; the DuckDB oracle deliberately
-        // keeps the SYMMETRIC two-probe-prefix form, so the gate
-        // cross-checks the tightened filter against an independently
-        // complete candidate scheme.
-        val ilen = col("n") - floor((col("n") * 2 + 2) / 3).cast("int") + 1
-        val idx = pfx.filter(col("i") <= ilen)
-        // PPJoin positional filter (Xiao et al. WWW'08): a shared gram
-        // at 1-based positions (i, j) bounds the overlap by
-        // min(i-1, j-1) + 1 + min(na-i, nb-j) — common grams strictly
-        // before it, itself, common grams after. J >= 0.5 needs
-        // overlap >= ceil((na+nb)/3); every shared-gram row of a TRUE
-        // pair satisfies the bound (it upper-bounds the actual
-        // overlap), so dropping failing rows loses no pair.
-        val alpha = floor((col("a.n") + col("b.n") + 2) / 3)
-        // every join below hints shuffle_hash: the prefix table and the
-        // gram-array table are both CORPUS-SIZED, and Catalyst's size
-        // estimate under Generate(explode) is low enough that it chose
-        // to BROADCAST them — fine at sf0.1 (3 MB), an OOM at the 30x
-        // probe (a ~6M-row exploded broadcast), and wrong at 100 TB by
-        // definition. Shuffle-hash keys the pair join on gram and the
-        // verify on doc_id; per-partition builds are corpus/nPart.
-        val cand = idx.as("a")
-          .join(pfx.hint("shuffle_hash").as("b"),
-            col("a.gram") === col("b.gram") &&
-              // canonical order: the index side is the smaller doc
-              (col("a.n") < col("b.n") ||
-                (col("a.n") === col("b.n") &&
-                  col("a.doc_id") < col("b.doc_id"))) &&
-              // size filter: J >= 0.5 forces the larger <= 2x smaller
-              col("b.n") <= col("a.n") * 2 &&
-              least(col("a.i") - 1, col("b.i") - 1) + 1 +
-                least(col("a.n") - col("a.i"), col("b.n") - col("b.i"))
-                >= alpha &&
-              // suffix filter: the count-sketch overlap bound must
-              // still clear alpha — evaluated last (the 256-byte merge
-              // runs only on rows the cheap scalar filters pass)
-              graft.functions.SigOverlapBound.column(
-                col("a.sig"), col("b.sig")) >= alpha)
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
-          .repartition(nPart, col("a_id"), col("b_id"))
-          .distinct()
-        // TWO-PASS verify. The exact merge-kernel verify over sorted
-        // STRING gram arrays already replaced size(array_intersect)'s
-        // per-row hash-set build (33 s -> ~2 s at sf0.1), but shipping
-        // a ~2 KB string array with every candidate row through the
-        // second doc_id exchange was still ~8 of the query's ~13 s on
-        // the adversarial corpus (4.8M candidates for 256 true pairs).
-        // Pass 1 PRESCREENS on sorted xxhash64 gram arrays — 8 bytes
-        // per gram in the exchange, primitive compares in the kernel.
-        // No exactness is given up: the multiset hash intersection can
-        // only OVERcount the string intersection (each shared gram
-        // fills one matching hash slot on both sides), so
-        // J_hash >= J_true and the 3*ih >= na+nb cut (algebraically
-        // J_hash >= 0.5) admits every true pair. Pass 2 exact-verifies
-        // the surviving pairs on the true string arrays — a
-        // survivor-sized frame joined against the corpus arrays, which
-        // never re-enters a corpus-wide exchange carrying payload.
-        // ghash/gsort both derive from `sorted` rather than re-running
-        // the scan+tokenize+bigram lineage: sg IS the gram set (just
-        // df-ordered), so re-sorting it is a per-row array_sort while
-        // the lineage below the doc_id repartition is byte-identical
-        // across all three consumers and AQE reuses that exchange —
-        // measured 2x the whole query at sf0.1 (the three corpus
-        // tokenizes were ~6 of 6.6 s once the suffix filter shrank
-        // everything downstream).
-        val ghash = sorted.select(col("doc_id"),
-          array_sort(transform(col("sg"), x => xxhash64(x))).as("gh"),
-          col("n").as("ng"))
-          .hint("shuffle_hash")
-        val ih = graft.functions.SortedIntersectSizeLong.column(
-          col("ha"), col("hb"))
-        // the repartition pins the CPU-dense pair stream's parallelism;
-        // the PERSIST below is what makes the candidate join run ONCE.
-        // The survivors subtree has FIVE downstream references (the
-        // final verify join plus both survivor-id branches, each
-        // appearing under both gsort sides) and AQE stage reuse does
-        // NOT deduplicate them — the round-7 claim that it did was
-        // wrong: the stage profile showed the whole prefix explode +
-        // 9M-row candidate join executing five times (~30 s CPU of the
-        // query's ~60 s at sf0.1). The frame is output-sized (true
-        // pairs + prescreen stragglers — 256 rows of two longs here),
-        // so persisting it is the cheapest operation in the query; it
-        // is registered per-build with CacheRegistry so clear()
-        // releases it.
-        val survivors = graft.CacheRegistry.track(s, cand
-          .join(ghash.select(col("doc_id").as("a_id"), col("gh").as("ha"),
-            col("ng").as("na")), "a_id")
-          .join(ghash.select(col("doc_id").as("b_id"), col("gh").as("hb"),
-            col("ng").as("nb")), "b_id")
-          .filter(ih * 3 >= col("na") + col("nb"))
-          .select(col("a_id"), col("b_id"))
-          .repartition(nPart, col("a_id"), col("b_id")))
-        // pass 2 sorts the string arrays of ONLY survivor docs (the
-        // semi-join prune pattern, shuffle-hash because survivor counts
-        // scale with the corpus's true duplicate mass) — reading the
-        // same reused exchange as ghash instead of a third corpus-wide
-        // tokenize, which the salted 10x/30x probes measured as the
-        // dominant cost
-        val survIds = survivors.select(col("a_id").as("doc_id"))
-          .union(survivors.select(col("b_id").as("doc_id")))
-          .distinct()
-          .hint("shuffle_hash")
-        val gsort = sorted
-          .join(survIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"),
-            array_sort(col("sg")).as("gs"), col("n").as("ng"))
-          .hint("shuffle_hash")
-        val inter = graft.functions.SortedIntersectSize.column(
-          col("ga"), col("gb"))
-        survivors
-          .join(gsort.select(col("doc_id").as("a_id"), col("gs").as("ga"),
-            col("ng").as("na")), "a_id")
-          .join(gsort.select(col("doc_id").as("b_id"), col("gs").as("gb"),
-            col("ng").as("nb")), "b_id")
-          .withColumn("inter", inter)
-          .withColumn("uni",
-            greatest(col("na") + col("nb") - col("inter"), lit(1)))
-          .filter(col("inter") * 2 >= col("uni"))
-          .select(col("a_id"), col("b_id"),
-            round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
-          .orderBy("a_id", "b_id")
+        val pairs = prefixJaccardPairs(s, d)
+        val sym = pairs.select(col("a_id").as("doc_id"),
+          col("b_id").as("other_id"), col("jaccard"))
+          .unionByName(pairs.select(col("b_id").as("doc_id"),
+            col("a_id").as("other_id"), col("jaccard")))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("jaccard").desc, col("other_id"))
+        val best = sym
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nd", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("other_id").as("nearest_id"),
+            col("jaccard").as("nearest_jaccard"), col("nd"))
+        Tables.t(s, d, "documents").select("doc_id")
+          .join(best, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("nearest_id"),
+            col("nearest_jaccard"),
+            coalesce(col("nd"), lit(0L)).as("n_dups"))
+          .orderBy("doc_id")
       },
       Some(
-        s"""WITH cleaned AS (
-           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
-           |), toksrc AS (
-           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
-           |), grams AS (
-           |  SELECT doc_id, $bigramsSqlExpr AS g FROM toksrc
-           |), posting AS (
-           |  SELECT doc_id, unnest(g) AS gram FROM grams
-           |), dfreq AS (
-           |  SELECT gram, count(*) AS df FROM posting GROUP BY 1
-           |), sorted AS (
-           |  SELECT p.doc_id,
-           |    list_transform(list_sort(list({'df': d.df, 'g': p.gram})),
-           |      x -> x.g) AS sg
-           |  FROM posting p JOIN dfreq d USING (gram) GROUP BY p.doc_id
-           |), pfx0 AS (
-           |  SELECT doc_id, len(sg) AS n,
-           |    unnest(list_transform(
-           |      sg[1:(len(sg) - (len(sg) + 1) // 2 + 1)],
-           |      (x, ix) -> {'g': x, 'ix': ix})) AS u
-           |  FROM sorted
-           |), pfx AS (
-           |  SELECT doc_id, n, u.ix AS i, u.g AS gram FROM pfx0
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM pfx a JOIN pfx b ON a.gram = b.gram
-           |    AND a.doc_id < b.doc_id AND b.n <= a.n * 2 AND a.n <= b.n * 2
-           |    AND least(a.i - 1, b.i - 1) + 1
-           |      + least(a.n - a.i, b.n - b.i) >= (a.n + b.n + 2) // 3
-           |), v AS (
-           |  SELECT c.a_id, c.b_id,
-           |    len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
-           |    len(ga.g) AS la, len(gb.g) AS lb
-           |  FROM cand c
-           |  JOIN grams ga ON ga.doc_id = c.a_id
-           |  JOIN grams gb ON gb.doc_id = c.b_id
+        s"""WITH pj AS (
+           |  SELECT * FROM ($prefixJaccardSql) t
+           |), sym AS (
+           |  SELECT a_id AS doc_id, b_id AS other_id, jaccard FROM pj
+           |  UNION ALL
+           |  SELECT b_id, a_id, jaccard FROM pj
+           |), best AS (
+           |  SELECT doc_id, other_id, jaccard,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY jaccard DESC, other_id) AS rn,
+           |    count(*) OVER (PARTITION BY doc_id) AS nd
+           |  FROM sym
            |)
-           |SELECT a_id, b_id,
-           |  round(CAST(inter AS DOUBLE)
-           |    / greatest(la + lb - inter, 1), 6) AS jaccard
-           |FROM v
-           |WHERE inter * 2 >= greatest(la + lb - inter, 1)
-           |ORDER BY a_id, b_id""".stripMargin)),
+           |SELECT d.doc_id, b.other_id AS nearest_id,
+           |  b.jaccard AS nearest_jaccard,
+           |  CAST(coalesce(b.nd, 0) AS BIGINT) AS n_dups
+           |FROM documents d
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin)),
 
     // Exact SUBSTRING dedup at fixed window granularity — the
     // document-level near-dup passes above miss the "same paragraph
@@ -2295,7 +2367,7 @@ object DedupQueries {
         WinnowW - 1)
     val docW = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
-    toks(s, d)
+    toksSpread(s, d)
       .select(col("doc_id"),
         posexplode(
           when(size(col("tok")) >= 4,

@@ -49,7 +49,12 @@ object TextQueries {
   private def termTf(s: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.memo("text_term_tf", s, dir)(
       graft.CacheRegistry.track(s,
-        toks(s, dir).select(explode(col("tok")).as("t"))
+        // tokenize above the persisted spread — the memoized-builder
+        // parallelism shim (Tables.spread scaladoc); per-query
+        // lineages keep the scan-shaped toks()
+        Tables.spread(s, dir, "documents")
+          .select(explode(
+            graft.functions.NormTokens.column(col("text"))).as("t"))
           .groupBy("t").agg(count(lit(1)).as("tf"))))
 
   /** Materialize the shared memoized vocabulary frame outside any
