@@ -1516,25 +1516,50 @@ object EventQueries {
           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     // approx_percentile (KLL-style sketch) — the 100 TB path where the
-    // sort-based exact `percentile` above stops scaling. The sketch value
-    // is engine-specific, so the checkable contract is the rank-error
-    // bound: the approx result must land within the exact [q-0.01, q+0.01]
-    // quantile envelope, emitted as oracle-hashable booleans
+    // sort-based exact `percentile` above stops scaling. The sketch
+    // value is engine-specific, so the checkable contract is the RANK
+    // error bound, checked in rank space: the returned value's rank
+    // interval [n_lt+1, n_le] must overlap [q·n − (0.01·n + 1),
+    // q·n + (0.01·n + 1)]. The first cut compared VALUES against the
+    // interpolated [q−0.01, q+0.01] percentile envelope, which is
+    // unsound for small tight groups — a 5-row group with ~0.01-spaced
+    // values has NO member inside the interpolated p94..p96 window
+    // (the sketch can only return members), which the round-8 edge
+    // corpus's hi_pos/hi_neg types caught. The +1 element of slack
+    // covers rank-convention boundaries; the sketch's own error at
+    // accuracy 10000 is 1e-4·n, far inside the checked 0.01·n.
     Q(
       "ev_value_percentiles_approx",
-      (s, d) =>
-        ev(s, d).groupBy("event_type")
-          .agg( // array forms: ONE sketch + ONE sort instead of 2 + 4
-            expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("ap"),
-            expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))").as("ex"))
+      (s, d) => {
+        val ap = ev(s, d).groupBy("event_type")
+          .agg( // array form: ONE sketch pass for both quantiles
+            expr("approx_percentile(value, array(0.5, 0.95), 10000)")
+              .as("ap"))
           .select(col("event_type"),
-            (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
-              element_at(col("ap"), 1) <= element_at(col("ex"), 2))
+            element_at(col("ap"), 1).as("ap50"),
+            element_at(col("ap"), 2).as("ap95"))
+        def inBounds(q: Double, lt: org.apache.spark.sql.Column,
+            le: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          coalesce(
+            lt <= lit(q) * n + (lit(0.01) * n + 1) &&
+              le >= lit(q) * n - (lit(0.01) * n + 1),
+            lit(true)) // all-NULL group: NULL sketch, vacuous contract
+        ev(s, d)
+          .join(broadcast(ap), "event_type")
+          .groupBy("event_type")
+          .agg(count(col("value")).as("n"),
+            count(when(col("value") < col("ap50"), 1)).as("lt50"),
+            count(when(col("value") <= col("ap50"), 1)).as("le50"),
+            count(when(col("value") < col("ap95"), 1)).as("lt95"),
+            count(when(col("value") <= col("ap95"), 1)).as("le95"))
+          .select(col("event_type"),
+            inBounds(0.50, col("lt50"), col("le50"), col("n"))
               .as("p50_in_bounds"),
-            (element_at(col("ap"), 2) >= element_at(col("ex"), 3) &&
-              element_at(col("ap"), 2) <= element_at(col("ex"), 4))
+            inBounds(0.95, col("lt95"), col("le95"), col("n"))
               .as("p95_in_bounds"))
-          .orderBy("event_type"),
+          .orderBy("event_type")
+      },
       Some(
         """SELECT event_type, true AS p50_in_bounds, true AS p95_in_bounds
           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),

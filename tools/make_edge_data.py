@@ -104,6 +104,17 @@ for j in range(8):
     rows.append((1200 + j, base + j * 3_600_000_000_000, 7, "signup",
                  2.5, '{"k": 5}'))
 rows.append((1300, base + 40_000_000_000_000, 9, "solo", 1.0, '{"k": 6}'))
+# - a pair of types at the OPPOSITE ends of the |value| <= 500 envelope:
+#   the Welch mean gap is ~999 units = ~1e9 micro, whose squared
+#   numerator (*1000) is ~1e21 — far past int64. Pre-round-8 the t2
+#   chain squared BIGINT div quotients and silently wrapped here; the
+#   DECIMAL(38,0) re-widening keeps it exact (and keeps the gate
+#   catching any regression back to 64-bit arithmetic).
+for j in range(5):
+    rows.append((1400 + j, base + j * 3_600_000_000_000, 11, "hi_pos",
+                 499.5 + 0.01 * j, '{"k": 7}'))
+    rows.append((1500 + j, base + j * 3_600_000_000_000, 12, "hi_neg",
+                 -499.5 - 0.01 * j, '{"k": 8}'))
 ev = pa.table({
     "event_id": pa.array([r[0] for r in rows], pa.int64()),
     "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
