@@ -103,10 +103,15 @@ object Bench {
       // codegen classes (two merge kernels, the hash transform), worth
       // ~3-4 s of first-run cost at sf0.1 vs its ~8-9 s warm steady
       // state.
+      // dedup_nearest_dup joined in round 8: it is alphabetically the
+      // first consumer of the memoized prefix-pair lineage, so it pays
+      // the sfDir candidate join — its own rank/join codegen classes
+      // should not stack on top of that.
       Seq("dedup_cc_clusters", "dedup_incremental_batch",
         "dedup_substring_windows", "dedup_exact_stats",
         "dedup_simhash_pairs", "doc_token_count_bpe",
-        "doc_tfidf_top_terms", "dedup_prefix_jaccard")
+        "doc_tfidf_top_terms", "dedup_prefix_jaccard",
+        "dedup_nearest_dup")
         .foreach { n =>
           Registry.byName(n).build(spark, warmDir.getAbsolutePath)
             .write.format("noop").mode("overwrite").save()

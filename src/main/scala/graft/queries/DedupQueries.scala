@@ -94,9 +94,18 @@ object DedupQueries {
     * the whole-corpus AllPairs/PPJoin join, extracted so
     * dedup_prefix_jaccard (the pair listing) and dedup_nearest_dup
     * (the per-doc nearest-duplicate report) share one construction.
-    * See dedup_prefix_jaccard's header comment for the algorithm.
+    * Memoized + persisted per (session, dir) — the minhash-pairs
+    * convention for two-consumer lineages; whichever query touches it
+    * first pays the one candidate join (NOT shared-warm-listed: the
+    * pair join IS the work these queries exist to measure). The frame
+    * is output-sized (true near-dup pairs). See dedup_prefix_jaccard's
+    * header comment for the algorithm.
     */
-  private def prefixJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def prefixJaccardPairs(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("dedup_prefix_pairs", s, d)(
+      graft.CacheRegistry.track(s, buildPrefixJaccardPairs(s, d)))
+
+  private def buildPrefixJaccardPairs(s: SparkSession, d: String): DataFrame = {
 
         // AQE's byte-targeted coalescing is WRONG for this query: its
         // shuffles are tiny in bytes (pairs of longs; ~13 MB at sf0.1)
