@@ -53,6 +53,40 @@ object CacheRegistry {
     }
   }
 
+  private val buildLocks =
+    new ConcurrentHashMap[(String, SparkSession, String), Object]()
+
+  /** [[memo]] for builders with FILESYSTEM SIDE EFFECTS (the served
+    * index writers): serializes the build per key so it runs exactly
+    * once per (session, dir). The plain memo's documented race —
+    * "at worst builds a plan twice" — is benign for pure plans but NOT
+    * for a build that appends to an on-disk index (a double build would
+    * append the upsert batch twice, silently corrupting codes_upsert
+    * for the session). Monitors are per-key; JVM monitors are
+    * reentrant, so the side-effecting builders' same-thread nesting
+    * (upsert-applied -> upsert-base -> served-index) is safe, and
+    * because that nesting always acquires in the same fixed order,
+    * cross-thread acquisition cannot deadlock.
+    */
+  def memoExactlyOnce(tag: String, s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val key = (tag, s, dir)
+    val existing = memos.get(key)
+    if (existing != null) existing
+    else {
+      val lock = buildLocks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        val again = memos.get(key)
+        if (again != null) again
+        else {
+          val built = build
+          memos.put(key, built)
+          built
+        }
+      }
+    }
+  }
+
   /** Read an existing memo entry without building — for frames that are
     * registered as a SIDE EFFECT of another tag's build (e.g. the CC
     * star-edge frame registered by the minhash pair build). Callers
@@ -82,5 +116,6 @@ object CacheRegistry {
       dfs.forEach(df => df.unpersist())
     }
     memos.keySet.removeIf(k => k._2 == s)
+    buildLocks.keySet.removeIf(k => k._2 == s)
   }
 }

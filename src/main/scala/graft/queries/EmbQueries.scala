@@ -1029,6 +1029,140 @@ object EmbQueries {
            |  CAST(hits.n_hits * 20 AS BIGINT) AS recall_pct
            |FROM tot, bat, tc, hits""".stripMargin)),
 
+    // DELETE/COMPACT — the inverse of emb_ivfpq_upsert and the last
+    // serving-ops lifecycle step (build -> serve -> upsert -> delete/
+    // compact): tombstone a deterministic ~10% slice (vec_id%10==7,
+    // disjoint from the upsert batch) out of the PERSISTED index with
+    // partition-local compaction (only the cells holding tombstoned
+    // rows are rewritten, under dynamic partition overwrite; fully-
+    // emptied cell dirs are dropped — see deleteApplied), then serve
+    // a query from the compacted index and re-check recall@5 against
+    // the exact ranking of the REMAINING corpus. The proof obligations
+    // are measured off the artifact itself: n_residual_deleted counts
+    // tombstoned ids still present in the compacted index (must be 0)
+    // and n_deleted_surfaced counts them in the served top-5 (must be
+    // 0) — deleted ids never surface. Oracle exactness: survivors keep
+    // their existing codes, so the post-delete shortlist equals the
+    // full-index shortlist with tombstoned ids filtered — a pure SQL
+    // predicate on the shared ivfpq CTE chain. EmbDeleteSpec asserts
+    // the file-level contract (untouched cells byte-identical,
+    // row-identity with full-minus-deleted).
+    Q(
+      "emb_ivfpq_delete",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val updated = deleteApplied(s, d)
+        val cent = s.read.parquet(s"${indexPath(d)}/centroids")
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        // identical read path to emb_ivfpq_served, on the compacted
+        // index — directory-pruned probe of the top-2 cells
+        val probed = cent.crossJoin(qv)
+          .select(col("c_label"),
+            graft.functions.VecL2Sq.column(col("qv"), col("cvec"))
+              .as("d2"))
+          .orderBy(col("d2").asc_nulls_last, col("c_label"))
+          .limit(2)
+          .collect().map(_.getInt(0))
+        val short = updated
+          .filter(col("cell").isin(probed.map(Int.box): _*) &&
+            col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("j", "cid")))
+          .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
+          .groupBy("vec_id")
+          .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+            .as("pq_d2"))
+          .orderBy(col("pq_d2"), col("vec_id"))
+          .limit(IvfPqShortN)
+        val top5 = e.join(broadcast(short), "vec_id")
+          .crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+        // exact top-5 of the REMAINING corpus (the full-corpus
+        // exactTop5 memo may rank a deleted id — recompute filtered)
+        val exact = e.filter(!deleteTombPred && col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+        val hits = top5
+          .join(broadcast(exact.select("vec_id")), "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+        val surfaced = top5
+          .agg(coalesce(sum(when(deleteTombPred, 1L).otherwise(0L)),
+            lit(0L)).as("n_deleted_surfaced"))
+        // tombstone accounting off the pristine full-index twin
+        val delStats = s.read.parquet(s"${indexPath(d)}/codes")
+          .agg(
+            coalesce(sum(when(deleteTombPred, 1L).otherwise(0L)),
+              lit(0L)).as("n_deleted"),
+            countDistinct(when(deleteTombPred, col("cell")))
+              .as("n_cells_touched"))
+        // residual + row count measured off the COMPACTED ARTIFACT —
+        // proves the tombstoned rows are really gone from the index
+        updated
+          .agg(count(lit(1)).as("n_index_rows"),
+            coalesce(sum(when(deleteTombPred, 1L).otherwise(0L)),
+              lit(0L)).as("n_residual_deleted"))
+          .crossJoin(broadcast(delStats))
+          .crossJoin(broadcast(hits))
+          .crossJoin(broadcast(surfaced))
+          .select(col("n_index_rows"), col("n_deleted"),
+            col("n_cells_touched"), col("n_residual_deleted"),
+            lit(5).as("k"), col("n_hits"),
+            (col("n_hits") * 20).as("recall_pct"),
+            col("n_deleted_surfaced"))
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $pqCte, qcells AS (
+           |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+           |), qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), shortl AS (
+           |  SELECT k.vec_id,
+           |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+           |  FROM codes k
+           |  JOIN cells cl ON cl.vec_id = k.vec_id
+           |  JOIN qcells qc ON qc.cell = cl.cell
+           |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
+           |  WHERE k.vec_id <> 0 AND k.vec_id % 10 <> 7
+           |  GROUP BY k.vec_id
+           |  ORDER BY pq_d2, k.vec_id LIMIT $IvfPqShortN
+           |), approx AS (
+           |  SELECT e.vec_id, ${cosSql("e.embedding", "qv.qv")} AS sim
+           |  FROM embeddings e JOIN shortl sl ON sl.vec_id = e.vec_id
+           |  CROSS JOIN qv
+           |  ORDER BY sim DESC, e.vec_id LIMIT 5
+           |), exact AS (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id, ${cosSql("e.embedding", "qv.qv")} AS sim
+           |    FROM embeddings e CROSS JOIN qv
+           |    WHERE e.vec_id <> 0 AND e.vec_id % 10 <> 7
+           |    ORDER BY sim DESC, e.vec_id LIMIT 5)
+           |), hits AS (
+           |  SELECT count(*) AS n_hits FROM exact JOIN approx USING (vec_id)
+           |), tot AS (SELECT count(*) AS n FROM embeddings),
+           |del AS (
+           |  SELECT count(*) AS n_del, count(DISTINCT cell) AS nct
+           |  FROM cells WHERE vec_id % 10 = 7 AND vec_id <> 0
+           |), surf AS (
+           |  SELECT count(*) AS n_surf FROM approx
+           |  WHERE vec_id % 10 = 7 AND vec_id <> 0
+           |)
+           |SELECT CAST(tot.n - del.n_del AS BIGINT) AS n_index_rows,
+           |  CAST(del.n_del AS BIGINT) AS n_deleted,
+           |  CAST(del.nct AS BIGINT) AS n_cells_touched,
+           |  CAST(0 AS BIGINT) AS n_residual_deleted,
+           |  5 AS k, CAST(hits.n_hits AS BIGINT) AS n_hits,
+           |  CAST(hits.n_hits * 20 AS BIGINT) AS recall_pct,
+           |  CAST(surf.n_surf AS BIGINT) AS n_deleted_surfaced
+           |FROM tot, del, hits, surf""".stripMargin)),
+
     // nDCG@5 of every ANN method against the exact ranking — the rank-
     // aware retrieval metric that recall@k (emb_recall_eval /
     // emb_ivfpq_recall) cannot express: recall treats "right ids, wrong
@@ -2411,6 +2545,11 @@ object EmbQueries {
     // offline artifact; emb_ivfpq_upsert's own timer covers only the
     // upsert it performs on top of this state
     upsertBase(s, dir).write.format("noop").mode("overwrite").save()
+    // the delete scenario's working copy of the served index —
+    // emb_ivfpq_delete's own timer covers the tombstone compaction it
+    // performs on top of this state (first touch; later iterations
+    // serve reads — see the Bench first-iteration note in SCALE.md)
+    deleteBase(s, dir).write.format("noop").mode("overwrite").save()
     // the shared GramAgg second-moment pass (emb_covariance_topk +
     // emb_pca_power_iteration) — without this, whichever consumer runs
     // first alphabetically absorbs the one corpus fold
@@ -2473,7 +2612,7 @@ object EmbQueries {
     * build cost is paid once (Bench charges it to shared_warm_sec).
     */
   private def servedCodes(s: SparkSession, d: String): DataFrame =
-    graft.CacheRegistry.memo("emb_served_index", s, d) {
+    graft.CacheRegistry.memoExactlyOnce("emb_served_index", s, d) {
       val path = indexPath(d)
       ivfCentroids(s, d).write.mode("overwrite")
         .parquet(s"$path/centroids")
@@ -2506,7 +2645,7 @@ object EmbQueries {
     * own cost starts from this on-disk state.
     */
   private def upsertBase(s: SparkSession, d: String): DataFrame =
-    graft.CacheRegistry.memo("emb_upsert_base", s, d) {
+    graft.CacheRegistry.memoExactlyOnce("emb_upsert_base", s, d) {
       servedCodes(s, d) // centroids + full codes on disk first
       val path = s"${indexPath(d)}/codes_upsert"
       s.read.parquet(s"${indexPath(d)}/codes")
@@ -2531,7 +2670,7 @@ object EmbQueries {
     * makes the recall re-check oracle-exact.
     */
   private def upsertApplied(s: SparkSession, d: String): DataFrame =
-    graft.CacheRegistry.memo("emb_upsert_applied", s, d) {
+    graft.CacheRegistry.memoExactlyOnce("emb_upsert_applied", s, d) {
       upsertBase(s, d)
       val path = s"${indexPath(d)}/codes_upsert"
       val batch = emb(s, d).filter(upsertBatchPred)
@@ -2553,6 +2692,83 @@ object EmbQueries {
           x => x.getField("cid")).as("codes"))
       bcodes.join(assign, "vec_id")
         .write.mode("append").partitionBy("cell").parquet(path)
+      s.read.parquet(path)
+    }
+
+  /** the tombstoned slice of the delete scenario (emb_ivfpq_delete):
+    * a deterministic ~10% of the corpus, disjoint by construction from
+    * the upsert batch (%10==3) so the two maintenance scenarios never
+    * interact. vec_id 0 (the query vector) is never deleted.
+    */
+  private val deleteTombPred: Column =
+    col("vec_id") % 10 === 7 && col("vec_id") =!= 0
+
+  /** The delete scenario's WORKING COPY of the served index
+    * (`codes_del/`). The copy exists only so the original `codes/`
+    * stays intact for the other serving queries in the same session —
+    * a production compactor rewrites the live index in place (or
+    * swaps segments); the copy's one-time cost is shared-warm, never
+    * the delete query's.
+    */
+  private def deleteBase(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memoExactlyOnce("emb_delete_base", s, d) {
+      servedCodes(s, d)
+      val path = s"${indexPath(d)}/codes_del"
+      s.read.parquet(s"${indexPath(d)}/codes")
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      s.read.parquet(path)
+    }
+
+  /** Apply the delete: tombstone the slice out of the PERSISTED index
+    * with partition-local compaction — the inverse of [[upsertApplied]]
+    * and the last step of the serving-ops lifecycle (build -> serve ->
+    * upsert -> delete/compact). Shape:
+    *   1. derive the touched-cell set from the tombstones (bounded by
+    *      the number of cells; at 100 TB the tombstones arrive as an id
+    *      table joined to the cell map — the predicate simulates that);
+    *   2. re-read ONLY the touched cells (the cell IN (...) predicate
+    *      is a PartitionFilter — unprobed cell dirs are never listed),
+    *      drop tombstoned rows, and rewrite under DYNAMIC partition
+    *      overwrite, so untouched cell directories keep their exact
+    *      base file set (EmbDeleteSpec asserts the file sets). The
+    *      survivor read comes from the pristine `codes/` twin, never
+    *      the path being overwritten (self-overwrite is rejected by
+    *      the FileSource writer).
+    *   3. drop any cell directory whose rows were ALL tombstoned:
+    *      dynamic overwrite writes no partition for an empty cell and
+    *      would otherwise keep serving the old files — the explicit
+    *      dir removal is the compaction step a segment store runs.
+    * Batch-proportional: one pruned read of the touched cells, nothing
+    * corpus-sized recomputes, untouched cells untouched. Build runs
+    * exactly once per (session, dir) — memoExactlyOnce, because the
+    * rewrite is a filesystem side effect.
+    */
+  private def deleteApplied(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memoExactlyOnce("emb_delete_applied", s, d) {
+      deleteBase(s, d)
+      val path = s"${indexPath(d)}/codes_del"
+      val full = s.read.parquet(s"${indexPath(d)}/codes")
+      val touched = full.filter(deleteTombPred)
+        .select("cell").distinct().collect().map(_.getInt(0))
+      if (touched.nonEmpty) {
+        val touchedCols = touched.map(Int.box).toSeq
+        val survivors = full
+          .filter(col("cell").isin(touchedCols: _*) && !deleteTombPred)
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(path)
+        val kept = survivors.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSet
+        val emptied = touched.filterNot(kept)
+        if (emptied.nonEmpty) {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            s.sparkContext.hadoopConfiguration)
+          emptied.foreach { c =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"),
+              true)
+          }
+        }
+      }
       s.read.parquet(path)
     }
 

@@ -1545,8 +1545,14 @@ object EventQueries {
             lt <= lit(q) * n + (lit(0.01) * n + 1) &&
               le >= lit(q) * n - (lit(0.01) * n + 1),
             lit(true)) // all-NULL group: NULL sketch, vacuous contract
+        // null-SAFE join back to the sketch frame: ap groups by the
+        // same key, but a plain equi-join would drop a NULL event_type
+        // group (null keys never equi-join) while the oracle's GROUP BY
+        // emits it — latent row-count divergence if a corpus ever
+        // carries NULL event_type
         ev(s, d)
-          .join(broadcast(ap), "event_type")
+          .join(broadcast(ap.withColumnRenamed("event_type", "ap_et")),
+            col("event_type") <=> col("ap_et"))
           .groupBy("event_type")
           .agg(count(col("value")).as("n"),
             count(when(col("value") < col("ap50"), 1)).as("lt50"),
