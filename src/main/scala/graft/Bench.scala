@@ -173,6 +173,48 @@ object Bench {
     // removed again after the run (below) so a second bench over the
     // same SparkSession can't double-count task bytes
     spark.sparkContext.addSparkListener(metricsListener)
+    // OPTIONAL per-stage profile (SPARK_GRAFT_PROFILE=q1,q2 or "all"):
+    // the round-8 stage-profiling technique, runnable INSIDE a full
+    // bench so context-dependent slowdowns (memo storage pressure, GC,
+    // scheduling) are measured in the environment where they occur —
+    // an isolated re-run of the same query hides them by construction.
+    // For each profiled query it records every completed stage's wall,
+    // summed executor run/GC time, task count and record counts, plus
+    // the driver-JVM GC-time delta across the query (local mode: the
+    // executor IS the driver JVM, so the beans see all collection) and
+    // the storage memory pinned when the query started. Dumped to
+    // BENCH_PROFILE.json; zero overhead when the env var is unset.
+    val profileSet: Set[String] = sys.env.get("SPARK_GRAFT_PROFILE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val stageBuf =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stageListener =
+      if (profileSet.isEmpty) None
+      else Some(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val si = e.stageInfo
+          val wallMs = (for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield c - s).getOrElse(-1L)
+          val m = si.taskMetrics
+          stageBuf.add(
+            s"""{"stage":${si.stageId},"name":"${si.name.takeWhile(_ != '(').trim}","tasks":${si.numTasks},"wall_ms":$wallMs,"run_ms":${m.executorRunTime},"gc_ms":${m.jvmGCTime},"in_recs":${m.inputMetrics.recordsRead},"sh_r_recs":${m.shuffleReadMetrics.recordsRead},"sh_w_recs":${m.shuffleWriteMetrics.recordsWritten}}""")
+          ()
+        }
+      })
+    stageListener.foreach(spark.sparkContext.addSparkListener)
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def storageBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+    val profiles = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // returns true iff the bus reached quiescence before the deadline;
     // false means the preceding query's bytes may leak into the next
     // window — recorded per query so degraded attribution is VISIBLE
@@ -204,6 +246,10 @@ object Bench {
       .LinkedHashMap.empty[String, (Long, Long, Long, Boolean)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val preDrained = drainListenerBus()
+      val profiled = profileSet.contains(name) || profileSet.contains("all")
+      if (profiled) stageBuf.clear() // stages before this query are not its own
+      val gc0 = if (profiled) gcMs() else 0L
+      val st0 = if (profiled) storageBytes() else 0L
       val (r0, w0, i0) = (shufR.get(), shufW.get(), inB.get())
       val t0 = System.nanoTime()
       try {
@@ -213,6 +259,12 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         val postDrained = drainListenerBus()
+        if (profiled) {
+          import scala.jdk.CollectionConverters._
+          val stages = stageBuf.asScala.mkString("[", ",", "]")
+          profiles(name) =
+            s"""{"sec":$sec,"driver_gc_delta_ms":${gcMs() - gc0},"storage_bytes_at_start":$st0,"stages":$stages}"""
+        }
         byteMetrics(name) =
           (shufR.get() - r0, shufW.get() - w0, inB.get() - i0,
             preDrained && postDrained)
@@ -271,6 +323,14 @@ object Bench {
     // run / outputStrategy := StdoutOutput — the prefix is what kept the
     // driver's parsed field null in rounds 3-5.
     println(line(kept.mkString("{", ",", "}"), kept.size))
+    if (profiles.nonEmpty) {
+      val pj = profiles.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_PROFILE.json"),
+        (pj + "\n").getBytes("UTF-8"))
+    }
+    stageListener.foreach(spark.sparkContext.removeSparkListener)
     spark.sparkContext.removeSparkListener(metricsListener)
     CacheRegistry.clear(spark) // no pinned storage outlives the run
     spark.stop()

@@ -217,14 +217,14 @@ object EmbQueries {
     * strings interpolate these eagerly during object init, and a
     * forward val reference reads 0 (same trap as K above).
     */
-  private val PqSub = 8
-  private val PqDim = 8
+  private[graft] val PqSub = 8
+  private[graft] val PqDim = 8
   private val PqK = 16
 
   /** IVF+PQ serving shape (emb_ivfpq_ann): ADC shortlist size before
     * the exact rerank — the "refine" knob of a production ANN server.
     */
-  private val IvfPqShortN = 20
+  private[graft] val IvfPqShortN = 20
 
   /** nDCG position discounts 1/log2(pos+1) for pos 1..5, as FIXED
     * micro-integer literals (round(1e6/log2(pos+1))): both engines
@@ -2616,6 +2616,12 @@ object EmbQueries {
       val path = indexPath(d)
       ivfCentroids(s, d).write.mode("overwrite")
         .parquet(s"$path/centroids")
+      // the trained PQ codebook persists beside the index so the served
+      // layout is SELF-CONTAINED — an online-retrieval process (the
+      // streaming ANN server, AnnServing) opens centroids/ + codebook/
+      // + codes/ and needs none of this session's memoized state
+      pqCodebook(s, d).write.mode("overwrite")
+        .parquet(s"$path/codebook")
       val cells = ivfRanked(s, d).filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label").as("cell"))
       pqCodes(s, d)
@@ -2629,6 +2635,16 @@ object EmbQueries {
         .parquet(s"$path/codes")
       s.read.parquet(s"$path/codes")
     }
+
+  /** Force the served index (centroids/ + codebook/ + codes/) onto disk
+    * and return its directory — the entry point the streaming ANN
+    * server ([[graft.streaming.AnnServing]]) opens. Exactly-once per
+    * (session, dir) like every index build.
+    */
+  private[graft] def ensureServedIndex(s: SparkSession, d: String): String = {
+    servedCodes(s, d)
+    indexPath(d)
+  }
 
   /** the "new batch" slice of the upsert scenario (emb_ivfpq_upsert):
     * a deterministic ~10% of the corpus, the dedup_incremental_batch

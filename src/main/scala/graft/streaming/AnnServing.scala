@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming ANN serving: score a micro-batched stream of query vectors
+  * against the PERSISTED IVF+PQ index (the self-contained layout
+  * EmbQueries.servedCodes writes — centroids/ + codebook/ + codes/
+  * partitioned by cell) inside foreachBatch. This is the online-
+  * retrieval path of the serving-ops lifecycle: the batch queries
+  * (emb_ivfpq_served / _upsert / _delete) prove build and maintenance;
+  * this module proves the index answers a LIVE query stream.
+  *
+  * Per-batch plan, for a micro-batch of B query vectors against an
+  * index of kk cells (kk = 8 here; O(sqrt N) cells at scale):
+  *   1. PROBE — batch x centroids (B*kk rows, centroid side broadcast
+  *      by size), rank per query, keep nprobe cells each. The distinct
+  *      probed-cell list (<= B*nprobe values) becomes a partition
+  *      filter, so step 3 never lists unprobed cell directories.
+  *   2. ADC — batch subvectors x codebook (B * PqSub * PqK rows),
+  *      broadcast: the classic asymmetric-distance table, rebuilt per
+  *      batch because it depends only on the incoming queries.
+  *   3. SHORTLIST — directory-pruned scan of the probed cells' code
+  *      rows, joined to the broadcast per-query probe map (restricting
+  *      each query to ITS cells) and the broadcast ADC table; sum of
+  *      per-subspace partial distances, row_number per query, keep
+  *      shortN. The scan reads 8-byte code rows, never float vectors.
+  *   4. RERANK — fetch the <= B*shortN true vectors (broadcast semi-
+  *      join against the vector table; at 100 TB this fetch is a
+  *      point-lookup against a row-keyed store, the scan here is the
+  *      local stand-in) and order by exact cosine.
+  *
+  * Every step is identical arithmetic to emb_ivfpq_served (same
+  * kernels, same rounding, same tiebreaks), so for the same query
+  * vector the stream answer equals the batch answer row-for-row —
+  * StreamingSpec pins that equality.
+  */
+object AnnServing {
+
+  /** Score ONE micro-batch of query vectors against the served index.
+    *
+    * @param batch   (qid BIGINT, qvec ARRAY<FLOAT>) query vectors;
+    *                a corpus vec_id arriving as qid never matches
+    *                itself (the emb_ivfpq_served self-exclusion)
+    * @param vectors the true-vector table (vec_id, embedding) used for
+    *                the exact rerank
+    * @return (qid, rank, vec_id, sim) — top-k per query, rank 1-based
+    */
+  def scoreBatch(
+      spark: SparkSession,
+      indexDir: String,
+      vectors: DataFrame,
+      batch: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      shortN: Int = graft.queries.EmbQueries.IvfPqShortN): DataFrame = {
+    import graft.queries.EmbQueries.{PqDim, PqSub}
+    val empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rank", "vec_id", "sim")
+    }
+    val q = batch.select(col("qid").cast("long").as("qid"),
+      col("qvec").cast("array<float>").as("qvec"))
+    if (q.isEmpty) return empty
+
+    // 1. PROBE — same kernel, same (d2 NULLS LAST, label) tiebreak as
+    // the batch path's ivfRanked
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc_nulls_last, col("c_label"))
+    val probe = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("c_label"),
+        graft.functions.VecL2Sq.column(col("qvec"), col("cvec"))
+          .as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("c_label").as("cell"))
+    val probedCells = probe.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    if (probedCells.isEmpty) return empty
+
+    // 2. ADC — per-query subvectors x disk codebook, rounded at 6 dp
+    // exactly like the batch path's pqAdc
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val qsub = q.select(col("qid"),
+      posexplode(array((0 until PqSub).map(j =>
+        slice(col("qvec"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
+    val adc = qsub.join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("j"), col("cid"),
+        round(graft.functions.VecL2Sq.column(col("sv"), col("cvec")), 6)
+          .as("pd"))
+
+    // 3. SHORTLIST — directory-pruned code scan, per-query cells
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("pq_d2"), col("vec_id"))
+    val short = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "cid")))
+      .join(broadcast(adc), Seq("qid", "j", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+        .as("pq_d2"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortN)
+      .select("qid", "vec_id")
+
+    // 4. RERANK — exact cosine over the fetched true vectors
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    vectors.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.queries.EmbQueries.cosine(col("embedding"),
+          col("qvec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** The streaming server: a foreachBatch sink that scores each micro-
+    * batch of query vectors against the persisted index and appends the
+    * per-query top-k (plus the batch id) to `outDir` as parquet. The
+    * index and vector table are opened once per batch from their
+    * on-disk layout — no session-memoized state crosses the boundary,
+    * which is what makes the same code runnable in a separate serving
+    * process.
+    */
+  def startServingSink(
+      stream: DataFrame,
+      indexDir: String,
+      vectorsPath: String,
+      outDir: String,
+      checkpoint: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        scoreBatch(s, indexDir, s.read.parquet(vectorsPath), batch, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+}

@@ -923,4 +923,75 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(again == out)
   }
+
+  test("streaming ANN serving equals the batch served answer per vector") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    // the persisted index the server opens (centroids/codebook/codes)
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val vectorsPath = s"$dir/embeddings.parquet"
+
+    // stream input: one query vector per NDJSON file -> one per micro-
+    // batch (maxFilesPerTrigger=1). qid 0 is emb_ivfpq_served's own
+    // query vector — the equality pin; qid 7 is a second corpus vector
+    // exercising a different probe path.
+    val emb = spark.read.parquet(vectorsPath)
+    def vecJson(qid: Long): String = {
+      val v = emb.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      // Float.toString is shortest-roundtrip: double-parse + float-cast
+      // on the read side reproduces the exact float
+      s"""{"qid":$qid,"qvec":[${v.mkString(",")}]}"""
+    }
+    val in = tmp("ann_in")
+    Files.write(java.nio.file.Paths.get(in, "q0.json"),
+      (vecJson(0L) + "\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(in, "q7.json"),
+      (vecJson(7L) + "\n").getBytes("UTF-8"))
+
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("qvec", ArrayType(DoubleType))))
+    val out = tmp("ann_out")
+    val q = graft.streaming.AnnServing.startServingSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in),
+      idx, vectorsPath, out, tmp("ann_ckpt"))
+    q.awaitTermination(120000)
+
+    val res = spark.read.parquet(out)
+    // two micro-batches, each with a full top-5
+    assert(res.select("batch_id").distinct().count() == 2)
+    val byQid = res.collect()
+      .groupBy(_.getAs[Long]("qid")).view.mapValues(_.sortBy(_.getAs[Int]("rank")))
+
+    // qid 0: row-identical to emb_ivfpq_served's (vec_id, sim) answer
+    val served = Registry.byName("emb_ivfpq_served").build(spark, dir)
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val streamed0 = byQid(0L)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(streamed0 == served, s"stream=$streamed0 batch=$served")
+
+    // qid 7: full top-5, never itself, sims non-increasing
+    val s7 = byQid(7L)
+    assert(s7.length == 5)
+    assert(s7.forall(_.getAs[Long]("vec_id") != 7L))
+    val sims7 = s7.map(_.getAs[Double]("sim")).toSeq
+    assert(sims7 == sims7.sorted.reverse)
+
+    // replay determinism: a fresh stream over the same input (new
+    // checkpoint, new sink) reproduces identical rows
+    val out2 = tmp("ann_out2")
+    val q2 = graft.streaming.AnnServing.startServingSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in),
+      idx, vectorsPath, out2, tmp("ann_ckpt2"))
+    q2.awaitTermination(120000)
+    val a = res.orderBy("qid", "rank")
+      .collect().map(_.toString).toSeq
+    val b = spark.read.parquet(out2).orderBy("qid", "rank")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }
