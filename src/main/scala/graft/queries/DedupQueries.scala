@@ -441,6 +441,12 @@ object DedupQueries {
     */
   def warmShared(s: SparkSession, dir: String): Unit = {
     ccLabels(s, dir).write.format("noop").mode("overwrite").save()
+    // the expanded pair set itself: ccLabels materializes the shared
+    // signature/star lineage but NOT the final union+sort pair frame,
+    // so its first consumer (alphabetically dedup_cc_bcubed in Bench)
+    // was still paying that one materialization (~1.5 s at sf0.1 —
+    // found by the round-9 in-bench stage profile)
+    minhashPairs(s, dir).write.format("noop").mode("overwrite").save()
     winnowSel(s, dir).write.format("noop").mode("overwrite").save()
     // the pair set over that selection — consumed by both
     // dedup_winnow_shared_pairs and dedup_pair_rouge_overlap
@@ -1722,10 +1728,17 @@ object DedupQueries {
         val Off = 2000000000L
         def shift(pairs: DataFrame, o: Long): DataFrame = pairs
           .select((col("a_id") + o).as("a_id"), (col("b_id") + o).as("b_id"))
+        // coalesce(1): the union graph is provably block-bounded
+        // (<= 3 x 150 nodes), but its three persisted parents carry
+        // ~130 cached partitions between them — without the coalesce
+        // the CC build's map side schedules one task per parent
+        // partition (130 tasks for a few hundred rows; the round-9
+        // stage profile measured 3.6 s of summed per-task fixed cost)
         val labs = graft.operators.ConnectedComponents.run(
           shift(exactTruthPairs(s, d), 0L)
             .unionByName(shift(blockPairs(minhashPairs(s, d)), Off))
-            .unionByName(shift(blockPairs(winnowPairs(s, d)), 2 * Off)))
+            .unionByName(shift(blockPairs(winnowPairs(s, d)), 2 * Off))
+            .coalesce(1))
         // every frame below is bounded by the 150-doc eval block (labs
         // <= 3 x 150 rows), so the whole label/score cascade runs on
         // BROADCAST joins — without the hints each tiny join costs a
@@ -1740,9 +1753,16 @@ object DedupQueries {
             Seq("doc_id"), "left_outer")
             .select(col("doc_id"),
               coalesce(col(out), col("doc_id")).as(out))
-        val tlabels = labels(0L, "tl")
+        // tlabels is referenced by both detector scorecards and e by
+        // four aggregates below; Catalyst replicates (does NOT dedupe)
+        // repeated plan-subtree references — unpersisted, the bounded
+        // 150-row block scan + label join ran 16x per query (the
+        // round-8 5x-ghost lesson, re-found by the round-9 in-bench
+        // stage profile). Both frames are block-bounded.
+        val tlabels = graft.CacheRegistry.track(s, labels(0L, "tl"))
         def b3(predOff: Long, detector: String): DataFrame = {
-          val e = tlabels.join(broadcast(labels(predOff, "pl")), "doc_id")
+          val e = graft.CacheRegistry.track(s,
+            tlabels.join(broadcast(labels(predOff, "pl")), "doc_id"))
           val pc = e.groupBy("pl").agg(count(lit(1)).as("pc"))
           val tc = e.groupBy("tl").agg(count(lit(1)).as("tc"))
           val ic = e.groupBy("pl", "tl").agg(count(lit(1)).as("ic"))
