@@ -1691,6 +1691,104 @@ object DedupQueries {
            |    AS precision
            |FROM c""".stripMargin)),
 
+    // MinHash ESTIMATOR calibration — recall/precision above score the
+    // detector's decisions; this scores the SKETCH itself: per exact-
+    // Jaccard decile, how far is the 16-hash agreement estimate
+    // (agree/16, the unbiased MinHash estimator) from the true Jaccard?
+    // The report a pipeline reads before trusting banding thresholds at
+    // a new corpus, and the empirical face of the estimator's
+    // Var = J(1-J)/k bound. All arithmetic is integer micro-units
+    // (estimates are multiples of 62500 = 1e6/16; exact Jaccard and
+    // means are integer cross-multiplied floor divisions) — no float
+    // leaves either engine. Runs on the bounded eval block (doc_id <
+    // 150, the exactTruthPairs convention): all-pairs exactness is the
+    // point of a calibration sample, and at 100 TB this runs on the
+    // same fixed-size audit block, never the corpus.
+    Q(
+      "dedup_minhash_calibration",
+      (s, d) => {
+        val sigs = toks(s, d).filter(col("doc_id") < 150)
+          .withColumn("mh",
+            graft.functions.MinHashShingleSig.column(col("tok")))
+          .withColumn("st", array_sort(array_distinct(shingleCol)))
+          .select(col("doc_id"), col("mh"), col("st"))
+        val a = sigs.select(col("doc_id").as("a_id"), col("mh").as("ma"),
+          col("st").as("sa"))
+        val b = sigs.select(col("doc_id").as("b_id"), col("mh").as("mb"),
+          col("st").as("sb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("inter",
+            graft.functions.SortedIntersectSize.column(
+              col("sa"), col("sb")).cast("long"))
+          .withColumn("un",
+            greatest(size(col("sa")).cast("long") + size(col("sb"))
+              - col("inter"), lit(1L)))
+          .withColumn("agree", expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> " +
+              "CASE WHEN x = y THEN 1 ELSE 0 END), 0, " +
+              "(acc, e) -> acc + e)").cast("long"))
+          .withColumn("est_micro", col("agree") * lit(62500L))
+          .withColumn("exact_micro", expr("(inter * 1000000) div un"))
+          .groupBy(expr("(inter * 10) div un").as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("sum(est_micro) div count(1)").as("mean_est_micro"),
+            expr("sum(exact_micro) div count(1)").as("mean_exact_micro"),
+            expr("sum(abs(est_micro - exact_micro)) div count(1)")
+              .as("mean_abs_err_micro"))
+          .orderBy("bucket")
+      },
+      Some {
+        val calHashes = (0 until NumHashes).map(i =>
+          s"list_aggregate(list_transform(sv, v -> (v * ${aCoef(i)} + " +
+            s"${bCoef(i)}) % $P), 'min') AS h$i").mkString(",\n    ")
+        val agreeSql = (0 until NumHashes).map(i =>
+          s"(CASE WHEN ha.h$i = hb.h$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH bcl AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |  WHERE doc_id < 150
+           |), btk AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM bcl
+           |), bsh AS (
+           |  SELECT doc_id, $shingleSqlExpr AS sh FROM btk
+           |), bsv AS (
+           |  SELECT doc_id,
+           |    list_transform(sh, s ->
+           |      ${duckHexToLong("substr(md5(s), 1, 12)")} % $P) AS sv
+           |  FROM bsh
+           |), bmh AS (
+           |  SELECT doc_id,
+           |    $calHashes
+           |  FROM bsv
+           |), bst AS (
+           |  SELECT doc_id, list_distinct(sh) AS st FROM bsh
+           |), prx AS (
+           |  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+           |    CAST(len(list_filter(sa.st, x -> list_contains(sb.st, x)))
+           |      AS BIGINT) AS inter,
+           |    CAST(len(sa.st) AS BIGINT) AS la,
+           |    CAST(len(sb.st) AS BIGINT) AS lb,
+           |    CAST($agreeSql AS BIGINT) AS agree
+           |  FROM bst sa JOIN bst sb ON sa.doc_id < sb.doc_id
+           |  JOIN bmh ha ON ha.doc_id = sa.doc_id
+           |  JOIN bmh hb ON hb.doc_id = sb.doc_id
+           |), pr AS (
+           |  SELECT inter, greatest(la + lb - inter, 1) AS un,
+           |    agree * 62500 AS est_micro,
+           |    (inter * 1000000) // greatest(la + lb - inter, 1)
+           |      AS exact_micro
+           |  FROM prx
+           |)
+           |SELECT CAST((inter * 10) // un AS BIGINT) AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(est_micro) // count(*) AS BIGINT) AS mean_est_micro,
+           |  CAST(sum(exact_micro) // count(*) AS BIGINT)
+           |    AS mean_exact_micro,
+           |  CAST(sum(abs(est_micro - exact_micro)) // count(*) AS BIGINT)
+           |    AS mean_abs_err_micro
+           |FROM pr GROUP BY 1 ORDER BY bucket""".stripMargin
+      }),
+
     // B-CUBED cluster evaluation (Bagga & Baldwin '98; the standard
     // extrinsic clustering metric alongside pair F1) of each detector's
     // duplicate CLUSTERS against the exact-Jaccard ground truth on the

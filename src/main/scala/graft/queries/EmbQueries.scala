@@ -832,6 +832,53 @@ object EmbQueries {
            |GROUP BY k.vec_id
            |ORDER BY pq_d2, k.vec_id LIMIT 5""".stripMargin)),
 
+    // PQ DISTORTION report — the index-quality eval the two PQ serving
+    // queries imply but never measure: per subspace, the reconstruction
+    // error (L2² between each vector's subvector and its assigned
+    // codebook entry — the quantity PQ training minimizes and the
+    // direct driver of ADC ranking error). The report a pipeline reads
+    // before trusting a codebook on a new corpus (a drifted subspace
+    // shows up as an outlier row here long before recall@k moves).
+    // EXACTNESS: each per-vector error is the shared rounded L2 kernel;
+    // the sum is an order-independent DECIMAL(18,6) accumulation cast
+    // back to double (the pq_d2 convention), the mean a single exact
+    // division rounded at 6 dp, the max a selection. Scale shape: one
+    // narrow pass over the memoized code table joined to the broadcast
+    // codebook + the subvector split of the corpus — one partial-agg'd
+    // shuffle on the 8-row subspace key; nothing quadratic.
+    Q(
+      "emb_pq_distortion",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val sub = pqSubspaces(emb(s, d).select("vec_id", "embedding"))
+        pqCodes(s, d).join(sub, Seq("vec_id", "j"))
+          .join(broadcast(pqCodebook(s, d)), Seq("j", "cid"))
+          .withColumn("err",
+            round(graft.functions.VecL2Sq.column(col("sv"), col("cvec")),
+              6))
+          .groupBy("j")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("err").cast(DecimalType(18, 6))).cast("double")
+              .as("sum_err"),
+            max(col("err")).as("max_err"))
+          .select(col("j"), col("n_vecs"), col("sum_err"),
+            round(col("sum_err") / col("n_vecs"), 6).as("mean_err"),
+            col("max_err"))
+          .orderBy("j")
+      },
+      Some(
+        s"""WITH $pqCte
+           |SELECT k.j, count(*) AS n_vecs,
+           |  CAST(sum(CAST(round(${l2Sql("s.sv", "c.cvec")}, 6)
+           |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_err,
+           |  round(CAST(sum(CAST(round(${l2Sql("s.sv", "c.cvec")}, 6)
+           |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_err,
+           |  max(round(${l2Sql("s.sv", "c.cvec")}, 6)) AS max_err
+           |FROM codes k
+           |JOIN sub s ON s.vec_id = k.vec_id AND s.j = k.j
+           |JOIN c1 c ON c.j = k.j AND c.cid = k.cid
+           |GROUP BY 1 ORDER BY k.j""".stripMargin)),
+
     // IVF+PQ END-TO-END — the production ANN serving read that composes
     // the coarse index (emb_ivf_ann) with the compressed fine index
     // (emb_pq_ann): probe the query's 2 nearest cells, ADC-score only

@@ -522,6 +522,86 @@ object TextQueries {
            |FROM ex LEFT JOIN rtf USING (term) CROSS JOIN stats
            |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // BIGRAM-LM cross-entropy — the conditional upgrade of
+    // doc_cross_surprisal: train an add-1-smoothed bigram model on the
+    // reference slice (source = src0), score every other document by
+    // its mean conditional surprisal s(w|u) = ⌊log2(c(u·)+V)⌋ −
+    // ⌊log2(c(u,w)+1)⌋ (the same DYADIC log as the unigram pair —
+    // length(bin(x)) integer arithmetic, provably identical
+    // cross-engine; a float ln() is not). V is the reference's
+    // distinct-successor vocabulary; an unseen context degrades to the
+    // uniform ⌊log2 V⌋ ceiling and an empty reference slice to 0,
+    // identically in both engines. Scored docs need >= 2 tokens (no
+    // bigram otherwise — contract'd out of the output). Scale shape:
+    // reference bigram/context counts are two partial-agg'd shuffles
+    // over the (smaller) reference slice; the scalar V broadcasts; the
+    // per-bigram left joins key on (u, w) / u against vocabulary-sized
+    // reference sides (AQE broadcasts them when they fit); the per-doc
+    // rollup is one more partial-agg'd shuffle. Bigrams stream out of
+    // the token explode — no per-doc bigram arrays persist.
+    Q(
+      "doc_bigram_surprisal",
+      (s, d) => {
+        val base = toks(s, d)
+        def bigrams(df: DataFrame): DataFrame = df
+          .filter(size(col("tok")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("tok")) - 1), i =>
+              struct(element_at(col("tok"), i).as("u"),
+                element_at(col("tok"), i + 1).as("w")))).as("bg"))
+          .select(col("doc_id"), col("bg.u").as("u"), col("bg.w").as("w"))
+        val refBg = bigrams(base.filter(col("source") === "src0"))
+        val cBg = refBg.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+        val cCtx = refBg.groupBy("u").agg(count(lit(1)).as("c_u"))
+        val vocab = refBg.agg(countDistinct(col("w")).as("v"))
+        bigrams(base.filter(col("source") =!= "src0"))
+          .join(cBg, Seq("u", "w"), "left_outer")
+          .join(cCtx, Seq("u"), "left_outer")
+          .crossJoin(broadcast(vocab))
+          .withColumn("s",
+            length(bin(coalesce(col("c_u"), lit(0L)) + col("v"))) -
+              length(bin(coalesce(col("c_uw"), lit(0L)) + 1)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("s")).as("sum_surprisal"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal"),
+            round(col("sum_surprisal").cast("double") / col("n_bigrams"),
+              6).as("mean_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$tokCte, rex AS (
+           |  SELECT unnest(list_transform(range(1, len(tok)), i -> tok[i]))
+           |      AS u,
+           |    unnest(list_transform(range(1, len(tok)), i -> tok[i + 1]))
+           |      AS w
+           |  FROM t WHERE source = 'src0' AND len(tok) >= 2
+           |), cbg AS (
+           |  SELECT u, w, CAST(count(*) AS BIGINT) AS c_uw
+           |  FROM rex GROUP BY 1, 2
+           |), cctx AS (
+           |  SELECT u, CAST(count(*) AS BIGINT) AS c_u FROM rex GROUP BY 1
+           |), vv AS (
+           |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM rex
+           |), sex AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(range(1, len(tok)), i -> tok[i]))
+           |      AS u,
+           |    unnest(list_transform(range(1, len(tok)), i -> tok[i + 1]))
+           |      AS w
+           |  FROM t WHERE source <> 'src0' AND len(tok) >= 2
+           |)
+           |SELECT sex.doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(length(bin(coalesce(cctx.c_u, 0) + v)) -
+           |    length(bin(coalesce(cbg.c_uw, 0) + 1))) AS BIGINT)
+           |    AS sum_surprisal,
+           |  round(CAST(sum(length(bin(coalesce(cctx.c_u, 0) + v)) -
+           |    length(bin(coalesce(cbg.c_uw, 0) + 1))) AS DOUBLE)
+           |    / count(*), 6) AS mean_surprisal
+           |FROM sex LEFT JOIN cbg USING (u, w) LEFT JOIN cctx USING (u)
+           |CROSS JOIN vv
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // PII-style redaction — a standard training-data hygiene pass:
     // emails, then URLs, then digit runs are rewritten to placeholder
     // tags (in that order — emails/URLs contain digits, so digit
