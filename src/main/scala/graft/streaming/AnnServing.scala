@@ -124,6 +124,91 @@ object AnnServing {
       .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** STREAMING INDEX MAINTENANCE — the online twin of the batch
+    * emb_ivfpq_upsert: apply ONE micro-batch of newly-arrived vectors
+    * to the persisted index. Assignment uses the EXISTING centroids,
+    * encoding the EXISTING on-disk codebook (serving-ops contract:
+    * maintenance never retrains), and the append is partition-local —
+    * parquet files appear only under the cells the batch lands in.
+    * Because both steps reuse the batch path's exact arithmetic
+    * (unrounded L2², NULLS-LAST + smallest-id tiebreaks), an index
+    * maintained by streaming batches converges ROW-IDENTICAL to the
+    * batch-built index over the same vectors — StreamingSpec pins it.
+    *
+    * Idempotence note: foreachBatch can replay a batch after a failure;
+    * a production maintenance sink makes the append idempotent with
+    * per-batch deterministic file names or the versioned-state
+    * convention of NewsStream.upsertBatch. The plumbing here keeps the
+    * plan shape (broadcast codebook/centroids, batch-proportional
+    * append) that survives 100 TB.
+    *
+    * @return number of index rows appended
+    */
+  def applyUpsertBatch(
+      spark: SparkSession,
+      indexDir: String,
+      batch: DataFrame): Long = {
+    import graft.queries.EmbQueries.{PqDim, PqSub}
+    val b = batch.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    if (b.isEmpty) return 0L
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("c_label"))
+    val assign = b.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_label"),
+        graft.functions.VecL2Sq.column(col("embedding"), col("cvec"))
+          .as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val sub = b.select(col("vec_id"),
+      posexplode(array((0 until PqSub).map(j =>
+        slice(col("embedding"), j * PqDim + 1, PqDim)): _*))
+        .as(Seq("j", "sv")))
+    // same argmin as the batch path's pqArgmin: unrounded L2², NULLS
+    // LAST, cid tiebreak
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2").asc_nulls_last, col("cid"))
+    val codes = sub.join(broadcast(cb), Seq("j"))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("sv"), col("cvec")))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+    val rows = codes.join(assign, "vec_id").persist()
+    val n = rows.count()
+    if (n > 0) {
+      rows.write.mode("append").partitionBy("cell")
+        .parquet(s"$indexDir/codes")
+    }
+    rows.unpersist()
+    n
+  }
+
+  /** The maintenance sink: every micro-batch of (vec_id, embedding)
+    * rows is upserted into the persisted index via
+    * [[applyUpsertBatch]].
+    */
+  def startMaintenanceSink(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyUpsertBatch(batch.sparkSession, indexDir, batch)
+        ()
+      }
+      .start()
+
   /** The streaming server: a foreachBatch sink that scores each micro-
     * batch of query vectors against the persisted index and appends the
     * per-query top-k (plus the batch id) to `outDir` as parquet. The

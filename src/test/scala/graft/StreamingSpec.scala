@@ -994,4 +994,67 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("streaming index maintenance converges to the batch-built index") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val vectorsPath = s"$dir/embeddings.parquet"
+    val emb = spark.read.parquet(vectorsPath)
+    val batchPred = col("vec_id") % 10 === 3 && col("vec_id") =!= 0
+
+    // stage a WORKING index with the batch slice absent (centroids and
+    // codebook copied — maintenance reuses them, never retrains)
+    val work = tmp("ann_maint")
+    val full = spark.read.parquet(s"$idx/codes")
+    full.filter(!batchPred)
+      .write.partitionBy("cell").parquet(s"$work/codes")
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$work/centroids")
+    spark.read.parquet(s"$idx/codebook").write.parquet(s"$work/codebook")
+
+    // the missing slice arrives as TWO micro-batches (one file each)
+    val in = tmp("ann_maint_in")
+    def dump(name: String, pred: org.apache.spark.sql.Column): Unit = {
+      val sb = new StringBuilder
+      emb.filter(pred).select("vec_id", "embedding").collect()
+        .foreach { r =>
+          val v = r.getSeq[Float](1)
+          sb.append(
+            s"""{"vec_id":${r.getLong(0)},"embedding":[${v.mkString(",")}]}""")
+          sb.append('\n')
+        }
+      Files.write(java.nio.file.Paths.get(in, name),
+        sb.toString.getBytes("UTF-8"))
+    }
+    dump("b0.json", col("vec_id") % 20 === 3 && col("vec_id") =!= 0)
+    dump("b1.json", col("vec_id") % 20 === 13)
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val q = graft.streaming.AnnServing.startMaintenanceSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in),
+      work, tmp("ann_maint_ckpt"))
+    q.awaitTermination(120000)
+
+    // 1. the maintained index is row-identical to the batch-built full
+    // served index — same cells, same codes, nothing lost or invented
+    val maintained = spark.read.parquet(s"$work/codes")
+    val key = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("vec_id"), col("cell"),
+      array_join(transform(col("codes"), c => c.cast("string")), ",")
+        .as("cs"))
+    assert(key(full).exceptAll(key(maintained)).isEmpty)
+    assert(key(maintained).exceptAll(key(full)).isEmpty)
+
+    // 2. a query served from the maintained index equals the answer
+    // from the batch-built index
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def answer(ix: String) = graft.streaming.AnnServing
+      .scoreBatch(spark, ix, spark.read.parquet(vectorsPath), probe)
+      .collect().map(_.toString).toSeq
+    assert(answer(work) == answer(idx))
+  }
 }
