@@ -1634,68 +1634,35 @@ object EmbQueries {
     // rounded cosine; a missing dimension (ragged vector) reads as
     // bit 0 in BOTH engines (NULL comparison -> false branch / CASE
     // ELSE). Ties break on vec_id everywhere.
+    Q("emb_bq_ann", (s, d) => bqTop5(s, d), Some(bqSql)),
+
+    // recall@5 of the binary-quantization channel against the exact
+    // ranking — the eval row the bq serving query implies (the
+    // emb_ivfpq_recall convention: same exact top-5, same accounting
+    // columns, so the ladder's rungs compare on one scale).
     Q(
-      "emb_bq_ann",
+      "emb_bq_recall",
       (s, d) => {
-        val e = emb(s, d)
-        // try_element_at: ANSI element_at THROWS past the array end —
-        // a ragged (short) vector must read as bit 0, matching the
-        // oracle's out-of-range NULL -> CASE ELSE
-        def half(lo: Int, hi: Int, base: Int): String =
-          s"aggregate(transform(sequence($lo, $hi), i -> " +
-            s"IF(try_element_at(embedding, i) > CAST(0 AS FLOAT), " +
-            s"shiftleft(CAST(1 AS BIGINT), i - $base), " +
-            s"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
-        val bq = e.select(col("vec_id"),
-          expr(half(1, 32, 1)).as("h1"),
-          expr(half(33, 64, 33)).as("h2"))
-        val qsig = broadcast(bq.filter(col("vec_id") === 0)
-          .select(col("h1").as("q1"), col("h2").as("q2")))
-        val short = bq.filter(col("vec_id") =!= 0)
-          .crossJoin(qsig)
-          .select(col("vec_id"),
-            expr("CAST(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) AS BIGINT)")
-              .as("hd"))
-          .orderBy(col("hd"), col("vec_id"))
-          .limit(20)
-        val qv = broadcast(e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv")))
-        e.join(broadcast(short), "vec_id")
-          .crossJoin(qv)
-          .select(col("vec_id"), col("hd"),
-            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(5)
+        exactTop5(s, d).select("vec_id")
+          .join(bqTop5(s, d).select("vec_id"), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(5).as("k"), lit(20).as("n_short"),
+            col("n_hits"), (col("n_hits") * 20).as("recall_pct"))
       },
       Some(
-        s"""WITH bq AS (
-           |  SELECT vec_id,
-           |    CAST(list_aggregate(list_transform(range(1, 33), i ->
-           |      CASE WHEN embedding[i] > 0
-           |        THEN (CAST(1 AS BIGINT) << (i - 1))
-           |        ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS h1,
-           |    CAST(list_aggregate(list_transform(range(33, 65), i ->
-           |      CASE WHEN embedding[i] > 0
-           |        THEN (CAST(1 AS BIGINT) << (i - 33))
-           |        ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS h2
-           |  FROM embeddings
-           |), qs AS (
-           |  SELECT h1 AS q1, h2 AS q2 FROM bq WHERE vec_id = 0
-           |), short AS (
-           |  SELECT b.vec_id,
-           |    CAST(bit_count(xor(b.h1, q1)) + bit_count(xor(b.h2, q2))
-           |      AS BIGINT) AS hd
-           |  FROM bq b CROSS JOIN qs WHERE b.vec_id <> 0
-           |  ORDER BY hd, b.vec_id LIMIT 20
-           |), qv AS (
-           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |exact AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |    FROM embeddings, q WHERE vec_id <> 0
+           |    ORDER BY sim DESC, vec_id LIMIT 5)
+           |), approx AS (
+           |  SELECT vec_id FROM ($bqSql)
            |)
-           |SELECT e.vec_id, s.hd,
-           |  round(${cosSql("e.embedding", "qv.qv")}, 6) AS sim
-           |FROM embeddings e
-           |JOIN short s ON s.vec_id = e.vec_id
-           |CROSS JOIN qv
-           |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin)),
+           |SELECT 5 AS k, 20 AS n_short,
+           |  count(*) AS n_hits,
+           |  count(*) * 20 AS recall_pct
+           |FROM exact JOIN approx USING (vec_id)""".stripMargin)),
 
     // Exact ROC-AUC of centroid proximity as a label-0 retriever — the
     // eval a pipeline runs to ask "does this embedding space separate
@@ -3000,6 +2967,85 @@ object EmbQueries {
     * the scan reads (cell-pruned) 8-byte code rows, and only
     * IvfPqShortN full vectors are ever fetched for the rerank.
     */
+  /** BINARY quantization ANN (emb_bq_ann) — the last rung of the
+    * quantization ladder this engine serves (float32 brute force ->
+    * int8 SQ -> PQ -> IVF+PQ -> 1 bit/dim): each 64-dim vector
+    * collapses to its sign bitmap packed into two BIGINT halves (bits
+    * 0..31 / 32..63 — two halves so neither engine ever shifts into
+    * the int64 sign bit), 256:1 vs float32. First-stage ranking is
+    * Hamming distance (two XORs + two popcounts per candidate — the
+    * cheapest filter a vector store runs, and the memory-bandwidth
+    * story at 100 TB: the signature table is 1/32 the corpus and never
+    * touches floats); the top-20 shortlist is exact-reranked by true
+    * cosine, the emb_twostage_rerank convention. All integer until the
+    * final rounded cosine; a missing dimension (ragged vector) reads
+    * as bit 0 in BOTH engines (try_element_at NULL -> false branch /
+    * out-of-range NULL -> CASE ELSE; ANSI element_at would THROW past
+    * the array end — caught by the edge gate). Ties break on vec_id
+    * everywhere.
+    */
+  private def bqTop5(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    def half(lo: Int, hi: Int, base: Int): String =
+      s"aggregate(transform(sequence($lo, $hi), i -> " +
+        s"IF(try_element_at(embedding, i) > CAST(0 AS FLOAT), " +
+        s"shiftleft(CAST(1 AS BIGINT), i - $base), " +
+        s"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    val bq = e.select(col("vec_id"),
+      expr(half(1, 32, 1)).as("h1"),
+      expr(half(33, 64, 33)).as("h2"))
+    val qsig = broadcast(bq.filter(col("vec_id") === 0)
+      .select(col("h1").as("q1"), col("h2").as("q2")))
+    val short = bq.filter(col("vec_id") =!= 0)
+      .crossJoin(qsig)
+      .select(col("vec_id"),
+        expr("CAST(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) AS BIGINT)")
+          .as("hd"))
+      .orderBy(col("hd"), col("vec_id"))
+      .limit(20)
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+    e.join(broadcast(short), "vec_id")
+      .crossJoin(qv)
+      .select(col("vec_id"), col("hd"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** DuckDB twin of [[bqTop5]] — complete WITH...SELECT, nestable as a
+    * parenthesized subquery (emb_bq_recall does)
+    */
+  private lazy val bqSql: String =
+    s"""WITH bq AS (
+       |  SELECT vec_id,
+       |    CAST(list_aggregate(list_transform(range(1, 33), i ->
+       |      CASE WHEN embedding[i] > 0
+       |        THEN (CAST(1 AS BIGINT) << (i - 1))
+       |        ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS h1,
+       |    CAST(list_aggregate(list_transform(range(33, 65), i ->
+       |      CASE WHEN embedding[i] > 0
+       |        THEN (CAST(1 AS BIGINT) << (i - 33))
+       |        ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS h2
+       |  FROM embeddings
+       |), qs AS (
+       |  SELECT h1 AS q1, h2 AS q2 FROM bq WHERE vec_id = 0
+       |), shortb AS (
+       |  SELECT b.vec_id,
+       |    CAST(bit_count(xor(b.h1, q1)) + bit_count(xor(b.h2, q2))
+       |      AS BIGINT) AS hd
+       |  FROM bq b CROSS JOIN qs WHERE b.vec_id <> 0
+       |  ORDER BY hd, b.vec_id LIMIT 20
+       |), qvb AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |)
+       |SELECT e.vec_id, s.hd,
+       |  round(${cosSql("e.embedding", "qvb.qv")}, 6) AS sim
+       |FROM embeddings e
+       |JOIN shortb s ON s.vec_id = e.vec_id
+       |CROSS JOIN qvb
+       |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
+
   private def ivfpqTop5(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.memo("emb_ivfpq_top5", s, d)(
       graft.CacheRegistry.track(s, {

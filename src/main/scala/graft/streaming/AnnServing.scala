@@ -209,6 +209,92 @@ object AnnServing {
       }
       .start()
 
+  /** STREAMING DELETE — tombstone micro-batches applied to the
+    * persisted index with partition-local compaction: the online twin
+    * of the batch emb_ivfpq_delete, closing the streaming lifecycle
+    * (serve -> upsert -> delete). Per batch of tombstoned vec_ids:
+    *   1. touched cells come from joining the index to the BROADCAST
+    *      tombstone set (at 100 TB the id->cell map is the index's own
+    *      partition column — one pruned read, never a corpus scan);
+    *   2. survivors of ONLY the touched cells are materialized
+    *      (persist + lineage truncation — the write below must not
+    *      read the files it overwrites; the plan-truncation trick is
+    *      ConnectedComponents' LogicalRDD convention) and rewritten
+    *      under DYNAMIC partition overwrite, so untouched cell
+    *      directories keep their exact file set;
+    *   3. a cell whose rows were all tombstoned gets its directory
+    *      dropped explicitly (dynamic overwrite writes no partition
+    *      for it and would otherwise keep serving the old files).
+    *
+    * @return number of index rows removed
+    */
+  def applyDeleteBatch(
+      spark: SparkSession,
+      indexDir: String,
+      batch: DataFrame): Long = {
+    val ids = batch.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    if (ids.isEmpty) return 0L
+    val codesPath = s"$indexDir/codes"
+    // a previous batch rewrote these directories: Spark's session-level
+    // FileStatusCache would otherwise serve the stale listing and the
+    // scan would chase deleted part files (FAILED_READ_FILE)
+    spark.catalog.refreshByPath(codesPath)
+    val codes = spark.read.parquet(codesPath)
+    val touched = codes.join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return 0L
+    val touchedCols = touched.map(Int.box).toSeq
+    val pruned = codes.filter(col("cell").isin(touchedCols: _*))
+    val removed = pruned.join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .count()
+    val survivorsP = pruned
+      .join(broadcast(ids), Seq("vec_id"), "left_anti").persist()
+    survivorsP.count()
+    // collected BEFORE the write: committing the overwrite recaches
+    // every plan that reads codesPath, and the rebuild would chase the
+    // just-deleted part files (FAILED_READ_FILE)
+    val kept = survivorsP.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    // lineage-truncated (LogicalRDD over the materialized cache) so
+    // the write plan does not read the files it overwrites
+    val survivors =
+      org.apache.spark.sql.GraftSqlBridge.truncateLineage(survivorsP)
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(codesPath)
+    survivorsP.unpersist()
+    val emptied = touched.filterNot(kept)
+    if (emptied.nonEmpty) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/cell=$c"),
+          true)
+      }
+    }
+    spark.catalog.refreshByPath(codesPath) // readers see the new layout
+    removed
+  }
+
+  /** The delete sink: every micro-batch of tombstoned vec_ids is
+    * compacted out of the persisted index via [[applyDeleteBatch]].
+    */
+  def startDeleteSink(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyDeleteBatch(batch.sparkSession, indexDir, batch)
+        ()
+      }
+      .start()
+
   /** The streaming server: a foreachBatch sink that scores each micro-
     * batch of query vectors against the persisted index and appends the
     * per-query top-k (plus the batch id) to `outDir` as parquet. The

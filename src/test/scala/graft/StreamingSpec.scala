@@ -1057,4 +1057,90 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(answer(work) == answer(idx))
   }
+
+  test("streaming delete compacts the index partition-locally") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val vectorsPath = s"$dir/embeddings.parquet"
+    val tombPred = col("vec_id") % 10 === 7 && col("vec_id") =!= 0
+
+    // working copy of the FULL index + a batch-filtered reference twin
+    val work = tmp("ann_del")
+    val ref = tmp("ann_del_ref")
+    val full = spark.read.parquet(s"$idx/codes")
+    full.write.partitionBy("cell").parquet(s"$work/codes")
+    full.filter(!tombPred).write.partitionBy("cell")
+      .parquet(s"$ref/codes")
+    Seq(work, ref).foreach { r =>
+      spark.read.parquet(s"$idx/centroids").write.parquet(s"$r/centroids")
+      spark.read.parquet(s"$idx/codebook").write.parquet(s"$r/codebook")
+    }
+    val filesBefore = {
+      val root = new java.io.File(s"$work/codes")
+      root.listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+            .toSet).toMap
+    }
+
+    // tombstones arrive as TWO micro-batches of {vec_id} rows
+    val in = tmp("ann_del_in")
+    def dump(name: String, pred: org.apache.spark.sql.Column): Unit = {
+      val sb = new StringBuilder
+      spark.read.parquet(s"$dir/embeddings.parquet").filter(pred)
+        .select("vec_id").collect()
+        .foreach { r => sb.append(s"""{"vec_id":${r.getLong(0)}}\n""") }
+      Files.write(java.nio.file.Paths.get(in, name),
+        sb.toString.getBytes("UTF-8"))
+    }
+    dump("t0.json", col("vec_id") % 20 === 7 && col("vec_id") =!= 0)
+    dump("t1.json", col("vec_id") % 20 === 17)
+
+    val schema = StructType(Seq(StructField("vec_id", LongType)))
+    val q = graft.streaming.AnnServing.startDeleteSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in),
+      work, tmp("ann_del_ckpt"))
+    q.awaitTermination(120000)
+
+    // 1. row-identical to full-minus-tombstoned, no tombstone survives
+    val compacted = spark.read.parquet(s"$work/codes")
+    val key = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("vec_id"), col("cell"),
+      array_join(transform(col("codes"), c => c.cast("string")), ",")
+        .as("cs"))
+    assert(key(full.filter(!tombPred)).exceptAll(key(compacted)).isEmpty)
+    assert(key(compacted).exceptAll(key(full.filter(!tombPred))).isEmpty)
+    assert(compacted.filter(tombPred).count() == 0)
+
+    // 2. untouched cell dirs keep their exact pre-delete file set
+    val touched = full.filter(tombPred)
+      .select("cell").distinct().collect().map(_.get(0).toString).toSet
+    assert(touched.nonEmpty)
+    val filesAfter = {
+      val root = new java.io.File(s"$work/codes")
+      root.listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+            .toSet).toMap
+    }
+    filesBefore.foreach { case (cellDir, files) =>
+      if (!touched.contains(cellDir.stripPrefix("cell=")))
+        assert(filesAfter.get(cellDir).contains(files),
+          s"untouched $cellDir was rewritten")
+    }
+
+    // 3. the compacted index serves the same answer as the reference
+    // twin built by a direct batch filter, and never a deleted id
+    val emb = spark.read.parquet(vectorsPath)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def answer(ix: String) = graft.streaming.AnnServing
+      .scoreBatch(spark, ix, emb, probe)
+      .collect()
+    val aw = answer(work)
+    assert(aw.map(_.toString).toSeq == answer(ref).map(_.toString).toSeq)
+    assert(aw.forall(r => !(r.getAs[Long]("vec_id") % 10 == 7)))
+  }
 }
