@@ -404,6 +404,31 @@ class PlanSpec extends AnyFunSuite {
     assert("TakeOrderedAndProject".r.findAllIn(p).size == 2, p.take(1200))
   }
 
+  test("BQ ANN: Hamming shortlist heap-reduces, rerank joins broadcast") {
+    val p = plan("emb_bq_ann")
+    // shortlist top-20 by Hamming AND final top-5 by cosine are both
+    // TakeOrderedAndProject heaps — the corpus never feeds a global
+    // Sort; the signature/query joins are broadcast, never shuffled
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2, p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("PQ distortion: codebook broadcast, one subspace-keyed agg") {
+    val p = plan("emb_pq_distortion")
+    // the (j, cid) codebook join must broadcast (PqSub x PqK rows) —
+    // a shuffled join here would exchange the corpus-sized code table
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("bigram surprisal: model joins stay key-local, one doc rollup") {
+    val p = plan("doc_bigram_surprisal")
+    // no cartesian anywhere (the scalar V rides a broadcast), and the
+    // final per-doc rollup is a partial+final hash aggregate
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
   test("pagerank iterations join the persisted edge list, not the corpus") {
     val p = plan("ev_pagerank")
     // the |types|-bounded edge/node frames are cached: every iteration

@@ -1143,4 +1143,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(aw.map(_.toString).toSeq == answer(ref).map(_.toString).toSeq)
     assert(aw.forall(r => !(r.getAs[Long]("vec_id") % 10 == 7)))
   }
+
+  test("streaming lifecycle: upsert then delete compose on one index") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val upPred = col("vec_id") % 10 === 3 && col("vec_id") =!= 0
+    val delPred = col("vec_id") % 10 === 7 && col("vec_id") =!= 0
+
+    // working index starts WITHOUT the upsert slice; the stream first
+    // adds it back (maintenance), then tombstones the delete slice —
+    // the end state must equal full MINUS deleted, built through two
+    // different sinks over the same directory
+    val work = tmp("ann_life")
+    val full = spark.read.parquet(s"$idx/codes")
+    full.filter(!upPred).write.partitionBy("cell").parquet(s"$work/codes")
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$work/centroids")
+    spark.read.parquet(s"$idx/codebook").write.parquet(s"$work/codebook")
+
+    val upIn = tmp("ann_life_up")
+    locally {
+      val sb = new StringBuilder
+      emb.filter(upPred).select("vec_id", "embedding").collect()
+        .foreach { r =>
+          val v = r.getSeq[Float](1)
+          sb.append(
+            s"""{"vec_id":${r.getLong(0)},"embedding":[${v.mkString(",")}]}""")
+          sb.append('\n')
+        }
+      Files.write(java.nio.file.Paths.get(upIn, "b0.json"),
+        sb.toString.getBytes("UTF-8"))
+    }
+    val upSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val q1 = graft.streaming.AnnServing.startMaintenanceSink(
+      spark.readStream.schema(upSchema).json(upIn),
+      work, tmp("ann_life_ck1"))
+    q1.awaitTermination(120000)
+
+    val delIn = tmp("ann_life_del")
+    locally {
+      val sb = new StringBuilder
+      emb.filter(delPred).select("vec_id").collect()
+        .foreach { r => sb.append(s"""{"vec_id":${r.getLong(0)}}\n""") }
+      Files.write(java.nio.file.Paths.get(delIn, "t0.json"),
+        sb.toString.getBytes("UTF-8"))
+    }
+    val q2 = graft.streaming.AnnServing.startDeleteSink(
+      spark.readStream.schema(
+        StructType(Seq(StructField("vec_id", LongType)))).json(delIn),
+      work, tmp("ann_life_ck2"))
+    q2.awaitTermination(120000)
+
+    spark.catalog.refreshByPath(s"$work/codes")
+    val end = spark.read.parquet(s"$work/codes")
+    val key = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("vec_id"), col("cell"),
+      array_join(transform(col("codes"), c => c.cast("string")), ",")
+        .as("cs"))
+    val expect = key(full.filter(!delPred))
+    assert(expect.exceptAll(key(end)).isEmpty)
+    assert(key(end).exceptAll(expect).isEmpty)
+  }
 }
