@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sustained throughput of the STREAMING ANN serving path — a staged
+  * backlog of query-vector NDJSON files drained with
+  * Trigger.AvailableNow through AnnServing.startServingSink against
+  * the persisted IVF+PQ index — in query vectors/second. The index
+  * build is staged before the clock starts (it is the offline
+  * artifact); the measured window covers exactly what an online
+  * retrieval deployment pays per batch: source listing, the broadcast
+  * centroid probe, the per-batch ADC table, the directory-pruned code
+  * scan, the exact rerank, and the parquet answer append.
+  *
+  * Usage: runMain graft.AnnServingBench [sfDir] [nQueries] [nFiles]
+  */
+object AnnServingBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nQ = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
+    val nFiles = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // offline: the served index + the query backlog (vectors cycled
+    // from the corpus itself, qids disjoint from vec_ids so no
+    // self-exclusion interplay)
+    val idx = queries.EmbQueries.ensureServedIndex(spark, sfDir)
+    val vectorsPath = s"$sfDir/embeddings.parquet"
+    val dir = Files.createTempDirectory("ann_tp").toFile
+    val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
+    val emb = spark.read.parquet(vectorsPath)
+    val nVec = emb.count()
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(spark.range((nQ + nVec - 1) / nVec).select(col("id").as("rep")))
+      .filter(col("vec_id") + col("rep") * nVec < nQ)
+      .select((col("vec_id") + col("rep") * nVec + lit(1000000000L))
+        .as("qid"),
+        col("embedding").as("qvec"))
+      .repartition(nFiles)
+      .write.mode("overwrite").json(inDir.getAbsolutePath)
+    val staged = spark.read.json(inDir.getAbsolutePath).count()
+
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("qvec", ArrayType(DoubleType))))
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ck").getAbsolutePath
+
+    val t0 = System.nanoTime()
+    val q = streaming.AnnServing.startServingSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", math.max(1, nFiles / 4))
+        .json(inDir.getAbsolutePath),
+      idx, vectorsPath, outDir, ckpt)
+    q.awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val answered = spark.read.parquet(outDir)
+      .select("qid").distinct().count()
+    println(
+      s"""{"metric":"ann_serving_throughput","unit":"queries_per_sec","value":${f"${answered / sec}%.1f"},"n_queries":$answered,"staged":$staged,"sec":${f"$sec%.2f"},"sf":"$sfDir"}""")
+    CacheRegistry.clear(spark)
+    spark.stop()
+  }
+}
