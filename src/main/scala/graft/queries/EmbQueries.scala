@@ -1636,6 +1636,21 @@ object EmbQueries {
     // ELSE). Ties break on vec_id everywhere.
     Q("emb_bq_ann", (s, d) => bqTop5(s, d), Some(bqSql)),
 
+    // the bq channel served FROM THE PERSISTED ARTIFACT — emb_bq_ann
+    // computes signatures inside its scan (touching floats);
+    // this one reads the 16-byte bitsig/ rows the index build staged
+    // (emb_ivfpq_served's convention: identical answer, same oracle),
+    // which is the float-free first-stage scan the channel's 100 TB
+    // story actually claims. Only the query vector's signature is
+    // computed live.
+    Q(
+      "emb_bq_served",
+      (s, d) => {
+        servedCodes(s, d) // forces the one-time index write
+        bqRank(s, d, s.read.parquet(s"${indexPath(d)}/bitsig"))
+      },
+      Some(bqSql)),
+
     // recall@5 of the binary-quantization channel against the exact
     // ranking — the eval row the bq serving query implies (the
     // emb_ivfpq_recall convention: same exact top-5, same accounting
@@ -2639,8 +2654,13 @@ object EmbQueries {
     // the delete scenario's working copy of the served index —
     // emb_ivfpq_delete's own timer covers the tombstone compaction it
     // performs on top of this state (first touch; later iterations
-    // serve reads — see the Bench first-iteration note in SCALE.md)
-    deleteBase(s, dir).write.format("noop").mode("overwrite").save()
+    // serve reads — see the Bench first-iteration note in SCALE.md).
+    // Forced WITHOUT a noop scan of the returned frame: if the
+    // compaction already ran this session (a plan-guard suite walking
+    // every query triggers it), the frame's file listing is stale by
+    // design — the dir was rewritten — and scanning it would chase
+    // deleted part files
+    deleteBase(s, dir)
     // the shared GramAgg second-moment pass (emb_covariance_topk +
     // emb_pca_power_iteration) — without this, whichever consumer runs
     // first alphabetically absorbs the one corpus fold
@@ -2713,6 +2733,11 @@ object EmbQueries {
       // + codes/ and needs none of this session's memoized state
       pqCodebook(s, d).write.mode("overwrite")
         .parquet(s"$path/codebook")
+      // the 1-bit sign-bitmap channel's signature table (16 bytes per
+      // vector) — the artifact that makes emb_bq_served's first stage
+      // a float-free scan, the claim the bq channel makes at 100 TB
+      bqSigs(emb(s, d)).write.mode("overwrite")
+        .parquet(s"$path/bitsig")
       val cells = ivfRanked(s, d).filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label").as("cell"))
       pqCodes(s, d)
@@ -2875,6 +2900,11 @@ object EmbQueries {
               true)
           }
         }
+        // the rewrite invalidated every earlier listing of this dir
+        // (deleteBase's memoized frame included) — drop the session's
+        // FileStatusCache entries so no stale handle chases deleted
+        // part files
+        s.catalog.refreshByPath(path)
       }
       s.read.parquet(path)
     }
@@ -2984,17 +3014,30 @@ object EmbQueries {
     * the array end — caught by the edge gate). Ties break on vec_id
     * everywhere.
     */
-  private def bqTop5(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
+  /** sign-bitmap signature frame (vec_id, h1, h2) over any
+    * (vec_id, embedding) input — shared by the on-the-fly query
+    * (bqTop5), the served-index build (the bitsig/ artifact) and the
+    * served read's query-side signature
+    */
+  private def bqSigs(e: DataFrame): DataFrame = {
     def half(lo: Int, hi: Int, base: Int): String =
       s"aggregate(transform(sequence($lo, $hi), i -> " +
         s"IF(try_element_at(embedding, i) > CAST(0 AS FLOAT), " +
         s"shiftleft(CAST(1 AS BIGINT), i - $base), " +
         s"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
-    val bq = e.select(col("vec_id"),
+    e.select(col("vec_id"),
       expr(half(1, 32, 1)).as("h1"),
       expr(half(33, 64, 33)).as("h2"))
-    val qsig = broadcast(bq.filter(col("vec_id") === 0)
+  }
+
+  /** Hamming shortlist + exact rerank over a given signature frame —
+    * the serving read emb_bq_ann (signatures computed in the scan) and
+    * emb_bq_served (signatures read from the persisted bitsig/
+    * artifact) share verbatim.
+    */
+  private def bqRank(s: SparkSession, d: String, bq: DataFrame): DataFrame = {
+    val e = emb(s, d)
+    val qsig = broadcast(bqSigs(e.filter(col("vec_id") === 0))
       .select(col("h1").as("q1"), col("h2").as("q2")))
     val short = bq.filter(col("vec_id") =!= 0)
       .crossJoin(qsig)
@@ -3012,6 +3055,9 @@ object EmbQueries {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(5)
   }
+
+  private def bqTop5(s: SparkSession, d: String): DataFrame =
+    bqRank(s, d, bqSigs(emb(s, d)))
 
   /** DuckDB twin of [[bqTop5]] — complete WITH...SELECT, nestable as a
     * parenthesized subquery (emb_bq_recall does)
