@@ -418,3 +418,74 @@ object SqQDot {
     GraftSqlBridge.column(
       SqQDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
+
+/** `graft_sign_bits(array<float|double>) -> array<bigint>` of exactly
+  * two elements [h1, h2]: the 1-bit sign bitmap of emb_bq_ann packed
+  * into two 32-bit halves (dims 0..31 -> h1 bit i, dims 32..63 -> h2
+  * bit i-32 — two halves so no engine ever shifts into the int64 sign
+  * bit). Codegen'd single pass replacing the interpreted
+  * aggregate(transform(sequence...)) SQL form (higher-order functions
+  * evaluate per element on the interpreted path). Semantics match that
+  * SQL form EXACTLY, element by element: a missing (ragged) or NULL
+  * dimension contributes bit 0 (try_element_at NULL -> false branch),
+  * a NULL input array packs to [0, 0], and the comparison is Spark's
+  * NaN-is-largest float ordering (`v > 0f` is true for NaN), which
+  * java.lang.Double.compare reproduces. VectorKernelsSpec pins kernel
+  * == SQL-expression equality over adversarial inputs.
+  */
+case class SignBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private lazy val aD = VectorKernels.isDoubleElem(child)
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    SignBits.pack(child.eval(input).asInstanceOf[ArrayData], aD)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.SignBits.pack(
+            ${c.isNull} ? null : ${c.value}, $aD);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBits =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_sign_bits"
+}
+
+object SignBits {
+  def pack(a: ArrayData, aD: Boolean): ArrayData = {
+    var h1 = 0L
+    var h2 = 0L
+    val n = if (a == null) 0 else math.min(a.numElements(), 64)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = VectorKernels.elem(a, i, aD)
+        // Double.compare treats NaN as greater than any value — the
+        // same NaN-is-largest ordering Spark's float `>` uses
+        if (java.lang.Double.compare(v, 0.0) > 0) {
+          if (i < 32) h1 |= 1L << i
+          else h2 |= 1L << (i - 32)
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(h1, h2))
+  }
+
+  def column(c: Column): Column =
+    GraftSqlBridge.column(SignBits(GraftSqlBridge.expression(c)))
+}

@@ -3017,18 +3017,18 @@ object EmbQueries {
   /** sign-bitmap signature frame (vec_id, h1, h2) over any
     * (vec_id, embedding) input — shared by the on-the-fly query
     * (bqTop5), the served-index build (the bitsig/ artifact) and the
-    * served read's query-side signature
+    * served read's query-side signature. The packing is the native
+    * codegen'd SignBits kernel (one pass, whole-stage-codegen
+    * friendly); the equivalent aggregate(transform(sequence(...)))
+    * SQL form evaluates higher-order functions interpreted per element
+    * and lives on only as VectorKernelsSpec's equality pin.
     */
-  private def bqSigs(e: DataFrame): DataFrame = {
-    def half(lo: Int, hi: Int, base: Int): String =
-      s"aggregate(transform(sequence($lo, $hi), i -> " +
-        s"IF(try_element_at(embedding, i) > CAST(0 AS FLOAT), " +
-        s"shiftleft(CAST(1 AS BIGINT), i - $base), " +
-        s"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+  private def bqSigs(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
-      expr(half(1, 32, 1)).as("h1"),
-      expr(half(33, 64, 33)).as("h2"))
-  }
+      graft.functions.SignBits.column(col("embedding")).as("hs"))
+      .select(col("vec_id"),
+        element_at(col("hs"), 1).as("h1"),
+        element_at(col("hs"), 2).as("h2"))
 
   /** Hamming shortlist + exact rerank over a given signature frame —
     * the serving read emb_bq_ann (signatures computed in the scan) and

@@ -185,4 +185,42 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(!rows(2).isNullAt(0) && rows(2).getLong(0) == 0L) // ma = 0
     assert(rows(3).isNullAt(0) && rows(3).isNullAt(1)) // null element
   }
+
+  test("SignBits == the aggregate(transform) SQL form on adversarial inputs") {
+    import spark.implicits._
+    def half(lo: Int, hi: Int, base: Int): String =
+      s"aggregate(transform(sequence($lo, $hi), i -> " +
+        s"IF(try_element_at(v, i) > CAST(0 AS FLOAT), " +
+        s"shiftleft(CAST(1 AS BIGINT), i - $base), " +
+        s"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    // corpus vectors + adversarial shapes: ragged (32-dim), empty,
+    // all-zero (v > 0 false at exactly 0), a null element mid-array,
+    // NaN (Spark float ordering treats it as largest -> bit SET),
+    // negative-only, and a NULL array
+    val rnd = new scala.util.Random(42)
+    val synth = Seq(
+      Array.fill(32)(rnd.nextFloat() - 0.5f),
+      Array.empty[Float],
+      Array.fill(64)(0.0f),
+      Array.fill(64)(-1.0f),
+      Array.tabulate(64)(i => if (i == 7) Float.NaN else -1.0f))
+      .toDF("v")
+      .union(Seq(Array.fill(64)(0.5f)).toDF("v")
+        .select(concat(slice(col("v"), 1, 40),
+          array(lit(null).cast("float")),
+          slice(col("v"), 42, 23)).as("v")))
+      .union(Seq(1).toDF("x").select(lit(null).cast("array<float>").as("v")))
+    val corpus = Tables.t(spark, TestSpark.sf0001, "embeddings")
+      .filter(col("vec_id") < 100).select(col("embedding").as("v"))
+    val rows = synth.union(corpus).select(
+      graft.functions.SignBits.column(col("v")).as("k"),
+      expr(half(1, 32, 1)).as("h1"),
+      expr(half(33, 64, 33)).as("h2")).collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val k = r.getSeq[Long](0)
+      assert(k.length == 2, r)
+      assert(k(0) == r.getLong(1) && k(1) == r.getLong(2), r)
+    }
+  }
 }
