@@ -63,13 +63,21 @@ object AnnServingBench {
         .option("maxFilesPerTrigger", math.max(1, nFiles / 4))
         .json(inDir.getAbsolutePath),
       idx, vectorsPath, outDir, ckpt)
-    q.awaitTermination(600000)
+    val drained = q.awaitTermination(600000)
     val sec = (System.nanoTime() - t0) / 1e9
     val answered = spark.read.parquet(outDir)
       .select("qid").distinct().count()
+    // a timed-out stream or a partial backlog must FAIL loudly, not
+    // print a plausible-looking queries/sec over whatever drained
+    val error =
+      if (!drained) "\"awaitTermination timed out\""
+      else if (answered != staged)
+        s""""answered $answered of $staged staged queries""""
+      else "null"
     println(
-      s"""{"metric":"ann_serving_throughput","unit":"queries_per_sec","value":${f"${answered / sec}%.1f"},"n_queries":$answered,"staged":$staged,"sec":${f"$sec%.2f"},"sf":"$sfDir"}""")
+      s"""{"metric":"ann_serving_throughput","unit":"queries_per_sec","value":${f"${answered / sec}%.1f"},"n_queries":$answered,"staged":$staged,"sec":${f"$sec%.2f"},"error":$error,"sf":"$sfDir"}""")
     CacheRegistry.clear(spark)
     spark.stop()
+    if (error != "null") System.exit(1)
   }
 }
