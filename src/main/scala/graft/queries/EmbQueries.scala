@@ -417,6 +417,18 @@ object EmbQueries {
   /** emb_mrl_recall: how many leading dims the truncated rank uses */
   val MrlDim = 16
 
+  /** emb_ivfpq_filtered: the metadata predicate value — production
+    * vector search is almost never unfiltered ("top-k similar WHERE
+    * label = 3"); label 3 exists at every sf and in the edge set
+    */
+  val FilteredLabel = 3
+
+  /** emb_ivfpq_filtered_miss: a label NO corpus row carries — pins the
+    * empty-filtered-result path (empty shortlist -> empty rerank ->
+    * zero rows) against the oracle at every gate
+    */
+  val FilteredMissLabel = 99
+
   /** emb_sq_ann: symmetric int8 quantization range (q ∈ [-127, 127]) */
   val SqScale = 127
 
@@ -1209,6 +1221,79 @@ object EmbQueries {
            |  CAST(hits.n_hits * 20 AS BIGINT) AS recall_pct,
            |  CAST(surf.n_surf AS BIGINT) AS n_deleted_surfaced
            |FROM tot, del, hits, surf""".stripMargin)),
+
+    // FILTERED vector search — the most common production retrieval
+    // shape the plain serving read lacks: "top-k similar WHERE
+    // label = 3". The metadata column is INLINED in the served code
+    // rows (servedCodes writes it beside the codes — the attribute-
+    // beside-code layout), so the predicate is a pushed data filter
+    // INSIDE the directory-pruned code scan, applied BEFORE the shortN
+    // cut: the shortlist holds IvfPqShortN qualifying candidates, never
+    // a post-filtered (starved) remnant of the unfiltered shortlist.
+    // At 100 TB: same pruned-scan cost as emb_ivfpq_served — the
+    // filter adds zero I/O (the scan already reads the 8-byte rows)
+    // and strictly shrinks the ADC work; no join against a
+    // corpus-sized attribute table anywhere.
+    Q(
+      "emb_ivfpq_filtered",
+      (s, d) => filteredServed(s, d, FilteredLabel),
+      Some(filteredSql(FilteredLabel))),
+
+    // the empty-result twin: a label no corpus row carries. The
+    // shortlist is empty, the rerank is empty, the answer is ZERO rows
+    // — matching the oracle's zero rows — rather than an error or a
+    // fallback to unfiltered results.
+    Q(
+      "emb_ivfpq_filtered_miss",
+      (s, d) => filteredServed(s, d, FilteredMissLabel),
+      Some(filteredSql(FilteredMissLabel))),
+
+    // Recall@5 of the filtered serving read against the EXACT filtered
+    // top-5 (brute-force cosine restricted to the predicate) — the
+    // quality evidence for predicate-inside-shortlist: n_exact is the
+    // filtered candidate depth actually available, n_hits the overlap.
+    // Integer recall (n_hits x 20), the emb_ivfpq_recall convention.
+    Q(
+      "emb_ivfpq_filtered_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val exact = e.filter(col("vec_id") =!= 0 &&
+            col("label") === FilteredLabel)
+          .crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+          .select("vec_id")
+        val approx = filteredServed(s, d, FilteredLabel).select("vec_id")
+        val hits = exact.join(approx, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(hits))
+          .select(lit(5).as("k"), lit(FilteredLabel).as("label"),
+            col("n_exact"), col("n_hits"),
+            (col("n_hits") * 20).as("recall_pct"))
+      },
+      Some(
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |exact AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |    FROM embeddings, q
+           |    WHERE vec_id <> 0 AND label = $FilteredLabel
+           |    ORDER BY sim DESC, vec_id LIMIT 5)
+           |), approx AS (
+           |  SELECT vec_id FROM (${filteredSql(FilteredLabel)})
+           |), ne AS (SELECT count(*) AS n_exact FROM exact),
+           |hits AS (
+           |  SELECT count(*) AS n_hits FROM exact JOIN approx USING (vec_id)
+           |)
+           |SELECT 5 AS k, $FilteredLabel AS label,
+           |  ne.n_exact, hits.n_hits,
+           |  hits.n_hits * 20 AS recall_pct
+           |FROM ne, hits""".stripMargin)),
 
     // nDCG@5 of every ANN method against the exact ranking — the rank-
     // aware retrieval metric that recall@k (emb_recall_eval /
@@ -2747,6 +2832,13 @@ object EmbQueries {
           array_sort(collect_list(struct(col("j"), col("cid")))),
           x => x.getField("cid")).as("codes"))
         .join(cells, "vec_id")
+        // ATTRIBUTE INLINING: the filterable metadata column rides in
+        // the code rows (the production layout for filtered vector
+        // search — FAISS/Vespa-style attribute-beside-code), so a
+        // metadata predicate is a pushed data filter INSIDE the
+        // directory-pruned code scan, never a join against a
+        // corpus-sized attribute table (emb_ivfpq_filtered reads it)
+        .join(emb(s, d).select(col("vec_id"), col("label")), "vec_id")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/codes")
       s.read.parquet(s"$path/codes")
@@ -2761,6 +2853,81 @@ object EmbQueries {
     servedCodes(s, d)
     indexPath(d)
   }
+
+  /** The filtered serving read (emb_ivfpq_filtered / _miss): identical
+    * to emb_ivfpq_served's four steps — probe, pruned code scan, ADC
+    * shortlist, exact rerank — with the metadata predicate
+    * `label = lbl` applied to the code rows INSIDE the pruned scan,
+    * BEFORE the shortN cut. The label column is read from the code
+    * rows themselves (attribute inlining — servedCodes writes it), so
+    * the plan is scan(PartitionFilters: cell IN probed,
+    * PushedFilters: label = lbl) with no attribute join.
+    */
+  private def filteredServed(
+      s: SparkSession, d: String, lbl: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val codes = servedCodes(s, d)
+    val cent = s.read.parquet(s"${indexPath(d)}/centroids")
+    val e = emb(s, d)
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+    // probe is UNfiltered by design: cells are geometry, the predicate
+    // is metadata — filtering cells would skip regions whose qualifying
+    // rows live behind non-qualifying neighbors
+    val probed = cent.crossJoin(qv)
+      .select(col("c_label"),
+        graft.functions.VecL2Sq.column(col("qv"), col("cvec"))
+          .as("d2"))
+      .orderBy(col("d2").asc_nulls_last, col("c_label"))
+      .limit(2)
+      .collect().map(_.getInt(0))
+    val short = codes
+      .filter(col("cell").isin(probed.map(Int.box): _*) &&
+        col("vec_id") =!= 0 && col("label") === lbl)
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "cid")))
+      .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+        .as("pq_d2"))
+      .orderBy(col("pq_d2"), col("vec_id"))
+      .limit(IvfPqShortN)
+    e.join(broadcast(short), "vec_id")
+      .crossJoin(qv)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** DuckDB twin of [[filteredServed]] — complete WITH...SELECT,
+    * nestable as a parenthesized subquery (emb_ivfpq_filtered_recall
+    * does). The oracle joins embeddings for the label (it has no
+    * served layout); the engine reads the inlined column.
+    */
+  private def filteredSql(lbl: Int): String =
+    s"""WITH $ivfCellsCte, $pqCte, qcells AS (
+       |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+       |), qv AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), shortl AS (
+       |  SELECT k.vec_id,
+       |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+       |  FROM codes k
+       |  JOIN cells cl ON cl.vec_id = k.vec_id
+       |  JOIN qcells qc ON qc.cell = cl.cell
+       |  JOIN embeddings m ON m.vec_id = k.vec_id
+       |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
+       |  WHERE k.vec_id <> 0 AND m.label = $lbl
+       |  GROUP BY k.vec_id
+       |  ORDER BY pq_d2, k.vec_id LIMIT $IvfPqShortN
+       |)
+       |SELECT e.vec_id, e.label,
+       |  round(${cosSql("e.embedding", "qv.qv")}, 6) AS sim
+       |FROM embeddings e
+       |JOIN shortl sl ON sl.vec_id = e.vec_id
+       |CROSS JOIN qv
+       |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
 
   /** the "new batch" slice of the upsert scenario (emb_ivfpq_upsert):
     * a deterministic ~10% of the corpus, the dedup_incremental_batch
@@ -2822,7 +2989,12 @@ object EmbQueries {
         .agg(transform(
           array_sort(collect_list(struct(col("j"), col("cid")))),
           x => x.getField("cid")).as("codes"))
-      bcodes.join(assign, "vec_id")
+      // the batch's metadata column rides along (attribute inlining —
+      // see servedCodes), keeping the appended rows schema-identical
+      // to the built index
+      val blabels = emb(s, d).filter(upsertBatchPred)
+        .select(col("vec_id"), col("label"))
+      bcodes.join(assign, "vec_id").join(blabels, "vec_id")
         .write.mode("append").partitionBy("cell").parquet(path)
       s.read.parquet(path)
     }
@@ -2893,8 +3065,10 @@ object EmbQueries {
           .collect().map(_.getInt(0)).toSet
         val emptied = touched.filterNot(kept)
         if (emptied.nonEmpty) {
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            s.sparkContext.hadoopConfiguration)
+          // resolve the FS from the index path's scheme (s3a/hdfs
+          // stores), never the default filesystem
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
           emptied.foreach { c =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"),
               true)

@@ -47,6 +47,13 @@ object AnnServing {
     *                itself (the emb_ivfpq_served self-exclusion)
     * @param vectors the true-vector table (vec_id, embedding) used for
     *                the exact rerank
+    * @param codeFilter optional metadata predicate over the inlined
+    *                attribute columns of the code rows (e.g.
+    *                `col("label") === 3` — filtered vector search).
+    *                Applied INSIDE the directory-pruned code scan,
+    *                BEFORE the shortN cut, so the shortlist is never
+    *                starved by post-filtering; batch twin:
+    *                emb_ivfpq_filtered.
     * @return (qid, rank, vec_id, sim) — top-k per query, rank 1-based
     */
   def scoreBatch(
@@ -56,7 +63,8 @@ object AnnServing {
       batch: DataFrame,
       k: Int = 5,
       nprobe: Int = 2,
-      shortN: Int = graft.queries.EmbQueries.IvfPqShortN): DataFrame = {
+      shortN: Int = graft.queries.EmbQueries.IvfPqShortN,
+      codeFilter: Option[Column] = None): DataFrame = {
     import graft.queries.EmbQueries.{PqDim, PqSub}
     val empty = {
       import spark.implicits._
@@ -97,8 +105,9 @@ object AnnServing {
     // 3. SHORTLIST — directory-pruned code scan, per-query cells
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("pq_d2"), col("vec_id"))
-    val short = spark.read.parquet(s"$indexDir/codes")
-      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val short = codeFilter
+      .foldLeft(spark.read.parquet(s"$indexDir/codes")
+        .filter(col("cell").isin(probedCells.map(Int.box): _*)))(_.filter(_))
       .join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -135,22 +144,30 @@ object AnnServing {
     * maintained by streaming batches converges ROW-IDENTICAL to the
     * batch-built index over the same vectors — StreamingSpec pins it.
     *
-    * Idempotence note: foreachBatch can replay a batch after a failure;
-    * a production maintenance sink makes the append idempotent with
-    * per-batch deterministic file names or the versioned-state
-    * convention of NewsStream.upsertBatch. The plumbing here keeps the
-    * plan shape (broadcast codebook/centroids, batch-proportional
-    * append) that survives 100 TB.
+    * Idempotent: before appending, the encoded batch is anti-joined
+    * against the vec_ids already present in the cells it lands in
+    * (a directory-pruned scan — assignment is deterministic given
+    * fixed centroids, so a re-arriving id can only live in the cell
+    * it assigns to), so a foreachBatch REPLAY after a failure, or an
+    * id upserted twice, never duplicates index rows. The dedup cost
+    * is one pruned read of the landed cells — batch-proportional,
+    * never corpus-sized.
     *
-    * @return number of index rows appended
+    * @return number of index rows appended (replayed/duplicate ids
+    *         excluded)
     */
   def applyUpsertBatch(
       spark: SparkSession,
       indexDir: String,
       batch: DataFrame): Long = {
     import graft.queries.EmbQueries.{PqDim, PqSub}
+    // the filterable metadata column (attribute inlining — the served
+    // layout keeps `label` beside the codes so filtered search is a
+    // pushed scan predicate); a batch without it lands NULL labels
     val b = batch.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding").cast("array<float>").as("embedding"))
+      col("embedding").cast("array<float>").as("embedding"),
+      (if (batch.columns.contains("label")) col("label")
+       else lit(null)).cast("int").as("label"))
     if (b.isEmpty) return 0L
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -180,12 +197,31 @@ object AnnServing {
       .agg(transform(
         array_sort(collect_list(struct(col("j"), col("cid")))),
         x => x.getField("cid")).as("codes"))
-    val rows = codes.join(assign, "vec_id").persist()
-    val n = rows.count()
+    val rows = codes.join(assign, "vec_id")
+      .join(b.select(col("vec_id"), col("label")), "vec_id").persist()
+    rows.count()
+    // IDEMPOTENCE: drop rows whose vec_id is already indexed in the
+    // cell it assigns to (replay after failure / re-arriving id). The
+    // cell IN (...) predicate keeps the existence check a pruned read
+    // of ONLY the landed cells' directories; a prior batch may have
+    // rewritten them (delete sink), so refresh the listing first.
+    val codesPath = s"$indexDir/codes"
+    spark.catalog.refreshByPath(codesPath)
+    val landed = rows.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    if (landed.isEmpty) { rows.unpersist(); return 0L }
+    val dupIds = spark.read.parquet(codesPath)
+      .filter(col("cell").isin(landed.map(Int.box): _*))
+      .join(broadcast(rows.select("vec_id")), Seq("vec_id"), "left_semi")
+      .select("vec_id").distinct()
+    val fresh = rows
+      .join(broadcast(dupIds), Seq("vec_id"), "left_anti").persist()
+    val n = fresh.count()
     if (n > 0) {
-      rows.write.mode("append").partitionBy("cell")
-        .parquet(s"$indexDir/codes")
+      fresh.write.mode("append").partitionBy("cell")
+        .parquet(codesPath)
     }
+    fresh.unpersist()
     rows.unpersist()
     n
   }
@@ -266,8 +302,11 @@ object AnnServing {
     survivorsP.unpersist()
     val emptied = touched.filterNot(kept)
     if (emptied.nonEmpty) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
+      // resolve the FS from the INDEX PATH's scheme, not the default
+      // filesystem — on s3a/hdfs index stores FileSystem.get(conf)
+      // would target the wrong store and leave stale cell dirs serving
+      val fs = new org.apache.hadoop.fs.Path(codesPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       emptied.foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/cell=$c"),
           true)

@@ -603,6 +603,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(900))
   }
 
+  test("filtered ANN: metadata predicate pushed INSIDE the pruned code scan") {
+    val p = plan("emb_ivfpq_filtered")
+    // directory pruning still intact (cell IN probed as PartitionFilter)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      p.take(1500))
+    // the label predicate reaches the SAME scan as a pushed data filter
+    // (attribute inlining) — applied before the shortN cut, and never a
+    // join against a corpus-sized attribute table
+    assert(p.contains(
+      s"EqualTo(label,${queries.EmbQueries.FilteredLabel})"), p.take(1500))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2, p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
   test("KS drift and passage rewrite: window pipelines, no join anywhere") {
     for (q <- Seq("ev_ks_drift", "dedup_passage_rewrite")) {
       val p = plan(q)

@@ -995,6 +995,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("filtered streaming ANN equals the batch filtered serving read") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // the codeFilter predicate reads the attribute column INLINED in
+    // the code rows — same semantics as emb_ivfpq_filtered (qid 0 is
+    // its query vector, so self-exclusion matches vec_id <> 0)
+    val lbl = queries.EmbQueries.FilteredLabel
+    val streamed = graft.streaming.AnnServing
+      .scoreBatch(spark, idx, emb, probe,
+        codeFilter = Some(col("label") === lbl))
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Registry.byName("emb_ivfpq_filtered").build(spark, dir)
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the miss label answers EMPTY, not unfiltered fallback
+    val miss = graft.streaming.AnnServing
+      .scoreBatch(spark, idx, emb, probe,
+        codeFilter = Some(col("label") === 99))
+    assert(miss.isEmpty)
+  }
+
   test("streaming index maintenance converges to the batch-built index") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
@@ -1016,11 +1042,11 @@ class StreamingSpec extends AnyFunSuite {
     val in = tmp("ann_maint_in")
     def dump(name: String, pred: org.apache.spark.sql.Column): Unit = {
       val sb = new StringBuilder
-      emb.filter(pred).select("vec_id", "embedding").collect()
+      emb.filter(pred).select("vec_id", "embedding", "label").collect()
         .foreach { r =>
           val v = r.getSeq[Float](1)
           sb.append(
-            s"""{"vec_id":${r.getLong(0)},"embedding":[${v.mkString(",")}]}""")
+            s"""{"vec_id":${r.getLong(0)},"embedding":[${v.mkString(",")}],"label":${r.getInt(2)}}""")
           sb.append('\n')
         }
       Files.write(java.nio.file.Paths.get(in, name),
@@ -1031,7 +1057,8 @@ class StreamingSpec extends AnyFunSuite {
 
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(DoubleType))))
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", IntegerType)))
     val q = graft.streaming.AnnServing.startMaintenanceSink(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .json(in),
@@ -1039,10 +1066,11 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
 
     // 1. the maintained index is row-identical to the batch-built full
-    // served index — same cells, same codes, nothing lost or invented
+    // served index — same cells, same codes, same inlined attribute,
+    // nothing lost or invented
     val maintained = spark.read.parquet(s"$work/codes")
     val key = (d: org.apache.spark.sql.DataFrame) => d.select(
-      col("vec_id"), col("cell"),
+      col("vec_id"), col("cell"), col("label"),
       array_join(transform(col("codes"), c => c.cast("string")), ",")
         .as("cs"))
     assert(key(full).exceptAll(key(maintained)).isEmpty)
@@ -1056,6 +1084,18 @@ class StreamingSpec extends AnyFunSuite {
       .scoreBatch(spark, ix, spark.read.parquet(vectorsPath), probe)
       .collect().map(_.toString).toSeq
     assert(answer(work) == answer(idx))
+
+    // 3. IDEMPOTENCE: replaying an already-applied batch (the
+    // foreachBatch failure-replay scenario) appends nothing — the
+    // anti-join against the landed cells' existing ids rejects every
+    // re-arriving row, and the index is unchanged
+    val replay = emb.filter(batchPred).select("vec_id", "embedding")
+    val appended = graft.streaming.AnnServing
+      .applyUpsertBatch(spark, work, replay)
+    assert(appended == 0L, s"replay appended $appended rows")
+    val afterReplay = spark.read.parquet(s"$work/codes")
+    assert(key(afterReplay).exceptAll(key(full)).isEmpty)
+    assert(key(full).exceptAll(key(afterReplay)).isEmpty)
   }
 
   test("streaming delete compacts the index partition-locally") {
