@@ -133,6 +133,108 @@ object AnnServing {
       .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Score ONE micro-batch of query vectors against the persisted
+    * 1-bit BINARY-QUANTIZATION signature artifact (`bitsig/` — the
+    * 16-byte (vec_id, h1, h2) rows emb_ivfpq_served's build stages) —
+    * the streaming rung of the quantization ladder's cheapest channel,
+    * completing the ladder's streaming half (IVF+PQ was the only rung
+    * AnnServing served before this).
+    *
+    * Per-batch plan, for B query vectors against N signatures:
+    *   1. SIGN — only the B query vectors touch floats: their
+    *      signatures are packed live by the native SignBits kernel
+    *      (the same kernel the artifact was built with) and broadcast.
+    *   2. HAMMING — one float-free scan of the signature table
+    *      (1/32 the corpus at 100 TB) x the broadcast query
+    *      signatures: two XORs + two popcounts per (candidate, query)
+    *      pair, row_number per query, keep shortN. Self-exclusion is
+    *      per query (a corpus vec_id arriving as qid never matches
+    *      itself — the emb_bq_served convention).
+    *   3. RERANK — fetch the <= B*shortN true vectors and order by
+    *      exact rounded cosine, vec_id tiebreak.
+    * Identical arithmetic to the batch emb_bq_served (same kernel,
+    * same rounding, same tiebreaks) — StreamingSpec pins the row
+    * equality for the same query vector.
+    *
+    * @return (qid, rank, vec_id, hd, sim) — top-k per query, rank
+    *         1-based, hd the first-stage Hamming distance
+    */
+  def scoreBatchBq(
+      spark: SparkSession,
+      indexDir: String,
+      vectors: DataFrame,
+      batch: DataFrame,
+      k: Int = 5,
+      shortN: Int = 20): DataFrame = {
+    val empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Long, Long, Double)]
+        .toDF("qid", "rank", "vec_id", "hd", "sim")
+    }
+    val q = batch.select(col("qid").cast("long").as("qid"),
+      col("qvec").cast("array<float>").as("qvec"))
+    if (q.isEmpty) return empty
+
+    // 1. SIGN — live signatures for the queries only
+    val qsig = q.select(col("qid"),
+      graft.functions.SignBits.column(col("qvec")).as("hs"))
+      .select(col("qid"),
+        element_at(col("hs"), 1).as("q1"),
+        element_at(col("hs"), 2).as("q2"))
+
+    // 2. HAMMING over the persisted signature scan
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("hd"), col("vec_id"))
+    val short = spark.read.parquet(s"$indexDir/bitsig")
+      .crossJoin(broadcast(qsig))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) AS BIGINT)")
+          .as("hd"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortN)
+      .select("qid", "vec_id", "hd")
+
+    // 3. RERANK — exact cosine over the fetched true vectors
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    vectors.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("hd"),
+        round(graft.queries.EmbQueries.cosine(col("embedding"),
+          col("qvec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("hd"),
+        col("sim"))
+  }
+
+  /** The bq serving sink: [[startServingSink]]'s shape over the
+    * binary-quantization channel — each micro-batch of query vectors
+    * is scored by [[scoreBatchBq]] against the persisted bitsig/
+    * artifact and the per-query top-k lands in `outDir` as parquet.
+    */
+  def startBqServingSink(
+      stream: DataFrame,
+      indexDir: String,
+      vectorsPath: String,
+      outDir: String,
+      checkpoint: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        scoreBatchBq(s, indexDir, s.read.parquet(vectorsPath), batch, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** STREAMING INDEX MAINTENANCE — the online twin of the batch
     * emb_ivfpq_upsert: apply ONE micro-batch of newly-arrived vectors
     * to the persisted index. Assignment uses the EXISTING centroids,

@@ -1021,6 +1021,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(miss.isEmpty)
   }
 
+  test("streaming bq serving equals the batch bq served answer") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    // ensureServedIndex stages bitsig/ beside centroids/codebook/codes
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val vectorsPath = s"$dir/embeddings.parquet"
+    val emb = spark.read.parquet(vectorsPath)
+    def vecJson(qid: Long): String = {
+      val v = emb.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      s"""{"qid":$qid,"qvec":[${v.mkString(",")}]}"""
+    }
+    val in = tmp("bq_in")
+    Files.write(java.nio.file.Paths.get(in, "q0.json"),
+      (vecJson(0L) + "\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(in, "q7.json"),
+      (vecJson(7L) + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("qvec", ArrayType(DoubleType))))
+    val out = tmp("bq_out")
+    val q = graft.streaming.AnnServing.startBqServingSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in),
+      idx, vectorsPath, out, tmp("bq_ckpt"))
+    assert(q.awaitTermination(120000))
+
+    val res = spark.read.parquet(out)
+    assert(res.select("batch_id").distinct().count() == 2)
+    val byQid = res.collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")))
+
+    // qid 0: row-identical to emb_bq_served's (vec_id, hd, sim) answer
+    val served = Registry.byName("emb_bq_served").build(spark, dir)
+      .select("vec_id", "hd", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val streamed0 = byQid(0L).map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("hd"), r.getAs[Double]("sim"))).toSeq
+    assert(streamed0 == served, s"stream=$streamed0 batch=$served")
+
+    // qid 7: full top-5, never itself, sims non-increasing, hd sane
+    val s7 = byQid(7L)
+    assert(s7.length == 5)
+    assert(s7.forall(_.getAs[Long]("vec_id") != 7L))
+    val sims7 = s7.map(_.getAs[Double]("sim")).toSeq
+    assert(sims7 == sims7.sorted.reverse)
+    assert(s7.forall(r => (0L to 64L).contains(r.getAs[Long]("hd"))))
+
+    // empty batch answers the typed empty frame, not a crash
+    val none = graft.streaming.AnnServing.scoreBatchBq(
+      spark, idx, emb, emb.filter(col("vec_id") === -1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    assert(none.isEmpty)
+    assert(none.columns.toSeq ==
+      Seq("qid", "rank", "vec_id", "hd", "sim"))
+  }
+
   test("streaming index maintenance converges to the batch-built index") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
