@@ -261,7 +261,8 @@ object AnnServing {
   def applyUpsertBatch(
       spark: SparkSession,
       indexDir: String,
-      batch: DataFrame): Long = {
+      batch: DataFrame,
+      fullDedup: Boolean = false): Long = {
     import graft.queries.EmbQueries.{PqDim, PqSub}
     // the filterable metadata column (attribute inlining — the served
     // layout keeps `label` beside the codes so filtered search is a
@@ -307,13 +308,23 @@ object AnnServing {
     // cell IN (...) predicate keeps the existence check a pruned read
     // of ONLY the landed cells' directories; a prior batch may have
     // rewritten them (delete sink), so refresh the listing first.
+    // fullDedup widens the check to EVERY cell: required under the
+    // auto-maintain sink, where a rebalance between upsert and
+    // checkpoint commit changes the centroids — a replayed id can then
+    // assign to a DIFFERENT cell than its indexed row lives in, and
+    // the landed-cells scope would miss it. At 100 TB the full check
+    // is a point-lookup against the id-keyed store; the 1-column scan
+    // of the 8-byte code table is the local stand-in.
     val codesPath = s"$indexDir/codes"
     spark.catalog.refreshByPath(codesPath)
     val landed = rows.select("cell").distinct()
       .collect().map(_.getInt(0))
     if (landed.isEmpty) { rows.unpersist(); return 0L }
-    val dupIds = spark.read.parquet(codesPath)
-      .filter(col("cell").isin(landed.map(Int.box): _*))
+    val existing =
+      if (fullDedup) spark.read.parquet(codesPath)
+      else spark.read.parquet(codesPath)
+        .filter(col("cell").isin(landed.map(Int.box): _*))
+    val dupIds = existing
       .join(broadcast(rows.select("vec_id")), Seq("vec_id"), "left_semi")
       .select("vec_id").distinct()
     val fresh = rows
@@ -432,6 +443,158 @@ object AnnServing {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyDeleteBatch(batch.sparkSession, indexDir, batch)
+        ()
+      }
+      .start()
+
+  /** STREAMING CELL REBALANCE — the in-place twin of the batch
+    * emb_ivfpq_rebalance, run between micro-batches by the
+    * auto-maintain sink: sustained upserts against fixed centroids
+    * skew cells, and this op splits the overgrown ones on the LIVE
+    * index. Same order-pinned arithmetic as the batch op (integer
+    * fair-share threshold; seed A = min vec_id, seed B =
+    * farthest-from-A with NULLS LAST + id tie, strictly-closer rows
+    * move; snap6/mean6 centroid re-derivation for the split
+    * memberships only), so a streamed maintenance history is
+    * reproducible by replaying the same calls — StreamingSpec pins
+    * stream-vs-direct-call index equality.
+    *
+    * In-place mechanics (the applyDeleteBatch hazards): the rewrite
+    * targets the path it reads, so the moved rows are persisted and
+    * the write plan lineage-truncated; only the overgrown cells'
+    * partitions rewrite (dynamic overwrite — untouched dirs keep
+    * their file sets); the centroid table rewrite goes through the
+    * same truncation; both paths get refreshByPath so the next batch
+    * reads the new layout. Skew detection is one count-by-cell over
+    * the 8-byte code table — at 100 TB that is the store's partition
+    * statistics (a metadata read); the scan is the local stand-in.
+    *
+    * @param vectorsPath the id-keyed true-vector store: the split
+    *        seeds and distances need the overgrown cells' real
+    *        vectors (point-lookups at scale; a pruned join here)
+    * @return number of rows moved into new cells (0 = balanced no-op)
+    */
+  def applyRebalance(
+      spark: SparkSession,
+      indexDir: String,
+      vectorsPath: String,
+      num: Int = graft.queries.EmbQueries.RebalanceNum,
+      den: Int = graft.queries.EmbQueries.RebalanceDen): Long = {
+    val codesPath = s"$indexDir/codes"
+    val centPath = s"$indexDir/centroids"
+    spark.catalog.refreshByPath(codesPath)
+    val codes = spark.read.parquet(codesPath)
+    val szRows = codes.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect()
+    val nCells = szRows.length.toLong
+    val total = szRows.map(_.getLong(1)).sum
+    val overgrown = szRows
+      .filter(r => den * r.getLong(1) * nCells > num * total)
+      .map(_.getInt(0)).sorted
+    if (overgrown.isEmpty) return 0L
+
+    spark.catalog.refreshByPath(centPath)
+    val cent = spark.read.parquet(centPath)
+    val maxLabel = cent.agg(max(col("c_label"))).collect()(0).getInt(0)
+    val newId: Map[Int, Int] = overgrown.zipWithIndex
+      .map { case (c, i) => c -> (maxLabel + i + 1) }.toMap
+    val ogCols = overgrown.map(Int.box).toSeq
+
+    val vecs = spark.read.parquet(vectorsPath)
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("mvec"))
+    // LEFT join: the dynamic overwrite below replaces the overgrown
+    // cells' partitions with exactly this frame's rows — an inner join
+    // would silently DROP any indexed row whose vector is missing from
+    // the store. A vectorless row keeps NULL distances and stays in
+    // its cell (the strict-inequality move rule never fires on NULL).
+    val mem = codes.filter(col("cell").isin(ogCols: _*))
+      .join(vecs, Seq("vec_id"), "left")
+    // seed A = the cell's smallest vec_id that HAS a vector; a cell of
+    // only vectorless rows gets no seed and (via the left join) moves
+    // nothing
+    val seedAV = mem.filter(col("mvec").isNotNull)
+      .groupBy("cell").agg(min(col("vec_id")).as("avid"))
+      .join(vecs.select(col("vec_id").as("avid"),
+        col("mvec").as("avec")), "avid")
+      .select("cell", "avec")
+    val dA = mem.join(broadcast(seedAV), Seq("cell"), "left")
+      .withColumn("d2a",
+        graft.functions.VecL2Sq.column(col("mvec"), col("avec")))
+    val wB = Window.partitionBy(col("cell"))
+      .orderBy(col("d2a").desc_nulls_last, col("vec_id"))
+    val seedBV = dA.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("mvec").as("bvec"))
+    val movedP = dA.join(broadcast(seedBV), "cell")
+      .withColumn("d2b",
+        graft.functions.VecL2Sq.column(col("mvec"), col("bvec")))
+      .select(col("vec_id"), col("codes"), col("label"),
+        when(col("d2b") < col("d2a"),
+          element_at(typedLit(newId), col("cell")))
+          .otherwise(col("cell")).as("cell"),
+        col("mvec"))
+      .persist()
+    val nMoved = movedP.filter(col("cell") > maxLabel).count()
+
+    // re-derived centroids for ONLY the split memberships, computed
+    // (and the survivors of the untouched set COLLECTED via persist)
+    // BEFORE the codes rewrite — the overwrite-recache hazard
+    val splitCentP = movedP
+      .select(col("cell"), posexplode(col("mvec")).as(Seq("dim", "v")))
+      .withColumn("vi", graft.queries.EmbQueries.snap6(col("v")))
+      .groupBy("cell", "dim")
+      .agg(expr(graft.queries.EmbQueries.mean6Expr("vi")).as("cv"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+      .select(col("cell").as("c_label"), col("cvec"))
+      .unionByName(cent.filter(!col("c_label").isin(ogCols: _*)))
+      .persist()
+    splitCentP.count()
+
+    // in-place partition-local rewrite: the plan reads codesPath, so
+    // truncate lineage off the materialized cache first
+    val moved = org.apache.spark.sql.GraftSqlBridge.truncateLineage(
+      movedP.select("vec_id", "codes", "label", "cell"))
+    moved.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(codesPath)
+    val cent2 = org.apache.spark.sql.GraftSqlBridge
+      .truncateLineage(splitCentP)
+    cent2.write.mode("overwrite").parquet(centPath)
+    movedP.unpersist()
+    splitCentP.unpersist()
+    spark.catalog.refreshByPath(codesPath)
+    spark.catalog.refreshByPath(centPath)
+    nMoved
+  }
+
+  /** The AUTO-MAINTAIN sink: each micro-batch of arriving vectors is
+    * upserted ([[applyUpsertBatch]] with the full-index dedup scope —
+    * see there for why landed-cells dedup is insufficient once
+    * centroids can change), then the index is rebalanced
+    * ([[applyRebalance]]) if the batch pushed any cell over the skew
+    * threshold — the complete streaming serving-ops lifecycle
+    * (serve / upsert / delete / rebalance) in one sink.
+    */
+  def startAutoMaintainSink(
+      stream: DataFrame,
+      indexDir: String,
+      vectorsPath: String,
+      checkpoint: String,
+      num: Int = graft.queries.EmbQueries.RebalanceNum,
+      den: Int = graft.queries.EmbQueries.RebalanceDen,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        applyUpsertBatch(s, indexDir, batch, fullDedup = true)
+        applyRebalance(s, indexDir, vectorsPath, num, den)
         ()
       }
       .start()

@@ -1156,6 +1156,135 @@ class StreamingSpec extends AnyFunSuite {
     assert(key(full).exceptAll(key(afterReplay)).isEmpty)
   }
 
+  test("streaming auto-maintenance upserts then splits skewed cells") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val full = spark.read.parquet(s"$idx/codes")
+    val maxLabel0 = full.agg(max(col("cell"))).collect()(0).getInt(0)
+
+    // skew workload: copies of the BIGGEST cell's member vectors under
+    // fresh ids — identical vectors assign to the same cell, so the
+    // stream drives that cell over the fair-share threshold
+    val topCell = full.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).collect()(0).getInt(0)
+    val memberRows = full.filter(col("cell") === topCell)
+      .select("vec_id").join(emb, "vec_id")
+      .select("vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+    val (halfA, halfB) = memberRows.zipWithIndex.partition(_._2 % 2 == 0)
+    def newRows(src: Array[(org.apache.spark.sql.Row, Int)], off: Long) =
+      src.map { case (r, _) =>
+        (r.getLong(0) + off, r.getSeq[Float](1), r.getInt(2))
+      }
+    val rowsA = newRows(halfA, 1000000L)
+    val rowsB = newRows(halfB, 2000000L)
+
+    // the id-keyed vector store must hold the arriving vectors too —
+    // the auto-maintain contract (rebalance fetches true vectors)
+    val aug = tmp("ann_auto_vecs")
+    import spark.implicits._
+    val augDf = emb.select("vec_id", "embedding", "label").unionByName(
+      spark.createDataset(rowsA.toSeq ++ rowsB.toSeq)
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("label")))
+    augDf.write.parquet(s"$aug/embeddings.parquet")
+    val augPath = s"$aug/embeddings.parquet"
+
+    // working index + a twin for the direct-call equality pin
+    val work = tmp("ann_auto")
+    val twin = tmp("ann_auto_twin")
+    Seq(work, twin).foreach { r =>
+      full.write.partitionBy("cell").parquet(s"$r/codes")
+      spark.read.parquet(s"$idx/centroids").write.parquet(s"$r/centroids")
+      spark.read.parquet(s"$idx/codebook").write.parquet(s"$r/codebook")
+    }
+
+    // ONE micro-batch through the sink (order-deterministic) ...
+    val in = tmp("ann_auto_in")
+    val sb = new StringBuilder
+    rowsA.foreach { case (id, v, l) =>
+      sb.append(
+        s"""{"vec_id":$id,"embedding":[${v.mkString(",")}],"label":$l}\n""")
+    }
+    Files.write(java.nio.file.Paths.get(in, "a.json"),
+      sb.toString.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", IntegerType)))
+    val q = graft.streaming.AnnServing.startAutoMaintainSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in),
+      work, augPath, tmp("ann_auto_ckpt"))
+    assert(q.awaitTermination(120000))
+
+    // ... equals the same upsert+rebalance called directly on the twin
+    def batchDf(rows: Array[(Long, Seq[Float], Int)]) =
+      spark.createDataset(rows.toSeq)
+        .toDF("vec_id", "embedding", "label")
+    graft.streaming.AnnServing.applyUpsertBatch(
+      spark, twin, batchDf(rowsA), fullDedup = true)
+    graft.streaming.AnnServing.applyRebalance(spark, twin, augPath)
+    val key = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("vec_id"), col("cell"), col("label"),
+      array_join(transform(col("codes"), c => c.cast("string")), ",")
+        .as("cs"))
+    def codesOf(r: String) = spark.read.parquet(s"$r/codes")
+    assert(key(codesOf(work)).exceptAll(key(codesOf(twin))).isEmpty)
+    assert(key(codesOf(twin)).exceptAll(key(codesOf(work))).isEmpty)
+    val ckey = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("c_label"),
+      array_join(transform(col("cvec"), c => c.cast("string")), ","))
+    val centW = spark.read.parquet(s"$work/centroids")
+    val centT = spark.read.parquet(s"$twin/centroids")
+    assert(ckey(centW).exceptAll(ckey(centT)).isEmpty)
+    assert(ckey(centT).exceptAll(ckey(centW)).isEmpty)
+
+    // the skewed cell split: a post-maxLabel cell exists and is
+    // non-empty, and every row that moved kept its PQ codes
+    val afterA = codesOf(work)
+    assert(afterA.filter(col("cell") > maxLabel0).count() > 0,
+      "no split happened — workload did not skew the index")
+    val codeKey = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("vec_id"),
+      array_join(transform(col("codes"), c => c.cast("string")), ",")
+        .as("cs"))
+    assert(codeKey(full).exceptAll(
+      codeKey(afterA.filter(col("vec_id") < 1000000L))).isEmpty,
+      "a pre-existing row lost or changed its codes in the split")
+
+    // second round DIRECT: upsert against the POST-SPLIT centroids,
+    // then rebalance again
+    graft.streaming.AnnServing.applyUpsertBatch(
+      spark, work, batchDf(rowsB), fullDedup = true)
+    graft.streaming.AnnServing.applyRebalance(spark, work, augPath)
+
+    // replay the full workload: fullDedup rejects every re-arriving id
+    // even though centroids changed since they were first applied
+    val appended = graft.streaming.AnnServing.applyUpsertBatch(
+      spark, work, batchDf(rowsA ++ rowsB), fullDedup = true)
+    assert(appended == 0L, s"replay appended $appended rows")
+
+    // integrity: every base id + every new id present exactly once,
+    // and each new id carries its source member's exact codes (same
+    // vector, same codebook -> same deterministic encoding)
+    val fin = codesOf(work)
+    assert(fin.count() == full.count() + rowsA.length + rowsB.length)
+    assert(fin.groupBy("vec_id").count().filter(col("count") > 1)
+      .count() == 0)
+    val srcCodes = codeKey(full).withColumnRenamed("cs", "src_cs")
+    val newJoined = codeKey(fin.filter(col("vec_id") >= 1000000L))
+      .withColumn("src_id",
+        when(col("vec_id") >= 2000000L, col("vec_id") - 2000000L)
+          .otherwise(col("vec_id") - 1000000L))
+      .join(srcCodes.withColumnRenamed("vec_id", "src_id"), "src_id")
+    assert(newJoined.filter(col("cs") =!= col("src_cs")).count() == 0,
+      "an upserted copy encoded differently from its source vector")
+  }
+
   test("streaming delete compacts the index partition-locally") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
