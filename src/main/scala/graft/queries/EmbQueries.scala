@@ -1383,87 +1383,7 @@ object EmbQueries {
             (col("n_hits") * 20).as("recall_pct"))
       },
       Some(
-        s"""WITH $ivfCellsCte, $pqCte, csz AS (
-           |  SELECT cell, count(*) AS n FROM cells GROUP BY 1
-           |), ct AS (
-           |  SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS total
-           |  FROM csz
-           |), og AS (
-           |  SELECT cell FROM csz CROSS JOIN ct
-           |  WHERE $RebalanceDen * n * n_cells > $RebalanceNum * total
-           |), mx AS (SELECT max(label) AS maxl FROM cent),
-           |nid AS (
-           |  SELECT cell,
-           |    maxl + CAST(row_number() OVER (ORDER BY cell) AS INT)
-           |      AS new_cell
-           |  FROM og CROSS JOIN mx
-           |), mem AS (
-           |  SELECT c.cell, c.vec_id, e.embedding
-           |  FROM cells c JOIN og USING (cell)
-           |  JOIN embeddings e ON e.vec_id = c.vec_id
-           |), sa AS (SELECT cell, min(vec_id) AS avid FROM mem GROUP BY 1),
-           |da AS (
-           |  SELECT m.cell, m.vec_id, m.embedding,
-           |    ${l2Sql("m.embedding", "av.embedding")} AS d2a
-           |  FROM mem m JOIN sa ON sa.cell = m.cell
-           |  JOIN embeddings av ON av.vec_id = sa.avid
-           |), sb AS (
-           |  SELECT cell, vec_id AS bvid FROM (
-           |    SELECT cell, vec_id,
-           |      row_number() OVER (PARTITION BY cell
-           |        ORDER BY d2a DESC NULLS LAST, vec_id) AS rn
-           |    FROM da) WHERE rn = 1
-           |), asg AS (
-           |  SELECT d.vec_id,
-           |    CASE WHEN ${l2Sql("d.embedding", "bv.embedding")} < d.d2a
-           |      THEN n.new_cell ELSE d.cell END AS cell
-           |  FROM da d JOIN sb ON sb.cell = d.cell
-           |  JOIN embeddings bv ON bv.vec_id = sb.bvid
-           |  JOIN nid n ON n.cell = d.cell
-           |), cells2 AS (
-           |  SELECT vec_id, cell FROM cells
-           |  WHERE cell NOT IN (SELECT cell FROM og)
-           |  UNION ALL SELECT vec_id, cell FROM asg
-           |), sexpl AS (
-           |  SELECT a.cell, CAST(i - 1 AS INT) AS dim,
-           |    ${snap6Sql("e.embedding[i]")} AS vi
-           |  FROM asg a JOIN embeddings e USING (vec_id)
-           |  CROSS JOIN range(1, 65) r(i)
-           |), scdim AS (
-           |  SELECT cell, dim, ${mean6Sql("vi")} AS cv
-           |  FROM sexpl GROUP BY 1, 2
-           |), scent AS (
-           |  SELECT cell AS label,
-           |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))), x -> x.cv) AS cvec
-           |  FROM scdim GROUP BY cell
-           |), cent2 AS (
-           |  SELECT label, cvec FROM cent
-           |  WHERE label NOT IN (SELECT cell FROM og)
-           |  UNION ALL SELECT label, cvec FROM scent
-           |), qv2 AS (
-           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
-           |), pr AS (
-           |  SELECT label AS cell FROM (
-           |    SELECT c.label, row_number() OVER (
-           |      ORDER BY ${l2Sql("qv2.qv", "c.cvec")} NULLS LAST,
-           |        c.label) AS rn
-           |    FROM cent2 c CROSS JOIN qv2) WHERE rn <= 2
-           |), shortl AS (
-           |  SELECT k.vec_id,
-           |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
-           |  FROM codes k
-           |  JOIN cells2 cl ON cl.vec_id = k.vec_id
-           |  JOIN pr ON pr.cell = cl.cell
-           |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
-           |  WHERE k.vec_id <> 0
-           |  GROUP BY k.vec_id
-           |  ORDER BY pq_d2, k.vec_id LIMIT $IvfPqShortN
-           |), approx AS (
-           |  SELECT e.vec_id, ${cosSql("e.embedding", "qv2.qv")} AS sim
-           |  FROM embeddings e JOIN shortl sl ON sl.vec_id = e.vec_id
-           |  CROSS JOIN qv2
-           |  ORDER BY sim DESC, e.vec_id LIMIT 5
-           |), exact AS (
+        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, exact AS (
            |  SELECT vec_id FROM (
            |    SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
            |    FROM embeddings, qv2 WHERE vec_id <> 0
@@ -1481,6 +1401,188 @@ object EmbQueries {
            |  nmv.n_rows_moved,
            |  5 AS k, hits.n_hits, hits.n_hits * 20 AS recall_pct
            |FROM ncb, nog, nmv, hits""".stripMargin)),
+
+    // SOFT-DELETE serving — the answer a production index gives in the
+    // window BETWEEN a delete request and the compaction that
+    // physically removes the rows (emb_ivfpq_delete): the tombstone
+    // set rides as a SMALL SIDE TABLE (broadcast anti-join against the
+    // shortlist scan, applied BEFORE the shortN cut so the shortlist
+    // is never starved), the index files stay untouched, and no
+    // tombstoned id can surface. Same slice as the hard delete
+    // (deleteTombPred), so this query is the "before compaction" twin
+    // of emb_ivfpq_delete's "after" — both must answer identically,
+    // which the shared oracle shape makes checkable. At 100 TB the
+    // tombstone table is the index's delete-log (tiny, broadcast);
+    // serving cost is the unfiltered read plus one broadcast hash
+    // anti-join on the pruned code rows.
+    Q(
+      "emb_ivfpq_soft_delete",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val codes = servedCodes(s, d)
+        val cent = s.read.parquet(s"${indexPath(d)}/centroids")
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        // the delete-log side table (at scale: the index's tombstone
+        // log, never derived from the corpus)
+        val tombs = broadcast(e.filter(deleteTombPred).select("vec_id"))
+        val probed = cent.crossJoin(qv)
+          .select(col("c_label"),
+            graft.functions.VecL2Sq.column(col("qv"), col("cvec"))
+              .as("d2"))
+          .orderBy(col("d2").asc_nulls_last, col("c_label"))
+          .limit(2)
+          .collect().map(_.getInt(0))
+        val short = codes
+          .filter(col("cell").isin(probed.map(Int.box): _*) &&
+            col("vec_id") =!= 0)
+          .join(tombs, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("j", "cid")))
+          .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
+          .groupBy("vec_id")
+          .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+            .as("pq_d2"))
+          .orderBy(col("pq_d2"), col("vec_id"))
+          .limit(IvfPqShortN)
+        e.join(broadcast(short), "vec_id")
+          .crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $pqCte, qcells AS (
+           |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+           |), qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), shortl AS (
+           |  SELECT k.vec_id,
+           |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+           |  FROM codes k
+           |  JOIN cells cl ON cl.vec_id = k.vec_id
+           |  JOIN qcells qc ON qc.cell = cl.cell
+           |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
+           |  WHERE k.vec_id <> 0
+           |    AND NOT (k.vec_id % 10 = 7 AND k.vec_id <> 0)
+           |  GROUP BY k.vec_id
+           |  ORDER BY pq_d2, k.vec_id LIMIT $IvfPqShortN
+           |)
+           |SELECT e.vec_id,
+           |  round(${cosSql("e.embedding", "qv.qv")}, 6) AS sim
+           |FROM embeddings e
+           |JOIN shortl sl ON sl.vec_id = e.vec_id
+           |CROSS JOIN qv
+           |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin)),
+
+    // LATE-INTERACTION multi-vector retrieval (ColBERT-style max-sim,
+    // Khattab & Zaharia, SIGIR'20): a "document" is a GROUP of chunk
+    // vectors (gid = vec_id div 10 over the pinned corpus — the
+    // stand-in for a chunked-document embedding table), and the
+    // document's score against the query is the MAX cosine over its
+    // members. Retrieval returns the top-5 documents with the member
+    // that achieved the max (the matched chunk — what a RAG pipeline
+    // highlights). Plan shape: one narrow scan x broadcast query
+    // vector, a gid-KEYED window for the per-group argmax (never a
+    // global window), TakeOrdered for the final 5. At 100 TB the
+    // max-sim scan composes with any first-stage ANN shortlist (run
+    // per-member ANN, group, max) — this query pins the exact scoring
+    // semantics that composition must preserve. Query's own group
+    // (gid 0) is excluded, the self-exclusion convention.
+    Q(
+      "emb_maxsim_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val wG = Window.partitionBy(col("gid"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .select(expr("vec_id div 10").as("gid"),
+            col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .filter(col("gid") =!= 0)
+          .withColumn("rn", row_number().over(wG))
+          .filter(col("rn") === 1)
+          .select(col("gid"), col("vec_id").as("best_vec_id"),
+            col("sim").as("best_sim"))
+          .orderBy(col("best_sim").desc, col("gid"))
+          .limit(5)
+      },
+      Some(
+        s"""WITH qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), scored AS (
+           |  SELECT CAST(e.vec_id // 10 AS BIGINT) AS gid, e.vec_id,
+           |    round(${cosSql("e.embedding", "qv.qv")}, 6) AS sim
+           |  FROM embeddings e CROSS JOIN qv
+           |  WHERE e.vec_id <> 0 AND e.vec_id // 10 <> 0
+           |), best AS (
+           |  SELECT gid, vec_id AS best_vec_id, sim AS best_sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY gid
+           |      ORDER BY sim DESC, vec_id) AS rn
+           |    FROM scored) WHERE rn = 1
+           |)
+           |SELECT gid, best_vec_id, best_sim FROM best
+           |ORDER BY best_sim DESC, gid LIMIT 5""".stripMargin)),
+
+    // BLUE/GREEN versioned serving — the deployment shape every
+    // production index swap uses: versions are logical manifests over
+    // IMMUTABLE artifact directories (v1 = the as-built index, v2 =
+    // the rebalanced one — no bytes copied), the swap is one atomic
+    // MANIFEST.json rename, and the server resolves its centroid/code
+    // paths from the manifest at read time. This query publishes
+    // v1 then v2 (once per session) and serves the PUBLISHED version —
+    // so its answer equals the rebalanced serve, plus the version
+    // column proving which index answered. Rollback = republishing
+    // v1's manifest (EmbPublishSpec walks swap atomicity, v1
+    // immutability across the v2 publish, and rollback). At 100 TB
+    // the manifest read is one tiny FS open; everything else prices
+    // exactly like emb_ivfpq_served.
+    Q(
+      "emb_ivfpq_published",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        publishedOnce(s, d)
+        val root = indexPath(d)
+        val (ver, centPath, codesPath) = readManifest(s, root)
+        val cent2 = s.read.parquet(centPath)
+        val codes2 = s.read.parquet(codesPath)
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val probed = cent2.crossJoin(qv)
+          .select(col("c_label"),
+            graft.functions.VecL2Sq.column(col("qv"), col("cvec"))
+              .as("d2"))
+          .orderBy(col("d2").asc_nulls_last, col("c_label"))
+          .limit(2)
+          .collect().map(_.getInt(0))
+        val short = codes2
+          .filter(col("cell").isin(probed.map(Int.box): _*) &&
+            col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("j", "cid")))
+          .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
+          .groupBy("vec_id")
+          .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+            .as("pq_d2"))
+          .orderBy(col("pq_d2"), col("vec_id"))
+          .limit(IvfPqShortN)
+        e.join(broadcast(short), "vec_id")
+          .crossJoin(qv)
+          .select(lit(ver).as("version"), col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte
+           |SELECT 2 AS version, vec_id, sim FROM approx
+           |ORDER BY sim DESC, vec_id""".stripMargin)),
 
     // nDCG@5 of every ANN method against the exact ranking — the rank-
     // aware retrieval metric that recall@k (emb_recall_eval /
@@ -3275,6 +3377,98 @@ object EmbQueries {
       s.read.parquet(path)
     }
 
+  /** Shared oracle CTE chain of the REBALANCED index's serve: overgrown
+    * detection (csz/ct/og), the order-pinned 2-seed split (mx/nid/mem/
+    * sa/da/sb/asg), the post-split cell map (cells2) and centroid set
+    * (sexpl/scdim/scent/cent2), and the served read over them (qv2/pr/
+    * shortl/approx — approx is the top-5). Composes after
+    * [[ivfCellsCte]] + [[pqCte]]; consumed by emb_ivfpq_rebalance
+    * (plus its accounting CTEs) and emb_ivfpq_published (which serves
+    * the published version = the rebalanced artifacts).
+    */
+  private lazy val rebalanceServeCte: String =
+    s"""csz AS (
+       |  SELECT cell, count(*) AS n FROM cells GROUP BY 1
+       |), ct AS (
+       |  SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS total
+       |  FROM csz
+       |), og AS (
+       |  SELECT cell FROM csz CROSS JOIN ct
+       |  WHERE $RebalanceDen * n * n_cells > $RebalanceNum * total
+       |), mx AS (SELECT max(label) AS maxl FROM cent),
+       |nid AS (
+       |  SELECT cell,
+       |    maxl + CAST(row_number() OVER (ORDER BY cell) AS INT)
+       |      AS new_cell
+       |  FROM og CROSS JOIN mx
+       |), mem AS (
+       |  SELECT c.cell, c.vec_id, e.embedding
+       |  FROM cells c JOIN og USING (cell)
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |), sa AS (SELECT cell, min(vec_id) AS avid FROM mem GROUP BY 1),
+       |da AS (
+       |  SELECT m.cell, m.vec_id, m.embedding,
+       |    ${l2Sql("m.embedding", "av.embedding")} AS d2a
+       |  FROM mem m JOIN sa ON sa.cell = m.cell
+       |  JOIN embeddings av ON av.vec_id = sa.avid
+       |), sb AS (
+       |  SELECT cell, vec_id AS bvid FROM (
+       |    SELECT cell, vec_id,
+       |      row_number() OVER (PARTITION BY cell
+       |        ORDER BY d2a DESC NULLS LAST, vec_id) AS rn
+       |    FROM da) WHERE rn = 1
+       |), asg AS (
+       |  SELECT d.vec_id,
+       |    CASE WHEN ${l2Sql("d.embedding", "bv.embedding")} < d.d2a
+       |      THEN n.new_cell ELSE d.cell END AS cell
+       |  FROM da d JOIN sb ON sb.cell = d.cell
+       |  JOIN embeddings bv ON bv.vec_id = sb.bvid
+       |  JOIN nid n ON n.cell = d.cell
+       |), cells2 AS (
+       |  SELECT vec_id, cell FROM cells
+       |  WHERE cell NOT IN (SELECT cell FROM og)
+       |  UNION ALL SELECT vec_id, cell FROM asg
+       |), sexpl AS (
+       |  SELECT a.cell, CAST(i - 1 AS INT) AS dim,
+       |    ${snap6Sql("e.embedding[i]")} AS vi
+       |  FROM asg a JOIN embeddings e USING (vec_id)
+       |  CROSS JOIN range(1, 65) r(i)
+       |), scdim AS (
+       |  SELECT cell, dim, ${mean6Sql("vi")} AS cv
+       |  FROM sexpl GROUP BY 1, 2
+       |), scent AS (
+       |  SELECT cell AS label,
+       |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))), x -> x.cv) AS cvec
+       |  FROM scdim GROUP BY cell
+       |), cent2 AS (
+       |  SELECT label, cvec FROM cent
+       |  WHERE label NOT IN (SELECT cell FROM og)
+       |  UNION ALL SELECT label, cvec FROM scent
+       |), qv2 AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), pr AS (
+       |  SELECT label AS cell FROM (
+       |    SELECT c.label, row_number() OVER (
+       |      ORDER BY ${l2Sql("qv2.qv", "c.cvec")} NULLS LAST,
+       |        c.label) AS rn
+       |    FROM cent2 c CROSS JOIN qv2) WHERE rn <= 2
+       |), shortl AS (
+       |  SELECT k.vec_id,
+       |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+       |  FROM codes k
+       |  JOIN cells2 cl ON cl.vec_id = k.vec_id
+       |  JOIN pr ON pr.cell = cl.cell
+       |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
+       |  WHERE k.vec_id <> 0
+       |  GROUP BY k.vec_id
+       |  ORDER BY pq_d2, k.vec_id LIMIT $IvfPqShortN
+       |), approx AS (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "qv2.qv")} AS sim
+       |  FROM embeddings e JOIN shortl sl ON sl.vec_id = e.vec_id
+       |  CROSS JOIN qv2
+       |  ORDER BY sim DESC, e.vec_id LIMIT 5
+       |)""".stripMargin
+
   /** The rebalance scenario's WORKING COPY of the served index
     * (`codes_reb/`) — the deleteBase convention: the copy exists so
     * the original `codes/` stays pristine for the other serving
@@ -3406,6 +3600,67 @@ object EmbQueries {
         s.read.parquet(path)
       }
     }
+
+  /** BLUE/GREEN index publish — versions are LOGICAL: a manifest
+    * points at immutable artifact directories (the Iceberg/Delta
+    * convention), so "building v2" never copies or touches v1's files
+    * and publishing is ONE atomic rename of MANIFEST.json
+    * (FileContext.rename with Options.Rename.OVERWRITE — readers see
+    * either the old or the new manifest, never a torn state; plain
+    * FileSystem.rename refuses an existing destination). Rollback is
+    * publishing the old version id again. The FS resolves from the
+    * manifest path's scheme (the applyDeleteBatch convention).
+    */
+  private[graft] def publishVersion(
+      s: SparkSession, root: String, version: Int,
+      centroids: String, codes: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.$version.tmp")
+    val fs = dst.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    out.write(
+      s"""{"version":$version,"centroids":"$centroids","codes":"$codes"}\n"""
+        .getBytes("UTF-8"))
+    out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, conf)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Read the published manifest: (version, centroidsPath, codesPath).
+    * One tiny driver-side FS read — the serving process resolves its
+    * artifact paths from this, nothing else.
+    */
+  private[graft] def readManifest(
+      s: SparkSession, root: String): (Int, String, String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def field(k: String): String =
+      s""""$k":"?([^",}]+)"?""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"manifest missing $k: $txt")).group(1)
+    (field("version").toInt, field("centroids"), field("codes"))
+  }
+
+  /** The publish history of the served index, run once per
+    * (session, dir): v1 = the as-built artifacts, v2 = the rebalanced
+    * artifacts (both already on disk and immutable — no bytes move).
+    * The final state is v2 published; EmbPublishSpec walks the v1
+    * intermediate and the rollback path.
+    */
+  private def publishedOnce(s: SparkSession, d: String): Unit = {
+    graft.CacheRegistry.memoExactlyOnce("emb_index_publish", s, d) {
+      rebalanceApplied(s, d) // v2 artifacts (and v1 via servedCodes)
+      val root = indexPath(d)
+      publishVersion(s, root, 1, s"$root/centroids", s"$root/codes")
+      publishVersion(s, root, 2, s"$root/centroids_reb", s"$root/codes_reb")
+      s.range(1).toDF("published")
+    }
+    ()
+  }
 
   /** query ADC table (j, cid, pd): the query subvector against every
     * codebook entry — bounded PqSub x PqK rows, built per query vector
