@@ -64,74 +64,10 @@ object AnnServing {
       k: Int = 5,
       nprobe: Int = 2,
       shortN: Int = graft.queries.EmbQueries.IvfPqShortN,
-      codeFilter: Option[Column] = None): DataFrame = {
-    import graft.queries.EmbQueries.{PqDim, PqSub}
-    val empty = {
-      import spark.implicits._
-      Seq.empty[(Long, Int, Long, Double)]
-        .toDF("qid", "rank", "vec_id", "sim")
-    }
-    val q = batch.select(col("qid").cast("long").as("qid"),
-      col("qvec").cast("array<float>").as("qvec"))
-    if (q.isEmpty) return empty
-
-    // 1. PROBE — same kernel, same (d2 NULLS LAST, label) tiebreak as
-    // the batch path's ivfRanked
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("d2").asc_nulls_last, col("c_label"))
-    val probe = q.crossJoin(broadcast(cent))
-      .select(col("qid"), col("c_label"),
-        graft.functions.VecL2Sq.column(col("qvec"), col("cvec"))
-          .as("d2"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("c_label").as("cell"))
-    val probedCells = probe.select("cell").distinct()
-      .collect().map(_.getInt(0))
-    if (probedCells.isEmpty) return empty
-
-    // 2. ADC — per-query subvectors x disk codebook, rounded at 6 dp
-    // exactly like the batch path's pqAdc
-    val cb = spark.read.parquet(s"$indexDir/codebook")
-    val qsub = q.select(col("qid"),
-      posexplode(array((0 until PqSub).map(j =>
-        slice(col("qvec"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
-    val adc = qsub.join(broadcast(cb), Seq("j"))
-      .select(col("qid"), col("j"), col("cid"),
-        round(graft.functions.VecL2Sq.column(col("sv"), col("cvec")), 6)
-          .as("pd"))
-
-    // 3. SHORTLIST — directory-pruned code scan, per-query cells
-    val wShort = Window.partitionBy(col("qid"))
-      .orderBy(col("pq_d2"), col("vec_id"))
-    val short = codeFilter
-      .foldLeft(spark.read.parquet(s"$indexDir/codes")
-        .filter(col("cell").isin(probedCells.map(Int.box): _*)))(_.filter(_))
-      .join(broadcast(probe), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        posexplode(col("codes")).as(Seq("j", "cid")))
-      .join(broadcast(adc), Seq("qid", "j", "cid"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
-        .as("pq_d2"))
-      .withColumn("rn", row_number().over(wShort))
-      .filter(col("rn") <= shortN)
-      .select("qid", "vec_id")
-
-    // 4. RERANK — exact cosine over the fetched true vectors
-    val wRank = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    vectors.join(broadcast(short), Seq("vec_id"))
-      .join(broadcast(q), Seq("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(graft.queries.EmbQueries.cosine(col("embedding"),
-          col("qvec")), 6).as("sim"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
-  }
+      codeFilter: Option[Column] = None): DataFrame =
+    scoreBatchAt(spark, s"$indexDir/centroids", s"$indexDir/codes",
+      s"$indexDir/codebook", vectors, batch, k, nprobe, shortN,
+      codeFilter)
 
   /** Score ONE micro-batch of query vectors against the persisted
     * 1-bit BINARY-QUANTIZATION signature artifact (`bitsig/` — the
@@ -207,6 +143,146 @@ object AnnServing {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("hd"),
         col("sim"))
+  }
+
+  /** VERSIONED streaming serving — the online half of the blue/green
+    * publish story (emb_ivfpq_published): the sink re-resolves
+    * MANIFEST.json at EVERY micro-batch, so publishing a new index
+    * version (one atomic manifest rename) takes effect under live
+    * traffic without touching the serving topology, and a rollback is
+    * just as instant. Each answered row carries the version that
+    * served it — the audit column a production swap needs. Artifact
+    * dirs are immutable (versions are logical), so a batch mid-flight
+    * when the swap lands still reads a consistent index: it resolved
+    * its paths once, at batch start.
+    */
+  def startPublishedServingSink(
+      stream: DataFrame,
+      manifestRoot: String,
+      vectorsPath: String,
+      outDir: String,
+      checkpoint: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val (ver, centPath, codesPath) =
+          graft.queries.EmbQueries.readManifest(s, manifestRoot)
+        scoreBatchAt(s, centPath, codesPath,
+          s"$manifestRoot/codebook", s.read.parquet(vectorsPath),
+          batch, k)
+          .withColumn("version", lit(ver))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
+  /** [[scoreBatch]] with the three artifact paths resolved explicitly —
+    * the versioned sink passes manifest-resolved paths; scoreBatch
+    * delegates here with the fixed single-version layout.
+    *
+    * Per-batch plan, for a micro-batch of B query vectors against an
+    * index of kk cells (kk = 8 here; O(sqrt N) cells at scale):
+    *   1. PROBE — batch x centroids (B*kk rows, centroid side broadcast
+    *      by size), rank per query, keep nprobe cells each. The distinct
+    *      probed-cell list (<= B*nprobe values) becomes a partition
+    *      filter, so step 3 never lists unprobed cell directories.
+    *   2. ADC — batch subvectors x codebook (B * PqSub * PqK rows),
+    *      broadcast: the classic asymmetric-distance table, rebuilt per
+    *      batch because it depends only on the incoming queries.
+    *   3. SHORTLIST — directory-pruned scan of the probed cells' code
+    *      rows, joined to the broadcast per-query probe map (restricting
+    *      each query to ITS cells) and the broadcast ADC table; sum of
+    *      per-subspace partial distances, row_number per query, keep
+    *      shortN. The scan reads 8-byte code rows, never float vectors.
+    *      codeFilter (filtered search) applies here, BEFORE the cut.
+    *   4. RERANK — fetch the <= B*shortN true vectors (broadcast semi-
+    *      join against the vector table; at 100 TB this fetch is a
+    *      point-lookup against a row-keyed store, the scan here is the
+    *      local stand-in) and order by exact cosine.
+    */
+  def scoreBatchAt(
+      spark: SparkSession,
+      centroidsPath: String,
+      codesPath: String,
+      codebookPath: String,
+      vectors: DataFrame,
+      batch: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      shortN: Int = graft.queries.EmbQueries.IvfPqShortN,
+      codeFilter: Option[Column] = None): DataFrame = {
+    import graft.queries.EmbQueries.{PqDim, PqSub}
+    val empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rank", "vec_id", "sim")
+    }
+    val q = batch.select(col("qid").cast("long").as("qid"),
+      col("qvec").cast("array<float>").as("qvec"))
+    if (q.isEmpty) return empty
+
+    // 1. PROBE — same kernel, same (d2 NULLS LAST, label) tiebreak as
+    // the batch path's ivfRanked
+    val cent = spark.read.parquet(centroidsPath)
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc_nulls_last, col("c_label"))
+    val probe = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("c_label"),
+        graft.functions.VecL2Sq.column(col("qvec"), col("cvec"))
+          .as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("c_label").as("cell"))
+    val probedCells = probe.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    if (probedCells.isEmpty) return empty
+
+    // 2. ADC — per-query subvectors x disk codebook, rounded at 6 dp
+    // exactly like the batch path's pqAdc
+    val cb = spark.read.parquet(codebookPath)
+    val qsub = q.select(col("qid"),
+      posexplode(array((0 until PqSub).map(j =>
+        slice(col("qvec"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
+    val adc = qsub.join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("j"), col("cid"),
+        round(graft.functions.VecL2Sq.column(col("sv"), col("cvec")), 6)
+          .as("pd"))
+
+    // 3. SHORTLIST — directory-pruned code scan, per-query cells
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("pq_d2"), col("vec_id"))
+    val short = codeFilter
+      .foldLeft(spark.read.parquet(codesPath)
+        .filter(col("cell").isin(probedCells.map(Int.box): _*)))(_.filter(_))
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "cid")))
+      .join(broadcast(adc), Seq("qid", "j", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+        .as("pq_d2"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortN)
+      .select("qid", "vec_id")
+
+    // 4. RERANK — exact cosine over the fetched true vectors
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    vectors.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.queries.EmbQueries.cosine(col("embedding"),
+          col("qvec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
   }
 
   /** The bq serving sink: [[startServingSink]]'s shape over the

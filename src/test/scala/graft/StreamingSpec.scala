@@ -1156,6 +1156,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(key(full).exceptAll(key(afterReplay)).isEmpty)
   }
 
+  test("versioned serving swaps the index under a checkpointed stream") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    // stage both versions' artifacts and the publish history (ends v2)
+    Registry.byName("emb_ivfpq_published").build(spark, dir).collect()
+    val root = {
+      val h = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      val pid = ProcessHandle.current().pid()
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_ivfpq_${pid}_$h").toString
+    }
+    val vectorsPath = s"$dir/embeddings.parquet"
+    val emb = spark.read.parquet(vectorsPath)
+    def vecJson(qid: Long): String = {
+      val v = emb.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      s"""{"qid":$qid,"qvec":[${v.mkString(",")}]}"""
+    }
+    val in = tmp("pub_in")
+    val out = tmp("pub_out")
+    val ckpt = tmp("pub_ckpt")
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("qvec", ArrayType(DoubleType))))
+    def runSink(): Unit = {
+      val q = graft.streaming.AnnServing.startPublishedServingSink(
+        spark.readStream.schema(schema).json(in),
+        root, vectorsPath, out, ckpt)
+      assert(q.awaitTermination(120000))
+    }
+
+    // serve qid 0 under the OLD version
+    queries.EmbQueries.publishVersion(spark, root, 1,
+      s"$root/centroids", s"$root/codes")
+    Files.write(java.nio.file.Paths.get(in, "q0.json"),
+      (vecJson(0L) + "\n").getBytes("UTF-8"))
+    runSink()
+
+    // SWAP under the same checkpointed stream, then serve qid 7
+    queries.EmbQueries.publishVersion(spark, root, 2,
+      s"$root/centroids_reb", s"$root/codes_reb")
+    Files.write(java.nio.file.Paths.get(in, "q7.json"),
+      (vecJson(7L) + "\n").getBytes("UTF-8"))
+    runSink()
+
+    val res = spark.read.parquet(out).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")))
+
+    // qid 0 answered by v1 and row-identical to the batch served read
+    val r0 = res(0L)
+    assert(r0.forall(_.getAs[Int]("version") == 1))
+    val served = Registry.byName("emb_ivfpq_served").build(spark, dir)
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r0.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Double]("sim"))).toSeq == served)
+
+    // qid 7 answered by v2 — the swap took effect with no topology
+    // change — and equals a direct read of the v2 artifacts
+    val r7 = res(7L)
+    assert(r7.forall(_.getAs[Int]("version") == 2))
+    val probe7 = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val direct7 = graft.streaming.AnnServing.scoreBatchAt(
+      spark, s"$root/centroids_reb", s"$root/codes_reb",
+      s"$root/codebook", emb, probe7)
+      .collect().sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(r7.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Double]("sim"))).toSeq == direct7)
+  }
+
   test("streaming auto-maintenance upserts then splits skewed cells") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
