@@ -441,6 +441,12 @@ object EmbQueries {
   val RebalanceNum = 10
   val RebalanceDen = 9
 
+  /** emb_range_search: the squared-L2 radius (6-dp literal so the
+    * boundary compare is a rounded-vs-literal test in both engines);
+    * ~5% of the pinned corpus falls inside it.
+    */
+  val RangeR2 = 1.6
+
   /** emb_sq_ann: symmetric int8 quantization range (q ∈ [-127, 127]) */
   val SqScale = 127
 
@@ -1583,6 +1589,62 @@ object EmbQueries {
         s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte
            |SELECT 2 AS version, vec_id, sim FROM approx
            |ORDER BY sim DESC, vec_id""".stripMargin)),
+
+    // RANGE (radius) search — the vector-store query shape top-k
+    // cannot express: ALL vectors within squared-L2 RangeR2 of the
+    // query ("everything this similar", dedup candidate pulls, policy
+    // screens). EXACT result with LOSSLESS cell pruning: per cell the
+    // index keeps max member-to-centroid distance r (index metadata
+    // maintained at build; recomputed here off the memoized
+    // assignment), and the triangle inequality drops every cell whose
+    // lower bound |q-c| - r exceeds the radius — the pruning decides
+    // only which cells are SCANNED, never which rows pass, so the
+    // answer equals the oracle's full scan while touching the same
+    // pruned directories the top-k serve touches. The bound carries a
+    // 1e-6 slack so a boundary ulp can only UNDER-prune (scan one
+    // extra cell), never drop a hit. At 100 TB: centroid+radius table
+    // broadcast (index metadata), pruned cell scan, one rounded
+    // distance per survivor.
+    Q(
+      "emb_range_search",
+      (s, d) => {
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val ranked = ivfRanked(s, d).filter(col("rn") === 1)
+        val radius = ranked.groupBy(col("c_label").as("cell"))
+          .agg(max(sqrt(col("d2"))).as("r"))
+        val qd = ivfCentroids(s, d).crossJoin(qv)
+          .select(col("c_label").as("cell"),
+            sqrt(graft.functions.VecL2Sq.column(col("qv"), col("cvec")))
+              .as("qdist"))
+        // keep a cell unless its lower bound provably exceeds the
+        // radius; NULL geometry (ragged/zero vectors) is kept — safety
+        // over pruning
+        val kept = qd.join(radius, Seq("cell"), "left")
+          .filter(col("qdist").isNull || col("r").isNull ||
+            col("qdist") - col("r") <=
+              lit(math.sqrt(RangeR2) + 1e-6))
+          .select("cell").collect().map(_.getInt(0))
+        ranked.filter(col("c_label").isin(kept.map(Int.box): _*) &&
+            col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .select(col("vec_id"),
+            round(graft.functions.VecL2Sq
+              .column(col("embedding"), col("qv")), 6).as("d2"))
+          .filter(col("d2") <= RangeR2)
+          .orderBy(col("d2"), col("vec_id"))
+      },
+      Some(
+        s"""WITH qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), sc AS (
+           |  SELECT e.vec_id,
+           |    round(${l2Sql("e.embedding", "qv.qv")}, 6) AS d2
+           |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+           |)
+           |SELECT vec_id, d2 FROM sc WHERE d2 <= $RangeR2
+           |ORDER BY d2, vec_id""".stripMargin)),
 
     // nDCG@5 of every ANN method against the exact ranking — the rank-
     // aware retrieval metric that recall@k (emb_recall_eval /
