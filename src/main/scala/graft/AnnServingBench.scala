@@ -16,13 +16,19 @@ import org.apache.spark.sql.types._
   * centroid probe, the per-batch ADC table, the directory-pruned code
   * scan, the exact rerank, and the parquet answer append.
   *
-  * Usage: runMain graft.AnnServingBench [sfDir] [nQueries] [nFiles]
+  * A 4th arg selects the channel: `ivfpq` (default) drains through
+  * startServingSink; `bq` drains the same backlog through
+  * startBqServingSink (the 1-bit Hamming first stage over the
+  * persisted bitsig/ artifact + exact rerank).
+  *
+  * Usage: runMain graft.AnnServingBench [sfDir] [nQueries] [nFiles] [channel]
   */
 object AnnServingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nQ = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
     val nFiles = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val channel = args.drop(3).headOption.getOrElse("ivfpq")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,11 +64,15 @@ object AnnServingBench {
     val ckpt = new java.io.File(dir, "ck").getAbsolutePath
 
     val t0 = System.nanoTime()
-    val q = streaming.AnnServing.startServingSink(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", math.max(1, nFiles / 4))
-        .json(inDir.getAbsolutePath),
-      idx, vectorsPath, outDir, ckpt)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", math.max(1, nFiles / 4))
+      .json(inDir.getAbsolutePath)
+    val q = channel match {
+      case "bq" => streaming.AnnServing.startBqServingSink(
+        src, idx, vectorsPath, outDir, ckpt)
+      case _ => streaming.AnnServing.startServingSink(
+        src, idx, vectorsPath, outDir, ckpt)
+    }
     val drained = q.awaitTermination(600000)
     val sec = (System.nanoTime() - t0) / 1e9
     val answered = spark.read.parquet(outDir)
@@ -75,7 +85,7 @@ object AnnServingBench {
         s""""answered $answered of $staged staged queries""""
       else "null"
     println(
-      s"""{"metric":"ann_serving_throughput","unit":"queries_per_sec","value":${f"${answered / sec}%.1f"},"n_queries":$answered,"staged":$staged,"sec":${f"$sec%.2f"},"error":$error,"sf":"$sfDir"}""")
+      s"""{"metric":"ann_serving_throughput","unit":"queries_per_sec","channel":"$channel","value":${f"${answered / sec}%.1f"},"n_queries":$answered,"staged":$staged,"sec":${f"$sec%.2f"},"error":$error,"sf":"$sfDir"}""")
     CacheRegistry.clear(spark)
     spark.stop()
     if (error != "null") System.exit(1)
