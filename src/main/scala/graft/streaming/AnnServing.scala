@@ -64,10 +64,11 @@ object AnnServing {
       k: Int = 5,
       nprobe: Int = 2,
       shortN: Int = graft.queries.EmbQueries.IvfPqShortN,
-      codeFilter: Option[Column] = None): DataFrame =
+      codeFilter: Option[Column] = None,
+      excludeIds: Option[DataFrame] = None): DataFrame =
     scoreBatchAt(spark, s"$indexDir/centroids", s"$indexDir/codes",
       s"$indexDir/codebook", vectors, batch, k, nprobe, shortN,
-      codeFilter)
+      codeFilter, excludeIds)
 
   /** Score ONE micro-batch of query vectors against the persisted
     * 1-bit BINARY-QUANTIZATION signature artifact (`bitsig/` — the
@@ -216,7 +217,8 @@ object AnnServing {
       k: Int = 5,
       nprobe: Int = 2,
       shortN: Int = graft.queries.EmbQueries.IvfPqShortN,
-      codeFilter: Option[Column] = None): DataFrame = {
+      codeFilter: Option[Column] = None,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     import graft.queries.EmbQueries.{PqDim, PqSub}
     val empty = {
       import spark.implicits._
@@ -257,9 +259,17 @@ object AnnServing {
     // 3. SHORTLIST — directory-pruned code scan, per-query cells
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("pq_d2"), col("vec_id"))
-    val short = codeFilter
-      .foldLeft(spark.read.parquet(codesPath)
-        .filter(col("cell").isin(probedCells.map(Int.box): _*)))(_.filter(_))
+    // excludeIds (streaming SOFT-DELETE): the serving process's
+    // delete-log rides as a broadcast anti-join on the pruned scan,
+    // BEFORE the shortN cut — the emb_ivfpq_soft_delete semantics,
+    // online (tombstoned ids never surface while compaction is
+    // pending); batch twin pinned in StreamingSpec
+    val masked = excludeIds.foldLeft(
+      codeFilter.foldLeft(spark.read.parquet(codesPath)
+        .filter(col("cell").isin(probedCells.map(Int.box): _*)))(_.filter(_)))(
+      (d, t) => d.join(broadcast(t.select("vec_id")),
+        Seq("vec_id"), "left_anti"))
+    val short = masked
       .join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),

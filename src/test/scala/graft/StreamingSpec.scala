@@ -1019,6 +1019,22 @@ class StreamingSpec extends AnyFunSuite {
       .scoreBatch(spark, idx, emb, probe,
         codeFilter = Some(col("label") === 99))
     assert(miss.isEmpty)
+
+    // streaming SOFT-DELETE: the delete-log side table masked into the
+    // scan answers row-identically to the batch emb_ivfpq_soft_delete
+    val tombs = emb
+      .filter(col("vec_id") % 10 === 7 && col("vec_id") =!= 0)
+      .select("vec_id")
+    val soft = graft.streaming.AnnServing
+      .scoreBatch(spark, idx, emb, probe, excludeIds = Some(tombs))
+      .collect().sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val softBatch = Registry.byName("emb_ivfpq_soft_delete")
+      .build(spark, dir)
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(soft == softBatch, s"stream=$soft batch=$softBatch")
+    assert(soft.forall(_._1 % 10 != 7), "a tombstoned id surfaced")
   }
 
   test("streaming bq serving equals the batch bq served answer") {
