@@ -19,7 +19,12 @@ import org.apache.spark.sql.types._
   * A 4th arg selects the channel: `ivfpq` (default) drains through
   * startServingSink; `bq` drains the same backlog through
   * startBqServingSink (the 1-bit Hamming first stage over the
-  * persisted bitsig/ artifact + exact rerank).
+  * persisted bitsig/ artifact + exact rerank); `maintain` stages a
+  * backlog of NEW vectors (corpus vectors under fresh ids) and drains
+  * it through startAutoMaintainSink against a WORKING COPY of the
+  * index — sustained upsert + skew-check + split throughput in
+  * vectors/second, with the splits the run performed reported beside
+  * the rate.
   *
   * Usage: runMain graft.AnnServingBench [sfDir] [nQueries] [nFiles] [channel]
   */
@@ -43,6 +48,7 @@ object AnnServingBench {
     // self-exclusion interplay)
     val idx = queries.EmbQueries.ensureServedIndex(spark, sfDir)
     val vectorsPath = s"$sfDir/embeddings.parquet"
+    if (channel == "maintain") { maintain(spark, idx, sfDir, nQ, nFiles); return }
     val dir = Files.createTempDirectory("ann_tp").toFile
     val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
     val emb = spark.read.parquet(vectorsPath)
@@ -86,6 +92,73 @@ object AnnServingBench {
       else "null"
     println(
       s"""{"metric":"ann_serving_throughput","unit":"queries_per_sec","channel":"$channel","value":${f"${answered / sec}%.1f"},"n_queries":$answered,"staged":$staged,"sec":${f"$sec%.2f"},"error":$error,"sf":"$sfDir"}""")
+    CacheRegistry.clear(spark)
+    spark.stop()
+    if (error != "null") System.exit(1)
+  }
+
+  /** The `maintain` channel: sustained index-maintenance throughput.
+    * A WORKING COPY of the served index takes the mutations (the
+    * shared artifact keeps serving everything else); the arriving
+    * vectors are corpus vectors under fresh ids (they assign into the
+    * existing geometry, concentrating the biggest cells — the
+    * skew-driving workload), staged in the id-keyed vector store as
+    * the auto-maintain contract requires.
+    */
+  private def maintain(
+      spark: SparkSession,
+      idx: String,
+      sfDir: String,
+      nQ: Int,
+      nFiles: Int): Unit = {
+    val dir = Files.createTempDirectory("ann_maint_tp").toFile
+    val work = new java.io.File(dir, "ix").getAbsolutePath
+    val full = spark.read.parquet(s"$idx/codes")
+    full.write.partitionBy("cell").parquet(s"$work/codes")
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$work/centroids")
+    spark.read.parquet(s"$idx/codebook").write.parquet(s"$work/codebook")
+    val cellsBefore = spark.read.parquet(s"$work/centroids").count()
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVec = emb.count()
+    val fresh = emb
+      .crossJoin(spark.range((nQ + nVec - 1) / nVec)
+        .select(col("id").as("rep")))
+      .filter(col("vec_id") + col("rep") * nVec < nQ)
+      .select((col("vec_id") + col("rep") * nVec + lit(1000000000L))
+        .as("vec_id"),
+        col("embedding"), col("label"))
+    val aug = new java.io.File(dir, "vecs").getAbsolutePath
+    emb.select("vec_id", "embedding", "label").unionByName(fresh)
+      .write.parquet(aug)
+    val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
+    fresh.repartition(nFiles).write.mode("overwrite")
+      .json(inDir.getAbsolutePath)
+    val staged = spark.read.json(inDir.getAbsolutePath).count()
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", LongType)))
+    val t0 = System.nanoTime()
+    val q = streaming.AnnServing.startAutoMaintainSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", math.max(1, nFiles / 4))
+        .json(inDir.getAbsolutePath),
+      work, aug, new java.io.File(dir, "ck").getAbsolutePath)
+    val drained = q.awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.catalog.refreshByPath(s"$work/codes")
+    val applied = spark.read.parquet(s"$work/codes")
+      .filter(col("vec_id") >= 1000000000L).count()
+    val cellsAfter = spark.read.parquet(s"$work/centroids").count()
+    val error =
+      if (!drained) "\"awaitTermination timed out\""
+      else if (applied != staged)
+        s""""applied $applied of $staged staged vectors""""
+      else "null"
+    println(
+      s"""{"metric":"ann_maintain_throughput","unit":"vectors_per_sec","channel":"maintain","value":${f"${applied / sec}%.1f"},"n_vectors":$applied,"staged":$staged,"cells_before":$cellsBefore,"cells_after":$cellsAfter,"sec":${f"$sec%.2f"},"error":$error,"sf":"$sfDir"}""")
     CacheRegistry.clear(spark)
     spark.stop()
     if (error != "null") System.exit(1)
