@@ -1590,6 +1590,132 @@ object EmbQueries {
            |SELECT 2 AS version, vec_id, sim FROM approx
            |ORDER BY sim DESC, vec_id""".stripMargin)),
 
+    // emb_maxsim_topk's SCALE PATH, composed: first-stage IVF pruning
+    // (the query's 2 nearest cells — the same probe emb_ivf_ann
+    // serves), THEN the per-document max-sim scoring over only the
+    // probed cells' members. The exact-semantics twin above scans the
+    // corpus; this one scans ~nprobe/kk of it and must preserve the
+    // scoring semantics on the candidates it sees — top-5 documents by
+    // best surviving chunk. (A document whose best chunk lives outside
+    // the probed cells can rank by a weaker chunk or drop out — the
+    // standard first-stage-recall trade every late-interaction system
+    // makes; emb_maxsim_topk is the exact reference to eval against.)
+    Q(
+      "emb_maxsim_ivf",
+      (s, d) => {
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val ranked = ivfRanked(s, d).filter(col("rn") === 1)
+        // the 2-cell probe: the query's own cell + runner-up come from
+        // the full ranking (rn <= 2 of vec 0)
+        val probed = ivfRanked(s, d)
+          .filter(col("vec_id") === 0 && col("rn") <= 2)
+          .select(col("c_label")).collect().map(_.getInt(0))
+        val wG = Window.partitionBy(col("gid"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        ranked.filter(col("c_label").isin(probed.map(Int.box): _*) &&
+            col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .select(expr("vec_id div 10").as("gid"), col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .filter(col("gid") =!= 0)
+          .withColumn("rn", row_number().over(wG))
+          .filter(col("rn") === 1)
+          .select(col("gid"), col("vec_id").as("best_vec_id"),
+            col("sim").as("best_sim"))
+          .orderBy(col("best_sim").desc, col("gid"))
+          .limit(5)
+      },
+      Some(
+        s"""WITH $ivfCellsCte, qcells AS (
+           |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+           |), qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), scored AS (
+           |  SELECT CAST(e.vec_id // 10 AS BIGINT) AS gid, e.vec_id,
+           |    round(${cosSql("e.embedding", "qv.qv")}, 6) AS sim
+           |  FROM embeddings e
+           |  JOIN cells cl ON cl.vec_id = e.vec_id
+           |  JOIN qcells qc ON qc.cell = cl.cell
+           |  CROSS JOIN qv
+           |  WHERE e.vec_id <> 0 AND e.vec_id // 10 <> 0
+           |), best AS (
+           |  SELECT gid, vec_id AS best_vec_id, sim AS best_sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY gid
+           |      ORDER BY sim DESC, vec_id) AS rn
+           |    FROM scored) WHERE rn = 1
+           |)
+           |SELECT gid, best_vec_id, best_sim FROM best
+           |ORDER BY best_sim DESC, gid LIMIT 5""".stripMargin)),
+
+    // recall@5 of the IVF-pruned max-sim against the exact max-sim —
+    // the eval row the composition implies (the emb_ivfpq_recall
+    // convention: same k, same accounting columns, so the
+    // late-interaction path evals on the same scale as the
+    // single-vector ladder). This is the number that prices the
+    // first-stage-recall trade emb_maxsim_ivf documents.
+    Q(
+      "emb_maxsim_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val wG = Window.partitionBy(col("gid"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        def top5(src: DataFrame): DataFrame = src
+          .crossJoin(qv)
+          .select(expr("vec_id div 10").as("gid"), col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .filter(col("gid") =!= 0)
+          .withColumn("rn", row_number().over(wG))
+          .filter(col("rn") === 1)
+          .orderBy(col("sim").desc, col("gid"))
+          .limit(5)
+          .select("gid")
+        val exact = top5(e.filter(col("vec_id") =!= 0))
+        val ranked = ivfRanked(s, d).filter(col("rn") === 1)
+        val probed = ivfRanked(s, d)
+          .filter(col("vec_id") === 0 && col("rn") <= 2)
+          .select(col("c_label")).collect().map(_.getInt(0))
+        val pruned = top5(
+          ranked.filter(col("c_label").isin(probed.map(Int.box): _*) &&
+            col("vec_id") =!= 0))
+        exact.join(broadcast(pruned), Seq("gid"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(5).as("k"), col("n_hits"),
+            (col("n_hits") * 20).as("recall_pct"))
+      },
+      Some(
+        s"""WITH $ivfCellsCte, qcells AS (
+           |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+           |), qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), sall AS (
+           |  SELECT CAST(e.vec_id // 10 AS BIGINT) AS gid, e.vec_id,
+           |    round(${cosSql("e.embedding", "qv.qv")}, 6) AS sim
+           |  FROM embeddings e CROSS JOIN qv
+           |  WHERE e.vec_id <> 0 AND e.vec_id // 10 <> 0
+           |), bexact AS (
+           |  SELECT gid FROM (
+           |    SELECT gid, sim, row_number() OVER (PARTITION BY gid
+           |      ORDER BY sim DESC, vec_id) AS rn
+           |    FROM sall) WHERE rn = 1
+           |  ORDER BY sim DESC, gid LIMIT 5
+           |), spruned AS (
+           |  SELECT s.* FROM sall s
+           |  JOIN cells cl ON cl.vec_id = s.vec_id
+           |  JOIN qcells qc ON qc.cell = cl.cell
+           |), bpruned AS (
+           |  SELECT gid FROM (
+           |    SELECT gid, sim, row_number() OVER (PARTITION BY gid
+           |      ORDER BY sim DESC, vec_id) AS rn
+           |    FROM spruned) WHERE rn = 1
+           |  ORDER BY sim DESC, gid LIMIT 5
+           |)
+           |SELECT 5 AS k, count(*) AS n_hits, count(*) * 20 AS recall_pct
+           |FROM bexact JOIN bpruned USING (gid)""".stripMargin)),
+
     // RANGE (radius) search — the vector-store query shape top-k
     // cannot express: ALL vectors within squared-L2 RangeR2 of the
     // query ("everything this similar", dedup candidate pulls, policy
