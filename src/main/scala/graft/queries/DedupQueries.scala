@@ -2464,7 +2464,84 @@ object DedupQueries {
            |    AS n_only_winnow,
            |  count(CASE WHEN in_m AND in_w THEN 1 END) * 2 >=
            |    count(CASE WHEN in_m OR in_w THEN 1 END) AS majority_agree
-           |FROM j""".stripMargin))
+           |FROM j""".stripMargin)),
+
+    // CROSS-SOURCE duplication matrix — the curation diagnostic that
+    // tells you which feeds mirror which: for every source pair
+    // (a <= b), the number of SHARED-PASSAGE pairs spanning them
+    // (dedup_passage_rewrite's non-overlapping 32-token digests —
+    // passage granularity because feeds rarely mirror whole documents
+    // byte-identically but constantly share paragraphs, boilerplate
+    // and syndicated spans; within-source pairs count same-doc repeats
+    // too, which is what makes the diagonal a boilerplate meter).
+    // Scale shape: NO passage-pair stage anywhere — one digest pass
+    // (corpus-linear / 32), one (ph, source) count (at most |sources|
+    // rows per digest, never the digest's occurrence count), then a
+    // per-digest source self-join bounded by |sources|^2 and integer
+    // pair arithmetic (c_a*c_b across sources, C(c,2) within one). A
+    // dup-heavy corpus concentrates counts, not rows — the same reason
+    // the exact-dup pre-pass exists in buildMinhashPairs.
+    Q(
+      "dedup_source_matrix",
+      (s, d) => {
+        val P = 32
+        val fps = Tables.t(s, d, "documents")
+          .select(col("source"),
+            graft.functions.NormTokens.column(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 1)
+          .select(col("source"),
+            explode(transform(
+              sequence(lit(0),
+                floor((size(col("tok")) - lit(1)) / lit(P)).cast("int")),
+              i => md5(array_join(slice(col("tok"), i * P + 1, lit(P)),
+                " ")))).as("fp"))
+        val cnt = fps.groupBy("fp", "source")
+          .agg(count(lit(1)).as("c"))
+        val a = cnt.select(col("fp"), col("source").as("source_a"),
+          col("c").as("ca"))
+        val b = cnt.select(col("fp"), col("source").as("source_b"),
+          col("c").as("cb"))
+        a.join(b, "fp")
+          .filter(col("source_a") <= col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            when(col("source_a") === col("source_b"),
+              expr("ca * (ca - 1) DIV 2"))
+              .otherwise(col("ca") * col("cb")).as("pairs"))
+          .groupBy("source_a", "source_b")
+          .agg(sum(col("pairs")).as("n_dup_pairs"))
+          .filter(col("n_dup_pairs") > 0)
+          .orderBy(col("n_dup_pairs").desc, col("source_a"),
+            col("source_b"))
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, source, ${cleanSql("text")} AS text_clean
+           |  FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, source, ${tokensSql("text_clean")} AS tok
+           |  FROM cleaned
+           |), fps AS (
+           |  SELECT source,
+           |    md5(array_to_string(list_slice(tok,
+           |      CAST(i AS INT) * 32 + 1, CAST(i AS INT) * 32 + 32), ' '))
+           |      AS fp
+           |  FROM (SELECT source, tok,
+           |          unnest(range(0, (len(tok) - 1) // 32 + 1)) AS i
+           |        FROM toksrc WHERE len(tok) >= 1)
+           |), cnt AS (
+           |  SELECT fp, source, count(*) AS c FROM fps GROUP BY 1, 2
+           |), pairs AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |    CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+           |      ELSE a.c * b.c END AS pairs
+           |  FROM cnt a JOIN cnt b
+           |    ON a.fp = b.fp AND a.source <= b.source
+           |)
+           |SELECT source_a, source_b,
+           |  CAST(sum(pairs) AS BIGINT) AS n_dup_pairs
+           |FROM pairs GROUP BY 1, 2
+           |HAVING sum(pairs) > 0
+           |ORDER BY n_dup_pairs DESC, source_a, source_b""".stripMargin))
   )
 
   // ---- winnowing (MOSS) shared lineage --------------------------------
