@@ -338,6 +338,25 @@ object EmbQueries {
        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
   }
 
+  /** Memoized NARROW assignment slice (vec_id, c_label, d2, rn <= 2):
+    * the rn=1 rows are every vector's cell + its centroid distance
+    * (the per-cell radius input), rn=2 the runner-up (the 2-cell probe
+    * when vec 0 is the query). Shared by the IVF compositions added
+    * in round 10 (emb_range_search, emb_maxsim_ivf, emb_maxsim_recall)
+    * so the corpus x centroid fold runs ONCE per (session, dir) —
+    * narrow on purpose: embeddings are NOT persisted here; consumers
+    * join the vector table back for only the cells they scan (at
+    * 100 TB this frame is the index's assignment table and the join
+    * is the pruned fetch). Warmed in [[warmShared]]; outside the warm,
+    * emb_maxsim_ivf is the alphabetically-first consumer and carries
+    * the one-time fold.
+    */
+  private def ivfAssign(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("emb_ivf_assign", s, d)(
+      graft.CacheRegistry.track(s,
+        ivfRanked(s, d).filter(col("rn") <= 2)
+          .select(col("vec_id"), col("c_label"), col("d2"), col("rn"))))
+
   private def ivfTop5(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.memo("emb_ivf_top5", s, d)(
       graft.CacheRegistry.track(s, {
@@ -1606,16 +1625,19 @@ object EmbQueries {
         val e = emb(s, d)
         val qv = broadcast(e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv")))
-        val ranked = ivfRanked(s, d).filter(col("rn") === 1)
+        val assign = ivfAssign(s, d)
         // the 2-cell probe: the query's own cell + runner-up come from
-        // the full ranking (rn <= 2 of vec 0)
-        val probed = ivfRanked(s, d)
+        // the memoized ranking slice (rn <= 2 of vec 0)
+        val probed = assign
           .filter(col("vec_id") === 0 && col("rn") <= 2)
           .select(col("c_label")).collect().map(_.getInt(0))
         val wG = Window.partitionBy(col("gid"))
           .orderBy(col("sim").desc, col("vec_id"))
-        ranked.filter(col("c_label").isin(probed.map(Int.box): _*) &&
+        assign.filter(col("rn") === 1 &&
+            col("c_label").isin(probed.map(Int.box): _*) &&
             col("vec_id") =!= 0)
+          .select("vec_id")
+          .join(e, "vec_id") // pruned fetch of only the probed members
           .crossJoin(qv)
           .select(expr("vec_id div 10").as("gid"), col("vec_id"),
             round(cosine(col("embedding"), col("qv")), 6).as("sim"))
@@ -1674,13 +1696,15 @@ object EmbQueries {
           .limit(5)
           .select("gid")
         val exact = top5(e.filter(col("vec_id") =!= 0))
-        val ranked = ivfRanked(s, d).filter(col("rn") === 1)
-        val probed = ivfRanked(s, d)
+        val assign = ivfAssign(s, d)
+        val probed = assign
           .filter(col("vec_id") === 0 && col("rn") <= 2)
           .select(col("c_label")).collect().map(_.getInt(0))
         val pruned = top5(
-          ranked.filter(col("c_label").isin(probed.map(Int.box): _*) &&
-            col("vec_id") =!= 0))
+          assign.filter(col("rn") === 1 &&
+            col("c_label").isin(probed.map(Int.box): _*) &&
+            col("vec_id") =!= 0)
+            .select("vec_id").join(e, "vec_id"))
         exact.join(broadcast(pruned), Seq("gid"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(5).as("k"), col("n_hits"),
@@ -1737,8 +1761,8 @@ object EmbQueries {
         val e = emb(s, d)
         val qv = broadcast(e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv")))
-        val ranked = ivfRanked(s, d).filter(col("rn") === 1)
-        val radius = ranked.groupBy(col("c_label").as("cell"))
+        val assign = ivfAssign(s, d).filter(col("rn") === 1)
+        val radius = assign.groupBy(col("c_label").as("cell"))
           .agg(max(sqrt(col("d2"))).as("r"))
         val qd = ivfCentroids(s, d).crossJoin(qv)
           .select(col("c_label").as("cell"),
@@ -1752,8 +1776,10 @@ object EmbQueries {
             col("qdist") - col("r") <=
               lit(math.sqrt(RangeR2) + 1e-6))
           .select("cell").collect().map(_.getInt(0))
-        ranked.filter(col("c_label").isin(kept.map(Int.box): _*) &&
+        assign.filter(col("c_label").isin(kept.map(Int.box): _*) &&
             col("vec_id") =!= 0)
+          .select("vec_id")
+          .join(e, "vec_id") // pruned fetch of only the kept members
           .crossJoin(qv)
           .select(col("vec_id"),
             round(graft.functions.VecL2Sq
@@ -3232,6 +3258,9 @@ object EmbQueries {
     // emb_pca_power_iteration) — without this, whichever consumer runs
     // first alphabetically absorbs the one corpus fold
     gramBuffer(s, dir)
+    // the narrow assignment slice the IVF compositions share
+    // (emb_range_search / emb_maxsim_ivf / emb_maxsim_recall)
+    ivfAssign(s, dir).write.format("noop").mode("overwrite").save()
     // the four ANN channel top-5s — each a 5-row frame over a corpus
     // scan, consumed by its own serving query plus the three eval
     // queries (recall / nDCG / RRF quality)
