@@ -1374,6 +1374,47 @@ class StreamingSpec extends AnyFunSuite {
       "an upserted copy encoded differently from its source vector")
   }
 
+  test("rebalance keeps index rows whose vectors are missing from the store") {
+    // the left-join contract: the in-place split rewrites an overgrown
+    // cell's partition with exactly the rows it computed — if the
+    // vector store lacks some indexed ids (store lag, partial restore),
+    // those rows must stay in place, not vanish from the rewrite
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val full = spark.read.parquet(s"$idx/codes")
+    val work = tmp("ann_gap")
+    full.write.partitionBy("cell").parquet(s"$work/codes")
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$work/centroids")
+    spark.read.parquet(s"$idx/codebook").write.parquet(s"$work/codebook")
+    // a vector store MISSING every third id
+    val gap = tmp("ann_gap_vecs")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 3 =!= 0 || col("vec_id") === 0)
+      .write.parquet(s"$gap/embeddings.parquet")
+
+    val moved = graft.streaming.AnnServing.applyRebalance(
+      spark, work, s"$gap/embeddings.parquet")
+
+    val after = spark.read.parquet(s"$work/codes")
+    // nothing lost, nothing invented — only `cell` may differ
+    val key = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("vec_id"), col("label"),
+      array_join(transform(col("codes"), c => c.cast("string")), ",")
+        .as("cs"))
+    assert(key(full).exceptAll(key(after)).isEmpty)
+    assert(key(after).exceptAll(key(full)).isEmpty)
+    // vectorless ids specifically: all still present, all in their
+    // ORIGINAL cells (NULL distances never satisfy the move rule)
+    val vecless = full.filter(col("vec_id") % 3 === 0 &&
+      col("vec_id") =!= 0).select(col("vec_id"), col("cell").as("c0"))
+    val placed = after.select(col("vec_id"), col("cell").as("c1"))
+    val movedVecless = vecless.join(placed, "vec_id")
+      .filter(col("c0") =!= col("c1")).count()
+    assert(movedVecless == 0, "a vectorless row changed cells")
+    // and the split still did real work on the rows that HAVE vectors
+    assert(moved > 0, "no row moved — the gap store starved the split")
+  }
+
   test("streaming delete compacts the index partition-locally") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
