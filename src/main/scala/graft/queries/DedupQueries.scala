@@ -2541,7 +2541,109 @@ object DedupQueries {
            |  CAST(sum(pairs) AS BIGINT) AS n_dup_pairs
            |FROM pairs GROUP BY 1, 2
            |HAVING sum(pairs) > 0
-           |ORDER BY n_dup_pairs DESC, source_a, source_b""".stripMargin))
+           |ORDER BY n_dup_pairs DESC, source_a, source_b""".stripMargin)),
+
+    // CLUSTER-AWARE train/val/test split — the enforcement step the
+    // detection queries imply: a near-dup cluster must never straddle
+    // splits (a test doc with a train near-twin is leakage — the
+    // failure dedup_split_contamination MEASURES; this query PREVENTS
+    // it by construction). The split unit is the doc's CC cluster id
+    // (its own id when unclustered), hashed with doc_hash_split_counts'
+    // md5-bucket arithmetic (80/10/10). The output carries the proof:
+    // n_straddle_cluster counts near-dup pairs whose ends land in
+    // different splits under THIS assignment (zero by construction —
+    // both ends share a unit) beside n_straddle_naive, the same count
+    // under the per-doc hash split (non-zero on a dup-heavy corpus —
+    // the leak this query exists to close). Scale shape: the CC labels
+    // and pair set are the shared persisted lineage; on top of them
+    // one left join, one md5 per doc, two broadcast pair joins.
+    Q(
+      "dedup_cluster_split",
+      (s, d) => {
+        val labels = ccLabels(s, d)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val units = Tables.t(s, d, "documents").select("doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("unit"))
+        def bucket(c: String): Column =
+          expr(s"conv(substring(md5(cast($c AS string)), 1, 4), 16, 10)")
+            .cast("long") % 100
+        def splitOf(c: String): Column =
+          when(bucket(c) < 80, "train").when(bucket(c) < 90, "val")
+            .otherwise("test")
+        // no persist: asg is consumed three times but is one md5-cheap
+        // projection over the doc-id scan — recompute beats holding
+        // suite-lifetime cache
+        val asg = units
+          .select(col("doc_id"), col("unit"),
+            splitOf("unit").as("split"),
+            splitOf("doc_id").as("naive_split"))
+        val counts = asg.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("unit")).as("n_units"))
+        val pr = minhashPairs(s, d).select("a_id", "b_id")
+        def straddle(side: String): Column =
+          coalesce(sum(when(col(s"a_$side") =!= col(s"b_$side"), 1L)),
+            lit(0L))
+        val str = pr
+          .join(asg.select(col("doc_id").as("a_id"),
+            col("split").as("a_split"),
+            col("naive_split").as("a_naive")), "a_id")
+          .join(asg.select(col("doc_id").as("b_id"),
+            col("split").as("b_split"),
+            col("naive_split").as("b_naive")), "b_id")
+          .agg(straddle("split").as("n_straddle_cluster"),
+            straddle("naive").as("n_straddle_naive"))
+        counts.crossJoin(broadcast(str)).orderBy("split")
+      },
+      Some(
+        s"""WITH RECURSIVE pairs AS (
+           |  $minhashSql
+           |), edges AS (
+           |  SELECT a_id AS u, b_id AS v FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |), nodes AS (
+           |  SELECT DISTINCT u AS id FROM edges
+           |), reach(id, lab) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+           |), comp AS (
+           |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+           |), units AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit
+           |  FROM documents d LEFT JOIN comp c USING (doc_id)
+           |), asg AS (
+           |  SELECT doc_id, unit,
+           |    CASE
+           |      WHEN CAST(('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+           |      WHEN CAST(('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+           |      ELSE 'test' END AS split,
+           |    CASE
+           |      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+           |      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+           |      ELSE 'test' END AS naive_split
+           |  FROM units
+           |), counts AS (
+           |  SELECT split, count(*) AS n_docs,
+           |    count(DISTINCT unit) AS n_units
+           |  FROM asg GROUP BY 1
+           |), str AS (
+           |  SELECT
+           |    CAST(coalesce(sum(CASE WHEN a.split <> b.split
+           |      THEN 1 END), 0) AS BIGINT) AS n_straddle_cluster,
+           |    CAST(coalesce(sum(CASE WHEN a.naive_split <> b.naive_split
+           |      THEN 1 END), 0) AS BIGINT) AS n_straddle_naive
+           |  FROM pairs p
+           |  JOIN asg a ON a.doc_id = p.a_id
+           |  JOIN asg b ON b.doc_id = p.b_id
+           |)
+           |SELECT c.split, c.n_docs, c.n_units,
+           |  str.n_straddle_cluster, str.n_straddle_naive
+           |FROM counts c CROSS JOIN str
+           |ORDER BY c.split""".stripMargin))
   )
 
   // ---- winnowing (MOSS) shared lineage --------------------------------
