@@ -1129,6 +1129,47 @@ object TextQueries {
            |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep
            |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // Per-SOURCE quality report — the "which feeds are junk" table a
+    // curation pipeline reviews before renegotiating its inputs: for
+    // every source, corpus share, gate pass count, and the failure
+    // profile decomposed by reason bit (length / stopword-ratio /
+    // repetition / language) off the SAME shared gate frame
+    // doc_quality_gate and doc_pipeline_funnel read, so the three can
+    // never disagree on a bit. One broadcast-joinable id->source map,
+    // one partial-agg'd group-by; |sources| output rows.
+    Q(
+      "doc_quality_by_source",
+      (s, d) => {
+        def bit(b: Int): Column =
+          sum(when(col("reasons").bitwiseAND(lit(b)) =!= 0, 1L)
+            .otherwise(0L))
+        gateFrame(s, d).select("doc_id", "reasons")
+          .join(Tables.t(s, d, "documents").select("doc_id", "source"),
+            "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("reasons") === 0, 1L).otherwise(0L))
+              .as("n_kept"),
+            bit(1).as("n_len"), bit(2).as("n_stop"),
+            bit(4).as("n_rep"), bit(8).as("n_lang"))
+          .orderBy("source")
+      },
+      Some(
+        s"""$gateCte
+           |SELECT d.source, count(*) AS n_docs,
+           |  CAST(coalesce(sum(CASE WHEN g.reasons = 0 THEN 1 END), 0)
+           |    AS BIGINT) AS n_kept,
+           |  CAST(coalesce(sum(CASE WHEN g.reasons & 1 <> 0 THEN 1 END), 0)
+           |    AS BIGINT) AS n_len,
+           |  CAST(coalesce(sum(CASE WHEN g.reasons & 2 <> 0 THEN 1 END), 0)
+           |    AS BIGINT) AS n_stop,
+           |  CAST(coalesce(sum(CASE WHEN g.reasons & 4 <> 0 THEN 1 END), 0)
+           |    AS BIGINT) AS n_rep,
+           |  CAST(coalesce(sum(CASE WHEN g.reasons & 8 <> 0 THEN 1 END), 0)
+           |    AS BIGINT) AS n_lang
+           |FROM g JOIN documents d USING (doc_id)
+           |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // Vocabulary coverage curve: what fraction of all token OCCURRENCES
     // the top-{5,10,25} terms cover — the measurement behind vocab
     // sizing and tokenizer design (a steep curve means a small vocab
