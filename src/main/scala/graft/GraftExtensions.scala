@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeRunCount, CleanText, LangMarkerCounts, LshSig, MaxMultiplicity, MinHashShingleSig, MinHashSig, NormTokens, PolarityScore, SignBits, SimHash64, SortedIntersectSize, SortedIntersectSizeLong, SqMaxAbs, SqQDot, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{BpeRunCount, CleanText, IntDot, LangMarkerCounts, LshSig, MaxMultiplicity, MinHashShingleSig, MinHashSig, NormTokens, PolarityScore, SignBits, SimHash64, SortedIntersectSize, SortedIntersectSizeLong, SqMaxAbs, SqQDot, VecCosine, VecDot, VecL2Sq}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Attach with
@@ -74,7 +74,9 @@ object GraftExtensions {
       checked("graft_sorted_intersect_size_long", 2)(e =>
         SortedIntersectSizeLong(e(0), e(1)))),
     ("graft_sign_bits", classOf[SignBits],
-      checked("graft_sign_bits", 1)(e => SignBits(e.head))))
+      checked("graft_sign_bits", 1)(e => SignBits(e.head))),
+    ("graft_int_dot", classOf[IntDot],
+      checked("graft_int_dot", 2)(e => IntDot(e(0), e(1)))))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native vector math for the embedding queries — the codegen'd
   * replacement for aggregate(zip_with(...)) folds, which evaluate
@@ -488,4 +488,53 @@ object SignBits {
 
   def column(c: Column): Column =
     GraftSqlBridge.column(SignBits(GraftSqlBridge.expression(c)))
+}
+
+/** `graft_int_dot(array<int>, array<int>) -> bigint`, codegen'd: the
+  * integer code dot the PERSISTED int8-SQ artifact serves with
+  * (emb_sq_served) — all-integer, overflow-free for |code| <= 127 at
+  * any realistic dimension. NULL on length mismatch or a null element
+  * (a corrupt code row must surface as NULL, never flow through as a
+  * plausible partial dot), matching the aggregate(zip_with(...)) fold
+  * the oracle SQL expresses.
+  */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntDot.dotII(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.IntDot.dotII($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_int_dot"
+}
+
+object IntDot {
+  def dotII(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    acc
+  }
+
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      IntDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -2169,6 +2169,42 @@ object EmbQueries {
            |SELECT vec_id, qdot, approx_dot FROM ($sqDotsSql)
            |ORDER BY approx_dot DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // the SQ channel served FROM THE PERSISTED ARTIFACT — emb_sq_ann
+    // fuses quantize+dot into the float scan (SqQDot); this one reads
+    // the 16x-narrower sq/ code table the index build stages (the
+    // emb_bq_served convention: identical answer, same oracle), so the
+    // serve never touches floats — the bandwidth claim the SQ rung
+    // makes at 100 TB. The integer code dot is the codegen'd IntDot
+    // kernel (the aggregate(zip_with(...)) HOF form evaluates
+    // interpreted per element — the round-6 lesson); only the query
+    // row quantizes live. With this, every persisted rung of the
+    // quantization ladder (SQ, PQ, IVF+PQ, BQ) serves from its
+    // artifact.
+    Q(
+      "emb_sq_served",
+      (s, d) => {
+        servedCodes(s, d) // forces the one-time index write
+        val sq = s.read.parquet(s"${indexPath(d)}/sq")
+        val e = emb(s, d)
+        val qrow = broadcast(sqCodes(e.filter(col("vec_id") === 0))
+          .select(col("code").as("qcode"), col("ma").as("qma")))
+        sq.filter(col("vec_id") =!= 0)
+          .crossJoin(qrow)
+          .select(col("vec_id"),
+            graft.functions.IntDot.column(col("code"), col("qcode"))
+              .as("qdot"),
+            col("ma"), col("qma"))
+          .select(col("vec_id"), col("qdot"),
+            round(col("qdot").cast("double") * col("ma") * col("qma") /
+              lit((SqScale * SqScale).toDouble), 6).as("approx_dot"))
+          .orderBy(col("approx_dot").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(
+        s"""WITH $sqCodesCte
+           |SELECT vec_id, qdot, approx_dot FROM ($sqDotsSql)
+           |ORDER BY approx_dot DESC, vec_id LIMIT 5""".stripMargin)),
+
     // Two-stage quantized search — THE production ANN serving shape:
     // stage 1 scans only the int8 codes (16x less bandwidth than
     // float32) and keeps a top-20 shortlist via TakeOrderedAndProject;
@@ -3334,6 +3370,11 @@ object EmbQueries {
       // a float-free scan, the claim the bq channel makes at 100 TB
       bqSigs(emb(s, d)).write.mode("overwrite")
         .parquet(s"$path/bitsig")
+      // the int8-SQ channel's code table (scale + 64 codes per vector,
+      // 16x less scan bandwidth than float32) — emb_sq_served's
+      // float-free scan; emb_sq_ann keeps the fused in-scan twin
+      sqCodes(emb(s, d)).write.mode("overwrite")
+        .parquet(s"$path/sq")
       val cells = ivfRanked(s, d).filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label").as("cell"))
       pqCodes(s, d)

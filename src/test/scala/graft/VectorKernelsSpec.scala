@@ -223,4 +223,39 @@ class VectorKernelsSpec extends AnyFunSuite {
       assert(k(0) == r.getLong(1) && k(1) == r.getLong(2), r)
     }
   }
+
+  test("IntDot == the aggregate(zip_with) SQL form on adversarial inputs") {
+    import spark.implicits._
+    // int code pairs: normal, negative-heavy, extremes (+-127 at
+    // 64 dims stays far from Long overflow), ragged (zip_with
+    // null-pads -> NULL sum, kernel returns NULL), a null element,
+    // and NULL arrays on either side
+    val rnd = new scala.util.Random(7)
+    def codes(n: Int): Array[Int] =
+      Array.fill(n)(rnd.nextInt(255) - 127)
+    val synth = Seq(
+      (codes(64), codes(64)),
+      (Array.fill(64)(-127), Array.fill(64)(127)),
+      (Array.fill(64)(127), Array.fill(64)(127)),
+      (codes(32), codes(64)),
+      (Array.empty[Int], Array.empty[Int]))
+      .toDF("a", "b")
+      .union(Seq((codes(64), codes(64))).toDF("a", "b")
+        .select(col("a"),
+          concat(slice(col("b"), 1, 10), array(lit(null).cast("int")),
+            slice(col("b"), 12, 53)).as("b")))
+      .union(Seq(1).toDF("x").select(
+        lit(null).cast("array<int>").as("a"),
+        array(lit(1), lit(2)).as("b")))
+    val rows = synth.select(
+      graft.functions.IntDot.column(col("a"), col("b")).as("k"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS BIGINT) * y), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("sql")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r)
+    }
+    // the extremes row really exercises magnitude: 64 * 127 * 127
+    assert(rows.exists(r => !r.isNullAt(0) && r.getLong(0) == 64L * 127 * 127))
+  }
 }
