@@ -3117,7 +3117,7 @@ object EmbQueries {
     * the index. Shared by emb_sq_ann and the two-stage re-ranker so the
     * quantizer can never drift between the index and its consumers.
     */
-  private def sqCodes(e: DataFrame): DataFrame =
+  private[graft] def sqCodes(e: DataFrame): DataFrame =
     e.withColumn("ma",
         when(size(col("embedding")) === 64 &&
           !exists(col("embedding"), x => x.isNull),

@@ -295,6 +295,76 @@ object AnnServing {
       .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Score ONE micro-batch of query vectors against the persisted
+    * int8-SQ code artifact (`sq/` — per-vector scale + 64 int8 codes,
+    * 16x less scan bandwidth than float32): the SQ rung of the
+    * streaming quantization ladder. Only the B query vectors quantize
+    * live (the same sqCodes arithmetic the artifact was built with,
+    * broadcast); the scan is one float-free pass of the code table
+    * with the codegen'd IntDot kernel per (candidate, query) pair and
+    * a per-query row_number cut. Identical arithmetic to the batch
+    * emb_sq_served — StreamingSpec pins the row equality.
+    *
+    * @return (qid, rank, vec_id, qdot, approx_dot) — top-k per query
+    */
+  def scoreBatchSq(
+      spark: SparkSession,
+      indexDir: String,
+      batch: DataFrame,
+      k: Int = 5): DataFrame = {
+    import graft.queries.EmbQueries.SqScale
+    val empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Long, Long, Double)]
+        .toDF("qid", "rank", "vec_id", "qdot", "approx_dot")
+    }
+    val q = batch.select(col("qid").cast("long").as("qid"),
+      col("qvec").cast("array<float>").as("qvec"))
+    if (q.isEmpty) return empty
+    val qrows = broadcast(graft.queries.EmbQueries.sqCodes(
+      q.select(col("qid").as("vec_id"), col("qvec").as("embedding")))
+      .select(col("vec_id").as("qid"), col("code").as("qcode"),
+        col("ma").as("qma")))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    spark.read.parquet(s"$indexDir/sq")
+      .crossJoin(qrows)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.IntDot.column(col("code"), col("qcode"))
+          .as("qdot"),
+        col("ma"), col("qma"))
+      .select(col("qid"), col("vec_id"), col("qdot"),
+        round(col("qdot").cast("double") * col("ma") * col("qma") /
+          lit((SqScale * SqScale).toDouble), 6).as("approx_dot"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("qdot"),
+        col("approx_dot"))
+  }
+
+  /** The sq serving sink: [[startServingSink]]'s shape over the
+    * persisted int8 code table via [[scoreBatchSq]].
+    */
+  def startSqServingSink(
+      stream: DataFrame,
+      indexDir: String,
+      outDir: String,
+      checkpoint: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoreBatchSq(batch.sparkSession, indexDir, batch, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** The bq serving sink: [[startServingSink]]'s shape over the
     * binary-quantization channel — each micro-batch of query vectors
     * is scored by [[scoreBatchBq]] against the persisted bitsig/

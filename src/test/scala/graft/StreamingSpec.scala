@@ -1245,6 +1245,62 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Double]("sim"))).toSeq == direct7)
   }
 
+  test("streaming sq serving equals the batch sq served answer") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def vecJson(qid: Long): String = {
+      val v = emb.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      s"""{"qid":$qid,"qvec":[${v.mkString(",")}]}"""
+    }
+    val in = tmp("sq_in")
+    Files.write(java.nio.file.Paths.get(in, "q0.json"),
+      (vecJson(0L) + "\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(in, "q7.json"),
+      (vecJson(7L) + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("qvec", ArrayType(DoubleType))))
+    val out = tmp("sq_out")
+    val q = graft.streaming.AnnServing.startSqServingSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in),
+      idx, out, tmp("sq_ckpt"))
+    assert(q.awaitTermination(120000))
+
+    val res = spark.read.parquet(out)
+    assert(res.select("batch_id").distinct().count() == 2)
+    val byQid = res.collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")))
+
+    // qid 0: row-identical to emb_sq_served's (vec_id, qdot,
+    // approx_dot) answer
+    val served = Registry.byName("emb_sq_served").build(spark, dir)
+      .select("vec_id", "qdot", "approx_dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val streamed0 = byQid(0L).map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("qdot"), r.getAs[Double]("approx_dot"))).toSeq
+    assert(streamed0 == served, s"stream=$streamed0 batch=$served")
+
+    // qid 7: full top-5, never itself, approx_dot non-increasing
+    val s7 = byQid(7L)
+    assert(s7.length == 5)
+    assert(s7.forall(_.getAs[Long]("vec_id") != 7L))
+    val d7 = s7.map(_.getAs[Double]("approx_dot")).toSeq
+    assert(d7 == d7.sorted.reverse)
+
+    // empty batch: typed empty frame, not a crash
+    val none = graft.streaming.AnnServing.scoreBatchSq(
+      spark, idx, emb.filter(col("vec_id") === -1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    assert(none.isEmpty)
+    assert(none.columns.toSeq ==
+      Seq("qid", "rank", "vec_id", "qdot", "approx_dot"))
+  }
+
   test("streaming auto-maintenance upserts then splits skewed cells") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
