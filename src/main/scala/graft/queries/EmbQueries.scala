@@ -3106,7 +3106,45 @@ object EmbQueries {
            |SELECT tr.cluster, train_id, eval_id,
            |  round(${cosSql("tr.tvv", "ev.evv")}, 6) AS sim
            |FROM tr JOIN ev ON ev.cluster = tr.cluster
-           |ORDER BY sim DESC, train_id, eval_id LIMIT 10""".stripMargin))
+           |ORDER BY sim DESC, train_id, eval_id LIMIT 10""".stripMargin)),
+
+    // ANISOTROPY — mean pairwise cosine per label (and corpus-wide, the
+    // label = -1 row): the embedding-health diagnostic behind the
+    // "representation collapse" checks a training pipeline runs on its
+    // encoder output (Ethayarajh 2019's anisotropy measure). The naive
+    // definition is O(n²·d) pair work; this computes it EXACTLY in one
+    // O(n·d) scan via the sum-vector identity
+    //   Σ_{i≠j} v̂_i·v̂_j = ‖Σ_i v̂_i‖² − Σ_i ‖v̂_i‖²
+    // over snap6-gridded unit vectors: each component snaps to the 1e-6
+    // grid (deterministic on both engines), the per-(label, dim) grid
+    // sums are DECIMAL-exact, and the final division is one correctly-
+    // rounded op over identical integers — so the metric is defined on
+    // the grid and cross-engine exact by construction. The shuffle is
+    // 64·|labels| cells regardless of corpus size (fully partial-agg'd);
+    // at 100 TB this is the only anisotropy plan that terminates.
+    // Zero-norm and off-contract (null-element) vectors are excluded at
+    // the source, same convention as every cosine consumer.
+    Q("emb_anisotropy", (s, d) => anisotropy(s, d), Some(anisotropySql)),
+
+    // NPROBE AUTOTUNE — the offline tuning job an IVF index operator
+    // actually runs: sweep nprobe over a validation sample of anchors
+    // (vec_id < 8), measure recall@5 of the probed-cell search against
+    // brute-force ground truth PER ANCHOR, and pick the smallest nprobe
+    // whose pooled recall clears the 40% target (integer-exact
+    // predicate: sum_hits·100 ≥ n_total·40 — no float threshold; the
+    // target sits where the pick is a real decision on this corpus,
+    // i.e. an interior depth, not the max). Differs
+    // from emb_ivf_probe_sweep (one query's curve) in being the
+    // MULTI-anchor decision procedure: anchors and their probed-cell
+    // ranks broadcast, ONE corpus scan scores every (anchor, candidate)
+    // pair in any probed cell, each sweep depth is a bounded window over
+    // that persisted frame, and the brute-force ground truth — the
+    // deliberate offline price of tuning — runs once over
+    // |sample|·|corpus| pairs, never corpus². At 100 TB the sample stays
+    // fixed-size, so the tuning cost scales with the corpus only through
+    // the one ground-truth scan.
+    Q("emb_nprobe_autotune",
+      (s, d) => nprobeAutotune(s, d), Some(nprobeAutotuneSql))
   )
 
 
@@ -4451,4 +4489,214 @@ object EmbQueries {
        |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
        |ORDER BY pick""".stripMargin
   }
+
+  // ---- anisotropy (emb_anisotropy)
+
+  /** The O(n·d) exact mean-pairwise-cosine frame — see the Q scaladoc.
+    * Stage 1 snaps each unit-vector component to the 1e-6 grid and
+    * reduces to 64·|labels| (sum, sum-of-squares, count) cells; stage 2
+    * unions in the corpus-wide (-1) spine by re-summing the per-label
+    * cells (64·|labels| rows — never a second corpus scan); stage 3
+    * applies the identity per label. Null labels fold into a -2 group so
+    * the terminal ORDER BY key is never null-ordered (Spark sorts nulls
+    * first ASC, DuckDB last — the cross-engine row-order trap).
+    */
+  private def anisotropy(s: SparkSession, d: String): DataFrame = {
+    val unit = emb(s, d)
+      .withColumn("lbl", coalesce(col("label").cast("int"), lit(-2)))
+      .withColumn("nrm", norm2(col("embedding")))
+      .filter(col("nrm") > 0)
+      .select(col("lbl"), col("nrm"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vi", snap6(col("v") / col("nrm")))
+    val perDim = unit.groupBy("lbl", "dim")
+      .agg(sum(col("vi").cast("decimal(38,0)")).as("sd"),
+        sum((col("vi") * col("vi")).cast("decimal(38,0)")).as("qd"),
+        count(col("vi")).as("nd"))
+    val allDim = perDim.groupBy("dim")
+      .agg(sum(col("sd")).as("sd"), sum(col("qd")).as("qd"),
+        sum(col("nd")).as("nd"))
+      .withColumn("lbl", lit(-1))
+    perDim.select("lbl", "dim", "sd", "qd", "nd")
+      .unionByName(allDim.select("lbl", "dim", "sd", "qd", "nd"))
+      .groupBy("lbl")
+      .agg(sum(col("sd") * col("sd")).as("normsq"),
+        sum(col("qd")).as("selfsq"),
+        max(col("nd")).as("n_vecs"))
+      .filter(col("n_vecs") >= 2)
+      .select(col("lbl").as("label"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        round((col("normsq") - col("selfsq")).cast("double") /
+          ((col("n_vecs") * (col("n_vecs") - 1)).cast("double") * lit(1e12)),
+          6).as("avg_pair_cos"))
+      .orderBy("label")
+  }
+
+  /** DuckDB twin of [[anisotropy]] — sum(BIGINT) is HUGEINT (exact, the
+    * decimal path's twin); the ragged-vector convention matches the
+    * Spark side by construction: embedding[i] beyond a short vector's
+    * length is NULL → vi NULL → skipped by sum/count, exactly as
+    * posexplode simply emits fewer rows.
+    */
+  private def anisotropySql: String =
+    s"""WITH nv0 AS (
+       |  SELECT coalesce(CAST(label AS INT), -2) AS lbl, embedding,
+       |    ${normSql("embedding")} AS nrm
+       |  FROM embeddings
+       |), nv AS (SELECT * FROM nv0 WHERE nrm > 0
+       |), expl AS (
+       |  SELECT lbl, CAST(i - 1 AS INT) AS dim,
+       |    ${snap6Sql("CAST(embedding[i] AS DOUBLE) / nrm")} AS vi
+       |  FROM nv CROSS JOIN range(1, 65) r(i)
+       |), perdim AS (
+       |  SELECT lbl, dim, sum(vi) AS sd, sum(vi * vi) AS qd,
+       |    count(vi) AS nd
+       |  FROM expl GROUP BY 1, 2
+       |), uni AS (
+       |  SELECT lbl, dim, sd, qd, nd FROM perdim
+       |  UNION ALL
+       |  SELECT -1 AS lbl, dim, sum(sd) AS sd, sum(qd) AS qd,
+       |    sum(nd) AS nd
+       |  FROM perdim GROUP BY 2
+       |), lab AS (
+       |  SELECT lbl, sum(sd * sd) AS normsq, sum(qd) AS selfsq,
+       |    max(nd) AS n_vecs
+       |  FROM uni GROUP BY 1
+       |)
+       |SELECT CAST(lbl AS INT) AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  round(CAST(normsq - selfsq AS DOUBLE) /
+       |    (CAST(n_vecs * (n_vecs - 1) AS DOUBLE) * 1e12), 6)
+       |    AS avg_pair_cos
+       |FROM lab WHERE n_vecs >= 2 ORDER BY label""".stripMargin
+
+  // ---- nprobe autotune (emb_nprobe_autotune)
+
+  /** Multi-anchor nprobe sweep + pick — see the Q scaladoc. The probed-
+    * candidate sims frame is persisted once and re-windowed per depth;
+    * ground truth is the one |sample|·|corpus| pass. Off-contract
+    * anchors or candidates score NULL cosine (kernel convention) and
+    * are dropped before any rank, and an anchor with no valid
+    * neighbours simply contributes nothing to n_total (n_anchors counts
+    * anchors WITH ground truth). The empty-corpus guard keeps the
+    * division explicit-NULL on both engines.
+    */
+  private def nprobeAutotune(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val ranked = ivfRanked(s, d)
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val anchors = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av")))
+    val aRank = broadcast(ranked.filter(col("vec_id") < 8 && col("rn") <= 3)
+      .select(col("vec_id").as("a_id"), col("c_label").as("cell"),
+        col("rn").as("qrn")))
+    val sims = graft.CacheRegistry.track(s,
+      e.join(cells, "vec_id")
+        .join(aRank, "cell")
+        .join(anchors, "a_id")
+        .filter(col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("qrn"), col("vec_id"),
+          round(cosine(col("embedding"), col("av")), 6).as("sim"))
+        .filter(col("sim").isNotNull))
+    val wE = Window.partitionBy("a_id").orderBy(col("es").desc, col("vec_id"))
+    val exact5 = e.crossJoin(anchors)
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("av")), 6).as("es"))
+      .filter(col("es").isNotNull)
+      .withColumn("r", row_number().over(wE))
+      .filter(col("r") <= 5)
+      .select("a_id", "vec_id")
+    val na = broadcast(
+      exact5.agg(countDistinct(col("a_id")).as("n_anchors")))
+    val wP = Window.partitionBy("a_id").orderBy(col("sim").desc, col("vec_id"))
+    val curve = (1 to 3).map { p =>
+      sims.filter(col("qrn") <= p)
+        .withColumn("r", row_number().over(wP))
+        .filter(col("r") <= 5)
+        .select("a_id", "vec_id")
+        .join(exact5, Seq("a_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("sum_hits"))
+        .select(lit(p).as("nprobe"), col("sum_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(na)
+      .withColumn("n_total", col("n_anchors") * 5)
+    val chosen = broadcast(curve
+      .filter(col("sum_hits") * 100 >= col("n_total") * 40)
+      .agg(min(col("nprobe")).as("chosen_nprobe")))
+    curve.crossJoin(chosen)
+      .select(col("nprobe"),
+        col("sum_hits").cast("long").as("sum_hits"),
+        col("n_total").cast("long").as("n_total"),
+        when(col("n_total") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("sum_hits").cast("double") / col("n_total"), 6))
+          .as("recall_at_5"),
+        coalesce(col("nprobe") === col("chosen_nprobe"), lit(false))
+          .as("chosen"))
+      .orderBy("nprobe")
+  }
+
+  /** DuckDB twin of [[nprobeAutotune]] — the LEFT-join depth spine
+    * mirrors the Spark side's always-emitting global aggregates (an
+    * empty depth counts 0, never drops its row).
+    */
+  private def nprobeAutotuneSql: String =
+    s"""WITH $ivfCellsCte, anch AS (
+       |  SELECT vec_id AS a_id, embedding AS av
+       |  FROM embeddings WHERE vec_id < 8
+       |), arank AS (
+       |  SELECT vec_id AS a_id, label AS cell, rn AS qrn
+       |  FROM ranked WHERE vec_id < 8 AND rn <= 3
+       |), sims0 AS (
+       |  SELECT ar.a_id, ar.qrn, e.vec_id,
+       |    ${cosSql("e.embedding", "a.av")} AS sim
+       |  FROM embeddings e
+       |  JOIN cells c ON c.vec_id = e.vec_id
+       |  JOIN arank ar ON ar.cell = c.cell
+       |  JOIN anch a ON a.a_id = ar.a_id
+       |  WHERE e.vec_id <> ar.a_id
+       |), sims AS (SELECT * FROM sims0 WHERE sim IS NOT NULL
+       |), ex0 AS (
+       |  SELECT a.a_id, e.vec_id,
+       |    ${cosSql("e.embedding", "a.av")} AS es
+       |  FROM embeddings e CROSS JOIN anch a
+       |  WHERE e.vec_id <> a.a_id
+       |), ex1 AS (SELECT * FROM ex0 WHERE es IS NOT NULL
+       |), exact5 AS (
+       |  SELECT a_id, vec_id FROM (
+       |    SELECT a_id, vec_id, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY es DESC, vec_id) AS r
+       |    FROM ex1) WHERE r <= 5
+       |), na AS (
+       |  SELECT count(DISTINCT a_id) AS n_anchors FROM exact5
+       |), probes AS (
+       |  SELECT unnest([1, 2, 3]) AS nprobe
+       |), top5 AS (
+       |  SELECT p.nprobe, s.a_id, s.vec_id,
+       |    row_number() OVER (PARTITION BY p.nprobe, s.a_id
+       |      ORDER BY s.sim DESC, s.vec_id) AS r
+       |  FROM probes p JOIN sims s ON s.qrn <= p.nprobe
+       |), hit5 AS (
+       |  SELECT t.nprobe FROM top5 t
+       |  JOIN exact5 e USING (a_id, vec_id) WHERE t.r <= 5
+       |), curve AS (
+       |  SELECT p.nprobe, count(h.nprobe) AS sum_hits,
+       |    na.n_anchors * 5 AS n_total
+       |  FROM probes p
+       |  LEFT JOIN hit5 h ON h.nprobe = p.nprobe
+       |  CROSS JOIN na
+       |  GROUP BY p.nprobe, na.n_anchors
+       |), ch AS (
+       |  SELECT min(nprobe) AS chosen_nprobe FROM curve
+       |  WHERE sum_hits * 100 >= n_total * 40
+       |)
+       |SELECT CAST(c.nprobe AS INT) AS nprobe,
+       |  CAST(c.sum_hits AS BIGINT) AS sum_hits,
+       |  CAST(c.n_total AS BIGINT) AS n_total,
+       |  CASE WHEN c.n_total = 0 THEN NULL
+       |    ELSE round(CAST(c.sum_hits AS DOUBLE) / c.n_total, 6) END
+       |    AS recall_at_5,
+       |  coalesce(c.nprobe = ch.chosen_nprobe, FALSE) AS chosen
+       |FROM curve c CROSS JOIN ch ORDER BY nprobe""".stripMargin
 }
