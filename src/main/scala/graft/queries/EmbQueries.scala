@@ -3144,7 +3144,26 @@ object EmbQueries {
     // fixed-size, so the tuning cost scales with the corpus only through
     // the one ground-truth scan.
     Q("emb_nprobe_autotune",
-      (s, d) => nprobeAutotune(s, d), Some(nprobeAutotuneSql))
+      (s, d) => nprobeAutotune(s, d), Some(nprobeAutotuneSql)),
+
+    // SELECTIVITY-ADAPTIVE filtered search — the strategy switch every
+    // production vector store runs in front of a filtered query
+    // (pre-filter vs in-scan-filter): when the metadata predicate is
+    // highly selective, brute-force EXACT search over just the
+    // qualifying rows is both cheaper and better than the ANN read
+    // (the shortlist would drown in non-qualifying geometry); when the
+    // predicate is loose, the directory-pruned filtered IVF+PQ scan
+    // (emb_ivfpq_filtered's read) wins. The switch is stats-driven —
+    // qualifying-row count vs a 5% crossover, integer predicate
+    // nm·20 ≤ n — and both decisions fire in one result: the 'rare'
+    // scenario (conjunctive predicate, ~1.4% selective) routes to
+    // exact_prefilter, the 'broad' one (label = 3, ~10%) to
+    // pruned_scan. At 100 TB the counts come from table statistics
+    // rather than a scan; correctness never depends on the estimate
+    // (it only picks which correct-by-its-own-contract arm runs), which
+    // is exactly why engines can afford approximate stats here.
+    Q("emb_filtered_adaptive",
+      (s, d) => filteredAdaptive(s, d), Some(filteredAdaptiveSql))
   )
 
 
@@ -3454,7 +3473,15 @@ object EmbQueries {
     * PushedFilters: label = lbl) with no attribute join.
     */
   private def filteredServed(
-      s: SparkSession, d: String, lbl: Int): DataFrame = {
+      s: SparkSession, d: String, lbl: Int): DataFrame =
+    filteredServedBy(s, d, col("label") === lbl)
+
+  /** predicate-generic form of the filtered serving read — the
+    * adaptive op routes arbitrary metadata predicates here (they
+    * evaluate over the code rows: label is inlined, vec_id is the key)
+    */
+  private def filteredServedBy(
+      s: SparkSession, d: String, pred: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val codes = servedCodes(s, d)
     val cent = s.read.parquet(s"${indexPath(d)}/centroids")
@@ -3473,7 +3500,7 @@ object EmbQueries {
       .collect().map(_.getInt(0))
     val short = codes
       .filter(col("cell").isin(probed.map(Int.box): _*) &&
-        col("vec_id") =!= 0 && col("label") === lbl)
+        col("vec_id") =!= 0 && pred)
       .select(col("vec_id"),
         posexplode(col("codes")).as(Seq("j", "cid")))
       .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
@@ -3518,6 +3545,121 @@ object EmbQueries {
        |JOIN shortl sl ON sl.vec_id = e.vec_id
        |CROSS JOIN qv
        |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
+
+  /** The adaptive filtered search (emb_filtered_adaptive) — see the Q
+    * scaladoc. The two .count() calls per scenario are plan-time
+    * statistics gathering (the bounded-driver-action convention of the
+    * probed-cell collect); the chosen arm is then a single declarative
+    * plan. Arms share the exact ordering/rounding contracts of their
+    * standalone queries (exact = emb_ivfpq_filtered_recall's ground-
+    * truth arm, pruned = filteredServedBy).
+    */
+  private def filteredAdaptive(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val n = e.filter(col("vec_id") =!= 0).count()
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+    def exactArm(pred: Column): DataFrame =
+      e.filter(col("vec_id") =!= 0 && pred)
+        .crossJoin(qv)
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    val scenarios = Seq(
+      ("broad", col("label") === FilteredLabel),
+      ("rare",
+        col("label") === FilteredLabel && col("vec_id") % 7 === 0))
+    scenarios.map { case (nm, pred) =>
+      val nMatch = e.filter(col("vec_id") =!= 0 && pred).count()
+      val (strategy, arm) =
+        if (nMatch * 20 <= n) ("exact_prefilter", exactArm(pred))
+        else ("pruned_scan",
+          filteredServedBy(s, d, pred).select("vec_id", "sim"))
+      arm.select(lit(nm).as("scenario"), lit(strategy).as("strategy"),
+        col("vec_id"), col("sim"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("scenario"), col("sim").desc, col("vec_id"))
+  }
+
+  /** DuckDB twin of [[filteredAdaptive]]: all four arms are expressed,
+    * the pick CTE re-derives the same integer crossover decision, and
+    * the join keeps only the chosen arm per scenario — the oracle
+    * COMPUTES the decision, never assumes it.
+    */
+  private def filteredAdaptiveSql: String = {
+    val rareSql = s"label = $FilteredLabel AND vec_id % 7 = 0"
+    val broadSql = s"label = $FilteredLabel"
+    def exArm(pred: String): String =
+      s"""SELECT vec_id, sim FROM (
+         |    SELECT vec_id, ${cosSql("embedding", "qv.qv")} AS sim
+         |    FROM embeddings, qv
+         |    WHERE vec_id <> 0 AND $pred
+         |    ORDER BY sim DESC, vec_id LIMIT 5) x""".stripMargin
+    def shArm(pred: String): String =
+      s"""SELECT k.vec_id,
+         |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+         |  FROM codes k
+         |  JOIN cells cl ON cl.vec_id = k.vec_id
+         |  JOIN qcells qc ON qc.cell = cl.cell
+         |  JOIN embeddings m ON m.vec_id = k.vec_id
+         |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
+         |  WHERE k.vec_id <> 0 AND ${pred.replace("label", "m.label")
+                .replace("vec_id % 7", "m.vec_id % 7")}
+         |  GROUP BY k.vec_id
+         |  ORDER BY pq_d2, k.vec_id LIMIT $IvfPqShortN""".stripMargin
+    def prArm(sh: String): String =
+      s"""SELECT e.vec_id,
+         |    round(${cosSql("e.embedding", "qv.qv")}, 6) AS sim
+         |  FROM embeddings e
+         |  JOIN $sh sl ON sl.vec_id = e.vec_id
+         |  CROSS JOIN qv
+         |  ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
+    s"""WITH $ivfCellsCte, $pqCte, qcells AS (
+       |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+       |), qv AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), stat AS (
+       |  SELECT
+       |    (SELECT count(*) FROM embeddings WHERE vec_id <> 0) AS n,
+       |    (SELECT count(*) FROM embeddings
+       |      WHERE vec_id <> 0 AND $broadSql) AS nm_broad,
+       |    (SELECT count(*) FROM embeddings
+       |      WHERE vec_id <> 0 AND $rareSql) AS nm_rare
+       |), ex_broad AS (
+       |  ${exArm(broadSql)}
+       |), ex_rare AS (
+       |  ${exArm(rareSql)}
+       |), sh_broad AS (
+       |  ${shArm(broadSql)}
+       |), pr_broad AS (
+       |  ${prArm("sh_broad")}
+       |), sh_rare AS (
+       |  ${shArm(rareSql)}
+       |), pr_rare AS (
+       |  ${prArm("sh_rare")}
+       |), pick AS (
+       |  SELECT 'broad' AS scenario, CASE WHEN nm_broad * 20 <= n
+       |    THEN 'exact_prefilter' ELSE 'pruned_scan' END AS strategy
+       |  FROM stat
+       |  UNION ALL
+       |  SELECT 'rare', CASE WHEN nm_rare * 20 <= n
+       |    THEN 'exact_prefilter' ELSE 'pruned_scan' END
+       |  FROM stat
+       |), arms AS (
+       |  SELECT 'broad' AS scenario, 'exact_prefilter' AS strategy,
+       |    vec_id, sim FROM ex_broad
+       |  UNION ALL
+       |  SELECT 'broad', 'pruned_scan', vec_id, sim FROM pr_broad
+       |  UNION ALL
+       |  SELECT 'rare', 'exact_prefilter', vec_id, sim FROM ex_rare
+       |  UNION ALL
+       |  SELECT 'rare', 'pruned_scan', vec_id, sim FROM pr_rare
+       |)
+       |SELECT a.scenario, a.strategy, a.vec_id, a.sim
+       |FROM arms a JOIN pick p USING (scenario, strategy)
+       |ORDER BY scenario, sim DESC, vec_id""".stripMargin
+  }
 
   /** the "new batch" slice of the upsert scenario (emb_ivfpq_upsert):
     * a deterministic ~10% of the corpus, the dedup_incremental_batch

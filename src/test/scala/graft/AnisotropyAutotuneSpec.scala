@@ -109,4 +109,37 @@ class AnisotropyAutotuneSpec extends AnyFunSuite {
       assert(chosenRows.head.getInt(0) == qualifying.head.getInt(0))
     }
   }
+
+  test("adaptive filtered search routes by selectivity, both directions") {
+    // real sf0.001: label 3 is ~10% of the corpus (above the 5%
+    // crossover -> pruned ANN scan), the conjunctive rare predicate
+    // ~1.4% (below -> exact pre-filter). Both arms must surface.
+    val out = Registry.byName("emb_filtered_adaptive")
+      .build(spark, "/root/testdata/sf0.001").collect()
+    val byScenario = out.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).distinct.toSeq }
+    assert(byScenario("broad") == Seq("pruned_scan"))
+    assert(byScenario("rare") == Seq("exact_prefilter"))
+    // the exact arm IS exact: re-derive its top-5 brute-force
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter("vec_id = 0").collect()(0)
+      .getSeq[Float](1).map(_.toDouble).toArray
+    def cos(v: Array[Double]): Double = {
+      var dq = 0.0; var nq = 0.0; var nv = 0.0; var i = 0
+      while (i < v.length) {
+        dq += v(i) * q(i); nq += q(i) * q(i); nv += v(i) * v(i); i += 1
+      }
+      if (nq * nv == 0) 0.0 else dq / (math.sqrt(nq) * math.sqrt(nv))
+    }
+    val expected = e
+      .filter("vec_id <> 0 AND label = 3 AND vec_id % 7 = 0").collect()
+      .map(r => (r.getLong(0), cos(r.getSeq[Float](1).map(_.toDouble).toArray)))
+      .map { case (id, s) =>
+        (id, java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val got = out.filter(_.getString(0) == "rare").map(_.getLong(2)).toSeq
+    assert(got == expected, s"exact arm rows $got != brute force $expected")
+  }
 }
