@@ -457,6 +457,81 @@ object TextQueries {
            |FROM ex JOIN tf USING (term) CROSS JOIN tot
            |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // LM-FILTER THRESHOLD SWEEP — the tuning curve a CCNet-style
+    // perplexity filter is calibrated with: for each candidate cutoff
+    // on the dyadic-surprisal scale, how many documents (and tokens)
+    // survive "keep docs with mean surprisal <= cutoff". Cutoffs step
+    // in QUARTER bits (cutoff_q = 4x the bit value, 2.0 .. 9.75 bits)
+    // so the curve resolves the transition band instead of jumping a
+    // cliff; the sweep predicate is INTEGER-exact — mean <= cq/4
+    // rewritten as 4 * sum_surprisal <= cq * n_tokens — so no float
+    // threshold ever crosses an engine boundary. Scale shape: the
+    // per-doc score frame is doc_unigram_surprisal's two partial-agg'd
+    // shuffles, computed ONCE; the sweep itself is a broadcast 32-row
+    // cutoff spine crossed into a single further partial-agg'd pass
+    // (32x row inflation of a 3-column frame, not of the corpus).
+    // Token-less documents carry no LM score and are out of the
+    // sweep's universe on both engines (the explode simply emits
+    // nothing for them), matching doc_unigram_surprisal's contract.
+    Q(
+      "doc_surprisal_filter_sweep",
+      (s, d) => {
+        val ex = toks(s, d)
+          .select(col("doc_id"), explode(col("tok")).as("term"))
+        val tf = ex.groupBy("term").agg(count(lit(1)).as("c"))
+        val tot = tf.agg(sum(col("c")).as("tot"))
+        val perDoc = ex.join(tf, "term")
+          .crossJoin(broadcast(tot))
+          .withColumn("s",
+            length(bin(col("tot"))) - length(bin(col("c"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("sum_s"))
+        val cuts = s.range(8, 40)
+          .select(col("id").cast("int").as("cutoff_q"))
+        val kept =
+          col("sum_s") * 4 <= col("cutoff_q") * col("n_tokens")
+        perDoc.crossJoin(broadcast(cuts))
+          .groupBy("cutoff_q")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(kept, col("n_tokens")).otherwise(0L)).cast("long")
+              .as("tok_kept"))
+          .select(col("cutoff_q"),
+            (col("cutoff_q").cast("double") / 4).as("cutoff_bits"),
+            col("n_docs"), col("n_kept"), col("tok_kept"),
+            round(col("n_kept").cast("double") / col("n_docs"), 6)
+              .as("keep_ratio"))
+          .orderBy("cutoff_q")
+      },
+      Some(
+        s"""$tokCte, ex AS (
+           |  SELECT doc_id, unnest(tok) AS term FROM t
+           |), tf AS (
+           |  SELECT term, count(*) AS c FROM ex GROUP BY 1
+           |), tot AS (
+           |  SELECT CAST(sum(c) AS BIGINT) AS tot FROM tf
+           |), pd AS (
+           |  SELECT ex.doc_id, count(*) AS n_tokens,
+           |    CAST(sum(length(bin(tot)) - length(bin(c))) AS BIGINT)
+           |      AS sum_s
+           |  FROM ex JOIN tf USING (term) CROSS JOIN tot
+           |  GROUP BY 1
+           |), cuts AS (
+           |  SELECT unnest(range(8, 40)) AS cutoff_q
+           |)
+           |SELECT CAST(cutoff_q AS INT) AS cutoff_q,
+           |  CAST(cutoff_q AS DOUBLE) / 4 AS cutoff_bits,
+           |  count(*) AS n_docs,
+           |  CAST(coalesce(sum(CASE WHEN sum_s * 4 <= cutoff_q * n_tokens
+           |    THEN 1 END), 0) AS BIGINT) AS n_kept,
+           |  CAST(coalesce(sum(CASE WHEN sum_s * 4 <= cutoff_q * n_tokens
+           |    THEN n_tokens END), 0) AS BIGINT) AS tok_kept,
+           |  round(CAST(coalesce(sum(CASE WHEN sum_s * 4 <= cutoff_q *
+           |    n_tokens THEN 1 END), 0) AS DOUBLE) / count(*), 6)
+           |    AS keep_ratio
+           |FROM pd CROSS JOIN cuts
+           |GROUP BY cutoff_q ORDER BY cutoff_q""".stripMargin)),
+
     // Cross-source LM quality score — the CCNet/Wikipedia-LM filter
     // shape proper: score every NON-reference document by its mean
     // token surprisal under the REFERENCE corpus's (source = src0)
