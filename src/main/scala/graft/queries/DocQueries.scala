@@ -532,6 +532,143 @@ object DocQueries {
            |  CAST(sum(n_tokens) AS BIGINT) AS tokens_started
            |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin)),
 
+    // CONTEXT-LENGTH SIZING SWEEP — the pad-vs-truncate curve behind
+    // the max_seq_len decision (and the measurement that motivates
+    // sequence packing at all): for each candidate context length B,
+    // one-doc-per-sequence batching pays B − n padding tokens on every
+    // short doc and loses n − B tokens of every long one. Per B:
+    // how many docs truncate, the token mass lost, the padding mass
+    // wasted, and the resulting utilization. All counts are exact
+    // integers (greatest/least against the broadcast 5-row spine);
+    // utilization is one correctly-rounded division of identical
+    // integers. Scale shape: the corpus is scanned once; the spine
+    // cross joins 5x into a single partial-agg'd pass — output is 5
+    // rows no matter the corpus. Docs with no tokenizable text carry
+    // no length and are outside the sweep's universe on both engines.
+    Q(
+      "doc_context_length_sweep",
+      (s, d) => {
+        import s.implicits._
+        // literal LocalRelation (not range/explode) so the BNLJ build
+        // side matches the suite's bounded-frame plan guard
+        // spine spans the corpus's own length scale (docs here run tens
+        // of tokens) so BOTH failure modes register: short B truncates,
+        // long B pads
+        val spine = Seq(16, 32, 64, 128, 512).toDF("seq_len")
+        scored(s, d)
+          .select(col("doc_id"), col("n_tokens"))
+          .filter(col("n_tokens").isNotNull)
+          .crossJoin(broadcast(spine))
+          .groupBy("seq_len")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_tokens") > col("seq_len"), 1L).otherwise(0L))
+              .as("n_truncated"),
+            sum(greatest(col("n_tokens") - col("seq_len"), lit(0)))
+              .cast("long").as("tokens_truncated"),
+            sum(greatest(col("seq_len") - col("n_tokens"), lit(0)))
+              .cast("long").as("tokens_padded"),
+            sum(least(col("n_tokens"), col("seq_len"))).cast("long")
+              .as("tokens_kept"))
+          .select(col("seq_len"), col("n_docs"), col("n_truncated"),
+            col("tokens_truncated"), col("tokens_padded"),
+            round(col("tokens_kept").cast("double") /
+              (col("n_docs") * col("seq_len")).cast("double"), 6)
+              .as("utilization"))
+          .orderBy("seq_len")
+      },
+      Some(
+        s"""$cte, pd AS (
+           |  SELECT doc_id, n_tokens FROM scored
+           |  WHERE n_tokens IS NOT NULL
+           |), spine AS (
+           |  SELECT unnest([16, 32, 64, 128, 512]) AS seq_len
+           |)
+           |SELECT CAST(seq_len AS INT) AS seq_len,
+           |  count(*) AS n_docs,
+           |  CAST(coalesce(sum(CASE WHEN n_tokens > seq_len THEN 1 END), 0)
+           |    AS BIGINT) AS n_truncated,
+           |  CAST(sum(greatest(n_tokens - seq_len, 0)) AS BIGINT)
+           |    AS tokens_truncated,
+           |  CAST(sum(greatest(seq_len - n_tokens, 0)) AS BIGINT)
+           |    AS tokens_padded,
+           |  round(CAST(sum(least(n_tokens, seq_len)) AS DOUBLE) /
+           |    (count(*) * seq_len), 6) AS utilization
+           |FROM pd CROSS JOIN spine
+           |GROUP BY seq_len ORDER BY seq_len""".stripMargin)),
+
+    // POST-SHUFFLE ORDER AUDIT — the check that proves the seeded
+    // training shuffle (doc_train_shuffle) actually decorrelated
+    // sources: per SHARD (the unit a data loader reads sequentially),
+    // the observed count of adjacent same-source pairs in shuffle-key
+    // order vs its exact expectation under a uniform random
+    // permutation, E = Σ_src n_src(n_src−1) / n (emitted as the exact
+    // integer numerator exp_num plus one rounded division). A shuffle
+    // bug that leaves source runs intact shows up as observed >> E.
+    // Scale shape: the adjacency window is PARTITIONED by shard (the
+    // same per-shard sort the shard-writer itself runs —
+    // never a global single-partition window), and the composition
+    // side is two partial-agg'd reductions to |shards|·|sources| then
+    // |shards| rows.
+    Q(
+      "doc_shuffle_audit",
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), coalesce(col("source"), lit("")).as("src"))
+          .withColumn("shuffle_key",
+            md5(concat(lit("graft-epoch-1:"),
+              col("doc_id").cast("string"))))
+          .withColumn("shard",
+            (expr("conv(substring(shuffle_key, 1, 2), 16, 10)")
+              .cast("int") % 8).cast("int"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col("doc_id"))
+        val adj = base
+          .withColumn("same",
+            when(lag(col("src"), 1).over(w) === col("src"), 1L)
+              .otherwise(0L))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("same")).cast("long").as("n_adj_same"))
+        val comp = base.groupBy("shard", "src")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("shard")
+          .agg(sum(col("n") * (col("n") - 1)).cast("long").as("exp_num"))
+        adj.join(comp, "shard")
+          .select(col("shard"), col("n_rows"), col("n_adj_same"),
+            col("exp_num"),
+            round(col("exp_num").cast("double") / col("n_rows"), 6)
+              .as("expected_adj_same"))
+          .orderBy("shard")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT doc_id, coalesce(source, '') AS src,
+          |    md5('graft-epoch-1:' || CAST(doc_id AS VARCHAR))
+          |      AS shuffle_key
+          |  FROM documents
+          |), b2 AS (
+          |  SELECT *, CAST(CAST(('0x' || substr(shuffle_key, 1, 2))
+          |    AS BIGINT) % 8 AS INT) AS shard
+          |  FROM b
+          |), a AS (
+          |  SELECT shard, CASE WHEN lag(src) OVER (PARTITION BY shard
+          |      ORDER BY shuffle_key, doc_id) = src
+          |    THEN 1 ELSE 0 END AS same
+          |  FROM b2
+          |), adj AS (
+          |  SELECT shard, count(*) AS n_rows,
+          |    CAST(sum(same) AS BIGINT) AS n_adj_same
+          |  FROM a GROUP BY 1
+          |), cmp AS (
+          |  SELECT shard, CAST(sum(n * (n - 1)) AS BIGINT) AS exp_num
+          |  FROM (SELECT shard, src, count(*) AS n FROM b2 GROUP BY 1, 2) g
+          |  GROUP BY 1
+          |)
+          |SELECT adj.shard, adj.n_rows, adj.n_adj_same, cmp.exp_num,
+          |  round(CAST(cmp.exp_num AS DOUBLE) / adj.n_rows, 6)
+          |    AS expected_adj_same
+          |FROM adj JOIN cmp USING (shard) ORDER BY shard""".stripMargin)),
+
     // Data-mixing weights: the per-(lang, source) upsampling factor that
     // would flatten the corpus to a uniform mixture — weight =
     // (N_total / n_groups) / n_group, emitted as an EXACT rational

@@ -486,8 +486,10 @@ object TextQueries {
             length(bin(col("tot"))) - length(bin(col("c"))))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("sum_s"))
-        val cuts = s.range(8, 40)
-          .select(col("id").cast("int").as("cutoff_q"))
+        import s.implicits._
+        // literal LocalRelation (not range) so the BNLJ build side
+        // matches the suite's bounded-frame plan guard
+        val cuts = (8 until 40).toDF("cutoff_q")
         val kept =
           col("sum_s") * 4 <= col("cutoff_q") * col("n_tokens")
         perDoc.crossJoin(broadcast(cuts))
