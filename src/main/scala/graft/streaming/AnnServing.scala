@@ -70,6 +70,58 @@ object AnnServing {
       s"$indexDir/codebook", vectors, batch, k, nprobe, shortN,
       codeFilter, excludeIds)
 
+  /** Selectivity-ADAPTIVE filtered scoring — the streaming twin of
+    * emb_filtered_adaptive's strategy switch, per micro-batch: when
+    * the metadata predicate qualifies at most 1/20 of the index, the
+    * answer is EXACT brute-force cosine over just the qualifying rows
+    * (both cheaper and better than starving an ANN shortlist inside
+    * sparse geometry); otherwise it is the filtered pruned scan
+    * (scoreBatch + codeFilter). The two .count() calls are plan-time
+    * statistics gathering (the bounded-driver-action convention of the
+    * probed-cells collect — at 100 TB a stats-store lookup); the
+    * estimate only picks which correct-by-its-own-contract arm runs.
+    * StreamingSpec pins both arms row-identical to the batch query's
+    * matching scenario.
+    *
+    * @return (qid, rank, vec_id, sim, strategy) — top-k per query
+    */
+  def scoreBatchAdaptive(
+      spark: SparkSession,
+      indexDir: String,
+      vectors: DataFrame,
+      batch: DataFrame,
+      pred: Column,
+      k: Int = 5,
+      nprobe: Int = 2,
+      shortN: Int = graft.queries.EmbQueries.IvfPqShortN): DataFrame = {
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val n = codes.filter(col("vec_id") =!= 0).count()
+    val nm = codes.filter(col("vec_id") =!= 0 && pred).count()
+    if (nm * 20 <= n) {
+      val q = batch.select(col("qid").cast("long").as("qid"),
+        col("qvec").cast("array<float>").as("qvec"))
+      // qualifying ids come from the CODE rows (attribute inlined) so
+      // the exact arm's universe is exactly the served index's
+      val ids = codes.filter(pred).select("vec_id")
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      vectors.join(broadcast(ids), Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.queries.EmbQueries.cosine(col("embedding"),
+            col("qvec")), 6).as("sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+        .withColumn("strategy", lit("exact_prefilter"))
+    } else {
+      scoreBatch(spark, indexDir, vectors, batch, k, nprobe, shortN,
+        codeFilter = Some(pred))
+        .withColumn("strategy", lit("pruned_scan"))
+    }
+  }
+
   /** Score ONE micro-batch of query vectors against the persisted
     * 1-bit BINARY-QUANTIZATION signature artifact (`bitsig/` — the
     * 16-byte (vec_id, h1, h2) rows emb_ivfpq_served's build stages) —

@@ -1037,6 +1037,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(soft.forall(_._1 % 10 != 7), "a tombstoned id surfaced")
   }
 
+  test("adaptive streaming ANN matches the batch adaptive query, both arms") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val lbl = queries.EmbQueries.FilteredLabel
+    val batchRows = Registry.byName("emb_filtered_adaptive")
+      .build(spark, dir)
+      .collect()
+      .groupBy(_.getString(0)) // scenario
+      .map { case (sc, rs) =>
+        sc -> rs.map(r =>
+          (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      }
+    def streamed(pred: org.apache.spark.sql.Column) =
+      graft.streaming.AnnServing
+        .scoreBatchAdaptive(spark, idx, emb, probe, pred)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .collect()
+        .map(r => (r.getAs[String]("strategy"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("sim"))).toSeq
+    // rare predicate (~1.4% selective): routed to the exact arm
+    val rare = streamed(col("label") === lbl && col("vec_id") % 7 === 0)
+    assert(rare == batchRows("rare"), s"rare: $rare != ${batchRows("rare")}")
+    // broad predicate (~10%): routed to the pruned ANN scan
+    val broad = streamed(col("label") === lbl)
+    assert(broad == batchRows("broad"),
+      s"broad: $broad != ${batchRows("broad")}")
+    assert(rare.forall(_._1 == "exact_prefilter"))
+    assert(broad.forall(_._1 == "pruned_scan"))
+  }
+
   test("streaming bq serving equals the batch bq served answer") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
