@@ -669,6 +669,44 @@ object DocQueries {
           |    AS expected_adj_same
           |FROM adj JOIN cmp USING (shard) ORDER BY shard""".stripMargin)),
 
+    // EPOCH-DIVERGENCE AUDIT — proves a new epoch's reshuffle is a
+    // genuinely different permutation, not the same order re-labeled:
+    // the joint distribution of (shard under epoch-1 seed, shard under
+    // epoch-2 seed). Independent seeded hashes spread mass uniformly
+    // over the 8x8 grid (diagonal ≈ 1/8 of rows); a reused seed or a
+    // degenerate hash concentrates the diagonal, the bug that makes a
+    // multi-epoch run see identical batch order twice. Counts are
+    // exact integers over a partial-agg'd 64-cell reduction — one
+    // corpus scan, output fixed at <= 64 rows at any scale.
+    Q(
+      "doc_epoch_divergence",
+      (s, d) => {
+        def shardOf(seed: String) =
+          (expr(s"conv(substring(md5(concat('$seed', " +
+            "CAST(doc_id AS STRING))), 1, 2), 16, 10)")
+            .cast("int") % 8).cast("int")
+        docs(s, d)
+          .select(col("doc_id"))
+          .withColumn("shard_e1", shardOf("graft-epoch-1:"))
+          .withColumn("shard_e2", shardOf("graft-epoch-2:"))
+          .groupBy("shard_e1", "shard_e2")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("shard_e1", "shard_e2")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT
+          |    CAST(CAST(('0x' || substr(md5('graft-epoch-1:' ||
+          |      CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 8 AS INT)
+          |      AS shard_e1,
+          |    CAST(CAST(('0x' || substr(md5('graft-epoch-2:' ||
+          |      CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 8 AS INT)
+          |      AS shard_e2
+          |  FROM documents
+          |)
+          |SELECT shard_e1, shard_e2, count(*) AS n
+          |FROM b GROUP BY 1, 2 ORDER BY shard_e1, shard_e2""".stripMargin)),
+
     // Data-mixing weights: the per-(lang, source) upsampling factor that
     // would flatten the corpus to a uniform mixture — weight =
     // (N_total / n_groups) / n_group, emitted as an EXACT rational

@@ -3163,7 +3163,29 @@ object EmbQueries {
     // (it only picks which correct-by-its-own-contract arm runs), which
     // is exactly why engines can afford approximate stats here.
     Q("emb_filtered_adaptive",
-      (s, d) => filteredAdaptive(s, d), Some(filteredAdaptiveSql))
+      (s, d) => filteredAdaptive(s, d), Some(filteredAdaptiveSql)),
+
+    // INDEX INTEGRITY FSCK — the consistency audit an index operator
+    // schedules against the POST-MAINTENANCE artifacts (here the
+    // rebalanced codes_reb/centroids_reb pair, the index whose
+    // assignment is least trivially correct): referential checks
+    // (dangling code rows, unindexed vectors, code cells without a
+    // centroid, centroids with no rows, duplicate centroid labels)
+    // plus the one check that is legitimately NONZERO —
+    // misplaced_rows, rows whose stored cell is no longer their
+    // nearest centroid. The 2-seed split deliberately moves rows by
+    // the A/B rule rather than re-running a Voronoi assignment (the
+    // serving contract tolerates it, recall is re-checked); this
+    // query QUANTIFIES that drift, the number a maintenance scheduler
+    // watches to decide when a full retrain is due. Every count is
+    // measured off the on-disk artifact while the oracle re-derives
+    // the same state from lineage — so artifact corruption or drift
+    // from the declared maintenance semantics fails the gate, which
+    // is exactly what an fsck is for. Scale: hash joins on vec_id/
+    // cell; the argmin fold is corpus x |centroids| with the centroid
+    // side a broadcast label-keyed aggregate (the ivfRanked shape).
+    Q("emb_index_integrity",
+      (s, d) => indexIntegrity(s, d), Some(indexIntegritySql))
   )
 
 
@@ -3660,6 +3682,93 @@ object EmbQueries {
        |FROM arms a JOIN pick p USING (scenario, strategy)
        |ORDER BY scenario, sim DESC, vec_id""".stripMargin
   }
+
+  /** The index fsck (emb_index_integrity) — see the Q scaladoc. The
+    * centroid side of the argmin is re-keyed through a label-keyed
+    * first() aggregate: it broadcasts as a provably bounded frame (the
+    * suite's BNLJ convention) AND enforces key uniqueness — the
+    * duplicate check measures the raw artifact separately.
+    */
+  private def indexIntegrity(s: SparkSession, d: String): DataFrame = {
+    val codes = rebalanceApplied(s, d).select("vec_id", "cell")
+    val centRaw = s.read.parquet(s"${indexPath(d)}/centroids_reb")
+    val cent = centRaw
+      .select(col("c_label").as("label"), col("cvec"))
+      .groupBy("label").agg(first(col("cvec")).as("cvec"))
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    def row(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(name).as("check_name"), col("n"))
+    val dangling = row("dangling_codes",
+      codes.join(e, Seq("vec_id"), "left_anti"))
+    val unindexed = row("unindexed_vectors",
+      e.join(codes, Seq("vec_id"), "left_anti"))
+    val dup = centRaw
+      .agg((count(lit(1)) - countDistinct(col("c_label"))).cast("long")
+        .as("n"))
+      .select(lit("duplicate_centroid_labels").as("check_name"), col("n"))
+    val codeCells = codes.select(col("cell")).distinct()
+    val missing = row("missing_cell_centroids",
+      codeCells.join(cent.select(col("label").as("cell")),
+        Seq("cell"), "left_anti"))
+    val empty = row("empty_centroids",
+      cent.select(col("label").as("cell"))
+        .join(codeCells, Seq("cell"), "left_anti"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("label"))
+    val near = codes.join(e, Seq("vec_id"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val misplaced = row("misplaced_rows",
+      near.filter(col("label") =!= col("cell")))
+    Seq(dangling, dup, empty, misplaced, missing, unindexed)
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+  }
+
+  /** DuckDB twin of [[indexIntegrity]] — re-derives the rebalanced
+    * state from lineage (cells2/cent2 of [[rebalanceServeCte]]) and
+    * runs the same six checks, same NULLS-LAST + label-tiebreak argmin.
+    */
+  private def indexIntegritySql: String =
+    s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, cc AS (
+       |  SELECT DISTINCT cell FROM cells2
+       |), np AS (
+       |  SELECT c2.vec_id, c2.cell AS stored, ct.label,
+       |    row_number() OVER (PARTITION BY c2.vec_id
+       |      ORDER BY ${l2Sql("e.embedding", "ct.cvec")} NULLS LAST,
+       |        ct.label) AS rn
+       |  FROM cells2 c2 JOIN embeddings e USING (vec_id)
+       |  CROSS JOIN cent2 ct
+       |)
+       |SELECT check_name, n FROM (
+       |  SELECT 'dangling_codes' AS check_name, CAST((
+       |    SELECT count(*) FROM cells2 c LEFT JOIN embeddings e
+       |    USING (vec_id) WHERE e.vec_id IS NULL) AS BIGINT) AS n
+       |  UNION ALL
+       |  SELECT 'unindexed_vectors', CAST((
+       |    SELECT count(*) FROM embeddings e LEFT JOIN cells2 c
+       |    USING (vec_id) WHERE c.vec_id IS NULL) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'duplicate_centroid_labels', CAST((
+       |    SELECT count(*) - count(DISTINCT label) FROM cent2)
+       |    AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'missing_cell_centroids', CAST((
+       |    SELECT count(*) FROM cc LEFT JOIN cent2 ct
+       |    ON ct.label = cc.cell WHERE ct.label IS NULL) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'empty_centroids', CAST((
+       |    SELECT count(*) FROM cent2 ct LEFT JOIN cc
+       |    ON cc.cell = ct.label WHERE cc.cell IS NULL) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'misplaced_rows', CAST((
+       |    SELECT count(*) FROM np
+       |    WHERE rn = 1 AND label <> stored) AS BIGINT)
+       |) ORDER BY check_name""".stripMargin
 
   /** the "new batch" slice of the upsert scenario (emb_ivfpq_upsert):
     * a deterministic ~10% of the corpus, the dedup_incremental_batch
