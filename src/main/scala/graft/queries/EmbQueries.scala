@@ -3185,7 +3185,23 @@ object EmbQueries {
     // cell; the argmin fold is corpus x |centroids| with the centroid
     // side a broadcast label-keyed aggregate (the ivfRanked shape).
     Q("emb_index_integrity",
-      (s, d) => indexIntegrity(s, d), Some(indexIntegritySql))
+      (s, d) => indexIntegrity(s, d), Some(indexIntegritySql)),
+
+    // RETRAIN DECISION — the procedure that consumes the fsck: a
+    // full retrain is expensive (it invalidates every cell assignment
+    // and all serving caches), so the scheduler triggers it from two
+    // integer-exact health signals of the POST-maintenance index:
+    // residual skew (a cell still over the RebalanceNum/RebalanceDen
+    // fair-share bound after splitting — splitting alone stopped
+    // containing growth) and assignment drift (>= 10% of rows no
+    // longer live in their nearest-centroid cell — the 2-seed splits
+    // have accumulated enough Voronoi error that probe-based recall
+    // is at risk). Emits the signals AND the decision, so the row is
+    // the audit log entry a scheduler writes. Same frames as
+    // emb_index_integrity / emb_cell_balance — signals can never
+    // disagree with the fsck they summarize.
+    Q("emb_retrain_decision",
+      (s, d) => retrainDecision(s, d), Some(retrainDecisionSql))
   )
 
 
@@ -3689,6 +3705,39 @@ object EmbQueries {
     * suite's BNLJ convention) AND enforces key uniqueness — the
     * duplicate check measures the raw artifact separately.
     */
+  /** nearest-centroid re-assignment of every rebalanced-index row
+    * (rn = 1 of the row x centroid argmin, NULLS LAST + label
+    * tiebreak) — shared by the fsck and the retrain decision
+    */
+  private def rebalancedNear(s: SparkSession, d: String): DataFrame = {
+    val codes = rebalanceApplied(s, d).select("vec_id", "cell")
+    val cent = s.read.parquet(s"${indexPath(d)}/centroids_reb")
+      .select(col("c_label").as("label"), col("cvec"))
+      .groupBy("label").agg(first(col("cvec")).as("cvec"))
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("label"))
+    codes.join(e, Seq("vec_id"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** the [[rebalancedNear]] DuckDB twin, composed over cells2/cent2 of
+    * [[rebalanceServeCte]] — shared by the fsck and retrain oracles
+    */
+  private def rebalancedNpCte: String =
+    s"""np AS (
+       |  SELECT c2.vec_id, c2.cell AS stored, ct.label,
+       |    row_number() OVER (PARTITION BY c2.vec_id
+       |      ORDER BY ${l2Sql("e.embedding", "ct.cvec")} NULLS LAST,
+       |        ct.label) AS rn
+       |  FROM cells2 c2 JOIN embeddings e USING (vec_id)
+       |  CROSS JOIN cent2 ct
+       |)""".stripMargin
+
   private def indexIntegrity(s: SparkSession, d: String): DataFrame = {
     val codes = rebalanceApplied(s, d).select("vec_id", "cell")
     val centRaw = s.read.parquet(s"${indexPath(d)}/centroids_reb")
@@ -3714,16 +3763,8 @@ object EmbQueries {
     val empty = row("empty_centroids",
       cent.select(col("label").as("cell"))
         .join(codeCells, Seq("cell"), "left_anti"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc_nulls_last, col("label"))
-    val near = codes.join(e, Seq("vec_id"))
-      .crossJoin(broadcast(cent))
-      .withColumn("d2",
-        graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
     val misplaced = row("misplaced_rows",
-      near.filter(col("label") =!= col("cell")))
+      rebalancedNear(s, d).filter(col("label") =!= col("cell")))
     Seq(dangling, dup, empty, misplaced, missing, unindexed)
       .reduce(_ unionByName _)
       .orderBy("check_name")
@@ -3736,14 +3777,7 @@ object EmbQueries {
   private def indexIntegritySql: String =
     s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, cc AS (
        |  SELECT DISTINCT cell FROM cells2
-       |), np AS (
-       |  SELECT c2.vec_id, c2.cell AS stored, ct.label,
-       |    row_number() OVER (PARTITION BY c2.vec_id
-       |      ORDER BY ${l2Sql("e.embedding", "ct.cvec")} NULLS LAST,
-       |        ct.label) AS rn
-       |  FROM cells2 c2 JOIN embeddings e USING (vec_id)
-       |  CROSS JOIN cent2 ct
-       |)
+       |), $rebalancedNpCte
        |SELECT check_name, n FROM (
        |  SELECT 'dangling_codes' AS check_name, CAST((
        |    SELECT count(*) FROM cells2 c LEFT JOIN embeddings e
@@ -3769,6 +3803,57 @@ object EmbQueries {
        |    SELECT count(*) FROM np
        |    WHERE rn = 1 AND label <> stored) AS BIGINT)
        |) ORDER BY check_name""".stripMargin
+
+  /** The retrain decision (emb_retrain_decision) — see the Q scaladoc.
+    * Both thresholds are integer cross-multiplications; the empty
+    * index never demands a retrain (n_rows > 0 guards the drift rate).
+    */
+  private def retrainDecision(s: SparkSession, d: String): DataFrame = {
+    val codes = rebalanceApplied(s, d).select("vec_id", "cell")
+    val st = codes.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast("long").as("n_cells"),
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("n_rows"),
+        coalesce(max(col("n")), lit(0L)).cast("long").as("max_cell_n"))
+    val mis = rebalancedNear(s, d)
+      .filter(col("label") =!= col("cell"))
+      .agg(count(lit(1)).cast("long").as("n_misplaced"))
+    val skew = lit(RebalanceDen) * col("max_cell_n") * col("n_cells") >
+      lit(RebalanceNum) * col("n_rows")
+    val drift = col("n_rows") > 0 &&
+      col("n_misplaced") * 10 >= col("n_rows")
+    st.crossJoin(broadcast(mis))
+      .select(col("n_rows"), col("n_cells"), col("max_cell_n"),
+        col("n_misplaced"),
+        skew.as("skew_over_threshold"),
+        drift.as("drift_over_threshold"),
+        (skew || drift).as("retrain_due"))
+  }
+
+  /** DuckDB twin of [[retrainDecision]] — same lineage-derived
+    * cells2/cent2 state, same integer thresholds
+    */
+  private def retrainDecisionSql: String =
+    s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, $rebalancedNpCte,
+       |sz AS (SELECT cell, count(*) AS n FROM cells2 GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(max(n), 0) AS BIGINT) AS max_cell_n
+       |  FROM sz
+       |), m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_misplaced FROM np
+       |  WHERE rn = 1 AND label <> stored
+       |)
+       |SELECT n_rows, n_cells, max_cell_n, n_misplaced,
+       |  ($RebalanceDen * max_cell_n * n_cells >
+       |    $RebalanceNum * n_rows) AS skew_over_threshold,
+       |  (n_rows > 0 AND n_misplaced * 10 >= n_rows)
+       |    AS drift_over_threshold,
+       |  (($RebalanceDen * max_cell_n * n_cells >
+       |     $RebalanceNum * n_rows)
+       |   OR (n_rows > 0 AND n_misplaced * 10 >= n_rows))
+       |    AS retrain_due
+       |FROM st CROSS JOIN m""".stripMargin
 
   /** the "new batch" slice of the upsert scenario (emb_ivfpq_upsert):
     * a deterministic ~10% of the corpus, the dedup_incremental_batch

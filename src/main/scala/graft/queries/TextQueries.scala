@@ -1206,6 +1206,65 @@ object TextQueries {
            |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep
            |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // GATE-RULE ABLATION — the measurement that tunes a filter stack:
+    // per gate rule, how many docs it flags at all (n_flagged) and how
+    // many it is the SOLE reason for rejecting (n_unique_kills =
+    // reasons == exactly that bit — the docs this rule alone costs the
+    // corpus; dropping the rule would save exactly them). A rule with
+    // high flags but near-zero unique kills is redundant with the rest
+    // of the stack; one with high unique kills carries real selective
+    // power and deserves threshold scrutiny. Reads the SAME shared
+    // gate frame as doc_quality_gate/doc_pipeline_funnel (the bits can
+    // never disagree); ONE global aggregate then a 4-row stack —
+    // corpus scanned once, output fixed at 4 rows at any scale.
+    Q(
+      "doc_gate_ablation",
+      (s, d) => {
+        def f(b: Int) = coalesce(
+          sum(when(col("reasons").bitwiseAND(lit(b)) =!= 0, 1L)), lit(0L))
+        def u(b: Int) = coalesce(
+          sum(when(col("reasons") === b, 1L)), lit(0L))
+        gateFrame(s, d)
+          .agg(f(1).as("f1"), u(1).as("u1"), f(2).as("f2"), u(2).as("u2"),
+            f(4).as("f4"), u(4).as("u4"), f(8).as("f8"), u(8).as("u8"))
+          .selectExpr(
+            """stack(4,
+              |  'length',     1, f1, u1,
+              |  'stopword',   2, f2, u2,
+              |  'repetition', 4, f4, u4,
+              |  'langid',     8, f8, u8)
+              |AS (rule, bit, n_flagged, n_unique_kills)""".stripMargin)
+          .orderBy("bit")
+      },
+      Some(
+        s"""$gateCte, a AS (
+           |  SELECT
+           |    CAST(coalesce(sum(CASE WHEN reasons & 1 <> 0 THEN 1 END),
+           |      0) AS BIGINT) AS f1,
+           |    CAST(coalesce(sum(CASE WHEN reasons = 1 THEN 1 END), 0)
+           |      AS BIGINT) AS u1,
+           |    CAST(coalesce(sum(CASE WHEN reasons & 2 <> 0 THEN 1 END),
+           |      0) AS BIGINT) AS f2,
+           |    CAST(coalesce(sum(CASE WHEN reasons = 2 THEN 1 END), 0)
+           |      AS BIGINT) AS u2,
+           |    CAST(coalesce(sum(CASE WHEN reasons & 4 <> 0 THEN 1 END),
+           |      0) AS BIGINT) AS f4,
+           |    CAST(coalesce(sum(CASE WHEN reasons = 4 THEN 1 END), 0)
+           |      AS BIGINT) AS u4,
+           |    CAST(coalesce(sum(CASE WHEN reasons & 8 <> 0 THEN 1 END),
+           |      0) AS BIGINT) AS f8,
+           |    CAST(coalesce(sum(CASE WHEN reasons = 8 THEN 1 END), 0)
+           |      AS BIGINT) AS u8
+           |  FROM g
+           |)
+           |SELECT rule, bit, n_flagged, n_unique_kills FROM (
+           |  SELECT 'length' AS rule, 1 AS bit, f1 AS n_flagged,
+           |    u1 AS n_unique_kills FROM a
+           |  UNION ALL SELECT 'stopword', 2, f2, u2 FROM a
+           |  UNION ALL SELECT 'repetition', 4, f4, u4 FROM a
+           |  UNION ALL SELECT 'langid', 8, f8, u8 FROM a
+           |) ORDER BY bit""".stripMargin)),
+
     // Per-SOURCE quality report — the "which feeds are junk" table a
     // curation pipeline reviews before renegotiating its inputs: for
     // every source, corpus share, gate pass count, and the failure
