@@ -3201,7 +3201,37 @@ object EmbQueries {
     // emb_index_integrity / emb_cell_balance — signals can never
     // disagree with the fsck they summarize.
     Q("emb_retrain_decision",
-      (s, d) => retrainDecision(s, d), Some(retrainDecisionSql))
+      (s, d) => retrainDecision(s, d), Some(retrainDecisionSql)),
+
+    // PQ CODE-USAGE HEALTH — the codebook diagnostic beside
+    // emb_pq_distortion: per subspace, how many codebook entries the
+    // corpus actually uses and how concentrated usage is (max_code_n).
+    // Dead entries waste quantization bits (the index pays for 2^b
+    // codes and uses fewer); a dominant code means the subspace
+    // carries almost no signal — both are retrain-the-codebook
+    // signals. Two-level integer aggregation: (j, cid) counts then a
+    // per-j rollup — PqSub·PqK cells max, one pass over the memoized
+    // code table, never the float corpus.
+    Q(
+      "emb_pq_code_usage",
+      (s, d) =>
+        pqCodes(s, d)
+          .groupBy("j", "cid")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("j")
+          .agg(count(lit(1)).as("n_codes_used"),
+            coalesce(sum(col("n")), lit(0L)).cast("long").as("n_rows"),
+            coalesce(max(col("n")), lit(0L)).cast("long")
+              .as("max_code_n"))
+          .orderBy("j"),
+      Some(
+        s"""WITH $pqCte, u AS (
+           |  SELECT j, cid, count(*) AS n FROM codes GROUP BY 1, 2
+           |)
+           |SELECT CAST(j AS INT) AS j, count(*) AS n_codes_used,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(max(n) AS BIGINT) AS max_code_n
+           |FROM u GROUP BY j ORDER BY j""".stripMargin))
   )
 
 

@@ -270,6 +270,59 @@ object TextQueries {
           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0)) AS n_bpe
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // TOKENIZER FERTILITY by language — subword tokens per word, the
+    // metric tokenizer evaluations report per language (a tokenizer
+    // trained on English typically shows inflated fertility on other
+    // scripts — the signal that drives vocab rebalancing). Numerators/
+    // denominators are exact integer sums over one scan (BPE-ish run
+    // count from the native kernel vs whitespace-word count, plus raw
+    // chars — chars_per_token is the compression-rate axis); each
+    // ratio is one guarded correctly-rounded division. |langs| output
+    // rows at any scale.
+    Q(
+      "doc_tokenizer_fertility",
+      (s, d) =>
+        toks(s, d)
+          .withColumn("n_bpe",
+            graft.functions.BpeRunCount.column(lower(col("text"))))
+          .withColumn("n_words", size(col("tok")))
+          .groupBy(coalesce(col("lang"), lit("")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_bpe")), lit(0L)).cast("long")
+              .as("n_bpe_tokens"),
+            coalesce(sum(col("n_words")), lit(0L)).cast("long")
+              .as("n_word_tokens"),
+            coalesce(sum(length(col("text"))), lit(0L)).cast("long")
+              .as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_bpe_tokens"),
+            col("n_word_tokens"),
+            when(col("n_word_tokens") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_bpe_tokens").cast("double") /
+                col("n_word_tokens"), 6)).as("fertility"),
+            when(col("n_bpe_tokens") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_chars").cast("double") /
+                col("n_bpe_tokens"), 6)).as("chars_per_token"))
+          .orderBy("lang"),
+      Some(
+        s"""$tokCte, g AS (
+           |  SELECT coalesce(lang, '') AS lang, count(*) AS n_docs,
+           |    CAST(coalesce(sum(len(regexp_extract_all(lower(text),
+           |      '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0))), 0) AS BIGINT)
+           |      AS n_bpe_tokens,
+           |    CAST(coalesce(sum(len(tok)), 0) AS BIGINT)
+           |      AS n_word_tokens,
+           |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars
+           |  FROM t GROUP BY 1
+           |)
+           |SELECT lang, n_docs, n_bpe_tokens, n_word_tokens,
+           |  CASE WHEN n_word_tokens = 0 THEN NULL
+           |    ELSE round(CAST(n_bpe_tokens AS DOUBLE) / n_word_tokens, 6)
+           |    END AS fertility,
+           |  CASE WHEN n_bpe_tokens = 0 THEN NULL
+           |    ELSE round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6)
+           |    END AS chars_per_token
+           |FROM g ORDER BY lang""".stripMargin)),
+
     // Corpus-wide top terms after stopword removal — the canonical
     // word-count: explode + hash agg (partial-combined) + top-k
     Q(
@@ -1205,6 +1258,41 @@ object TextQueries {
         s"""$gateCte
            |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep
            |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // LANG-ID CONFUSION MATRIX — the eval every language-identifier
+    // ships with: declared label (the `lang` column) x n-gram-heuristic
+    // prediction, with per-cell counts. Off-diagonal mass is the
+    // routing error a per-language pipeline inherits (docs filtered by
+    // the wrong language's stopword list); the 'und' column is the
+    // abstention rate. One corpus scan, partial-agg'd to
+    // |langs|·(|langs|+1) cells — fixed-size output at any scale.
+    Q(
+      "doc_lang_confusion",
+      (s, d) => {
+        val base = toks(s, d)
+          .withColumn("mc",
+            graft.functions.LangMarkerCounts.column(col("tok")))
+        val counts = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+          l -> element_at(col("mc"), i + 1)
+        }.toMap
+        base
+          .withColumn("lang_pred", langPred(counts))
+          .groupBy(coalesce(col("lang"), lit("")).as("lang"),
+            col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some {
+        val countCols = LangMarkers.map { case (l, ws) =>
+          s"${countInSql("tok", ws)} AS c_$l"
+        }.mkString(",\n    ")
+        s"""$tokCte, scored AS (
+           |  SELECT doc_id, coalesce(lang, '') AS lang,
+           |    $countCols
+           |  FROM t)
+           |SELECT lang, $langPredSql AS lang_pred, count(*) AS n
+           |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+      }),
 
     // GATE-RULE ABLATION — the measurement that tunes a filter stack:
     // per gate rule, how many docs it flags at all (n_flagged) and how
