@@ -19,7 +19,11 @@ import org.apache.spark.sql.types._
   * A 4th arg selects the channel: `ivfpq` (default) drains through
   * startServingSink; `bq` drains the same backlog through
   * startBqServingSink (the 1-bit Hamming first stage over the
-  * persisted bitsig/ artifact + exact rerank); `maintain` stages a
+  * persisted bitsig/ artifact + exact rerank); `adaptive` /
+  * `adaptive_rare` drain through startAdaptiveServingSink with the
+  * broad (~10%, pruned-scan arm) and rare (~1.4%, exact-prefilter
+  * arm) predicates — pricing both sides of the selectivity switch;
+  * `maintain` stages a
   * backlog of NEW vectors (corpus vectors under fresh ids) and drains
   * it through startAutoMaintainSink against a WORKING COPY of the
   * index — sustained upsert + skew-check + split throughput in
@@ -76,6 +80,17 @@ object AnnServingBench {
     val q = channel match {
       case "bq" => streaming.AnnServing.startBqServingSink(
         src, idx, vectorsPath, outDir, ckpt)
+      // the adaptive channels price the two arms of the
+      // selectivity switch: broad (~10%) routes every batch to the
+      // pruned filtered scan, rare (~1.4%) to exact pre-filter
+      case "adaptive" => streaming.AnnServing.startAdaptiveServingSink(
+        src, idx, vectorsPath, outDir, ckpt,
+        col("label") === queries.EmbQueries.FilteredLabel)
+      case "adaptive_rare" =>
+        streaming.AnnServing.startAdaptiveServingSink(
+          src, idx, vectorsPath, outDir, ckpt,
+          col("label") === queries.EmbQueries.FilteredLabel &&
+            col("vec_id") % 7 === 0)
       case _ => streaming.AnnServing.startServingSink(
         src, idx, vectorsPath, outDir, ckpt)
     }

@@ -815,6 +815,34 @@ object AnnServing {
     * which is what makes the same code runnable in a separate serving
     * process.
     */
+  /** the [[scoreBatchAdaptive]] sink — same wrapper shape as
+    * startServingSink; the selectivity decision re-runs per
+    * micro-batch (the index may have mutated between batches), so a
+    * long-lived serving stream follows the data across the crossover
+    */
+  def startAdaptiveServingSink(
+      stream: DataFrame,
+      indexDir: String,
+      vectorsPath: String,
+      outDir: String,
+      checkpoint: String,
+      pred: Column,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        scoreBatchAdaptive(s, indexDir, s.read.parquet(vectorsPath),
+          batch, pred, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   def startServingSink(
       stream: DataFrame,
       indexDir: String,
