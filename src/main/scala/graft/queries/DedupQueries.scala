@@ -476,7 +476,15 @@ object DedupQueries {
       |  transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
       .stripMargin
 
-  private def buildMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** one row per (canonical doc, band): the banded signature frame —
+    * the exact-dup pre-pass (canon_id = lowest doc_id per fingerprint,
+    * one window shuffle) keeps duplicate-heavy corpora from
+    * concentrating a band bucket; single source of truth for
+    * [[buildMinhashPairs]]' candidate stage and the
+    * dedup_lsh_bucket_cost diagnostic, so the cost model can never
+    * drift from the join it prices
+    */
+  private def bandsFrame(s: SparkSession, dir: String): DataFrame = {
     import graft.CacheRegistry.track
     // ONE pass over the corpus: tokenize once, emit the exact-dup
     // fingerprint AND the fused shingle+minhash signature side by side
@@ -489,13 +497,13 @@ object DedupQueries {
       .withColumn("fp", md5(coalesce(array_join(col("tok"), " "), lit(""))))
       .withColumn("mh", graft.functions.MinHashShingleSig.column(col("tok")))
       .select("doc_id", "fp", "mh"))
-    // exact-dup pre-pass from ONE window shuffle: canon_id = lowest
-    // doc_id sharing the fingerprint. LSH then runs on canonicals only,
-    // so a duplicate-heavy corpus (the very target of dedup) cannot
-    // concentrate one band bucket; identical docs pair trivially at
-    // jaccard 1.0 via the grouped expansion below.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val withCanon = sig.withColumn("canon_id", min(col("doc_id")).over(w))
+    sig.withColumn("canon_id", min(col("doc_id")).over(w))
+  }
+
+  private def buildMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.track
+    val withCanon = bandsFrame(s, dir)
     // one row per (canonical doc, band) — candidates come from grouping
     // the band key and exploding pairs out of the collected bucket,
     // keeping the candidate stage to one pass over the signature lineage
@@ -541,8 +549,8 @@ object DedupQueries {
     //     and AQE splits any skewed fp partition;
     // (2) a near-dup canonical pair expands to every cross pair of the
     //     two groups (identical content => identical jaccard).
-    val within = sig.select(col("fp"), col("doc_id").as("a_id"))
-      .join(sig.select(col("fp"), col("doc_id").as("b_id")), "fp")
+    val within = withCanon.select(col("fp"), col("doc_id").as("a_id"))
+      .join(withCanon.select(col("fp"), col("doc_id").as("b_id")), "fp")
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
     val members = withCanon.select(col("doc_id"), col("canon_id"))
@@ -573,7 +581,11 @@ object DedupQueries {
     s"(strpos('0123456789abcdef', substr($e, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
     .mkString("(", " + ", ")")
 
-  private def minhashSql: String = {
+  /** shared CTE chain through the banded signature frame (`bands`) —
+    * the SQL twin of [[bandsFrame]] + the per-band key derivation;
+    * consumed by [[minhashSql]] and the dedup_lsh_bucket_cost oracle
+    */
+  private def minhashBandsCte: String = {
     val hashes = (0 until NumHashes).map(i =>
       s"list_aggregate(list_transform(sv, v -> (v * ${aCoef(i)} + ${bCoef(i)}) % $P), 'min') AS h$i")
       .mkString(",\n    ")
@@ -582,7 +594,7 @@ object DedupQueries {
         .map(r => s"h${b * RowsPerBand + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS bk FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH cleaned AS (
+    s"""cleaned AS (
        |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
        |), toksrc AS (
        |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
@@ -607,7 +619,11 @@ object DedupQueries {
        |  FROM sval
        |), bands AS (
        |  $bandSelects
-       |), bsz AS (
+       |)""".stripMargin
+  }
+
+  private def minhashSql: String = {
+    s"""WITH $minhashBandsCte, bsz AS (
        |  SELECT band, bk, count(*) AS n FROM bands GROUP BY 1, 2
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -874,6 +890,63 @@ object DedupQueries {
 
     // MinHash + LSH banding near-dup pairs, exact-Jaccard verified
     Q("dedup_minhash_pairs", (s, d) => minhashPairs(s, d), Some(minhashSql)),
+
+    // LSH BUCKET COST MODEL — the per-band price sheet of the banded
+    // candidate join: Σ C(n,2) over buckets IS exactly the pair volume
+    // the join emits per band (the number Bands/RowsPerBand are tuned
+    // against), max_bucket is the skew hotspot a boilerplate-heavy
+    // corpus concentrates, and the dropped_* columns meter the
+    // MaxBucket discriminating-power guard. Shares [[bandsFrame]] with
+    // the candidate join itself, so the model can never drift from the
+    // join it prices. Two partial-agg'd reductions: (band, bk) counts
+    // then a |Bands|-row rollup — all integer, corpus scanned once.
+    Q(
+      "dedup_lsh_bucket_cost",
+      (s, d) => {
+        val withCanon = bandsFrame(s, d)
+        val bands = withCanon.filter(col("doc_id") === col("canon_id"))
+          .select(col("doc_id") +: (0 until NumHashes).map(minhash): _*)
+          .select(col("doc_id"),
+            posexplode(array((0 until Bands).map(bandKey): _*))
+              .as(Seq("band", "bk")))
+        val pairsOf = expr("(n * (n - 1)) div 2")
+        val kept = col("n") > 1 && col("n") <= MaxBucket
+        bands.groupBy("band", "bk").agg(count(lit(1)).as("n"))
+          .groupBy("band")
+          .agg(
+            sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long")
+              .as("n_singletons"),
+            sum(when(kept, 1L).otherwise(0L)).cast("long")
+              .as("n_buckets"),
+            coalesce(max(col("n")), lit(0L)).cast("long")
+              .as("max_bucket"),
+            sum(when(kept, pairsOf).otherwise(0L)).cast("long")
+              .as("n_candidate_pairs"),
+            sum(when(col("n") > MaxBucket, 1L).otherwise(0L))
+              .cast("long").as("n_dropped_buckets"),
+            sum(when(col("n") > MaxBucket, pairsOf).otherwise(0L))
+              .cast("long").as("n_dropped_pairs"))
+          .orderBy("band")
+      },
+      Some(
+        s"""WITH $minhashBandsCte, bsz AS (
+           |  SELECT band, bk, count(*) AS n FROM bands GROUP BY 1, 2
+           |)
+           |SELECT CAST(band AS INT) AS band,
+           |  CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0)
+           |    AS BIGINT) AS n_singletons,
+           |  CAST(coalesce(sum(CASE WHEN n > 1 AND n <= $MaxBucket
+           |    THEN 1 END), 0) AS BIGINT) AS n_buckets,
+           |  CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket,
+           |  CAST(coalesce(sum(CASE WHEN n > 1 AND n <= $MaxBucket
+           |    THEN (n * (n - 1)) // 2 END), 0) AS BIGINT)
+           |    AS n_candidate_pairs,
+           |  CAST(coalesce(sum(CASE WHEN n > $MaxBucket THEN 1 END), 0)
+           |    AS BIGINT) AS n_dropped_buckets,
+           |  CAST(coalesce(sum(CASE WHEN n > $MaxBucket
+           |    THEN (n * (n - 1)) // 2 END), 0) AS BIGINT)
+           |    AS n_dropped_pairs
+           |FROM bsz GROUP BY band ORDER BY band""".stripMargin)),
 
     // The dedup RESOLUTION step: corpus size, detected dupes (pair
     // b-sides), and the surviving document count after keep-lowest-id
