@@ -1840,6 +1840,74 @@ object EventQueries {
           |FROM ids GROUP BY user_id, sid
           |ORDER BY user_id, session_start_s""".stripMargin)),
 
+    // SESSION-TIMEOUT CALIBRATION SWEEP — the curve behind the 30-minute
+    // constant ev_sessionize hard-codes: for each candidate gap (5 min /
+    // 30 min / 60 min), the session count, and events-per-session the
+    // corpus would yield. n_sessions(gap) = Σ_user (first event + gaps
+    // strictly over the threshold) — the same strict-> convention
+    // session_window's merge behavior forces on the oracle above, in
+    // exact integer microseconds. ONE per-user lag window pass computes
+    // the deltas; every gap is then just a predicate over the same
+    // delta column inside ONE global aggregate (never a per-gap
+    // re-scan), stacked to 3 rows.
+    Q(
+      "ev_session_gap_sweep",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val d0 = ev(s, d)
+          .withColumn("cur_us", expr("unix_micros(ts)"))
+          .withColumn("prev_us", lag(col("cur_us"), 1).over(w))
+        def starts(gapS: Long) =
+          sum(when(col("prev_us").isNull ||
+            col("cur_us") - col("prev_us") > gapS * 1000000L, 1L)
+            .otherwise(0L)).cast("long")
+        d0.agg(count(lit(1)).cast("long").as("n_events"),
+          starts(300L).as("s0"), starts(1800L).as("s1"),
+          starts(3600L).as("s2"))
+          .selectExpr(
+            """stack(3,
+              |  300,  s0, n_events,
+              |  1800, s1, n_events,
+              |  3600, s2, n_events)
+              |AS (gap_s, n_sessions, n_events)""".stripMargin)
+          .select(col("gap_s"), col("n_sessions"), col("n_events"),
+            when(col("n_sessions") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_events").cast("double") /
+                col("n_sessions"), 6)).as("events_per_session"))
+          .orderBy("gap_s")
+      },
+      Some(
+        """WITH ev_us AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+          |), o AS (
+          |  SELECT user_id, us,
+          |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+          |      AS prev_us
+          |  FROM ev_us
+          |), a AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_events,
+          |    CAST(coalesce(sum(CASE WHEN prev_us IS NULL
+          |      OR us - prev_us > 300000000 THEN 1 END), 0) AS BIGINT)
+          |      AS s0,
+          |    CAST(coalesce(sum(CASE WHEN prev_us IS NULL
+          |      OR us - prev_us > 1800000000 THEN 1 END), 0) AS BIGINT)
+          |      AS s1,
+          |    CAST(coalesce(sum(CASE WHEN prev_us IS NULL
+          |      OR us - prev_us > 3600000000 THEN 1 END), 0) AS BIGINT)
+          |      AS s2
+          |  FROM o
+          |)
+          |SELECT CAST(gap_s AS INT) AS gap_s, n_sessions, n_events,
+          |  CASE WHEN n_sessions = 0 THEN NULL
+          |    ELSE round(CAST(n_events AS DOUBLE) / n_sessions, 6) END
+          |    AS events_per_session
+          |FROM (
+          |  SELECT 300 AS gap_s, s0 AS n_sessions, n_events FROM a
+          |  UNION ALL SELECT 1800, s1, n_events FROM a
+          |  UNION ALL SELECT 3600, s2, n_events FROM a)
+          |ORDER BY gap_s""".stripMargin)),
+
     // First-order Markov transition matrix over per-user event sequences
     // — the user-journey summary behind "what do users do after a
     // click?". lead() within the user_id partition (one shuffle, the
