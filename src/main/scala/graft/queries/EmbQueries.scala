@@ -3165,6 +3165,102 @@ object EmbQueries {
     Q("emb_filtered_adaptive",
       (s, d) => filteredAdaptive(s, d), Some(filteredAdaptiveSql)),
 
+    // SHORTLIST-DEPTH SWEEP — the second IVF+PQ serving knob beside
+    // nprobe (emb_nprobe_autotune): how recall@5 responds to the ADC
+    // shortlist budget (the rerank's true-vector fetch count, the
+    // knob that prices the rerank stage). The ADC-scored probed frame
+    // is computed ONCE and persisted; each sweep point is a bounded
+    // TakeOrdered cut + 5-row rerank + semi-join — never a re-scan and
+    // never a global window over the scored frame. Together with the
+    // nprobe sweep this spans the full (nprobe, shortN) operating
+    // grid an index operator tunes.
+    Q(
+      "emb_shortn_sweep",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = emb(s, d)
+        val ranked = ivfRanked(s, d)
+        val cells = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("cell"))
+        val qCells = broadcast(ranked
+          .filter(col("vec_id") === 0 && col("rn") <= 2)
+          .select(col("c_label").as("cell")))
+        val probedIds = cells.join(qCells, "cell")
+          .filter(col("vec_id") =!= 0).select("vec_id")
+        val adcScored = graft.CacheRegistry.track(s,
+          pqCodes(s, d)
+            .join(probedIds, Seq("vec_id"), "left_semi")
+            .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
+            .groupBy("vec_id")
+            .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+              .as("pq_d2")))
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val exact5 = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("es"))
+          .orderBy(col("es").desc, col("vec_id")).limit(5)
+          .select("vec_id")
+        Seq(5, 10, 20).map { n =>
+          val short = adcScored
+            .orderBy(col("pq_d2"), col("vec_id")).limit(n)
+          val top5 = e.join(broadcast(short), "vec_id")
+            .crossJoin(qv)
+            .select(col("vec_id"),
+              round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+            .orderBy(col("sim").desc, col("vec_id")).limit(5)
+            .select("vec_id")
+          top5.join(exact5, Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(n).as("short_n"), col("n_hits"),
+              (col("n_hits") * 20).as("recall_pct"))
+        }.reduce(_ unionByName _).orderBy("short_n")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $pqCte, qcells AS (
+           |  SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+           |), qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), sc AS (
+           |  SELECT k.vec_id,
+           |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+           |  FROM codes k
+           |  JOIN cells cl ON cl.vec_id = k.vec_id
+           |  JOIN qcells qc ON qc.cell = cl.cell
+           |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
+           |  WHERE k.vec_id <> 0
+           |  GROUP BY k.vec_id
+           |), sr AS (
+           |  SELECT vec_id,
+           |    row_number() OVER (ORDER BY pq_d2, vec_id) AS r
+           |  FROM sc
+           |), ns AS (
+           |  SELECT unnest([5, 10, 20]) AS short_n
+           |), rr AS (
+           |  SELECT n.short_n, e.vec_id,
+           |    row_number() OVER (PARTITION BY n.short_n
+           |      ORDER BY ${cosSql("e.embedding", "qv.qv")} DESC,
+           |        e.vec_id) AS rk
+           |  FROM ns n
+           |  JOIN sr ON sr.r <= n.short_n
+           |  JOIN embeddings e ON e.vec_id = sr.vec_id
+           |  CROSS JOIN qv
+           |), exact5 AS (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id, ${cosSql("e.embedding", "qv.qv")} AS es
+           |    FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+           |    ORDER BY es DESC, e.vec_id LIMIT 5)
+           |), h AS (
+           |  SELECT t5.short_n, t5.vec_id
+           |  FROM (SELECT short_n, vec_id FROM rr WHERE rk <= 5) t5
+           |  JOIN exact5 USING (vec_id)
+           |)
+           |SELECT CAST(n.short_n AS INT) AS short_n,
+           |  CAST(count(h.vec_id) AS BIGINT) AS n_hits,
+           |  CAST(count(h.vec_id) * 20 AS BIGINT) AS recall_pct
+           |FROM ns n LEFT JOIN h ON h.short_n = n.short_n
+           |GROUP BY n.short_n ORDER BY short_n""".stripMargin)),
+
     // INDEX INTEGRITY FSCK — the consistency audit an index operator
     // schedules against the POST-MAINTENANCE artifacts (here the
     // rebalanced codes_reb/centroids_reb pair, the index whose
