@@ -1037,6 +1037,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(soft.forall(_._1 % 10 != 7), "a tombstoned id surfaced")
   }
 
+  test("adaptive serving SINK drains a staged backlog checkpoint-correctly") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val vectorsPath = s"$dir/embeddings.parquet"
+    val emb = spark.read.parquet(vectorsPath)
+    def vecJson(qid: Long): String = {
+      val v = emb.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      s"""{"qid":$qid,"qvec":[${v.mkString(",")}]}"""
+    }
+    val in = tmp("adapt_in")
+    Files.write(java.nio.file.Paths.get(in, "q0.json"),
+      (vecJson(0L) + "\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(in, "q7.json"),
+      (vecJson(7L) + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("qvec", ArrayType(DoubleType))))
+    val out = tmp("adapt_out")
+    val lbl = queries.EmbQueries.FilteredLabel
+    val q = graft.streaming.AnnServing.startAdaptiveServingSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in),
+      idx, vectorsPath, out, tmp("adapt_ckpt"),
+      col("label") === lbl)
+    assert(q.awaitTermination(120000))
+    val res = spark.read.parquet(out)
+    // both files drained as separate micro-batches, both arms labeled
+    assert(res.select("batch_id").distinct().count() == 2)
+    assert(res.select("strategy").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("pruned_scan"))
+    // qid 0's rows == the one-shot scoreBatchAdaptive answer
+    val direct = graft.streaming.AnnServing
+      .scoreBatchAdaptive(spark, idx, emb,
+        emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        col("label") === lbl)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val sunk0 = res.filter(col("qid") === 0).orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(sunk0 == direct, s"sink=$sunk0 direct=$direct")
+  }
+
   test("adaptive streaming ANN matches the batch adaptive query, both arms") {
     val dir = "/root/testdata/sf0.001"
     val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
