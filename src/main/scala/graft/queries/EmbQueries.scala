@@ -3261,6 +3261,111 @@ object EmbQueries {
            |FROM ns n LEFT JOIN h ON h.short_n = n.short_n
            |GROUP BY n.short_n ORDER BY short_n""".stripMargin)),
 
+    // OPERATING GRID — the (nprobe x shortN) interaction the two axis
+    // sweeps cannot show alone: emb_nprobe_autotune finds recall
+    // climbing with probe depth and emb_shortn_sweep finds it flat in
+    // rerank budget AT nprobe=2 — this grid answers whether the budget
+    // starts binding once deeper probes supply more candidates (the
+    // question an operator actually asks before raising either knob;
+    // both cost money at 100 TB — probes scan more cells, budget
+    // fetches more true vectors). One persisted (qrn, vec_id, pq_d2)
+    // ADC frame over the 3-deep probed cells; each of the 9 grid
+    // points is a bounded filter + TakeOrdered + 5-row rerank +
+    // semi-join — never a re-scan, never a global window.
+    Q(
+      "emb_operating_grid",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = emb(s, d)
+        val ranked = ivfRanked(s, d)
+        val cells = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("cell"))
+        val qRank = broadcast(ranked
+          .filter(col("vec_id") === 0 && col("rn") <= 3)
+          .select(col("c_label").as("cell"), col("rn").as("qrn")))
+        val adcScored = graft.CacheRegistry.track(s,
+          pqCodes(s, d)
+            .join(cells.join(qRank, "cell")
+              .filter(col("vec_id") =!= 0)
+              .select("vec_id", "qrn"), "vec_id")
+            .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
+            .groupBy("vec_id", "qrn")
+            .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+              .as("pq_d2")))
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val exact5 = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("es"))
+          .orderBy(col("es").desc, col("vec_id")).limit(5)
+          .select("vec_id")
+        (for { p <- Seq(1, 2, 3); n <- Seq(5, 10, 20) } yield {
+          val short = adcScored.filter(col("qrn") <= p)
+            .orderBy(col("pq_d2"), col("vec_id")).limit(n)
+          val top5 = e.join(broadcast(short.select("vec_id")), "vec_id")
+            .crossJoin(qv)
+            .select(col("vec_id"),
+              round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+            .orderBy(col("sim").desc, col("vec_id")).limit(5)
+            .select("vec_id")
+          top5.join(exact5, Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(p).as("nprobe"), lit(n).as("short_n"),
+              col("n_hits"), (col("n_hits") * 20).as("recall_pct"))
+        }).reduce(_ unionByName _).orderBy("nprobe", "short_n")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $pqCte, qrank AS (
+           |  SELECT label AS cell, rn AS qrn FROM ranked
+           |  WHERE vec_id = 0 AND rn <= 3
+           |), qv AS (
+           |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+           |), sc AS (
+           |  SELECT k.vec_id, q.qrn,
+           |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+           |  FROM codes k
+           |  JOIN cells cl ON cl.vec_id = k.vec_id
+           |  JOIN qrank q ON q.cell = cl.cell
+           |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
+           |  WHERE k.vec_id <> 0
+           |  GROUP BY k.vec_id, q.qrn
+           |), grid AS (
+           |  SELECT p.nprobe, n.short_n
+           |  FROM (SELECT unnest([1, 2, 3]) AS nprobe) p
+           |  CROSS JOIN (SELECT unnest([5, 10, 20]) AS short_n) n
+           |), sr AS (
+           |  SELECT g.nprobe, g.short_n, s.vec_id,
+           |    row_number() OVER (PARTITION BY g.nprobe, g.short_n
+           |      ORDER BY s.pq_d2, s.vec_id) AS r
+           |  FROM grid g JOIN sc s ON s.qrn <= g.nprobe
+           |), rr AS (
+           |  SELECT t.nprobe, t.short_n, e.vec_id,
+           |    row_number() OVER (PARTITION BY t.nprobe, t.short_n
+           |      ORDER BY ${cosSql("e.embedding", "qv.qv")} DESC,
+           |        e.vec_id) AS rk
+           |  FROM sr t
+           |  JOIN embeddings e ON e.vec_id = t.vec_id
+           |  CROSS JOIN qv
+           |  WHERE t.r <= t.short_n
+           |), exact5 AS (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id, ${cosSql("e.embedding", "qv.qv")} AS es
+           |    FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+           |    ORDER BY es DESC, e.vec_id LIMIT 5)
+           |), h AS (
+           |  SELECT t5.nprobe, t5.short_n
+           |  FROM (SELECT nprobe, short_n, vec_id FROM rr WHERE rk <= 5) t5
+           |  JOIN exact5 USING (vec_id)
+           |)
+           |SELECT CAST(g.nprobe AS INT) AS nprobe,
+           |  CAST(g.short_n AS INT) AS short_n,
+           |  CAST(count(h.nprobe) AS BIGINT) AS n_hits,
+           |  CAST(count(h.nprobe) * 20 AS BIGINT) AS recall_pct
+           |FROM grid g LEFT JOIN h
+           |  ON h.nprobe = g.nprobe AND h.short_n = g.short_n
+           |GROUP BY g.nprobe, g.short_n
+           |ORDER BY nprobe, short_n""".stripMargin)),
+
     // INDEX INTEGRITY FSCK — the consistency audit an index operator
     // schedules against the POST-MAINTENANCE artifacts (here the
     // rebalanced codes_reb/centroids_reb pair, the index whose
