@@ -622,6 +622,29 @@ object DedupQueries {
        |)""".stripMargin
   }
 
+  /** shared CC oracle chain (pairs -> undirected edges -> recursive
+    * reachability -> (doc_id, cluster_id)); callers prepend
+    * `WITH RECURSIVE` — consumed by dedup_savings_report and
+    * dedup_removed_by_source so the per-source decomposition can never
+    * disagree with the corpus totals
+    */
+  private def ccCompCte: String =
+    s"""pairs AS (
+       |  $minhashSql
+       |), edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT u AS id FROM edges
+       |), reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+       |), comp AS (
+       |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+       |)""".stripMargin
+
   private def minhashSql: String = {
     s"""WITH $minhashBandsCte, bsz AS (
        |  SELECT band, bk, count(*) AS n FROM bands GROUP BY 1, 2
@@ -2064,21 +2087,7 @@ object DedupQueries {
         tot.crossJoin(dup).crossJoin(rem)
       },
       Some(
-        s"""WITH RECURSIVE pairs AS (
-           |  $minhashSql
-           |), edges AS (
-           |  SELECT a_id AS u, b_id AS v FROM pairs
-           |  UNION
-           |  SELECT b_id, a_id FROM pairs
-           |), nodes AS (
-           |  SELECT DISTINCT u AS id FROM edges
-           |), reach(id, lab) AS (
-           |  SELECT id, id FROM nodes
-           |  UNION
-           |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
-           |), comp AS (
-           |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
-           |), mem AS (
+        s"""WITH RECURSIVE $ccCompCte, mem AS (
            |  SELECT c.doc_id, c.cluster_id, d.n_chars
            |  FROM comp c JOIN documents d USING (doc_id)
            |), rm AS (
@@ -2096,6 +2105,64 @@ object DedupQueries {
            |  (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM rm)
            |    AS chars_removable""".stripMargin))
     ,
+
+    // DEDUP IMPACT BY SOURCE — which feed loses the most content to
+    // near-dup canonicalization (the follow-up question
+    // dedup_savings_report's corpus totals raise, and the other half
+    // of dedup_source_matrix's who-mirrors-whom view): per source, the
+    // docs and chars that a keep-lowest-id policy removes. Reads the
+    // SAME memoized ccLabels lineage as the report and the cluster
+    // queries — the per-source decomposition can never disagree with
+    // the corpus totals. One window over cluster members (cluster-
+    // bounded), one broadcast-joinable removed-id set, one
+    // partial-agg'd group-by; |sources| output rows.
+    Q(
+      "dedup_removed_by_source",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+        val rm = ccLabels(s, d)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .withColumn("keep_id", min(col("doc_id")).over(w))
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select(col("doc_id"), lit(1L).as("removed"))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            coalesce(col("source"), lit("")).as("source"),
+            col("n_chars"))
+          .join(rm, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("removed")), lit(0L)).cast("long")
+              .as("n_removed"),
+            coalesce(sum(when(col("removed").isNotNull,
+              col("n_chars"))), lit(0L)).cast("long")
+              .as("chars_removed"))
+          .select(col("source"), col("n_docs"), col("n_removed"),
+            col("chars_removed"),
+            round(col("n_removed").cast("double") / col("n_docs"), 6)
+              .as("removed_ratio"))
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH RECURSIVE $ccCompCte, rm AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      min(doc_id) OVER (PARTITION BY cluster_id) AS keep_id
+           |    FROM comp)
+           |  WHERE doc_id <> keep_id
+           |)
+           |SELECT coalesce(d.source, '') AS source,
+           |  count(*) AS n_docs,
+           |  CAST(coalesce(sum(CASE WHEN rm.doc_id IS NOT NULL
+           |    THEN 1 END), 0) AS BIGINT) AS n_removed,
+           |  CAST(coalesce(sum(CASE WHEN rm.doc_id IS NOT NULL
+           |    THEN d.n_chars END), 0) AS BIGINT) AS chars_removed,
+           |  round(CAST(coalesce(sum(CASE WHEN rm.doc_id IS NOT NULL
+           |    THEN 1 END), 0) AS DOUBLE) / count(*), 6)
+           |    AS removed_ratio
+           |FROM documents d LEFT JOIN rm USING (doc_id)
+           |GROUP BY 1 ORDER BY source""".stripMargin)),
 
     // Fuzzy (edit-distance) near-dup pairs — the character-level
     // complement of the token-level MinHash/SimHash channels: catches

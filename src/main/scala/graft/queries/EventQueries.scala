@@ -1840,6 +1840,58 @@ object EventQueries {
           |FROM ids GROUP BY user_id, sid
           |ORDER BY user_id, session_start_s""".stripMargin)),
 
+    // DAU/WAU STICKINESS — the engagement ratio product analytics
+    // tracks daily (what share of the weekly audience shows up on a
+    // given day). Exact, and shaped for scale WITHOUT a rolling
+    // window over the corpus: the corpus reduces once to distinct
+    // (epoch-day, user) pairs; each pair then contributes to the 7
+    // trailing days it keeps the user "weekly-active" for via a
+    // 7-element sequence explode (an EQUI-shuffle on day — never a
+    // range self-join, never a global window); the inner join back to
+    // observed days drops the ghost days past the data's edge. Day is
+    // the integer epoch-day (ev_new_users_curve's convention), immune
+    // to date/tz divergence.
+    Q(
+      "ev_stickiness",
+      (s, d) => {
+        val du = ev(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(expr("CAST(ts AS LONG) div 86400").as("day"),
+            col("user_id"))
+          .distinct()
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(sequence(col("day"), col("day") + 6))
+            .as("day"), col("user_id"))
+          .groupBy("day")
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 6)
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH du AS (
+          |  SELECT DISTINCT
+          |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+          |    user_id
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |), dau AS (
+          |  SELECT day, count(*) AS dau FROM du GROUP BY 1
+          |), contrib AS (
+          |  SELECT du.day + i AS day, du.user_id
+          |  FROM du CROSS JOIN range(0, 7) r(i)
+          |), wau AS (
+          |  SELECT day, count(DISTINCT user_id) AS wau
+          |  FROM contrib GROUP BY 1
+          |)
+          |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+          |  CAST(wau.wau AS BIGINT) AS wau,
+          |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+          |FROM dau JOIN wau USING (day)
+          |ORDER BY day""".stripMargin)),
+
     // SESSION-TIMEOUT CALIBRATION SWEEP — the curve behind the 30-minute
     // constant ev_sessionize hard-codes: for each candidate gap (5 min /
     // 30 min / 60 min), the session count, and events-per-session the
