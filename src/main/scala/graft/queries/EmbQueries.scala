@@ -3261,6 +3261,113 @@ object EmbQueries {
            |FROM ns n LEFT JOIN h ON h.short_n = n.short_n
            |GROUP BY n.short_n ORDER BY short_n""".stripMargin)),
 
+    // RECALL FAIRNESS BY SLICE — does the IVF index serve every
+    // metadata slice equally? A coarse quantizer trained on the whole
+    // corpus can under-serve minority regions (their vectors share
+    // cells with a dominant neighborhood, so a fixed probe depth
+    // recovers fewer of their true neighbors) — the retrieval-equity
+    // audit a production search team runs per segment. Reuses the
+    // autotune's 8-anchor machinery at the serving operating point
+    // (nprobe = 2): per ANCHOR LABEL, pooled hits vs ground truth.
+    // Same one-scan candidate frame + one |sample|·|corpus| exact
+    // pass; output is |anchor labels| rows.
+    Q(
+      "emb_recall_by_label",
+      (s, d) => {
+        val e = emb(s, d)
+        val ranked = ivfRanked(s, d)
+        val cells = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("cell"))
+        val anchors = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("a_id"),
+            coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
+            col("embedding").as("av")))
+        val aRank = broadcast(ranked
+          .filter(col("vec_id") < 8 && col("rn") <= 2)
+          .select(col("vec_id").as("a_id"), col("c_label").as("cell")))
+        val wP = Window.partitionBy("a_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val top5 = e.join(cells, "vec_id")
+          .join(aRank, "cell")
+          .join(anchors, "a_id")
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("a_label"), col("vec_id"),
+            round(cosine(col("embedding"), col("av")), 6).as("sim"))
+          .filter(col("sim").isNotNull)
+          .withColumn("r", row_number().over(wP))
+          .filter(col("r") <= 5)
+          .select("a_id", "a_label", "vec_id")
+        val wE = Window.partitionBy("a_id")
+          .orderBy(col("es").desc, col("vec_id"))
+        val exact5 = e.crossJoin(anchors)
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("a_label"), col("vec_id"),
+            round(cosine(col("embedding"), col("av")), 6).as("es"))
+          .filter(col("es").isNotNull)
+          .withColumn("r", row_number().over(wE))
+          .filter(col("r") <= 5)
+          .select("a_id", "a_label", "vec_id")
+        val hits = top5.join(exact5, Seq("a_id", "vec_id"), "left_semi")
+          .groupBy("a_label").agg(count(lit(1)).as("n_hits"))
+        exact5.groupBy("a_label")
+          .agg(count(lit(1)).as("n_truth"),
+            countDistinct(col("a_id")).as("n_anchors"))
+          .join(hits, Seq("a_label"), "left")
+          .select(col("a_label"), col("n_anchors"), col("n_truth"),
+            coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_truth"), 6).as("recall_at_5"))
+          .orderBy("a_label")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, anch AS (
+           |  SELECT vec_id AS a_id,
+           |    coalesce(CAST(label AS INT), -2) AS a_label,
+           |    embedding AS av
+           |  FROM embeddings WHERE vec_id < 8
+           |), arank AS (
+           |  SELECT vec_id AS a_id, label AS cell
+           |  FROM ranked WHERE vec_id < 8 AND rn <= 2
+           |), sims0 AS (
+           |  SELECT ar.a_id, a.a_label, e.vec_id,
+           |    ${cosSql("e.embedding", "a.av")} AS sim
+           |  FROM embeddings e
+           |  JOIN cells c ON c.vec_id = e.vec_id
+           |  JOIN arank ar ON ar.cell = c.cell
+           |  JOIN anch a ON a.a_id = ar.a_id
+           |  WHERE e.vec_id <> ar.a_id
+           |), t5 AS (
+           |  SELECT a_id, a_label, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY sim DESC, vec_id) AS r
+           |    FROM sims0 WHERE sim IS NOT NULL) WHERE r <= 5
+           |), ex0 AS (
+           |  SELECT a.a_id, a.a_label, e.vec_id,
+           |    ${cosSql("e.embedding", "a.av")} AS es
+           |  FROM embeddings e CROSS JOIN anch a
+           |  WHERE e.vec_id <> a.a_id
+           |), e5 AS (
+           |  SELECT a_id, a_label, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY es DESC, vec_id) AS r
+           |    FROM ex0 WHERE es IS NOT NULL) WHERE r <= 5
+           |), hits AS (
+           |  SELECT t5.a_label, count(*) AS n_hits
+           |  FROM t5 JOIN e5 USING (a_id, vec_id) GROUP BY 1
+           |), truth AS (
+           |  SELECT a_label, count(*) AS n_truth,
+           |    count(DISTINCT a_id) AS n_anchors
+           |  FROM e5 GROUP BY 1
+           |)
+           |SELECT t.a_label,
+           |  CAST(t.n_anchors AS BIGINT) AS n_anchors,
+           |  CAST(t.n_truth AS BIGINT) AS n_truth,
+           |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_truth, 6)
+           |    AS recall_at_5
+           |FROM truth t LEFT JOIN hits h USING (a_label)
+           |ORDER BY a_label""".stripMargin)),
+
     // OPERATING GRID — the (nprobe x shortN) interaction the two axis
     // sweeps cannot show alone: emb_nprobe_autotune finds recall
     // climbing with probe depth and emb_shortn_sweep finds it flat in

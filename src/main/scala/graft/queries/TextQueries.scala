@@ -1259,6 +1259,46 @@ object TextQueries {
            |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep
            |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // GATE LENGTH-BIAS AUDIT — "is my quality filter secretly a length
+    // filter?": per fixed 10-token length bucket, the gate pass rate
+    // and which reason bits fire. A filter whose pass rate is flat in
+    // length (outside the explicit length rule's own band) measures
+    // quality; one whose pass rate tracks length is laundering a
+    // length prior through the other rules — the bias audit run before
+    // trusting a filter's survivors as "high quality". Fixed integer
+    // bucket edges (n_tokens div 10), NOT ntile — no global window, a
+    // plain partial-agg'd group-by, bucket-count output at any scale.
+    Q(
+      "doc_gate_length_bias",
+      (s, d) =>
+        gateFrame(s, d)
+          .withColumn("bucket", expr("n_tokens div 10"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("reasons") === 0, 1L).otherwise(0L))
+              .cast("long").as("n_pass"),
+            sum(when(col("reasons").bitwiseAND(lit(1)) =!= 0, 1L)
+              .otherwise(0L)).cast("long").as("n_len_flag"),
+            sum(when(col("reasons").bitwiseAND(lit(14)) =!= 0, 1L)
+              .otherwise(0L)).cast("long").as("n_other_flag"))
+          .select(col("bucket"), col("n_docs"), col("n_pass"),
+            col("n_len_flag"), col("n_other_flag"),
+            round(col("n_pass").cast("double") / col("n_docs"), 6)
+              .as("pass_ratio"))
+          .orderBy("bucket"),
+      Some(
+        s"""$gateCte
+           |SELECT n_tokens // 10 AS bucket, count(*) AS n_docs,
+           |  CAST(coalesce(sum(CASE WHEN reasons = 0 THEN 1 END), 0)
+           |    AS BIGINT) AS n_pass,
+           |  CAST(coalesce(sum(CASE WHEN reasons & 1 <> 0 THEN 1 END),
+           |    0) AS BIGINT) AS n_len_flag,
+           |  CAST(coalesce(sum(CASE WHEN reasons & 14 <> 0 THEN 1 END),
+           |    0) AS BIGINT) AS n_other_flag,
+           |  round(CAST(coalesce(sum(CASE WHEN reasons = 0 THEN 1 END),
+           |    0) AS DOUBLE) / count(*), 6) AS pass_ratio
+           |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // LANG-ID CONFUSION MATRIX — the eval every language-identifier
     // ships with: declared label (the `lang` column) x n-gram-heuristic
     // prediction, with per-cell counts. Off-diagonal mass is the
