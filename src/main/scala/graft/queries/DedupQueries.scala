@@ -2106,6 +2106,34 @@ object DedupQueries {
            |    AS chars_removable""".stripMargin))
     ,
 
+    // DUP-CLUSTER SIZE HISTOGRAM — the degree profile of the duplicate
+    // graph: per power-of-two size band (dyadic bin-length bucket),
+    // how many clusters and how many member docs. The number that
+    // distinguishes a healthy corpus (mass in the 2–3 band) from one
+    // with a boilerplate MEGA-cluster (a populated high band — the
+    // workload that quadratic pair expansion dies on and the star-edge
+    // representation exists for). dedup_cc_clusters lists the clusters
+    // themselves (corpus-sized at 100 TB); this is its bounded
+    // ≤64-row summary — the dashboard number. Same memoized ccLabels
+    // lineage; one cluster-keyed count, one bucket rollup.
+    Q(
+      "dedup_cluster_size_hist",
+      (s, d) =>
+        ccLabels(s, d)
+          .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+          .withColumn("bucket", (length(bin(col("n"))) - 1).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("n")).cast("long").as("n_docs"))
+          .orderBy("bucket"),
+      Some(
+        s"""WITH RECURSIVE $ccCompCte, sz AS (
+           |  SELECT cluster_id, count(*) AS n FROM comp GROUP BY 1
+           |)
+           |SELECT CAST(length(bin(n)) - 1 AS INT) AS bucket,
+           |  count(*) AS n_clusters, CAST(sum(n) AS BIGINT) AS n_docs
+           |FROM sz GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // DEDUP IMPACT BY SOURCE — which feed loses the most content to
     // near-dup canonicalization (the follow-up question
     // dedup_savings_report's corpus totals raise, and the other half

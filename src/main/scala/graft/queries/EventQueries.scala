@@ -1840,6 +1840,53 @@ object EventQueries {
           |FROM ids GROUP BY user_id, sid
           |ORDER BY user_id, session_start_s""".stripMargin)),
 
+    // USER-ACTIVITY CONCENTRATION — the Pareto profile behind every
+    // per-user partitioning decision (and the skew forecast for
+    // user-keyed shuffles): per power-of-two activity band
+    // (bucket = ⌊log2 events⌋ via the dyadic bin-length trick — pure
+    // integer, no float log), how many users sit there and what share
+    // of ALL events they carry. A heavy top band is the advance
+    // warning for the salting/AQE-skew machinery ev_salted_agg and
+    // ev_skew_split_join exercise. One partial-agg'd per-user count,
+    // then a ≤64-bucket rollup crossed with the 1-row total.
+    Q(
+      "ev_user_activity_pareto",
+      (s, d) => {
+        val perUser = ev(s, d)
+          .filter(col("user_id").isNotNull)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        val tot = perUser.agg(
+          coalesce(sum(col("n")), lit(0L)).cast("long").as("total"))
+        perUser
+          .withColumn("bucket", (length(bin(col("n"))) - 1).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n")).cast("long").as("n_events"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_users"), col("n_events"),
+            when(col("total") === 0, lit(null).cast("double"))
+              .otherwise(round(
+                col("n_events").cast("double") / col("total"), 6))
+              .as("event_share"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH pu AS (
+          |  SELECT user_id, count(*) AS n FROM events
+          |  WHERE user_id IS NOT NULL GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM pu
+          |), b AS (
+          |  SELECT CAST(length(bin(n)) - 1 AS INT) AS bucket,
+          |    count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+          |  FROM pu GROUP BY 1
+          |)
+          |SELECT b.bucket, b.n_users, b.n_events,
+          |  CASE WHEN tot.total = 0 THEN NULL
+          |    ELSE round(CAST(b.n_events AS DOUBLE) / tot.total, 6) END
+          |    AS event_share
+          |FROM b CROSS JOIN tot ORDER BY bucket""".stripMargin)),
+
     // DAU/WAU STICKINESS — the engagement ratio product analytics
     // tracks daily (what share of the weekly audience shows up on a
     // given day). Exact, and shaped for scale WITHOUT a rolling
