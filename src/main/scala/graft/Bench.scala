@@ -348,6 +348,14 @@ object Bench {
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Headline SELF-CORRECTION: `value` stays the official first-timing
+    // sum (retimes of memoized first-consumer queries measure steady
+    // state, not the build they carry), but a trend reader should not
+    // need per-query forensics to back out host contention — so the
+    // min(first, retime) sum rides alongside as `value_retimed`. Under
+    // a quiet box retimed_n=0 and the two numbers are identical.
+    val totalRetimed = results
+      .map { case (k, v) => math.min(v, retimed.getOrElse(k, v)) }.sum
     // Full-precision per-query map → BENCH_FULL.json (cwd = repo root under
     // the driver). The driver's log capture keeps only the last ~2000 chars
     // of output, so the printed JSON line must FIT that window to parse:
@@ -375,7 +383,7 @@ object Bench {
     val loadJson =
       f"""{"warm_start":$loadWarmStart%.2f,"warm_end":$loadWarmEnd%.2f,"q_max":$loadQMax%.2f}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"shared_warm_sec":$sharedWarmSec,"drain_timeouts":$drainTimeouts,"load":$loadJson,"retimed_n":${retimed.size},"queries":$fullQs,"bytes":$bytesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_retimed":$totalRetimed,"unit":"sec","n_queries":${results.size},"shared_warm_sec":$sharedWarmSec,"drain_timeouts":$drainTimeouts,"load":$loadJson,"retimed_n":${retimed.size},"queries":$fullQs,"bytes":$bytesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // GLOBAL line cap, not a fixed queries-map budget: round 4 proved a
@@ -390,7 +398,7 @@ object Bench {
     val shuffleWriteMb =
       byteMetrics.valuesIterator.map(_._2).sum / 1e6
     def line(qs: String, shown: Int): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"shared_warm_sec":${f"$sharedWarmSec%.3f"},"shuffle_write_mb":${f"$shuffleWriteMb%.1f"},"load":$loadJson,"retimed_n":${retimed.size},"queries_shown":$shown,"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_retimed":${f"$totalRetimed%.3f"},"unit":"sec","n_queries":${results.size},"shared_warm_sec":${f"$sharedWarmSec%.3f"},"shuffle_write_mb":${f"$shuffleWriteMb%.1f"},"load":$loadJson,"retimed_n":${retimed.size},"queries_shown":$shown,"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val fixedLen = line("{}", 0).length
     val kept = slowest
       .scanLeft(0)((acc, s) => acc + s.length + 1)

@@ -3964,8 +3964,15 @@ object EmbQueries {
     * COMPUTES the decision, never assumes it.
     */
   private def filteredAdaptiveSql: String = {
-    val rareSql = s"label = $FilteredLabel AND vec_id % 7 = 0"
-    val broadSql = s"label = $FilteredLabel"
+    // scenario predicates as STRUCTURED data rendered per table alias —
+    // a naive post-hoc token replace ("label" -> "m.label") would
+    // silently corrupt any future predicate containing those tokens in
+    // other contexts (e.g. a column named relabel)
+    def rareSqlAt(q: String): String =
+      s"${q}label = $FilteredLabel AND ${q}vec_id % 7 = 0"
+    def broadSqlAt(q: String): String = s"${q}label = $FilteredLabel"
+    val rareSql = rareSqlAt("")
+    val broadSql = broadSqlAt("")
     def exArm(pred: String): String =
       s"""SELECT vec_id, sim FROM (
          |    SELECT vec_id, ${cosSql("embedding", "qv.qv")} AS sim
@@ -3980,8 +3987,7 @@ object EmbQueries {
          |  JOIN qcells qc ON qc.cell = cl.cell
          |  JOIN embeddings m ON m.vec_id = k.vec_id
          |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
-         |  WHERE k.vec_id <> 0 AND ${pred.replace("label", "m.label")
-                .replace("vec_id % 7", "m.vec_id % 7")}
+         |  WHERE k.vec_id <> 0 AND $pred
          |  GROUP BY k.vec_id
          |  ORDER BY pq_d2, k.vec_id LIMIT $IvfPqShortN""".stripMargin
     def prArm(sh: String): String =
@@ -4007,11 +4013,11 @@ object EmbQueries {
        |), ex_rare AS (
        |  ${exArm(rareSql)}
        |), sh_broad AS (
-       |  ${shArm(broadSql)}
+       |  ${shArm(broadSqlAt("m."))}
        |), pr_broad AS (
        |  ${prArm("sh_broad")}
        |), sh_rare AS (
-       |  ${shArm(rareSql)}
+       |  ${shArm(rareSqlAt("m."))}
        |), pr_rare AS (
        |  ${prArm("sh_rare")}
        |), pick AS (

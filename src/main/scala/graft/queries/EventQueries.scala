@@ -1954,7 +1954,11 @@ object EventQueries {
       (s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
-        val d0 = ev(s, d)
+        // ts IS NOT NULL pinned in BOTH engines: Spark windows order
+        // ASC nulls-FIRST, DuckDB nulls-LAST, so a null-ts event mixed
+        // into a user's frame would shift lag adjacency differently
+        // cross-engine (a session can't start at an unknown time anyway)
+        val d0 = ev(s, d).filter(col("ts").isNotNull)
           .withColumn("cur_us", expr("unix_micros(ts)"))
           .withColumn("prev_us", lag(col("cur_us"), 1).over(w))
         def starts(gapS: Long) =
@@ -1979,6 +1983,7 @@ object EventQueries {
       Some(
         """WITH ev_us AS (
           |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+          |  WHERE ts IS NOT NULL
           |), o AS (
           |  SELECT user_id, us,
           |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)

@@ -101,8 +101,11 @@ object AnnServing {
       val q = batch.select(col("qid").cast("long").as("qid"),
         col("qvec").cast("array<float>").as("qvec"))
       // qualifying ids come from the CODE rows (attribute inlined) so
-      // the exact arm's universe is exactly the served index's
-      val ids = codes.filter(pred).select("vec_id")
+      // the exact arm's universe is exactly the served index's; the
+      // vec_id-0 sentinel is excluded here for the same reason it is
+      // excluded from n/nm above — one universe convention for both
+      // the stats and the candidate set
+      val ids = codes.filter(col("vec_id") =!= 0 && pred).select("vec_id")
       val wRank = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("vec_id"))
       vectors.join(broadcast(ids), Seq("vec_id"), "left_semi")
@@ -807,14 +810,6 @@ object AnnServing {
       }
       .start()
 
-  /** The streaming server: a foreachBatch sink that scores each micro-
-    * batch of query vectors against the persisted index and appends the
-    * per-query top-k (plus the batch id) to `outDir` as parquet. The
-    * index and vector table are opened once per batch from their
-    * on-disk layout — no session-memoized state crosses the boundary,
-    * which is what makes the same code runnable in a separate serving
-    * process.
-    */
   /** the [[scoreBatchAdaptive]] sink — same wrapper shape as
     * startServingSink; the selectivity decision re-runs per
     * micro-batch (the index may have mutated between batches), so a
@@ -843,6 +838,14 @@ object AnnServing {
       }
       .start()
 
+  /** The streaming server: a foreachBatch sink that scores each micro-
+    * batch of query vectors against the persisted index and appends the
+    * per-query top-k (plus the batch id) to `outDir` as parquet. The
+    * index and vector table are opened once per batch from their
+    * on-disk layout — no session-memoized state crosses the boundary,
+    * which is what makes the same code runnable in a separate serving
+    * process.
+    */
   def startServingSink(
       stream: DataFrame,
       indexDir: String,
