@@ -1557,16 +1557,17 @@ object EmbQueries {
     // BLUE/GREEN versioned serving — the deployment shape every
     // production index swap uses: versions are logical manifests over
     // IMMUTABLE artifact directories (v1 = the as-built index, v2 =
-    // the rebalanced one — no bytes copied), the swap is one atomic
-    // MANIFEST.json rename, and the server resolves its centroid/code
-    // paths from the manifest at read time. This query publishes
-    // v1 then v2 (once per session) and serves the PUBLISHED version —
-    // so its answer equals the rebalanced serve, plus the version
-    // column proving which index answered. Rollback = republishing
-    // v1's manifest (EmbPublishSpec walks swap atomicity, v1
-    // immutability across the v2 publish, and rollback). At 100 TB
-    // the manifest read is one tiny FS open; everything else prices
-    // exactly like emb_ivfpq_served.
+    // the rebalanced one, v3 = the retrained epoch — no bytes copied),
+    // the swap is one atomic MANIFEST.json rename, and the server
+    // resolves its centroid/code paths from the manifest at read time.
+    // This query publishes v1 -> v2 -> v3 (once per session) and
+    // serves the PUBLISHED version — so its answer equals the
+    // retrained serve, plus the version column proving which index
+    // answered. Rollback = republishing an earlier manifest
+    // (EmbPublishSpec walks swap atomicity, old-version immutability
+    // across a publish, and rollback). At 100 TB the manifest read is
+    // one tiny FS open; everything else prices exactly like
+    // emb_ivfpq_served.
     Q(
       "emb_ivfpq_published",
       (s, d) => {
@@ -1605,9 +1606,131 @@ object EmbQueries {
           .limit(5)
       },
       Some(
-        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte
-           |SELECT 2 AS version, vec_id, sim FROM approx
+        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, $retrainCte
+           |SELECT 3 AS version, vec_id, sim FROM approx3
            |ORDER BY sim DESC, vec_id""".stripMargin)),
+
+    // RETRAIN EXECUTION + EPOCH ACCOUNTING — the act
+    // emb_retrain_decision exists to trigger, completing the index-ops
+    // lifecycle: one full Lloyd epoch over the current (post-rebalance)
+    // state (M-step re-means every cell from its ACTUAL membership,
+    // E-step reassigns every row, emptied cells prune — retrainApplied),
+    // published as v3 through the SAME blue/green manifest the earlier
+    // versions used, with v2 still rollback-able (EmbRetrainSpec walks
+    // both). The accounting row prices the epoch: how many rows moved,
+    // the drift it cured (misplaced_before -> misplaced_after, which a
+    // completed epoch provably zeroes — the engine MEASURES it off the
+    // written artifacts, the oracle recomputes it from lineage), and
+    // recall@5 on both sides of the epoch against the same exact
+    // top-5 (the emb_ivfpq_recall accounting convention). Cost is
+    // corpus-proportional BY DESIGN — the one index op that is; the
+    // epoch itself is charged to the publish chain's first touch
+    // (SCALE.md documents the attribution), this query's own timer
+    // covers the accounting scans.
+    Q(
+      "emb_ivfpq_retrain",
+      (s, d) => {
+        publishedOnce(s, d)
+        val root = indexPath(d)
+        val (ver, _, _) = readManifest(s, root)
+        val cent2 = s.read.parquet(s"$root/centroids_reb")
+        val cent3a = s.read.parquet(s"$root/centroids_rt_all")
+        val cent3 = s.read.parquet(s"$root/centroids_rt")
+        val codes2 = s.read.parquet(s"$root/codes_reb")
+        val codes3 = retrainApplied(s, d)
+        // epoch movement, measured off the two written artifacts
+        val mv = codes3.select(col("vec_id"), col("cell").as("cell3"))
+          .join(codes2.select(col("vec_id"), col("cell").as("cell2")),
+            Seq("vec_id"))
+          .agg(coalesce(sum(when(col("cell3") =!= col("cell2"), 1L)),
+            lit(0L)).cast("long").as("n_moved"))
+        // drift before (the fsck's misplaced measurement) and after
+        // (argmin over the PUBLISHED pruned centroids vs stored cells —
+        // a completed epoch must measure zero)
+        val mb = rebalancedNear(s, d)
+          .filter(col("label") =!= col("cell"))
+          .agg(count(lit(1)).cast("long").as("misplaced_before"))
+        val ma = nearestAssign(s, d,
+            codes3.select(col("vec_id"), col("cell")),
+            s"$root/centroids_rt")
+          .filter(col("label") =!= col("cell"))
+          .agg(count(lit(1)).cast("long").as("misplaced_after"))
+        // recall@5 on both sides of the epoch, same machinery each side
+        val exact = exactTop5(s, d).select("vec_id")
+        val hb = servedTop5At(s, d, cent2, codes2)
+          .join(broadcast(exact), "vec_id")
+          .agg(count(lit(1)).cast("long").as("n_hits_before"))
+        val ha = servedTop5At(s, d, cent3, codes3)
+          .join(broadcast(exact), "vec_id")
+          .agg(count(lit(1)).cast("long").as("n_hits_after"))
+        val cb = cent2.agg(count(lit(1)).cast("long").as("n_cells_before"))
+        val caAll = cent3a.agg(count(lit(1)).cast("long").as("n_cells_all"))
+        val ca = cent3.agg(count(lit(1)).cast("long").as("n_cells_after"))
+        cb.crossJoin(broadcast(caAll))
+          .crossJoin(broadcast(ca))
+          .crossJoin(broadcast(mv))
+          .crossJoin(broadcast(mb))
+          .crossJoin(broadcast(ma))
+          .crossJoin(broadcast(hb))
+          .crossJoin(broadcast(ha))
+          .select(lit(ver).as("version_published"),
+            col("n_cells_before"),
+            (col("n_cells_all") - col("n_cells_after"))
+              .cast("long").as("n_cells_pruned"),
+            col("n_cells_after"), col("n_moved"),
+            col("misplaced_before"), col("misplaced_after"),
+            col("n_hits_before"),
+            (col("n_hits_before") * 20).cast("long")
+              .as("recall_pct_before"),
+            col("n_hits_after"),
+            (col("n_hits_after") * 20).cast("long")
+              .as("recall_pct_after"))
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte,
+           |$rebalancedNpCte, $retrainCte, np3k AS (
+           |  SELECT c3.vec_id, c3.cell AS stored, ct.label,
+           |    row_number() OVER (PARTITION BY c3.vec_id
+           |      ORDER BY ${l2Sql("e.embedding", "ct.cvec")} NULLS LAST,
+           |        ct.label) AS rn
+           |  FROM cells3 c3 JOIN embeddings e USING (vec_id)
+           |  CROSS JOIN cent3 ct
+           |), exact AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |    FROM embeddings, qv2 WHERE vec_id <> 0
+           |    ORDER BY sim DESC, vec_id LIMIT 5)
+           |), hb AS (
+           |  SELECT count(*) AS n_hits_before FROM exact
+           |  JOIN approx USING (vec_id)
+           |), ha AS (
+           |  SELECT count(*) AS n_hits_after FROM exact
+           |  JOIN approx3 USING (vec_id)
+           |), mb AS (
+           |  SELECT count(*) AS misplaced_before FROM np
+           |  WHERE rn = 1 AND label <> stored
+           |), ma AS (
+           |  SELECT count(*) AS misplaced_after FROM np3k
+           |  WHERE rn = 1 AND label <> stored
+           |), mv AS (
+           |  SELECT count(*) AS n_moved FROM np3
+           |  WHERE rn = 1 AND label <> stored
+           |), cb AS (SELECT count(*) AS n_cells_before FROM cent2),
+           |caa AS (SELECT count(*) AS n_cells_all FROM cent3a),
+           |ca AS (SELECT count(*) AS n_cells_after FROM cent3)
+           |SELECT 3 AS version_published,
+           |  CAST(cb.n_cells_before AS BIGINT) AS n_cells_before,
+           |  CAST(caa.n_cells_all - ca.n_cells_after AS BIGINT)
+           |    AS n_cells_pruned,
+           |  CAST(ca.n_cells_after AS BIGINT) AS n_cells_after,
+           |  CAST(mv.n_moved AS BIGINT) AS n_moved,
+           |  CAST(mb.misplaced_before AS BIGINT) AS misplaced_before,
+           |  CAST(ma.misplaced_after AS BIGINT) AS misplaced_after,
+           |  CAST(hb.n_hits_before AS BIGINT) AS n_hits_before,
+           |  CAST(hb.n_hits_before * 20 AS BIGINT) AS recall_pct_before,
+           |  CAST(ha.n_hits_after AS BIGINT) AS n_hits_after,
+           |  CAST(ha.n_hits_after * 20 AS BIGINT) AS recall_pct_after
+           |FROM cb, caa, ca, mv, mb, ma, hb, ha""".stripMargin)),
 
     // emb_maxsim_topk's SCALE PATH, composed: first-stage IVF pruning
     // (the query's 2 nearest cells — the same probe emb_ivf_ann
@@ -3368,6 +3491,172 @@ object EmbQueries {
            |FROM truth t LEFT JOIN hits h USING (a_label)
            |ORDER BY a_label""".stripMargin)),
 
+    // PER-SLICE RECALL REPAIR — acting on the inequity
+    // emb_recall_by_label MEASURES (recall@5 spanning 0.2-0.6 across
+    // anchor labels at the fixed nprobe=2 operating point): for each
+    // label slice, the MINIMUM probe depth in {2,3,4} that lifts its
+    // pooled recall@5 to the 0.4 floor, priced off ONE candidate scan
+    // (anchor cell-ranks to depth 4 carried as a column; each depth is
+    // a predicate over the same frame, never a re-scan — the
+    // operating-grid convention applied per slice). Output per label:
+    // the nprobe=2 baseline, the chosen per-slice depth, the repaired
+    // recall, and whether the floor is reachable within the budget
+    // (floor_met = false surfaces slices that need a bigger lever —
+    // shortN, or index retraining — not silently the max depth). The
+    // floor test is the integer cross-multiplication
+    // n_hits*10 >= n_truth*4. At 100 TB this is the per-segment
+    // serving config a search team ships: a tiny (label -> nprobe)
+    // side table, derived offline exactly like this.
+    Q(
+      "emb_label_nprobe_repair",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val ranked = ivfRanked(s, d)
+        val cells = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("cell"))
+        val anchors = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("a_id"),
+            coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
+            col("embedding").as("av")))
+        // anchor cells to the MAX candidate depth, rank carried
+        val aRank4 = broadcast(ranked
+          .filter(col("vec_id") < 8 && col("rn") <= 4)
+          .select(col("vec_id").as("a_id"), col("c_label").as("cell"),
+            col("rn").as("arn")))
+        val ns = Seq(2, 3, 4).toDF("np")
+        // ONE candidate scan; every depth is a predicate over it
+        val sims0 = e.join(cells, "vec_id")
+          .join(aRank4, "cell")
+          .join(anchors, "a_id")
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("a_label"), col("arn"), col("vec_id"),
+            round(cosine(col("embedding"), col("av")), 6).as("sim"))
+          .filter(col("sim").isNotNull)
+        val wP = Window.partitionBy("np", "a_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val t5 = sims0.join(broadcast(ns), col("arn") <= col("np"))
+          .withColumn("r", row_number().over(wP))
+          .filter(col("r") <= 5)
+          .select("np", "a_id", "a_label", "vec_id")
+        val wE = Window.partitionBy("a_id")
+          .orderBy(col("es").desc, col("vec_id"))
+        val exact5 = e.crossJoin(anchors)
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("a_label"), col("vec_id"),
+            round(cosine(col("embedding"), col("av")), 6).as("es"))
+          .filter(col("es").isNotNull)
+          .withColumn("r", row_number().over(wE))
+          .filter(col("r") <= 5)
+          .select("a_id", "a_label", "vec_id")
+        val hits = t5.join(exact5, Seq("a_id", "vec_id"), "left_semi")
+          .groupBy("np", "a_label").agg(count(lit(1)).as("n_hits"))
+        val truth = exact5.groupBy("a_label")
+          .agg(count(lit(1)).as("n_truth"),
+            countDistinct(col("a_id")).as("n_anchors"))
+        // the 3-row np LocalRelation is the broadcast build side (the
+        // BNLJ bounded-frame convention — truth is a_label-keyed and
+        // small, but only provably-bounded shapes may build)
+        val rec = truth.crossJoin(broadcast(ns))
+          .join(hits, Seq("np", "a_label"), "left")
+          .select(col("np"), col("a_label"), col("n_truth"),
+            col("n_anchors"),
+            coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))
+        val chosen = rec.groupBy("a_label")
+          .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
+            col("np"))).as("np_ok"))
+        val base = rec.filter(col("np") === 2)
+          .select(col("a_label"), col("n_anchors"), col("n_truth"),
+            col("n_hits").as("base_n_hits"))
+        val repaired = rec.select(col("np").as("np_r"),
+          col("a_label"), col("n_hits").as("rep_n_hits"))
+        base.join(chosen, "a_label")
+          .join(repaired,
+            col("np_r") === coalesce(col("np_ok"), lit(4)) &&
+              repaired("a_label") === base("a_label"))
+          .select(base("a_label"), col("n_anchors"), col("n_truth"),
+            col("base_n_hits"),
+            round(col("base_n_hits").cast("double") / col("n_truth"), 6)
+              .as("base_recall"),
+            coalesce(col("np_ok"), lit(4)).cast("int")
+              .as("nprobe_chosen"),
+            col("rep_n_hits"),
+            round(col("rep_n_hits").cast("double") / col("n_truth"), 6)
+              .as("rep_recall"),
+            col("np_ok").isNotNull.as("floor_met"))
+          .orderBy("a_label")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, anch AS (
+           |  SELECT vec_id AS a_id,
+           |    coalesce(CAST(label AS INT), -2) AS a_label,
+           |    embedding AS av
+           |  FROM embeddings WHERE vec_id < 8
+           |), arank4 AS (
+           |  SELECT vec_id AS a_id, label AS cell, rn AS arn
+           |  FROM ranked WHERE vec_id < 8 AND rn <= 4
+           |), ns AS (SELECT unnest([2, 3, 4]) AS np),
+           |sims0 AS (
+           |  SELECT ar.a_id, a.a_label, ar.arn, e.vec_id,
+           |    ${cosSql("e.embedding", "a.av")} AS sim
+           |  FROM embeddings e
+           |  JOIN cells c ON c.vec_id = e.vec_id
+           |  JOIN arank4 ar ON ar.cell = c.cell
+           |  JOIN anch a ON a.a_id = ar.a_id
+           |  WHERE e.vec_id <> ar.a_id
+           |), t5 AS (
+           |  SELECT np, a_id, a_label, vec_id FROM (
+           |    SELECT n.np, s.*, row_number() OVER (
+           |      PARTITION BY n.np, s.a_id
+           |      ORDER BY s.sim DESC, s.vec_id) AS r
+           |    FROM sims0 s JOIN ns n ON s.arn <= n.np
+           |    WHERE s.sim IS NOT NULL) WHERE r <= 5
+           |), ex0 AS (
+           |  SELECT a.a_id, a.a_label, e.vec_id,
+           |    ${cosSql("e.embedding", "a.av")} AS es
+           |  FROM embeddings e CROSS JOIN anch a
+           |  WHERE e.vec_id <> a.a_id
+           |), e5 AS (
+           |  SELECT a_id, a_label, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY es DESC, vec_id) AS r
+           |    FROM ex0 WHERE es IS NOT NULL) WHERE r <= 5
+           |), hits AS (
+           |  SELECT t5.np, t5.a_label, count(*) AS n_hits
+           |  FROM t5 JOIN e5 USING (a_id, vec_id) GROUP BY 1, 2
+           |), truth AS (
+           |  SELECT a_label, count(*) AS n_truth,
+           |    count(DISTINCT a_id) AS n_anchors
+           |  FROM e5 GROUP BY 1
+           |), rec AS (
+           |  SELECT n.np, t.a_label, t.n_truth, t.n_anchors,
+           |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+           |  FROM ns n CROSS JOIN truth t
+           |  LEFT JOIN hits h ON h.np = n.np AND h.a_label = t.a_label
+           |), ch AS (
+           |  SELECT a_label,
+           |    min(CASE WHEN n_hits * 10 >= n_truth * 4
+           |      THEN np END) AS np_ok
+           |  FROM rec GROUP BY 1
+           |)
+           |SELECT b.a_label,
+           |  CAST(b.n_anchors AS BIGINT) AS n_anchors,
+           |  CAST(b.n_truth AS BIGINT) AS n_truth,
+           |  CAST(b.n_hits AS BIGINT) AS base_n_hits,
+           |  round(CAST(b.n_hits AS DOUBLE) / b.n_truth, 6)
+           |    AS base_recall,
+           |  CAST(coalesce(ch.np_ok, 4) AS INT) AS nprobe_chosen,
+           |  CAST(rc.n_hits AS BIGINT) AS rep_n_hits,
+           |  round(CAST(rc.n_hits AS DOUBLE) / rc.n_truth, 6)
+           |    AS rep_recall,
+           |  (ch.np_ok IS NOT NULL) AS floor_met
+           |FROM rec b
+           |JOIN ch ON ch.a_label = b.a_label
+           |JOIN rec rc ON rc.a_label = b.a_label
+           |  AND rc.np = coalesce(ch.np_ok, 4)
+           |WHERE b.np = 2
+           |ORDER BY b.a_label""".stripMargin)),
+
     // OPERATING GRID — the (nprobe x shortN) interaction the two axis
     // sweeps cannot show alone: emb_nprobe_autotune finds recall
     // climbing with probe depth and emb_shortn_sweep finds it flat in
@@ -4053,15 +4342,28 @@ object EmbQueries {
     * (rn = 1 of the row x centroid argmin, NULLS LAST + label
     * tiebreak) — shared by the fsck and the retrain decision
     */
-  private def rebalancedNear(s: SparkSession, d: String): DataFrame = {
-    val codes = rebalanceApplied(s, d).select("vec_id", "cell")
-    val cent = s.read.parquet(s"${indexPath(d)}/centroids_reb")
+  private def rebalancedNear(s: SparkSession, d: String): DataFrame =
+    nearestAssign(s, d, rebalanceApplied(s, d).select("vec_id", "cell"),
+      s"${indexPath(d)}/centroids_reb")
+
+  /** Nearest-centroid assignment of `cells` (vec_id, cell = stored)
+    * against the centroid artifact at `centPath`: rn = 1 of the
+    * row x centroid argmin (NULLS LAST + label tiebreak — pqArgmin's
+    * convention). The centroid side re-keys through a label-keyed
+    * first() aggregate: provably bounded for the BNLJ guard AND
+    * key-unique. Shared by the fsck, the retrain decision
+    * ([[rebalancedNear]]) and the retrain epoch's E-step / post-check.
+    */
+  private def nearestAssign(
+      s: SparkSession, d: String,
+      cells: DataFrame, centPath: String): DataFrame = {
+    val cent = s.read.parquet(centPath)
       .select(col("c_label").as("label"), col("cvec"))
       .groupBy("label").agg(first(col("cvec")).as("cvec"))
     val e = emb(s, d).select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc_nulls_last, col("label"))
-    codes.join(e, Seq("vec_id"))
+    cells.join(e, Seq("vec_id"))
       .crossJoin(broadcast(cent))
       .withColumn("d2",
         graft.functions.VecL2Sq.column(col("embedding"), col("cvec")))
@@ -4577,6 +4879,168 @@ object EmbQueries {
       }
     }
 
+  /** RETRAIN EXECUTION — the act [[retrainDecision]] exists to
+    * trigger: one full Lloyd epoch over the CURRENT (post-rebalance)
+    * index state, producing the v3 artifact pair the blue/green
+    * manifest then publishes.
+    *   M-step: every cell's centroid re-derives from its ACTUAL
+    *     current membership (snap6 grid + mean6 integer mean —
+    *     ivfCentroids' exact arithmetic), written to
+    *     `centroids_rt_all`. This differs from the rebalance, which
+    *     re-derived only the split halves: after sustained maintenance
+    *     the untouched cells' centroids have drifted from their
+    *     memberships too, and the epoch re-grounds all of them.
+    *   E-step: every indexed row reassigns to its nearest new
+    *     centroid ([[nearestAssign]] — NULLS LAST, label tiebreak,
+    *     reading the WRITTEN artifact back through the label-keyed
+    *     broadcast convention), and the rows land in `codes_rt`
+    *     partitioned by their new cell. PQ codes ride UNCHANGED: the
+    *     codebook is global (cell-independent) and the vector set is
+    *     unchanged by rebalance, so re-encoding would reproduce the
+    *     same codes byte-for-byte — membership is the only thing an
+    *     epoch over an unchanged corpus can move.
+    *   Prune: centroids whose cell emptied in the E-step drop from the
+    *     final `centroids_rt` (a dead cell would be probe-able but
+    *     unreadable — the fsck's empty_centroids smell); pruning
+    *     cannot change any assignment, because a pruned centroid was
+    *     by definition nobody's nearest.
+    * Cost is legitimately CORPUS-PROPORTIONAL — the one index op that
+    * is (one membership scan for means + one argmin pass + one
+    * partitioned rewrite); at 100 TB this is the scheduled offline
+    * epoch, never a serving-path cost. Exactly-once per (session,
+    * dir); the v2 artifacts (`codes_reb`/`centroids_reb`) are never
+    * opened for write — EmbRetrainSpec asserts them byte-identical
+    * across the epoch.
+    */
+  private def retrainApplied(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memoExactlyOnce("emb_retrain_applied", s, d) {
+      rebalanceApplied(s, d)
+      val root = indexPath(d)
+      val reb = s.read.parquet(s"$root/codes_reb")
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      // M-step: per-cell means over the CURRENT memberships
+      reb.select(col("vec_id"), col("cell"))
+        .join(e, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("vi", snap6(col("v")))
+        .groupBy("cell", "dim")
+        .agg(expr(mean6Expr("vi")).as("cv"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+        .select(col("cell").as("c_label"), col("cvec"))
+        .write.mode("overwrite").parquet(s"$root/centroids_rt_all")
+      // E-step: reassign every indexed row to its nearest new centroid
+      val asg = nearestAssign(s, d, reb.select(col("vec_id"), col("cell")),
+        s"$root/centroids_rt_all")
+        .select(col("vec_id"), col("label").as("cell"))
+      reb.select(col("vec_id"), col("codes"), col("label"))
+        .join(asg, Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/codes_rt")
+      // prune emptied cells from the published centroid table
+      val live = s.read.parquet(s"$root/codes_rt")
+        .select(col("cell").as("c_label")).distinct()
+      s.read.parquet(s"$root/centroids_rt_all")
+        .join(live, Seq("c_label"), "left_semi")
+        .write.mode("overwrite").parquet(s"$root/centroids_rt")
+      s.read.parquet(s"$root/codes_rt")
+    }
+
+  /** The IVF+PQ serving read (probe 2 cells -> pruned code scan -> ADC
+    * shortlist -> exact rerank, the emb_ivfpq_served shape) over an
+    * ARBITRARY (centroids, codes) artifact pair — the epoch-generic
+    * form the retrain accounting uses to price recall@5 on BOTH sides
+    * of the epoch with identical machinery.
+    */
+  private def servedTop5At(
+      s: SparkSession, d: String,
+      cent: DataFrame, codes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb(s, d)
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+    val probed = cent.crossJoin(qv)
+      .select(col("c_label"),
+        graft.functions.VecL2Sq.column(col("qv"), col("cvec")).as("d2"))
+      .orderBy(col("d2").asc_nulls_last, col("c_label"))
+      .limit(2)
+      .collect().map(_.getInt(0))
+    val short = codes
+      .filter(col("cell").isin(probed.map(Int.box): _*) &&
+        col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "cid")))
+      .join(broadcast(pqAdc(s, d)), Seq("j", "cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+        .as("pq_d2"))
+      .orderBy(col("pq_d2"), col("vec_id"))
+      .limit(IvfPqShortN)
+    e.join(broadcast(short), "vec_id")
+      .crossJoin(qv)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** DuckDB twin of the retrain epoch, composed OVER
+    * [[rebalanceServeCte]]'s cells2/cent2 state: cent3a = M-step means
+    * of the current memberships, np3/cells3 = E-step argmin
+    * reassignment, cent3 = the pruned published centroid table, and
+    * pr3/shortl3/approx3 = the serving read over the retrained index
+    * (the [[rebalanceServeCte]] approx shape, one epoch later).
+    */
+  private lazy val retrainCte: String =
+    s"""r3expl AS (
+       |  SELECT c2.cell, CAST(i - 1 AS INT) AS dim,
+       |    ${snap6Sql("e.embedding[i]")} AS vi
+       |  FROM cells2 c2 JOIN embeddings e USING (vec_id)
+       |  CROSS JOIN range(1, 65) r(i)
+       |), r3dim AS (
+       |  SELECT cell, dim, ${mean6Sql("vi")} AS cv
+       |  FROM r3expl GROUP BY 1, 2
+       |), cent3a AS (
+       |  SELECT cell AS label,
+       |    list_transform(list_sort(list(struct_pack(dim := dim, cv := cv))), x -> x.cv) AS cvec
+       |  FROM r3dim GROUP BY cell
+       |), np3 AS (
+       |  SELECT c2.vec_id, c2.cell AS stored, ct.label,
+       |    row_number() OVER (PARTITION BY c2.vec_id
+       |      ORDER BY ${l2Sql("e.embedding", "ct.cvec")} NULLS LAST,
+       |        ct.label) AS rn
+       |  FROM cells2 c2 JOIN embeddings e USING (vec_id)
+       |  CROSS JOIN cent3a ct
+       |), cells3 AS (
+       |  SELECT vec_id, label AS cell FROM np3 WHERE rn = 1
+       |), cent3 AS (
+       |  SELECT label, cvec FROM cent3a
+       |  WHERE label IN (SELECT DISTINCT cell FROM cells3)
+       |), pr3 AS (
+       |  SELECT label AS cell FROM (
+       |    SELECT c.label, row_number() OVER (
+       |      ORDER BY ${l2Sql("qv2.qv", "c.cvec")} NULLS LAST,
+       |        c.label) AS rn
+       |    FROM cent3 c CROSS JOIN qv2) WHERE rn <= 2
+       |), shortl3 AS (
+       |  SELECT k.vec_id,
+       |    CAST(sum(CAST(a.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+       |  FROM codes k
+       |  JOIN cells3 cl ON cl.vec_id = k.vec_id
+       |  JOIN pr3 ON pr3.cell = cl.cell
+       |  JOIN adc a ON a.j = k.j AND a.cid = k.cid
+       |  WHERE k.vec_id <> 0
+       |  GROUP BY k.vec_id
+       |  ORDER BY pq_d2, k.vec_id LIMIT $IvfPqShortN
+       |), approx3 AS (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "qv2.qv")} AS sim
+       |  FROM embeddings e JOIN shortl3 sl ON sl.vec_id = e.vec_id
+       |  CROSS JOIN qv2
+       |  ORDER BY sim DESC, e.vec_id LIMIT 5
+       |)""".stripMargin
+
   /** BLUE/GREEN index publish — versions are LOGICAL: a manifest
     * points at immutable artifact directories (the Iceberg/Delta
     * convention), so "building v2" never copies or touches v1's files
@@ -4623,16 +5087,22 @@ object EmbQueries {
 
   /** The publish history of the served index, run once per
     * (session, dir): v1 = the as-built artifacts, v2 = the rebalanced
-    * artifacts (both already on disk and immutable — no bytes move).
-    * The final state is v2 published; EmbPublishSpec walks the v1
-    * intermediate and the rollback path.
+    * artifacts, v3 = the retrained epoch (all already on disk and
+    * immutable — no bytes move at publish time). The final state is v3
+    * published — the complete lifecycle ending: build -> rebalance ->
+    * retrain, each version one atomic manifest rename ahead of the
+    * last and each earlier version still rollback-able (EmbPublishSpec
+    * walks swap atomicity and rollback on a scratch root;
+    * EmbRetrainSpec asserts the real manifest's final state and the
+    * v2 artifacts' immutability across the epoch).
     */
   private def publishedOnce(s: SparkSession, d: String): Unit = {
     graft.CacheRegistry.memoExactlyOnce("emb_index_publish", s, d) {
-      rebalanceApplied(s, d) // v2 artifacts (and v1 via servedCodes)
+      retrainApplied(s, d) // v3 artifacts (v1/v2 via its lineage)
       val root = indexPath(d)
       publishVersion(s, root, 1, s"$root/centroids", s"$root/codes")
       publishVersion(s, root, 2, s"$root/centroids_reb", s"$root/codes_reb")
+      publishVersion(s, root, 3, s"$root/centroids_rt", s"$root/codes_rt")
       s.range(1).toDF("published")
     }
     ()

@@ -3,10 +3,10 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** emb_ivfpq_published's blue/green contract:
-  *   1. the publish history ends at v2 (the rebalanced index) and the
+  *   1. the publish history ends at v3 (the retrained epoch) and the
   *      query's answer carries that version;
-  *   2. versions are LOGICAL — publishing v2 moves no bytes: the v1
-  *      artifact directories keep their exact file sets;
+  *   2. versions are LOGICAL — publishing v3 moves no bytes: the v1
+  *      AND v2 artifact directories keep their exact file sets;
   *   3. rollback = republishing v1's manifest, after which the SAME
   *      query serves the as-built index row-identically to
   *      emb_ivfpq_served (plus version 1);
@@ -33,32 +33,36 @@ class EmbPublishSpec extends AnyFunSuite {
       .map(f => f.getAbsolutePath -> f.length()).toMap
   }
 
-  test("blue/green publish: v2 served, v1 immutable, atomic rollback") {
+  test("blue/green publish: v3 served, v1/v2 immutable, atomic rollback") {
     val rows = Registry.byName("emb_ivfpq_published").build(spark, dir)
       .collect()
     assert(rows.length == 5)
-    assert(rows.forall(_.getAs[Int]("version") == 2))
+    assert(rows.forall(_.getAs[Int]("version") == 3))
 
     val root = indexRoot
     val (v, centPath, codesPath) =
       queries.EmbQueries.readManifest(spark, root)
-    assert(v == 2)
-    assert(centPath.endsWith("centroids_reb"))
-    assert(codesPath.endsWith("codes_reb"))
+    assert(v == 3)
+    assert(centPath.endsWith("centroids_rt"))
+    assert(codesPath.endsWith("codes_rt"))
     // no torn/temporary manifest state left behind
     val residue = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty).map(_.getName)
       .filter(n => n.startsWith("MANIFEST") && n != "MANIFEST.json")
     assert(residue.isEmpty, s"manifest residue: ${residue.toSeq}")
 
-    // v1 artifacts untouched by building/publishing v2 (logical
-    // versions move no bytes): snapshot, republish v2, re-snapshot
+    // v1 and v2 artifacts untouched by building/publishing v3 (logical
+    // versions move no bytes): snapshot, republish v3, re-snapshot
     val v1CodesBefore = filesOf("codes")
     val v1CentBefore = filesOf("centroids")
-    queries.EmbQueries.publishVersion(spark, root, 2,
-      s"$root/centroids_reb", s"$root/codes_reb")
+    val v2CodesBefore = filesOf("codes_reb")
+    val v2CentBefore = filesOf("centroids_reb")
+    queries.EmbQueries.publishVersion(spark, root, 3,
+      s"$root/centroids_rt", s"$root/codes_rt")
     assert(filesOf("codes") == v1CodesBefore)
     assert(filesOf("centroids") == v1CentBefore)
+    assert(filesOf("codes_reb") == v2CodesBefore)
+    assert(filesOf("centroids_reb") == v2CentBefore)
 
     // ROLLBACK: republish v1; the same query now serves the as-built
     // index, row-identical to emb_ivfpq_served
@@ -76,9 +80,9 @@ class EmbPublishSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
     assert(rolledPairs == served, s"rolled=$rolledPairs served=$served")
 
-    // leave the published state at v2 — the oracle's pinned version
-    queries.EmbQueries.publishVersion(spark, root, 2,
-      s"$root/centroids_reb", s"$root/codes_reb")
-    assert(queries.EmbQueries.readManifest(spark, root)._1 == 2)
+    // leave the published state at v3 — the oracle's pinned version
+    queries.EmbQueries.publishVersion(spark, root, 3,
+      s"$root/centroids_rt", s"$root/codes_rt")
+    assert(queries.EmbQueries.readManifest(spark, root)._1 == 3)
   }
 }

@@ -1253,7 +1253,7 @@ class StreamingSpec extends AnyFunSuite {
   test("versioned serving swaps the index under a checkpointed stream") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
-    // stage both versions' artifacts and the publish history (ends v2)
+    // stage the versioned artifacts and the publish history (ends v3)
     Registry.byName("emb_ivfpq_published").build(spark, dir).collect()
     val root = {
       val h = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
@@ -1321,6 +1321,12 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
     assert(r7.map(r => (r.getAs[Long]("vec_id"),
       r.getAs[Double]("sim"))).toSeq == direct7)
+
+    // restore the lifecycle's final published state (v3 — the
+    // retrained epoch) so later consumers of the shared manifest see
+    // the canonical ending
+    queries.EmbQueries.publishVersion(spark, root, 3,
+      s"$root/centroids_rt", s"$root/codes_rt")
   }
 
   test("streaming sq serving equals the batch sq served answer") {
