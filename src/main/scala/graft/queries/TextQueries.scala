@@ -75,7 +75,17 @@ object TextQueries {
     val base = toks(s, d)
       .withColumn("n_tokens", size(col("tok")))
       .withColumn("n_stop", countIn(col("tok"), LangMarkers.head._2))
-      .withColumn("n_distinct", size(array_distinct(col("tok"))))
+      // repetition is a RATE, so it is measured over a FIXED-size
+      // sample (the first RepWindow tokens): the unwindowed
+      // distinct/total ratio mechanically rises with document length
+      // (vocabulary saturates — Heaps' law), which made the old rule a
+      // laundered length filter — doc_gate_length_bias caught pass
+      // rate tracking length with zero length-rule flags (SCALE.md
+      // round 10). Same-size window for every doc = length-invariant
+      // by construction; the integer cross-multiplication is unchanged.
+      .withColumn("w_tok", slice(col("tok"), 1, RepWindow))
+      .withColumn("n_w", size(col("w_tok")))
+      .withColumn("n_distinct_w", size(array_distinct(col("w_tok"))))
       .withColumn("mc",
         graft.functions.LangMarkerCounts.column(col("tok")))
     val counts = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
@@ -86,13 +96,16 @@ object TextQueries {
       .withColumn("reasons",
         (when(!col("n_tokens").between(5, 1000), 1).otherwise(0) +
           when(col("n_stop") * 100 <= col("n_tokens"), 2).otherwise(0) +
-          when(col("n_tokens") > 0 &&
-            (col("n_tokens") - col("n_distinct")) * 5 >
-              col("n_tokens") * 3, 4).otherwise(0) +
+          when(col("n_w") > 0 &&
+            (col("n_w") - col("n_distinct_w")) * 5 >
+              col("n_w") * 3, 4).otherwise(0) +
           when(col("lang_pred") === "und", 8).otherwise(0)).cast("int"))
       .select(col("doc_id"), col("lang"), col("text_clean"), col("tok"),
         col("n_tokens"), col("lang_pred"), col("reasons"))
   }
+
+  /** fixed sample size of the gate's repetition-rate window */
+  private val RepWindow = 50
 
   /** DuckDB twin of [[gateFrame]]: tokCte -> m (signals) -> g (reasons,
     * carrying lang/text_clean/tok for funnel stages) */
@@ -103,7 +116,8 @@ object TextQueries {
     s"""$tokCte, m AS (
        |  SELECT doc_id, lang, text_clean, tok, len(tok) AS n_tokens,
        |    ${countInSql("tok", LangMarkers.head._2)} AS n_stop,
-       |    len(list_distinct(tok)) AS n_distinct,
+       |    len(tok[1:$RepWindow]) AS n_w,
+       |    len(list_distinct(tok[1:$RepWindow])) AS n_distinct_w,
        |    $langCounts
        |  FROM t
        |), g AS (
@@ -111,8 +125,8 @@ object TextQueries {
        |    CAST(CASE WHEN NOT (n_tokens BETWEEN 5 AND 1000)
        |           THEN 1 ELSE 0 END
        |      + CASE WHEN n_stop * 100 <= n_tokens THEN 2 ELSE 0 END
-       |      + CASE WHEN n_tokens > 0
-       |               AND (n_tokens - n_distinct) * 5 > n_tokens * 3
+       |      + CASE WHEN n_w > 0
+       |               AND (n_w - n_distinct_w) * 5 > n_w * 3
        |           THEN 4 ELSE 0 END
        |      + CASE WHEN ($langPredSql) = 'und' THEN 8 ELSE 0 END
        |      AS INT) AS reasons
