@@ -1609,6 +1609,83 @@ object DedupQueries {
            |HAVING count(CASE WHEN n_docs >= 2 THEN 1 END) > 0
            |ORDER BY doc_id""".stripMargin)),
 
+    // VARIABLE-LENGTH ExactSubstr SPANS — the headline capability of
+    // Lee et al. ACL'22's suffix-array dedup that the fixed-granularity
+    // window query above cannot express: TRUE duplicated-span
+    // boundaries per document, not 12-token quantized hits. Realized as
+    // the doc-merge form: every shared window START POSITION (its
+    // 12-token hash appears in >= 2 distinct docs) marks tokens
+    // [i, i+11] duplicated; a MAXIMAL RUN of consecutive shared starts
+    // i..j is exactly the maximal duplicated span [i, j+11] (length
+    // j-i+12 tokens — any longer span would need start j+1 shared,
+    // contradiction; any split would need an unshared start inside the
+    // run). The output rows are the spans a dedup pass would cut —
+    // Lee et al.'s actionable artifact. Shape: the SAME three shuffles
+    // as the window query (explode -> hash-grouped doc counts ->
+    // per-doc run grouping via gaps-and-islands: grp = i - rownum, a
+    // partitioned window, never global). At 100 TB the position table
+    // is the corpus x ~1 row/token — the published algorithm's real
+    // cost, here bounded to shared positions after the semi join.
+    Q(
+      "dedup_substring_spans",
+      (s, d) => {
+        val W = 12
+        val pos = toks(s, d)
+          .filter(size(col("tok")) >= W)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(1), size(col("tok")) - (W - 1)),
+              i => struct(i.as("i"),
+                md5(array_join(slice(col("tok"), i, lit(W)), " "))
+                  .as("wh")))).as("p"))
+          .select(col("doc_id"), col("p.i").as("i"), col("p.wh").as("wh"))
+        val shared = pos.groupBy("wh")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select("wh")
+        val sp = pos.join(shared, Seq("wh"), "left_semi")
+        val wRun = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+        sp.withColumn("grp", col("i") - row_number().over(wRun))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("i")).as("span_start"),
+            (max(col("i")) + (W - 1)).as("span_end"),
+            (max(col("i")) - min(col("i")) + W).as("span_len"))
+          .select(col("doc_id"),
+            col("span_start").cast("int").as("span_start"),
+            col("span_end").cast("int").as("span_end"),
+            col("span_len").cast("int").as("span_len"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), w AS (
+           |  SELECT doc_id, tok, len(tok) AS n FROM toksrc WHERE len(tok) >= 12
+           |), pos AS (
+           |  SELECT doc_id, CAST(i AS INT) AS i,
+           |    md5(array_to_string(list_slice(tok, CAST(i AS INT),
+           |      CAST(i AS INT) + 11), ' ')) AS wh
+           |  FROM (SELECT doc_id, tok, unnest(range(1, n - 10)) AS i FROM w)
+           |), hs AS (
+           |  SELECT wh FROM pos GROUP BY wh
+           |  HAVING count(DISTINCT doc_id) >= 2
+           |), sp AS (
+           |  SELECT p.doc_id, p.i FROM pos p JOIN hs USING (wh)
+           |), runs AS (
+           |  SELECT doc_id, i,
+           |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+           |      AS grp
+           |  FROM sp
+           |)
+           |SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+           |  CAST(max(i) + 11 AS INT) AS span_end,
+           |  CAST(max(i) - min(i) + 12 AS INT) AS span_len
+           |FROM runs GROUP BY doc_id, grp
+           |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Asymmetric CONTAINMENT over the candidate pairs: Jaccard misses
     // doc-in-doc duplication (a quote or a full article pasted into a
     // longer page scores low symmetric overlap but ~1.0 containment on
