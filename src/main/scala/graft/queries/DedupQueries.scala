@@ -399,6 +399,80 @@ object DedupQueries {
     graft.CacheRegistry.memo("dedup_minhash_pairs", s, dir)(
       buildMinhashPairs(s, dir))
 
+  /** Maximal duplicated spans per doc (the Lee et al. ACL'22 span
+    * output, doc-merge form): every shared 12-token window START
+    * (hash in >= 2 distinct docs) marks tokens [i, i+11]; a maximal
+    * run of consecutive shared starts i..j IS the maximal duplicated
+    * span [i, j+11]. Gaps-and-islands run merge (grp = i - rownum, a
+    * PARTITIONED window). Memoized + persisted: dedup_span_savings
+    * and dedup_substring_spans share the lineage (bench order charges
+    * the build to the alphabetically-first consumer, dedup_span_
+    * savings — the minhash-pairs convention).
+    */
+  private def substringSpans(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.memo("dedup_substr_spans", s, dir)(
+      graft.CacheRegistry.track(s, {
+        val W = 12
+        val pos = toks(s, dir)
+          .filter(size(col("tok")) >= W)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(1), size(col("tok")) - (W - 1)),
+              i => struct(i.as("i"),
+                md5(array_join(slice(col("tok"), i, lit(W)), " "))
+                  .as("wh")))).as("p"))
+          .select(col("doc_id"), col("p.i").as("i"), col("p.wh").as("wh"))
+        val shared = pos.groupBy("wh")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select("wh")
+        val sp = pos.join(shared, Seq("wh"), "left_semi")
+        val wRun = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+        sp.withColumn("grp", col("i") - row_number().over(wRun))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("i")).as("span_start"),
+            (max(col("i")) + (W - 1)).as("span_end"),
+            (max(col("i")) - min(col("i")) + W).as("span_len"))
+          .select(col("doc_id"),
+            col("span_start").cast("int").as("span_start"),
+            col("span_end").cast("int").as("span_end"),
+            col("span_len").cast("int").as("span_len"))
+      }))
+
+  /** DuckDB twin of [[substringSpans]] — ends in a `spans` CTE with
+    * (doc_id, span_start, span_end, span_len); `toksrc` stays in
+    * scope for corpus-total denominators.
+    */
+  private lazy val spanCte: String =
+    s"""cleaned AS (
+       |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+       |), toksrc AS (
+       |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+       |), w AS (
+       |  SELECT doc_id, tok, len(tok) AS n FROM toksrc WHERE len(tok) >= 12
+       |), pos AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i,
+       |    md5(array_to_string(list_slice(tok, CAST(i AS INT),
+       |      CAST(i AS INT) + 11), ' ')) AS wh
+       |  FROM (SELECT doc_id, tok, unnest(range(1, n - 10)) AS i FROM w)
+       |), hs AS (
+       |  SELECT wh FROM pos GROUP BY wh
+       |  HAVING count(DISTINCT doc_id) >= 2
+       |), sp AS (
+       |  SELECT p.doc_id, p.i FROM pos p JOIN hs USING (wh)
+       |), runs AS (
+       |  SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+       |      AS grp
+       |  FROM sp
+       |), spans AS (
+       |  SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+       |    CAST(max(i) + 11 AS INT) AS span_end,
+       |    CAST(max(i) - min(i) + 12 AS INT) AS span_len
+       |  FROM runs GROUP BY doc_id, grp
+       |)""".stripMargin
+
   /** STAR-edge representation of the same duplicate graph the expanded
     * pair set describes: (canonical → member) within each exact-dup
     * group plus the banded (canonical → canonical) near-dup pairs.
@@ -1628,63 +1702,56 @@ object DedupQueries {
     // cost, here bounded to shared positions after the semi join.
     Q(
       "dedup_substring_spans",
+      (s, d) =>
+        substringSpans(s, d).orderBy("doc_id", "span_start"),
+      Some(
+        s"""WITH $spanCte
+           |SELECT doc_id, span_start, span_end, span_len FROM spans
+           |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // SPAN SAVINGS — what cutting the spans would actually reclaim:
+    // per dyadic span-length band (bucket = ⌊log2 span_len⌋, the
+    // ev_user_activity_pareto trick), the span count, the duplicated
+    // tokens they cover (spans within a doc are disjoint maximal runs,
+    // so the sum is exact), and that mass as a share of ALL corpus
+    // tokens — the number a dedup pass quotes before running. The
+    // long-band rows are the ones worth acting on (one 200-token span
+    // outweighs dozens of 12-token hits); a corpus whose mass sits in
+    // the minimum band has boilerplate, not plagiarism. Same lineage
+    // as the spans query (shared memoized frame); the summary adds one
+    // bounded band aggregate + a 1-row total broadcast.
+    Q(
+      "dedup_span_savings",
       (s, d) => {
-        val W = 12
-        val pos = toks(s, d)
-          .filter(size(col("tok")) >= W)
-          .select(col("doc_id"),
-            explode(transform(
-              sequence(lit(1), size(col("tok")) - (W - 1)),
-              i => struct(i.as("i"),
-                md5(array_join(slice(col("tok"), i, lit(W)), " "))
-                  .as("wh")))).as("p"))
-          .select(col("doc_id"), col("p.i").as("i"), col("p.wh").as("wh"))
-        val shared = pos.groupBy("wh")
-          .agg(countDistinct(col("doc_id")).as("n_docs"))
-          .filter(col("n_docs") >= 2)
-          .select("wh")
-        val sp = pos.join(shared, Seq("wh"), "left_semi")
-        val wRun = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("i")
-        sp.withColumn("grp", col("i") - row_number().over(wRun))
-          .groupBy(col("doc_id"), col("grp"))
-          .agg(min(col("i")).as("span_start"),
-            (max(col("i")) + (W - 1)).as("span_end"),
-            (max(col("i")) - min(col("i")) + W).as("span_len"))
-          .select(col("doc_id"),
-            col("span_start").cast("int").as("span_start"),
-            col("span_end").cast("int").as("span_end"),
-            col("span_len").cast("int").as("span_len"))
-          .orderBy("doc_id", "span_start")
+        val tot = toks(s, d)
+          .agg(coalesce(sum(size(col("tok"))), lit(0L)).cast("long")
+            .as("total_tokens"))
+        substringSpans(s, d)
+          .withColumn("band", (length(bin(col("span_len"))) - 1).cast("int"))
+          .groupBy("band")
+          .agg(count(lit(1)).cast("long").as("n_spans"),
+            sum(col("span_len")).cast("long").as("span_tokens"))
+          .crossJoin(broadcast(tot))
+          .select(col("band"), col("n_spans"), col("span_tokens"),
+            when(col("total_tokens") === 0, lit(null).cast("double"))
+              .otherwise(round(col("span_tokens").cast("double") /
+                col("total_tokens"), 6)).as("token_share"))
+          .orderBy("band")
       },
       Some(
-        s"""WITH cleaned AS (
-           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
-           |), toksrc AS (
-           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
-           |), w AS (
-           |  SELECT doc_id, tok, len(tok) AS n FROM toksrc WHERE len(tok) >= 12
-           |), pos AS (
-           |  SELECT doc_id, CAST(i AS INT) AS i,
-           |    md5(array_to_string(list_slice(tok, CAST(i AS INT),
-           |      CAST(i AS INT) + 11), ' ')) AS wh
-           |  FROM (SELECT doc_id, tok, unnest(range(1, n - 10)) AS i FROM w)
-           |), hs AS (
-           |  SELECT wh FROM pos GROUP BY wh
-           |  HAVING count(DISTINCT doc_id) >= 2
-           |), sp AS (
-           |  SELECT p.doc_id, p.i FROM pos p JOIN hs USING (wh)
-           |), runs AS (
-           |  SELECT doc_id, i,
-           |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
-           |      AS grp
-           |  FROM sp
+        s"""WITH $spanCte, tot AS (
+           |  SELECT CAST(coalesce(sum(len(tok)), 0) AS BIGINT)
+           |    AS total_tokens
+           |  FROM toksrc
            |)
-           |SELECT doc_id, CAST(min(i) AS INT) AS span_start,
-           |  CAST(max(i) + 11 AS INT) AS span_end,
-           |  CAST(max(i) - min(i) + 12 AS INT) AS span_len
-           |FROM runs GROUP BY doc_id, grp
-           |ORDER BY doc_id, span_start""".stripMargin)),
+           |SELECT CAST(length(bin(span_len)) - 1 AS INT) AS band,
+           |  CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(sum(span_len) AS BIGINT) AS span_tokens,
+           |  CASE WHEN tot.total_tokens = 0 THEN NULL
+           |    ELSE round(CAST(sum(span_len) AS DOUBLE)
+           |      / tot.total_tokens, 6) END AS token_share
+           |FROM spans CROSS JOIN tot
+           |GROUP BY band, tot.total_tokens ORDER BY band""".stripMargin)),
 
     // Asymmetric CONTAINMENT over the candidate pairs: Jaccard misses
     // doc-in-doc duplication (a quote or a full article pasted into a

@@ -3510,61 +3510,7 @@ object EmbQueries {
     Q(
       "emb_label_nprobe_repair",
       (s, d) => {
-        import s.implicits._
-        val e = emb(s, d)
-        val ranked = ivfRanked(s, d)
-        val cells = ranked.filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_label").as("cell"))
-        val anchors = broadcast(e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("a_id"),
-            coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
-            col("embedding").as("av")))
-        // anchor cells to the MAX candidate depth, rank carried
-        val aRank4 = broadcast(ranked
-          .filter(col("vec_id") < 8 && col("rn") <= 4)
-          .select(col("vec_id").as("a_id"), col("c_label").as("cell"),
-            col("rn").as("arn")))
-        val ns = Seq(2, 3, 4).toDF("np")
-        // ONE candidate scan; every depth is a predicate over it
-        val sims0 = e.join(cells, "vec_id")
-          .join(aRank4, "cell")
-          .join(anchors, "a_id")
-          .filter(col("vec_id") =!= col("a_id"))
-          .select(col("a_id"), col("a_label"), col("arn"), col("vec_id"),
-            round(cosine(col("embedding"), col("av")), 6).as("sim"))
-          .filter(col("sim").isNotNull)
-        val wP = Window.partitionBy("np", "a_id")
-          .orderBy(col("sim").desc, col("vec_id"))
-        val t5 = sims0.join(broadcast(ns), col("arn") <= col("np"))
-          .withColumn("r", row_number().over(wP))
-          .filter(col("r") <= 5)
-          .select("np", "a_id", "a_label", "vec_id")
-        val wE = Window.partitionBy("a_id")
-          .orderBy(col("es").desc, col("vec_id"))
-        val exact5 = e.crossJoin(anchors)
-          .filter(col("vec_id") =!= col("a_id"))
-          .select(col("a_id"), col("a_label"), col("vec_id"),
-            round(cosine(col("embedding"), col("av")), 6).as("es"))
-          .filter(col("es").isNotNull)
-          .withColumn("r", row_number().over(wE))
-          .filter(col("r") <= 5)
-          .select("a_id", "a_label", "vec_id")
-        val hits = t5.join(exact5, Seq("a_id", "vec_id"), "left_semi")
-          .groupBy("np", "a_label").agg(count(lit(1)).as("n_hits"))
-        val truth = exact5.groupBy("a_label")
-          .agg(count(lit(1)).as("n_truth"),
-            countDistinct(col("a_id")).as("n_anchors"))
-        // the 3-row np LocalRelation is the broadcast build side (the
-        // BNLJ bounded-frame convention — truth is a_label-keyed and
-        // small, but only provably-bounded shapes may build)
-        val rec = truth.crossJoin(broadcast(ns))
-          .join(hits, Seq("np", "a_label"), "left")
-          .select(col("np"), col("a_label"), col("n_truth"),
-            col("n_anchors"),
-            coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))
-        val chosen = rec.groupBy("a_label")
-          .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
-            col("np"))).as("np_ok"))
+        val (_, rec, chosen) = labelRepairFrames(s, d)
         val base = rec.filter(col("np") === 2)
           .select(col("a_label"), col("n_anchors"), col("n_truth"),
             col("n_hits").as("base_n_hits"))
@@ -3587,58 +3533,7 @@ object EmbQueries {
           .orderBy("a_label")
       },
       Some(
-        s"""WITH $ivfCellsCte, anch AS (
-           |  SELECT vec_id AS a_id,
-           |    coalesce(CAST(label AS INT), -2) AS a_label,
-           |    embedding AS av
-           |  FROM embeddings WHERE vec_id < 8
-           |), arank4 AS (
-           |  SELECT vec_id AS a_id, label AS cell, rn AS arn
-           |  FROM ranked WHERE vec_id < 8 AND rn <= 4
-           |), ns AS (SELECT unnest([2, 3, 4]) AS np),
-           |sims0 AS (
-           |  SELECT ar.a_id, a.a_label, ar.arn, e.vec_id,
-           |    ${cosSql("e.embedding", "a.av")} AS sim
-           |  FROM embeddings e
-           |  JOIN cells c ON c.vec_id = e.vec_id
-           |  JOIN arank4 ar ON ar.cell = c.cell
-           |  JOIN anch a ON a.a_id = ar.a_id
-           |  WHERE e.vec_id <> ar.a_id
-           |), t5 AS (
-           |  SELECT np, a_id, a_label, vec_id FROM (
-           |    SELECT n.np, s.*, row_number() OVER (
-           |      PARTITION BY n.np, s.a_id
-           |      ORDER BY s.sim DESC, s.vec_id) AS r
-           |    FROM sims0 s JOIN ns n ON s.arn <= n.np
-           |    WHERE s.sim IS NOT NULL) WHERE r <= 5
-           |), ex0 AS (
-           |  SELECT a.a_id, a.a_label, e.vec_id,
-           |    ${cosSql("e.embedding", "a.av")} AS es
-           |  FROM embeddings e CROSS JOIN anch a
-           |  WHERE e.vec_id <> a.a_id
-           |), e5 AS (
-           |  SELECT a_id, a_label, vec_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY a_id
-           |      ORDER BY es DESC, vec_id) AS r
-           |    FROM ex0 WHERE es IS NOT NULL) WHERE r <= 5
-           |), hits AS (
-           |  SELECT t5.np, t5.a_label, count(*) AS n_hits
-           |  FROM t5 JOIN e5 USING (a_id, vec_id) GROUP BY 1, 2
-           |), truth AS (
-           |  SELECT a_label, count(*) AS n_truth,
-           |    count(DISTINCT a_id) AS n_anchors
-           |  FROM e5 GROUP BY 1
-           |), rec AS (
-           |  SELECT n.np, t.a_label, t.n_truth, t.n_anchors,
-           |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
-           |  FROM ns n CROSS JOIN truth t
-           |  LEFT JOIN hits h ON h.np = n.np AND h.a_label = t.a_label
-           |), ch AS (
-           |  SELECT a_label,
-           |    min(CASE WHEN n_hits * 10 >= n_truth * 4
-           |      THEN np END) AS np_ok
-           |  FROM rec GROUP BY 1
-           |)
+        s"""WITH $ivfCellsCte, $labelRepairCte
            |SELECT b.a_label,
            |  CAST(b.n_anchors AS BIGINT) AS n_anchors,
            |  CAST(b.n_truth AS BIGINT) AS n_truth,
@@ -3656,6 +3551,51 @@ object EmbQueries {
            |  AND rc.np = coalesce(ch.np_ok, 4)
            |WHERE b.np = 2
            |ORDER BY b.a_label""".stripMargin)),
+
+    // LABEL-AWARE SERVING — the repair's decision CONSUMED: each query
+    // probes at ITS label's chosen depth (the per-segment (label ->
+    // nprobe) side table emb_label_nprobe_repair derives), so the
+    // 0.2-recall slices get their deeper probe and the healthy slices
+    // keep paying for 2 cells. The serve is one predicate over the
+    // SAME depth-4 candidate frame (arn <= the query's own depth — no
+    // per-depth re-scan), then a per-query top-5. This is the read
+    // path the side table exists for; the streaming twin
+    // (AnnServing.scoreBatchLabelAware) is pinned row-identical in
+    // StreamingSpec. At 100 TB: the depth table is a broadcast row per
+    // label; serving cost scales with each query's OWN depth — the
+    // whole point of repairing per-slice instead of raising the
+    // global knob.
+    Q(
+      "emb_label_aware_serving",
+      (s, d) => {
+        val (sims0, _, chosen) = labelRepairFrames(s, d)
+        val wQ = Window.partitionBy("a_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        sims0
+          .join(broadcast(chosen
+            .select(col("a_label"),
+              coalesce(col("np_ok"), lit(4)).cast("int").as("np"))),
+            "a_label")
+          .filter(col("arn") <= col("np"))
+          .withColumn("rank", row_number().over(wQ))
+          .filter(col("rank") <= 5)
+          .select(col("a_id"), col("a_label"), col("np").as("nprobe"),
+            col("rank"), col("vec_id"), col("sim"))
+          .orderBy("a_id", "rank")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $labelRepairCte
+           |SELECT a_id, a_label, nprobe, rank, vec_id, sim FROM (
+           |  SELECT s.a_id, s.a_label,
+           |    CAST(coalesce(ch.np_ok, 4) AS INT) AS nprobe,
+           |    row_number() OVER (PARTITION BY s.a_id
+           |      ORDER BY s.sim DESC, s.vec_id) AS rank,
+           |    s.vec_id, s.sim
+           |  FROM sims0 s
+           |  JOIN ch ON ch.a_label = s.a_label
+           |  WHERE s.arn <= coalesce(ch.np_ok, 4)
+           |    AND s.sim IS NOT NULL)
+           |WHERE rank <= 5 ORDER BY a_id, rank""".stripMargin)),
 
     // OPERATING GRID — the (nprobe x shortN) interaction the two axis
     // sweeps cannot show alone: emb_nprobe_autotune finds recall
@@ -5039,6 +4979,136 @@ object EmbQueries {
        |  FROM embeddings e JOIN shortl3 sl ON sl.vec_id = e.vec_id
        |  CROSS JOIN qv2
        |  ORDER BY sim DESC, e.vec_id LIMIT 5
+       |)""".stripMargin
+
+  /** Shared lineage of the per-label repair family
+    * (emb_label_nprobe_repair derives the per-slice operating point;
+    * emb_label_aware_serving SERVES it): ONE candidate scan to the max
+    * depth (anchor cell-ranks carried as a column — every depth is a
+    * predicate over the same frame, never a re-scan), the exact
+    * per-anchor truth, the per-(depth, label) recall ledger, and the
+    * chosen minimum depth meeting the 0.4 floor (NULL = unreachable
+    * within the budget).
+    *
+    * @return (sims0, rec, chosen): candidate sims with arn; the
+    *         (np, a_label, n_truth, n_anchors, n_hits) ledger; and
+    *         (a_label, np_ok)
+    */
+  private def labelRepairFrames(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = emb(s, d)
+    val ranked = ivfRanked(s, d)
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val anchors = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"),
+        coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
+        col("embedding").as("av")))
+    // anchor cells to the MAX candidate depth, rank carried
+    val aRank4 = broadcast(ranked
+      .filter(col("vec_id") < 8 && col("rn") <= 4)
+      .select(col("vec_id").as("a_id"), col("c_label").as("cell"),
+        col("rn").as("arn")))
+    val ns = Seq(2, 3, 4).toDF("np")
+    // ONE candidate scan; every depth is a predicate over it
+    val sims0 = e.join(cells, "vec_id")
+      .join(aRank4, "cell")
+      .join(anchors, "a_id")
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("arn"), col("vec_id"),
+        round(cosine(col("embedding"), col("av")), 6).as("sim"))
+      .filter(col("sim").isNotNull)
+    val wP = Window.partitionBy("np", "a_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val t5 = sims0.join(broadcast(ns), col("arn") <= col("np"))
+      .withColumn("r", row_number().over(wP))
+      .filter(col("r") <= 5)
+      .select("np", "a_id", "a_label", "vec_id")
+    val wE = Window.partitionBy("a_id")
+      .orderBy(col("es").desc, col("vec_id"))
+    val exact5 = e.crossJoin(anchors)
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id"),
+        round(cosine(col("embedding"), col("av")), 6).as("es"))
+      .filter(col("es").isNotNull)
+      .withColumn("r", row_number().over(wE))
+      .filter(col("r") <= 5)
+      .select("a_id", "a_label", "vec_id")
+    val hits = t5.join(exact5, Seq("a_id", "vec_id"), "left_semi")
+      .groupBy("np", "a_label").agg(count(lit(1)).as("n_hits"))
+    val truth = exact5.groupBy("a_label")
+      .agg(count(lit(1)).as("n_truth"),
+        countDistinct(col("a_id")).as("n_anchors"))
+    // the 3-row np LocalRelation is the broadcast build side (the
+    // BNLJ bounded-frame convention — truth is a_label-keyed and
+    // small, but only provably-bounded shapes may build)
+    val rec = truth.crossJoin(broadcast(ns))
+      .join(hits, Seq("np", "a_label"), "left")
+      .select(col("np"), col("a_label"), col("n_truth"),
+        col("n_anchors"),
+        coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))
+    val chosen = rec.groupBy("a_label")
+      .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
+        col("np"))).as("np_ok"))
+    (sims0, rec, chosen)
+  }
+
+  /** DuckDB twin of [[labelRepairFrames]] — the CTE chain both repair
+    * oracles compose over (needs [[ivfCellsCte]] in scope).
+    */
+  private lazy val labelRepairCte: String =
+    s"""anch AS (
+       |  SELECT vec_id AS a_id,
+       |    coalesce(CAST(label AS INT), -2) AS a_label,
+       |    embedding AS av
+       |  FROM embeddings WHERE vec_id < 8
+       |), arank4 AS (
+       |  SELECT vec_id AS a_id, label AS cell, rn AS arn
+       |  FROM ranked WHERE vec_id < 8 AND rn <= 4
+       |), ns AS (SELECT unnest([2, 3, 4]) AS np),
+       |sims0 AS (
+       |  SELECT ar.a_id, a.a_label, ar.arn, e.vec_id,
+       |    ${cosSql("e.embedding", "a.av")} AS sim
+       |  FROM embeddings e
+       |  JOIN cells c ON c.vec_id = e.vec_id
+       |  JOIN arank4 ar ON ar.cell = c.cell
+       |  JOIN anch a ON a.a_id = ar.a_id
+       |  WHERE e.vec_id <> ar.a_id
+       |), t5 AS (
+       |  SELECT np, a_id, a_label, vec_id FROM (
+       |    SELECT n.np, s.*, row_number() OVER (
+       |      PARTITION BY n.np, s.a_id
+       |      ORDER BY s.sim DESC, s.vec_id) AS r
+       |    FROM sims0 s JOIN ns n ON s.arn <= n.np
+       |    WHERE s.sim IS NOT NULL) WHERE r <= 5
+       |), ex0 AS (
+       |  SELECT a.a_id, a.a_label, e.vec_id,
+       |    ${cosSql("e.embedding", "a.av")} AS es
+       |  FROM embeddings e CROSS JOIN anch a
+       |  WHERE e.vec_id <> a.a_id
+       |), e5 AS (
+       |  SELECT a_id, a_label, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY es DESC, vec_id) AS r
+       |    FROM ex0 WHERE es IS NOT NULL) WHERE r <= 5
+       |), hits AS (
+       |  SELECT t5.np, t5.a_label, count(*) AS n_hits
+       |  FROM t5 JOIN e5 USING (a_id, vec_id) GROUP BY 1, 2
+       |), truth AS (
+       |  SELECT a_label, count(*) AS n_truth,
+       |    count(DISTINCT a_id) AS n_anchors
+       |  FROM e5 GROUP BY 1
+       |), rec AS (
+       |  SELECT n.np, t.a_label, t.n_truth, t.n_anchors,
+       |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM ns n CROSS JOIN truth t
+       |  LEFT JOIN hits h ON h.np = n.np AND h.a_label = t.a_label
+       |), ch AS (
+       |  SELECT a_label,
+       |    min(CASE WHEN n_hits * 10 >= n_truth * 4
+       |      THEN np END) AS np_ok
+       |  FROM rec GROUP BY 1
        |)""".stripMargin
 
   /** BLUE/GREEN index publish — versions are LOGICAL: a manifest

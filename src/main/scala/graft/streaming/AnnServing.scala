@@ -125,6 +125,76 @@ object AnnServing {
     }
   }
 
+  /** LABEL-AWARE scoring — the per-slice operating point SERVED: each
+    * query probes at ITS OWN label's depth, read from the (a_label,
+    * np) side table the repair derives (emb_label_nprobe_repair);
+    * queries whose label has no entry fall back to the global
+    * nprobe=2 point. The read is the IVF exact-rerank flavor (probe
+    * the query's top-np cells off the index centroids, fetch the
+    * probed cells' true vectors, exact rounded cosine, top-k) —
+    * identical arithmetic to the batch emb_label_aware_serving, which
+    * StreamingSpec pins row-identical for the anchor queries. At
+    * 100 TB the depth table is one broadcast row per label; each
+    * query's cost scales with its OWN depth — the point of per-slice
+    * repair over raising the global knob.
+    *
+    * @param batch      (qid BIGINT, qvec ARRAY<FLOAT>, qlabel INT)
+    * @param depthsPath parquet side table (a_label INT, np INT)
+    * @return (qid, rank, vec_id, sim) — top-k per query, rank 1-based
+    */
+  def scoreBatchLabelAware(
+      spark: SparkSession,
+      indexDir: String,
+      vectorsPath: String,
+      depthsPath: String,
+      batch: DataFrame,
+      k: Int = 5): DataFrame = {
+    val empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rank", "vec_id", "sim")
+    }
+    val q = batch.select(col("qid").cast("long").as("qid"),
+      col("qvec").cast("array<float>").as("qvec"),
+      col("qlabel").cast("int").as("qlabel"))
+    if (q.isEmpty) return empty
+    // the per-label depth side table — label-keyed first() read (the
+    // rebalancedNear broadcast convention: bounded AND key-unique)
+    val depths = spark.read.parquet(depthsPath)
+      .select(col("a_label").as("qlabel"), col("np").cast("int").as("np"))
+      .groupBy("qlabel").agg(first(col("np")).as("np"))
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("c_label").as("clab"), col("cvec"))
+      .groupBy("clab").agg(first(col("cvec")).as("cvec"))
+    // per-query centroid ranks (B x kk rows), cut to the query's own
+    // depth — the ivfRanked ordering contract (NULLS LAST, label tie)
+    val wC = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc_nulls_last, col("clab"))
+    val qr = q.crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("qvec"), col("cvec")))
+      .withColumn("arn", row_number().over(wC))
+      .join(broadcast(depths), Seq("qlabel"), "left")
+      .filter(col("arn") <= coalesce(col("np"), lit(2)))
+      .select(col("qid"), col("qvec"), col("clab").as("cell"))
+    // pruned candidate fetch: only the probed cells' rows, exact rerank
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .select(col("vec_id"), col("cell"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    codes.join(broadcast(qr), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(spark.read.parquet(vectorsPath)
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.queries.EmbQueries.cosine(col("embedding"),
+          col("qvec")), 6).as("sim"))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** Score ONE micro-batch of query vectors against the persisted
     * 1-bit BINARY-QUANTIZATION signature artifact (`bitsig/` — the
     * 16-byte (vec_id, h1, h2) rows emb_ivfpq_served's build stages) —
@@ -861,6 +931,34 @@ object AnnServing {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         scoreBatch(s, indexDir, s.read.parquet(vectorsPath), batch, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
+  /** the [[scoreBatchLabelAware]] sink — same wrapper shape as
+    * startServingSink; the depth side table re-reads per micro-batch,
+    * so a repair re-derivation (new per-label depths) takes effect on
+    * the next batch with no topology change
+    */
+  def startLabelAwareServingSink(
+      stream: DataFrame,
+      indexDir: String,
+      vectorsPath: String,
+      depthsPath: String,
+      outDir: String,
+      checkpoint: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        scoreBatchLabelAware(s, indexDir, vectorsPath, depthsPath,
+          batch, k)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
         ()

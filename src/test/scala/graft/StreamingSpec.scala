@@ -1385,6 +1385,71 @@ class StreamingSpec extends AnyFunSuite {
       Seq("qid", "rank", "vec_id", "qdot", "approx_dot"))
   }
 
+  test("label-aware streaming serving equals the batch per-slice serve") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // the (label -> nprobe) side table is the repair decision itself
+    val depthsPath = tmp("las_depths") + "/depths.parquet"
+    Registry.byName("emb_label_nprobe_repair").build(spark, dir)
+      .select(col("a_label"), col("nprobe_chosen").as("np"))
+      .write.mode("overwrite").parquet(depthsPath)
+    // stream every anchor (vec_id < 8) with its label — the same
+    // query universe the batch emb_label_aware_serving answers
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
+        col("embedding")).collect()
+    val in = tmp("las_in")
+    anchors.foreach { r =>
+      val qid = r.getAs[Long]("vec_id")
+      val v = r.getSeq[Float](2)
+      Files.write(java.nio.file.Paths.get(in, s"q$qid.json"),
+        (s"""{"qid":$qid,"qlabel":${r.getAs[Int]("a_label")},""" +
+          s""""qvec":[${v.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("qlabel", IntegerType),
+      StructField("qvec", ArrayType(DoubleType))))
+    val out = tmp("las_out")
+    val q = graft.streaming.AnnServing.startLabelAwareServingSink(
+      spark.readStream.schema(schema).json(in),
+      idx, s"$dir/embeddings.parquet", depthsPath, out,
+      tmp("las_ckpt"))
+    assert(q.awaitTermination(120000))
+
+    // row-identical to the batch per-slice serve for every anchor
+    val batch = Registry.byName("emb_label_aware_serving")
+      .build(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq.sorted
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq.sorted
+    assert(streamed == batch,
+      s"stream(${streamed.size}) != batch(${batch.size})")
+
+    // a query whose label has no depth entry falls back to nprobe=2
+    // and still answers (never crashes, never over-probes)
+    val fallback = graft.streaming.AnnServing.scoreBatchLabelAware(
+      spark, idx, s"$dir/embeddings.parquet", depthsPath,
+      emb.filter(col("vec_id") === 9)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          lit(999).as("qlabel")))
+    assert(fallback.count() == 5)
+
+    // empty batch: typed empty frame, not a crash
+    val none = graft.streaming.AnnServing.scoreBatchLabelAware(
+      spark, idx, s"$dir/embeddings.parquet", depthsPath,
+      emb.filter(col("vec_id") === -1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          lit(0).as("qlabel")))
+    assert(none.isEmpty)
+    assert(none.columns.toSeq == Seq("qid", "rank", "vec_id", "sim"))
+  }
+
   test("streaming auto-maintenance upserts then splits skewed cells") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
