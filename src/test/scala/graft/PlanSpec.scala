@@ -781,6 +781,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(1200))
   }
 
+  test("label-aware serving: broadcast depth table, heap-bounded top-5, no sort-merge") {
+    val p = plan("emb_label_aware_serving")
+    // the CORPUS path joins broadcast (depth side table, anchor frame,
+    // cell assignment — 4+ BroadcastHashJoins); any sort-merge may only
+    // appear between the post-aggregation recall-ledger frames
+    // (label-cardinality rows, never corpus) while the depth is
+    // derived; the per-query top-5 reduces via the WindowGroupLimit
+    // per-partition heap before the rank window, so no query's full
+    // candidate list is ever globally sorted
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    // no sort-merge on a corpus key: embedding-table vec_id joins and
+    // the cell-assignment join must all be broadcast
+    assert(!"SortMergeJoin \\[vec_id".r.findFirstIn(p).isDefined &&
+      !"SortMergeJoin \\[cell".r.findFirstIn(p).isDefined, p.take(1500))
+  }
+
+  test("span savings: shared-hash semi probe, one run-merge exchange, band agg partial") {
+    val p = plan("dedup_span_savings")
+    // the shared-window-hash set reaches the position frame as a SEMI
+    // join (never widening), the run merge is the only doc_id
+    // exchange, the band aggregate partial-aggs before its exchange,
+    // and the corpus-total cross is the 1-row stat BNLJ convention
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("exact median: range-partitioned selection, no window, no sort-merge") {
     val p = plan("ev_value_median_exact")
     // the distributed-selection claim: global rank comes from a range
