@@ -3597,6 +3597,127 @@ object EmbQueries {
            |    AND s.sim IS NOT NULL)
            |WHERE rank <= 5 ORDER BY a_id, rank""".stripMargin)),
 
+    // POST-EPOCH FAIRNESS RE-AUDIT — emb_recall_by_label re-run
+    // against the RETRAINED (v3) index: per anchor label, pooled
+    // recall@5 at the same nprobe=2 operating point, with cells and
+    // centroids read from the epoch's published artifacts
+    // (codes_rt / centroids_rt) instead of the v1 lineage. Reading
+    // this beside emb_recall_by_label answers whether the epoch moved
+    // slice equity (the audits exist to drive — and then evaluate —
+    // the acts: rebalance, repair, retrain). Same shape: one
+    // candidate scan over the anchors' probed cells + one
+    // |anchors|·|corpus| exact pass; output is |anchor labels| rows.
+    Q(
+      "emb_retrain_recall_by_label",
+      (s, d) => {
+        val codes3 = retrainApplied(s, d)
+        val root = indexPath(d)
+        val e = emb(s, d)
+        val anchors = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("a_id"),
+            coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
+            col("embedding").as("av")))
+        // v3 centroid table, label-keyed first() read (the bounded
+        // broadcast convention)
+        val cent3 = s.read.parquet(s"$root/centroids_rt")
+          .select(col("c_label").as("label"), col("cvec"))
+          .groupBy("label").agg(first(col("cvec")).as("cvec"))
+        val wA = Window.partitionBy("a_id")
+          .orderBy(col("d2").asc_nulls_last, col("label"))
+        val aRank = anchors.crossJoin(broadcast(cent3))
+          .withColumn("d2",
+            graft.functions.VecL2Sq.column(col("av"), col("cvec")))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= 2)
+          .select(col("a_id"), col("label").as("cell"))
+        val wP = Window.partitionBy("a_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val top5 = e.join(codes3.select("vec_id", "cell"), "vec_id")
+          .join(broadcast(aRank), "cell")
+          .join(anchors, "a_id")
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("a_label"), col("vec_id"),
+            round(cosine(col("embedding"), col("av")), 6).as("sim"))
+          .filter(col("sim").isNotNull)
+          .withColumn("r", row_number().over(wP))
+          .filter(col("r") <= 5)
+          .select("a_id", "a_label", "vec_id")
+        val wE = Window.partitionBy("a_id")
+          .orderBy(col("es").desc, col("vec_id"))
+        val exact5 = e.crossJoin(anchors)
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("a_label"), col("vec_id"),
+            round(cosine(col("embedding"), col("av")), 6).as("es"))
+          .filter(col("es").isNotNull)
+          .withColumn("r", row_number().over(wE))
+          .filter(col("r") <= 5)
+          .select("a_id", "a_label", "vec_id")
+        val hits = top5.join(exact5, Seq("a_id", "vec_id"), "left_semi")
+          .groupBy("a_label").agg(count(lit(1)).as("n_hits"))
+        exact5.groupBy("a_label")
+          .agg(count(lit(1)).as("n_truth"),
+            countDistinct(col("a_id")).as("n_anchors"))
+          .join(hits, Seq("a_label"), "left")
+          .select(col("a_label"), col("n_anchors"), col("n_truth"),
+            coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_truth"), 6).as("recall_at_5"))
+          .orderBy("a_label")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, $retrainCte,
+           |anch AS (
+           |  SELECT vec_id AS a_id,
+           |    coalesce(CAST(label AS INT), -2) AS a_label,
+           |    embedding AS av
+           |  FROM embeddings WHERE vec_id < 8
+           |), ar3 AS (
+           |  SELECT a_id, cell FROM (
+           |    SELECT a.a_id, c.label AS cell, row_number() OVER (
+           |      PARTITION BY a.a_id
+           |      ORDER BY ${l2Sql("a.av", "c.cvec")} NULLS LAST,
+           |        c.label) AS rn
+           |    FROM anch a CROSS JOIN cent3 c) WHERE rn <= 2
+           |), sims3 AS (
+           |  SELECT ar.a_id, a.a_label, e.vec_id,
+           |    ${cosSql("e.embedding", "a.av")} AS sim
+           |  FROM embeddings e
+           |  JOIN cells3 c ON c.vec_id = e.vec_id
+           |  JOIN ar3 ar ON ar.cell = c.cell
+           |  JOIN anch a ON a.a_id = ar.a_id
+           |  WHERE e.vec_id <> ar.a_id
+           |), t53 AS (
+           |  SELECT a_id, a_label, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY sim DESC, vec_id) AS r
+           |    FROM sims3 WHERE sim IS NOT NULL) WHERE r <= 5
+           |), ex0 AS (
+           |  SELECT a.a_id, a.a_label, e.vec_id,
+           |    ${cosSql("e.embedding", "a.av")} AS es
+           |  FROM embeddings e CROSS JOIN anch a
+           |  WHERE e.vec_id <> a.a_id
+           |), e5 AS (
+           |  SELECT a_id, a_label, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY es DESC, vec_id) AS r
+           |    FROM ex0 WHERE es IS NOT NULL) WHERE r <= 5
+           |), hits AS (
+           |  SELECT t53.a_label, count(*) AS n_hits
+           |  FROM t53 JOIN e5 USING (a_id, vec_id) GROUP BY 1
+           |), truth AS (
+           |  SELECT a_label, count(*) AS n_truth,
+           |    count(DISTINCT a_id) AS n_anchors
+           |  FROM e5 GROUP BY 1
+           |)
+           |SELECT t.a_label,
+           |  CAST(t.n_anchors AS BIGINT) AS n_anchors,
+           |  CAST(t.n_truth AS BIGINT) AS n_truth,
+           |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_truth, 6)
+           |    AS recall_at_5
+           |FROM truth t LEFT JOIN hits h USING (a_label)
+           |ORDER BY a_label""".stripMargin)),
+
     // OPERATING GRID — the (nprobe x shortN) interaction the two axis
     // sweeps cannot show alone: emb_nprobe_autotune finds recall
     // climbing with probe depth and emb_shortn_sweep finds it flat in
