@@ -835,6 +835,15 @@ object AnnServing {
       .persist()
     splitCentP.count()
 
+    // the centroid rows are COLLECTED to the driver BEFORE the codes
+    // rewrite (|cells| rows — the probed-cells-collect convention):
+    // committing the codes overwrite RECACHES every cached plan that
+    // reads codesPath, and splitCentP's lineage does — a post-write
+    // access would silently recompute the split means over the
+    // ALREADY-REWRITTEN memberships (found live in round 11: the
+    // written split centroid no longer matched the independent mean
+    // of its membership). A driver-local copy is immune.
+    val centRows = splitCentP.collect().toSeq
     // in-place partition-local rewrite: the plan reads codesPath, so
     // truncate lineage off the materialized cache first
     val moved = org.apache.spark.sql.GraftSqlBridge.truncateLineage(
@@ -842,14 +851,141 @@ object AnnServing {
     moved.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(codesPath)
-    val cent2 = org.apache.spark.sql.GraftSqlBridge
-      .truncateLineage(splitCentP)
-    cent2.write.mode("overwrite").parquet(centPath)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), splitCentP.schema)
+      .write.mode("overwrite").parquet(centPath)
     movedP.unpersist()
     splitCentP.unpersist()
     spark.catalog.refreshByPath(codesPath)
     spark.catalog.refreshByPath(centPath)
     nMoved
+  }
+
+  /** RETRAIN-WHEN-DUE — the streaming twin of the batch
+    * emb_retrain_decision -> emb_ivfpq_retrain chain: measure the
+    * index's health off its OWN artifacts (one argmin pass for drift,
+    * one bounded group-by for skew — the exact integer rules
+    * emb_retrain_decision pins), and when either threshold trips, run
+    * ONE full Lloyd epoch IN PLACE: M-step re-means every cell from
+    * its actual current membership (snap6/mean6 — ivfCentroids'
+    * arithmetic), E-step reassigns every vectored row to its nearest
+    * new centroid (NULL-distance rows keep their cell — the
+    * applyRebalance convention for vectorless rows, which also keep
+    * their OLD centroid if their whole cell is vectorless), emptied
+    * cells prune. In-place rewrite follows the module's
+    * overwrite-recache discipline (persist + count BEFORE the write,
+    * truncateLineage so the plan never reads what it replaces,
+    * refreshByPath after). The batch path proves the blue/green
+    * publish form of the same epoch; this is the self-healing form a
+    * maintenance stream runs unattended.
+    *
+    * @return (ran, misplacedBefore) — ran=false means both health
+    *         rules passed and the index was not touched
+    */
+  def applyRetrainEpochIfDue(
+      spark: SparkSession,
+      indexDir: String,
+      vectorsPath: String,
+      num: Int = graft.queries.EmbQueries.RebalanceNum,
+      den: Int = graft.queries.EmbQueries.RebalanceDen): (Boolean, Long) = {
+    val codesPath = s"$indexDir/codes"
+    val centPath = s"$indexDir/centroids"
+    spark.catalog.refreshByPath(codesPath)
+    spark.catalog.refreshByPath(centPath)
+    val codes = spark.read.parquet(codesPath)
+    val centRaw = spark.read.parquet(centPath)
+    val cent = centRaw
+      .select(col("c_label").as("clab"), col("cvec"))
+      .groupBy("clab").agg(first(col("cvec")).as("cvec"))
+    val vecs = spark.read.parquet(vectorsPath)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("mvec"))
+    // HEALTH: skew off a bounded per-cell group-by; drift off one
+    // argmin pass (NULL distances never count as misplaced)
+    val szRows = codes.groupBy("cell").agg(count(lit(1)).as("cn"))
+      .collect()
+    val nCells = szRows.length.toLong
+    val total = szRows.map(_.getLong(1)).sum
+    val maxCell = if (szRows.isEmpty) 0L else szRows.map(_.getLong(1)).max
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("clab"))
+    val near = codes.select("vec_id", "cell")
+      .join(vecs, Seq("vec_id"), "left")
+      .crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("mvec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val mis = near
+      .filter(col("d2").isNotNull && col("clab") =!= col("cell"))
+      .count()
+    val skew = den.toLong * maxCell * nCells > num.toLong * total
+    val drift = total > 0 && mis * 10 >= total
+    if (!(skew || drift)) return (false, mis)
+
+    // EPOCH. M-step: per-cell means over the current memberships
+    // (vectorless rows cannot contribute)
+    val cent3P = codes.select("vec_id", "cell")
+      .join(vecs, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("mvec")).as(Seq("dim", "v")))
+      .withColumn("vi", graft.queries.EmbQueries.snap6(col("v")))
+      .groupBy("cell", "dim")
+      .agg(expr(graft.queries.EmbQueries.mean6Expr("vi")).as("cv"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+      .select(col("cell").as("c_label"), col("cvec"))
+      .persist()
+    cent3P.count()
+    val cent3B = cent3P
+      .select(col("c_label").as("nlab"), col("cvec").as("ncvec"))
+    // E-step: reassign every vectored row; NULL distance keeps cell
+    val wE = Window.partitionBy(col("vec_id"))
+      .orderBy(col("nd2").asc_nulls_last, col("nlab"))
+    val asgP = codes
+      .join(vecs, Seq("vec_id"), "left")
+      .crossJoin(broadcast(cent3B))
+      .withColumn("nd2",
+        graft.functions.VecL2Sq.column(col("mvec"), col("ncvec")))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("codes"), col("label"),
+        when(col("nd2").isNotNull, col("nlab"))
+          .otherwise(col("cell")).as("cell"))
+      .persist()
+    asgP.count()
+    // final centroid table: epoch means for surviving cells, plus the
+    // OLD centroid for any all-vectorless cell the means pass missed
+    val live = asgP.select(col("cell").as("c_label")).distinct()
+    val keptP = cent3P
+      .join(live, Seq("c_label"), "left_semi")
+      .unionByName(centRaw
+        .join(live, Seq("c_label"), "left_semi")
+        .join(cent3P.select("c_label"), Seq("c_label"), "left_anti"))
+      .persist()
+    keptP.count()
+
+    // centroid rows driver-collected BEFORE the codes rewrite: the
+    // overwrite commit recaches every cached plan reading codesPath
+    // (cent3P/keptP read it), and a post-write access would silently
+    // recompute the means over the NEW memberships — a second,
+    // unintended M-step (caught live by the self-healing spec's
+    // independent post-check). |cells| rows — driver-bounded.
+    val keptRows = keptP.collect().toSeq
+    val newCodes = org.apache.spark.sql.GraftSqlBridge
+      .truncateLineage(asgP)
+    newCodes.write.mode("overwrite")
+      .partitionBy("cell").parquet(codesPath)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(keptRows, 1), keptP.schema)
+      .write.mode("overwrite").parquet(centPath)
+    cent3P.unpersist()
+    asgP.unpersist()
+    keptP.unpersist()
+    spark.catalog.refreshByPath(codesPath)
+    spark.catalog.refreshByPath(centPath)
+    (true, mis)
   }
 
   /** The AUTO-MAINTAIN sink: each micro-batch of arriving vectors is
@@ -876,6 +1012,34 @@ object AnnServing {
         val s = batch.sparkSession
         applyUpsertBatch(s, indexDir, batch, fullDedup = true)
         applyRebalance(s, indexDir, vectorsPath, num, den)
+        ()
+      }
+      .start()
+
+  /** The SELF-HEALING sink — [[startAutoMaintainSink]] plus the
+    * retrain rung: upsert, rebalance if skewed, then
+    * [[applyRetrainEpochIfDue]] — the index measures its own health
+    * per micro-batch and runs the full epoch when a threshold trips.
+    * This closes the streaming maintenance lifecycle: serve / upsert /
+    * delete / rebalance / RETRAIN, all unattended.
+    */
+  def startSelfHealingSink(
+      stream: DataFrame,
+      indexDir: String,
+      vectorsPath: String,
+      checkpoint: String,
+      num: Int = graft.queries.EmbQueries.RebalanceNum,
+      den: Int = graft.queries.EmbQueries.RebalanceDen,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        applyUpsertBatch(s, indexDir, batch, fullDedup = true)
+        applyRebalance(s, indexDir, vectorsPath, num, den)
+        applyRetrainEpochIfDue(s, indexDir, vectorsPath, num, den)
         ()
       }
       .start()

@@ -1579,6 +1579,116 @@ class StreamingSpec extends AnyFunSuite {
       "an upserted copy encoded differently from its source vector")
   }
 
+  test("self-healing sink retrains in place when the health rules trip") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val full = spark.read.parquet(s"$idx/codes")
+
+    // same skew workload as the auto-maintain test: clones of the
+    // biggest cell's members drive that cell over the threshold; the
+    // post-rebalance state still trips the skew rule (single split
+    // leaves the region dominant), so the epoch must run
+    val topCell = full.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).collect()(0).getInt(0)
+    val memberRows = full.filter(col("cell") === topCell)
+      .select("vec_id").join(emb, "vec_id")
+      .select("vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+    val rows = memberRows.map { r =>
+      (r.getLong(0) + 3000000L, r.getSeq[Float](1), r.getInt(2))
+    }
+    import spark.implicits._
+    val aug = tmp("ann_heal_vecs")
+    emb.select("vec_id", "embedding", "label").unionByName(
+      spark.createDataset(rows.toSeq)
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("label")))
+      .write.parquet(s"$aug/embeddings.parquet")
+    val augPath = s"$aug/embeddings.parquet"
+
+    val work = tmp("ann_heal")
+    val twin = tmp("ann_heal_twin")
+    Seq(work, twin).foreach { r =>
+      full.write.partitionBy("cell").parquet(s"$r/codes")
+      spark.read.parquet(s"$idx/centroids").write.parquet(s"$r/centroids")
+      spark.read.parquet(s"$idx/codebook").write.parquet(s"$r/codebook")
+    }
+
+    val in = tmp("ann_heal_in")
+    val sb = new StringBuilder
+    rows.foreach { case (id, v, l) =>
+      sb.append(
+        s"""{"vec_id":$id,"embedding":[${v.mkString(",")}],"label":$l}\n""")
+    }
+    Files.write(java.nio.file.Paths.get(in, "a.json"),
+      sb.toString.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", IntegerType)))
+    val q = graft.streaming.AnnServing.startSelfHealingSink(
+      spark.readStream.schema(schema).json(in),
+      work, augPath, tmp("ann_heal_ckpt"))
+    assert(q.awaitTermination(120000))
+
+    // twin: the same chain called directly — the trigger must fire
+    val batch = spark.createDataset(rows.toSeq)
+      .toDF("vec_id", "embedding", "label")
+    graft.streaming.AnnServing.applyUpsertBatch(
+      spark, twin, batch, fullDedup = true)
+    graft.streaming.AnnServing.applyRebalance(spark, twin, augPath)
+    val (ran, misBefore) = graft.streaming.AnnServing
+      .applyRetrainEpochIfDue(spark, twin, augPath)
+    assert(ran, "health rules did not trip on the skew workload")
+
+    // sink state == direct-call state (codes AND centroids)
+    val key = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("vec_id"), col("cell"), col("label"),
+      array_join(transform(col("codes"), c => c.cast("string")), ",")
+        .as("cs"))
+    def codesOf(r: String) = spark.read.parquet(s"$r/codes")
+    assert(key(codesOf(work)).exceptAll(key(codesOf(twin))).isEmpty)
+    assert(key(codesOf(twin)).exceptAll(key(codesOf(work))).isEmpty)
+    val ckey = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("c_label"),
+      array_join(transform(col("cvec"), c => c.cast("string")), ","))
+    assert(ckey(spark.read.parquet(s"$work/centroids"))
+      .exceptAll(ckey(spark.read.parquet(s"$twin/centroids"))).isEmpty)
+    assert(ckey(spark.read.parquet(s"$twin/centroids"))
+      .exceptAll(ckey(spark.read.parquet(s"$work/centroids"))).isEmpty)
+
+    // the epoch CURED the drift: zero vectored rows sit outside their
+    // nearest post-epoch centroid (recomputed independently here)
+    val cent = spark.read.parquet(s"$work/centroids")
+      .select(col("c_label").as("clab"), col("cvec"))
+      .groupBy("clab").agg(first(col("cvec")).as("cvec"))
+    val vecs = spark.read.parquet(augPath)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("mvec"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("clab"))
+    val misAfter = codesOf(work).select("vec_id", "cell")
+      .join(vecs, Seq("vec_id"), "left")
+      .crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("mvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wN))
+      .filter(col("rn") === 1)
+      .filter(col("d2").isNotNull && col("clab") =!= col("cell"))
+      .count()
+    assert(misAfter == 0L, s"epoch left $misAfter misplaced rows")
+    assert(misBefore >= 0L)
+
+    // payloads preserved: every (vec_id, codes, label) of the
+    // post-upsert state survives the epoch (membership-only rewrite)
+    val pre = key(codesOf(twin))
+    assert(pre.count() == full.count() + rows.length)
+  }
+
   test("rebalance keeps index rows whose vectors are missing from the store") {
     // the left-join contract: the in-place split rewrites an overgrown
     // cell's partition with exactly the rows it computed — if the
