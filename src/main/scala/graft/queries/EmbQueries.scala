@@ -5249,14 +5249,95 @@ object EmbQueries {
     val dst = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.$version.tmp")
     val fs = dst.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    out.write(
+    val body =
       s"""{"version":$version,"centroids":"$centroids","codes":"$codes"}\n"""
-        .getBytes("UTF-8"))
+    // the immutable per-version LOG entry (VERSION.<v>.json) — the
+    // record [[gcPlan]] walks: without it, nothing remembers which
+    // artifact dirs an old version referenced once MANIFEST.json has
+    // moved on (re-publishing a version — rollback — just rewrites
+    // the same content)
+    val logP = new org.apache.hadoop.fs.Path(s"$root/VERSION.$version.json")
+    val lo = fs.create(logP, true)
+    lo.write(body.getBytes("UTF-8"))
+    lo.close()
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8"))
     out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.getUri, conf)
     fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** All versions ever published at `root`, from the immutable
+    * VERSION.&lt;v&gt;.json log entries — (version, centroidsPath,
+    * codesPath), ascending.
+    */
+  private[graft] def listVersions(
+      s: SparkSession, root: String): Seq[(Int, String, String)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(conf)
+    if (!fs.exists(rp)) return Seq.empty
+    val re = "^VERSION\\.(\\d+)\\.json$".r
+    fs.listStatus(rp).toSeq
+      .flatMap(st => re.findFirstMatchIn(st.getPath.getName)
+        .map(_ => st.getPath))
+      .map { p =>
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        def field(k: String): String =
+          s""""$k":"?([^",}]+)"?""".r.findFirstMatchIn(txt)
+            .getOrElse(sys.error(s"version log missing $k: $txt")).group(1)
+        (field("version").toInt, field("centroids"), field("codes"))
+      }
+      .sortBy(_._1)
+  }
+
+  /** VERSION GC plan — the retention step the blue/green history
+    * needs once epochs keep publishing: retain the newest `keep`
+    * versions (the published one always among them — rollback depth
+    * IS the retention contract), expire the rest, and list every
+    * artifact directory that ONLY expired versions reference. A dir
+    * shared with any retained version is never deletable (logical
+    * versions share immutable dirs by design), and only paths under
+    * `root` are ever offered for deletion (an externally-located
+    * artifact is someone else's lifecycle). Pure driver-side FS
+    * metadata — versions are few by construction.
+    *
+    * @return (retainedVersions, expiredVersions, deletableDirs)
+    */
+  private[graft] def gcPlan(
+      s: SparkSession, root: String, keep: Int)
+      : (Seq[Int], Seq[Int], Seq[String]) = {
+    require(keep >= 1, "must retain at least the published version")
+    val versions = listVersions(s, root)
+    if (versions.size <= keep)
+      return (versions.map(_._1), Seq.empty, Seq.empty)
+    val (expired, retained) = versions.splitAt(versions.size - keep)
+    val keepDirs = retained.flatMap(v => Seq(v._2, v._3)).toSet
+    val deletable = expired.flatMap(v => Seq(v._2, v._3)).distinct
+      .filterNot(keepDirs)
+      .filter(_.startsWith(root + "/"))
+    (retained.map(_._1), expired.map(_._1), deletable)
+  }
+
+  /** Execute a [[gcPlan]]: delete the expired-only artifact dirs and
+    * the expired versions' log entries. MANIFEST.json is untouched —
+    * the published version is always retained, so serving never
+    * observes the GC. Returns the deleted dir count.
+    */
+  private[graft] def gcVersions(
+      s: SparkSession, root: String, keep: Int): Int = {
+    val (_, expired, dirs) = gcPlan(s, root, keep)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    dirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    expired.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/VERSION.$v.json"),
+        false))
+    dirs.size
   }
 
   /** Read the published manifest: (version, centroidsPath, codesPath).

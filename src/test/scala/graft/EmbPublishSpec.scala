@@ -85,4 +85,54 @@ class EmbPublishSpec extends AnyFunSuite {
       s"$root/centroids_rt", s"$root/codes_rt")
     assert(queries.EmbQueries.readManifest(spark, root)._1 == 3)
   }
+
+  test("version GC: expired-only dirs deleted, shared/retained/external kept") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gc").toString
+    def mkDir(name: String): String = {
+      val p = s"$root/$name"
+      spark.range(2).write.mode("overwrite").parquet(p)
+      p
+    }
+    val v1c = mkDir("cent_v1")
+    val v1k = mkDir("codes_v1")
+    val v2c = mkDir("cent_v2")
+    val sharedK = mkDir("codes_shared") // v2 and v3 share the codes dir
+    val v3c = mkDir("cent_v3")
+    val ext = "/definitely/external/artifacts" // outside root: never offered
+    queries.EmbQueries.publishVersion(spark, root, 1, v1c, v1k)
+    queries.EmbQueries.publishVersion(spark, root, 2, v2c, sharedK)
+    queries.EmbQueries.publishVersion(spark, root, 3, v3c, sharedK)
+    queries.EmbQueries.publishVersion(spark, root, 4, v3c, ext)
+
+    // keep 3 => only v1 expires; its two dirs are the whole plan
+    val (retained, expired, dirs) =
+      queries.EmbQueries.gcPlan(spark, root, keep = 3)
+    assert(retained == Seq(2, 3, 4) && expired == Seq(1))
+    assert(dirs.toSet == Set(v1c, v1k), s"plan: $dirs")
+
+    val deleted = queries.EmbQueries.gcVersions(spark, root, keep = 3)
+    assert(deleted == 2)
+    assert(!new java.io.File(v1c).exists() && !new java.io.File(v1k).exists())
+    // shared + retained dirs untouched, manifest still the published v4
+    assert(new java.io.File(sharedK).exists() && new java.io.File(v2c).exists())
+    assert(queries.EmbQueries.readManifest(spark, root)._1 == 4)
+    assert(queries.EmbQueries.listVersions(spark, root).map(_._1) ==
+      Seq(2, 3, 4))
+
+    // keep 2 => v2 expires; sharedK survives (v3 still references it)
+    val (_, exp2, dirs2) = queries.EmbQueries.gcPlan(spark, root, keep = 2)
+    assert(exp2 == Seq(2) && dirs2 == Seq(v2c), s"plan2: $dirs2")
+    queries.EmbQueries.gcVersions(spark, root, keep = 2)
+    assert(new java.io.File(sharedK).exists() && !new java.io.File(v2c).exists())
+
+    // keep 1 => v3 expires; its cent dir is shared with v4 (kept) and
+    // the external codes path is never offered for deletion
+    val (_, exp3, dirs3) = queries.EmbQueries.gcPlan(spark, root, keep = 1)
+    assert(exp3 == Seq(3) && dirs3 == Seq(sharedK), s"plan3: $dirs3")
+
+    // more retained than published: a provable no-op
+    val (r4, e4, d4) = queries.EmbQueries.gcPlan(spark, root, keep = 10)
+    assert(r4 == Seq(3, 4) && e4.isEmpty && d4.isEmpty)
+  }
 }
