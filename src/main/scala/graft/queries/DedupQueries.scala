@@ -1753,6 +1753,78 @@ object DedupQueries {
            |FROM spans CROSS JOIN tot
            |GROUP BY band, tot.total_tokens ORDER BY band""".stripMargin)),
 
+    // SPAN SAVINGS BY SOURCE — which feed carries the duplicated-span
+    // mass (the actionable decomposition: a source whose token_share
+    // dwarfs the others is a boilerplate-heavy feed to fix at INGEST,
+    // cheaper than deduping it forever downstream). Same memoized span
+    // lineage joined to the per-doc source attribute; denominators are
+    // each source's OWN token total, so the shares are comparable
+    // across sources of different sizes — and the decomposition can
+    // never disagree with dedup_span_savings' corpus totals (same
+    // spans frame, partitioned by an attribute). LEFT join keeps
+    // span-free sources as zero rows (the healthy-feed baseline).
+    Q(
+      "dedup_span_savings_by_source",
+      (s, d) => {
+        val src = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            coalesce(col("source"), lit("")).as("source"))
+        val tok = toks(s, d)
+          .select(col("doc_id"), size(col("tok")).as("n_tok"))
+          .join(src, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tok")), lit(0L)).cast("long")
+              .as("src_tokens"))
+        val sp = substringSpans(s, d)
+          .join(src, "doc_id")
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_span_docs"),
+            count(lit(1)).cast("long").as("n_spans"),
+            sum(col("span_len")).cast("long").as("span_tokens"))
+        tok.join(sp, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_span_docs"), lit(0L)).cast("long")
+              .as("n_span_docs"),
+            coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+            coalesce(col("span_tokens"), lit(0L)).cast("long")
+              .as("span_tokens"),
+            col("src_tokens"),
+            when(col("src_tokens") === 0, lit(null).cast("double"))
+              .otherwise(round(
+                coalesce(col("span_tokens"), lit(0L)).cast("double") /
+                  col("src_tokens"), 6)).as("token_share"))
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH $spanCte, src AS (
+           |  SELECT doc_id, coalesce(source, '') AS source
+           |  FROM documents
+           |), tokt AS (
+           |  SELECT s.source, count(*) AS n_docs,
+           |    CAST(coalesce(sum(len(t.tok)), 0) AS BIGINT) AS src_tokens
+           |  FROM toksrc t JOIN src s USING (doc_id)
+           |  GROUP BY 1
+           |), spt AS (
+           |  SELECT s.source,
+           |    count(DISTINCT p.doc_id) AS n_span_docs,
+           |    count(*) AS n_spans,
+           |    CAST(sum(p.span_len) AS BIGINT) AS span_tokens
+           |  FROM spans p JOIN src s USING (doc_id)
+           |  GROUP BY 1
+           |)
+           |SELECT t.source,
+           |  CAST(t.n_docs AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sp.n_span_docs, 0) AS BIGINT) AS n_span_docs,
+           |  CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+           |  CAST(coalesce(sp.span_tokens, 0) AS BIGINT) AS span_tokens,
+           |  t.src_tokens,
+           |  CASE WHEN t.src_tokens = 0 THEN NULL
+           |    ELSE round(CAST(coalesce(sp.span_tokens, 0) AS DOUBLE)
+           |      / t.src_tokens, 6) END AS token_share
+           |FROM tokt t LEFT JOIN spt sp USING (source)
+           |ORDER BY t.source""".stripMargin)),
+
     // Asymmetric CONTAINMENT over the candidate pairs: Jaccard misses
     // doc-in-doc duplication (a quote or a full article pasted into a
     // longer page scores low symmetric overlap but ~1.0 containment on
