@@ -1825,6 +1825,81 @@ object DedupQueries {
            |FROM tokt t LEFT JOIN spt sp USING (source)
            |ORDER BY t.source""".stripMargin)),
 
+    // INCREMENTAL SPANS — the batch-proportional form of the span
+    // query: for each NEW-batch (val-split) document, the maximal
+    // spans of text ALREADY PRESENT in the train corpus (window hash
+    // exists in any train doc). This is the ingest-time question
+    // ("how much of this crawl is already in my corpus, and exactly
+    // where") asked the way a 100 TB system can afford: the corpus's
+    // window-hash set is a keyed index built once, the new batch's
+    // positions probe it with a semi join — cost scales with the
+    // BATCH, the corpus is touched once (the dedup_incremental_batch
+    // contract, at span granularity). Run merge identical to
+    // dedup_substring_spans.
+    Q(
+      "dedup_incremental_spans",
+      (s, d) => {
+        val W = 12
+        val pos = toks(s, d)
+          .withColumn("split", splitCol)
+          .filter(size(col("tok")) >= W)
+          .select(col("doc_id"), col("split"),
+            explode(transform(
+              sequence(lit(1), size(col("tok")) - (W - 1)),
+              i => struct(i.as("i"),
+                md5(array_join(slice(col("tok"), i, lit(W)), " "))
+                  .as("wh")))).as("p"))
+          .select(col("doc_id"), col("split"),
+            col("p.i").as("i"), col("p.wh").as("wh"))
+        val corpusHashes = pos.filter(col("split") === "train")
+          .select("wh").distinct()
+        val sp = pos.filter(col("split") === "val")
+          .join(corpusHashes, Seq("wh"), "left_semi")
+          .select("doc_id", "i")
+        val wRun = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+        sp.withColumn("grp", col("i") - row_number().over(wRun))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("i")).as("span_start"),
+            (max(col("i")) + (W - 1)).as("span_end"),
+            (max(col("i")) - min(col("i")) + W).as("span_len"))
+          .select(col("doc_id"),
+            col("span_start").cast("int").as("span_start"),
+            col("span_end").cast("int").as("span_end"),
+            col("span_len").cast("int").as("span_len"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |), toksrc AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cleaned
+           |), w AS (
+           |  SELECT doc_id, tok, len(tok) AS n, $splitCaseSql AS split
+           |  FROM toksrc WHERE len(tok) >= 12
+           |), pos AS (
+           |  SELECT doc_id, split, CAST(i AS INT) AS i,
+           |    md5(array_to_string(list_slice(tok, CAST(i AS INT),
+           |      CAST(i AS INT) + 11), ' ')) AS wh
+           |  FROM (SELECT doc_id, split, tok, unnest(range(1, n - 10)) AS i
+           |        FROM w)
+           |), ch AS (
+           |  SELECT DISTINCT wh FROM pos WHERE split = 'train'
+           |), sp AS (
+           |  SELECT p.doc_id, p.i FROM pos p JOIN ch USING (wh)
+           |  WHERE p.split = 'val'
+           |), runs AS (
+           |  SELECT doc_id, i,
+           |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+           |      AS grp
+           |  FROM sp
+           |)
+           |SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+           |  CAST(max(i) + 11 AS INT) AS span_end,
+           |  CAST(max(i) - min(i) + 12 AS INT) AS span_len
+           |FROM runs GROUP BY doc_id, grp
+           |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Asymmetric CONTAINMENT over the candidate pairs: Jaccard misses
     // doc-in-doc duplication (a quote or a full article pasted into a
     // longer page scores low symmetric overlap but ~1.0 containment on
