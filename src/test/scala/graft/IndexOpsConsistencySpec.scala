@@ -38,4 +38,44 @@ class IndexOpsConsistencySpec extends AnyFunSuite {
     // and the row universe matches the artifact the fsck audited
     assert(maxCell <= nRows && nCells > 0 && nRows > 0)
   }
+
+  test("retrain accounting reads the same drift the fsck measured") {
+    // the epoch's misplaced_before and the fsck's misplaced_rows share
+    // one lineage (rebalancedNear) — the accounting can never claim to
+    // have cured a different drift than the audit reported; and the
+    // decision the epoch answers must have been `due`
+    val fsck = Registry.byName("emb_index_integrity").build(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dec = Registry.byName("emb_retrain_decision").build(spark, dir)
+      .collect()(0)
+    val rt = Registry.byName("emb_ivfpq_retrain").build(spark, dir)
+      .collect()(0)
+    assert(rt.getAs[Long]("misplaced_before") == fsck("misplaced_rows"))
+    assert(rt.getAs[Long]("misplaced_after") == 0L)
+    assert(dec.getAs[Boolean]("retrain_due"),
+      "the executed epoch should answer a due decision on this state")
+    // cell accounting is internally closed
+    assert(rt.getAs[Long]("n_cells_after") + rt.getAs[Long]("n_cells_pruned") >=
+      rt.getAs[Long]("n_cells_before"))
+  }
+
+  test("label-aware serving serves exactly the repair's chosen depths") {
+    val repair = Registry.byName("emb_label_nprobe_repair")
+      .build(spark, dir).collect()
+      .map(r => r.getAs[Int]("a_label") -> r.getAs[Int]("nprobe_chosen"))
+      .toMap
+    val served = Registry.byName("emb_label_aware_serving")
+      .build(spark, dir).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val lbl = r.getAs[Int]("a_label")
+      assert(r.getAs[Int]("nprobe") == repair(lbl),
+        s"label $lbl served at ${r.getAs[Int]("nprobe")} but repair chose ${repair(lbl)}")
+    }
+    // per-anchor answer completeness: 5 ranked rows each, rank 1..5
+    served.groupBy(_.getAs[Long]("a_id")).foreach { case (a, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5),
+        s"anchor $a has ranks ${rs.map(_.getAs[Int]("rank")).sorted.toSeq}")
+    }
+  }
 }
