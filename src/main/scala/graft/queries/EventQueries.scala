@@ -108,7 +108,12 @@ object EventQueries {
     Q(
       "ev_tumbling_5min",
       (s, d) =>
+        // ts IS NOT NULL pinned in BOTH engines: Spark's window()
+        // silently DROPS null-ts rows while DuckDB's time_bucket emits
+        // a NULL bucket group — an event with no time belongs to no
+        // window, stated rather than engine-defaulted (edge-gate class)
         ev(s, d)
+          .filter(col("ts").isNotNull)
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .select(
@@ -119,7 +124,8 @@ object EventQueries {
         s"""SELECT
            |  CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS bucket_s,
            |  event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
-           |FROM events GROUP BY 1, 2 ORDER BY bucket_s, event_type""".stripMargin)),
+           |FROM events WHERE ts IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY bucket_s, event_type""".stripMargin)),
 
     // OHLC bars — the open/high/low/close + volume candlestick
     // aggregate every time-series store serves (financial ticks,
@@ -187,7 +193,9 @@ object EventQueries {
     Q(
       "ev_sliding_10min",
       (s, d) =>
+        // ts IS NOT NULL pinned both sides (the ev_tumbling_5min note)
         ev(s, d)
+          .filter(col("ts").isNotNull)
           .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
           .agg(count(lit(1)).as("n"))
           .select(epochS(col("w.start")).as("bucket_s"), col("n"))
@@ -197,10 +205,10 @@ object EventQueries {
           |  -- an event at t falls in the two 10-min windows starting at
           |  -- floor5(t) and floor5(t) - 5min
           |  SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS bucket_s
-          |  FROM events
+          |  FROM events WHERE ts IS NOT NULL
           |  UNION ALL
           |  SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) - 300
-          |  FROM events)
+          |  FROM events WHERE ts IS NOT NULL)
           |SELECT bucket_s, count(*) AS n FROM phased
           |GROUP BY 1 ORDER BY bucket_s""".stripMargin)),
 
@@ -480,7 +488,13 @@ object EventQueries {
       "ev_zorder_layout",
       (s, d) => {
         import graft.functions.ZOrder
+        // both layout dimensions pinned NOT NULL on both engines: a
+        // row with no (user, time) key has no z-value, and the NULL
+        // z_bucket group would sort nulls-first in Spark vs nulls-last
+        // in DuckDB (a z-ordered write routes such rows to a separate
+        // null partition — outside this layout audit's scope)
         ev(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select(
             col("user_id").bitwiseAND(lit(0xFFFFL)).as("u"),
             epochS(col("ts")).bitwiseAND(lit(0xFFFFL)).as("t"))
@@ -498,6 +512,7 @@ object EventQueries {
            |  SELECT user_id & 65535 AS u,
            |    CAST(floor(epoch(ts)) AS BIGINT) & 65535 AS t
            |  FROM events
+           |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
            |), zv AS (
            |  SELECT u, t, ${ZOrder.zorder32Sql("u", "t")} AS z FROM dims
            |)
@@ -1803,7 +1818,12 @@ object EventQueries {
     Q(
       "ev_sessionize",
       (s, d) =>
+        // ts IS NOT NULL pinned both sides: Spark's session_window
+        // silently drops null-ts rows while the oracle's lag chain
+        // would rank them nulls-last (a session can't start at an
+        // unknown time — stated, not engine-defaulted)
         ev(s, d)
+          .filter(col("ts").isNotNull)
           .groupBy(col("user_id"),
             session_window(col("ts"), "30 minutes").as("w"))
           .agg(count(lit(1)).as("n_events"))
@@ -1815,7 +1835,7 @@ object EventQueries {
           |  -- truncate to MICROseconds first: Spark reads the nano
           |  -- timestamps micro-truncated, so gap/order math must match
           |  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
-          |  FROM events),
+          |  FROM events WHERE ts IS NOT NULL),
           |o AS (
           |  SELECT user_id, ts,
           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -2045,7 +2065,9 @@ object EventQueries {
     Q(
       "ev_anomaly_windows",
       (s, d) => {
+        // ts IS NOT NULL pinned both sides (the ev_tumbling_5min note)
         val buckets = ev(s, d)
+          .filter(col("ts").isNotNull)
           .groupBy(window(col("ts"), "5 minutes").as("w"))
           .agg(count(lit(1)).as("n"))
           .select(epochS(col("w.start")).as("bucket_s"),
@@ -2069,7 +2091,7 @@ object EventQueries {
           |  SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts)))
           |      AS BIGINT) AS bucket_s,
           |    CAST(count(*) AS HUGEINT) AS n
-          |  FROM events GROUP BY 1),
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
           |st AS (
           |  SELECT CAST(count(*) AS HUGEINT) AS w_cnt,
           |    CAST(sum(n) AS HUGEINT) AS s,
@@ -2363,8 +2385,9 @@ object EventQueries {
     Q(
       "ev_window_distinct_users",
       (s, d) =>
+        // ts IS NOT NULL pinned both sides (the ev_tumbling_5min note)
         ev(s, d)
-          .filter(col("user_id").isNotNull)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
           .select(epochS(col("w.start")).as("bucket_s"), col("user_id"))
           .distinct()
@@ -2376,7 +2399,7 @@ object EventQueries {
           |  CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT)
           |    AS bucket_s,
           |  count(DISTINCT user_id) AS n_users
-          |FROM events WHERE user_id IS NOT NULL
+          |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
           |GROUP BY 1 ORDER BY bucket_s""".stripMargin)),
 
     // Triangle counting over the undirected event-type transition

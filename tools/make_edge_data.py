@@ -115,6 +115,15 @@ for j in range(5):
                  499.5 + 0.01 * j, '{"k": 7}'))
     rows.append((1500 + j, base + j * 3_600_000_000_000, 12, "hi_neg",
                  -499.5 - 0.01 * j, '{"k": 8}'))
+# - NULL-ts events MIXED with real ones for one user: Spark windows
+#   order ASC nulls-FIRST while DuckDB defaults nulls-LAST, so any
+#   per-user lag/lead/rank frame that fails to pin `ts IS NOT NULL`
+#   (or an explicit null ordering on BOTH engines) diverges exactly
+#   here — the class ADVICE r10 flagged as uncatchable before this
+rows.append((1600, base + 1_000_000_000, 13, "view", 1.0, '{"k": 9}'))
+rows.append((1601, None, 13, "view", 2.0, '{"k": 9}'))
+rows.append((1602, base + 2_000_000_000, 13, "click", 3.0, '{"k": 9}'))
+rows.append((1603, None, 13, "click", 4.0, '{"k": 9}'))
 ev = pa.table({
     "event_id": pa.array([r[0] for r in rows], pa.int64()),
     "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
