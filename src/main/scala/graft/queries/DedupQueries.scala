@@ -401,13 +401,23 @@ object DedupQueries {
 
   /** Maximal duplicated spans per doc (the Lee et al. ACL'22 span
     * output, doc-merge form): every shared 12-token window START
-    * (hash in >= 2 distinct docs) marks tokens [i, i+11]; a maximal
-    * run of consecutive shared starts i..j IS the maximal duplicated
-    * span [i, j+11]. Gaps-and-islands run merge (grp = i - rownum, a
-    * PARTITIONED window). Memoized + persisted: dedup_span_savings
-    * and dedup_substring_spans share the lineage (bench order charges
-    * the build to the alphabetically-first consumer, dedup_span_
-    * savings — the minhash-pairs convention).
+    * (hash in >= 2 distinct docs) marks tokens [i, i+11] duplicated;
+    * a span is a maximal contiguous region of duplicated TOKENS, i.e.
+    * the interval merge of the [i, i+11] covers. Because cover ends
+    * are monotone in i, interval merge reduces to gaps-and-islands on
+    * the starts with threshold W: starts i, i' belong to one span iff
+    * i' - i <= W (cover [i', i'+11] overlaps or abuts [i, i+11]). A
+    * start-space run merge alone (grp = i - rownum) is WRONG here —
+    * shared starts 1 and 3 would emit token-overlapping spans [1,12]
+    * and [3,14], double-counting tokens 3..12 in every sum — so the
+    * islands are lag-gap based, and the emitted spans are provably
+    * token-disjoint (next span_start > prev span_end + 1), each fully
+    * covered (within an island consecutive covers overlap-or-abut),
+    * hence sum(span_len) is the EXACT duplicated-token coverage.
+    * PARTITIONED windows only. Memoized + persisted: dedup_span_
+    * savings and dedup_substring_spans share the lineage (bench order
+    * charges the build to the alphabetically-first consumer,
+    * dedup_span_savings — the minhash-pairs convention).
     */
   private def substringSpans(s: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.memo("dedup_substr_spans", s, dir)(
@@ -429,7 +439,11 @@ object DedupQueries {
         val sp = pos.join(shared, Seq("wh"), "left_semi")
         val wRun = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("i")
-        sp.withColumn("grp", col("i") - row_number().over(wRun))
+        // first row per doc: lag is NULL -> condition not true -> new run
+        sp.withColumn("new_run",
+            when(col("i") - lag(col("i"), 1).over(wRun) <= W, lit(0L))
+              .otherwise(lit(1L)))
+          .withColumn("grp", sum(col("new_run")).over(wRun))
           .groupBy(col("doc_id"), col("grp"))
           .agg(min(col("i")).as("span_start"),
             (max(col("i")) + (W - 1)).as("span_end"),
@@ -463,14 +477,18 @@ object DedupQueries {
        |  SELECT p.doc_id, p.i FROM pos p JOIN hs USING (wh)
        |), runs AS (
        |  SELECT doc_id, i,
-       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
-       |      AS grp
+       |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |      <= 12 THEN 0 ELSE 1 END AS new_run
        |  FROM sp
+       |), islands AS (
+       |  SELECT doc_id, i,
+       |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM runs
        |), spans AS (
        |  SELECT doc_id, CAST(min(i) AS INT) AS span_start,
        |    CAST(max(i) + 11 AS INT) AS span_end,
        |    CAST(max(i) - min(i) + 12 AS INT) AS span_len
-       |  FROM runs GROUP BY doc_id, grp
+       |  FROM islands GROUP BY doc_id, grp
        |)""".stripMargin
 
   /** STAR-edge representation of the same duplicate graph the expanded
@@ -1689,17 +1707,19 @@ object DedupQueries {
     // boundaries per document, not 12-token quantized hits. Realized as
     // the doc-merge form: every shared window START POSITION (its
     // 12-token hash appears in >= 2 distinct docs) marks tokens
-    // [i, i+11] duplicated; a MAXIMAL RUN of consecutive shared starts
-    // i..j is exactly the maximal duplicated span [i, j+11] (length
-    // j-i+12 tokens — any longer span would need start j+1 shared,
-    // contradiction; any split would need an unshared start inside the
-    // run). The output rows are the spans a dedup pass would cut —
-    // Lee et al.'s actionable artifact. Shape: the SAME three shuffles
-    // as the window query (explode -> hash-grouped doc counts ->
-    // per-doc run grouping via gaps-and-islands: grp = i - rownum, a
-    // partitioned window, never global). At 100 TB the position table
-    // is the corpus x ~1 row/token — the published algorithm's real
-    // cost, here bounded to shared positions after the semi join.
+    // [i, i+11] duplicated; a span is a maximal contiguous run of
+    // duplicated TOKENS — the interval merge of those covers, realized
+    // as lag-gap islands (same span iff start gap <= W; see
+    // substringSpans for the proof that the emitted spans are
+    // token-disjoint, fully covered, and maximal — a start-space run
+    // merge alone would emit overlapping spans when 0 < gap < W). The
+    // output rows are the spans a dedup pass would cut — Lee et al.'s
+    // actionable artifact. Shape: the SAME three shuffles as the
+    // window query (explode -> hash-grouped doc counts -> per-doc
+    // island grouping on a PARTITIONED window, never global). At
+    // 100 TB the position table is the corpus x ~1 row/token — the
+    // published algorithm's real cost, here bounded to shared
+    // positions after the semi join.
     Q(
       "dedup_substring_spans",
       (s, d) =>
@@ -1712,8 +1732,9 @@ object DedupQueries {
     // SPAN SAVINGS — what cutting the spans would actually reclaim:
     // per dyadic span-length band (bucket = ⌊log2 span_len⌋, the
     // ev_user_activity_pareto trick), the span count, the duplicated
-    // tokens they cover (spans within a doc are disjoint maximal runs,
-    // so the sum is exact), and that mass as a share of ALL corpus
+    // tokens they cover (spans within a doc are TOKEN-disjoint after
+    // the interval merge — see substringSpans — so the sum is the
+    // exact union coverage), and that mass as a share of ALL corpus
     // tokens — the number a dedup pass quotes before running. The
     // long-band rows are the ones worth acting on (one 200-token span
     // outweighs dozens of 12-token hits); a corpus whose mass sits in
@@ -1858,7 +1879,11 @@ object DedupQueries {
           .select("doc_id", "i")
         val wRun = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("i")
-        sp.withColumn("grp", col("i") - row_number().over(wRun))
+        // interval merge, not start-run merge (see substringSpans)
+        sp.withColumn("new_run",
+            when(col("i") - lag(col("i"), 1).over(wRun) <= W, lit(0L))
+              .otherwise(lit(1L)))
+          .withColumn("grp", sum(col("new_run")).over(wRun))
           .groupBy(col("doc_id"), col("grp"))
           .agg(min(col("i")).as("span_start"),
             (max(col("i")) + (W - 1)).as("span_end"),
@@ -1890,14 +1915,18 @@ object DedupQueries {
            |  WHERE p.split = 'val'
            |), runs AS (
            |  SELECT doc_id, i,
-           |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
-           |      AS grp
+           |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+           |      <= 12 THEN 0 ELSE 1 END AS new_run
            |  FROM sp
+           |), islands AS (
+           |  SELECT doc_id, i,
+           |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           |  FROM runs
            |)
            |SELECT doc_id, CAST(min(i) AS INT) AS span_start,
            |  CAST(max(i) + 11 AS INT) AS span_end,
            |  CAST(max(i) - min(i) + 12 AS INT) AS span_len
-           |FROM runs GROUP BY doc_id, grp
+           |FROM islands GROUP BY doc_id, grp
            |ORDER BY doc_id, span_start""".stripMargin)),
 
     // Asymmetric CONTAINMENT over the candidate pairs: Jaccard misses

@@ -4955,7 +4955,11 @@ object EmbQueries {
     *     centroid ([[nearestAssign]] — NULLS LAST, label tiebreak,
     *     reading the WRITTEN artifact back through the label-keyed
     *     broadcast convention), and the rows land in `codes_rt`
-    *     partitioned by their new cell. PQ codes ride UNCHANGED: the
+    *     partitioned by their new cell. Rows with NO signal (vector
+    *     missing from the embeddings table, or nearest distance NULL)
+    *     KEEP their stored cell — the same keep-cell convention the
+    *     streaming epoch and applyRebalance document, so batch and
+    *     streaming epochs can never diverge on degenerate rows. PQ codes ride UNCHANGED: the
     *     codebook is global (cell-independent) and the vector set is
     *     unchanged by rebalance, so re-encoding would reproduce the
     *     same codes byte-for-byte — membership is the only thing an
@@ -4992,10 +4996,22 @@ object EmbQueries {
           x => x.getField("cv")).as("cvec"))
         .select(col("cell").as("c_label"), col("cvec"))
         .write.mode("overwrite").parquet(s"$root/centroids_rt_all")
-      // E-step: reassign every indexed row to its nearest new centroid
-      val asg = nearestAssign(s, d, reb.select(col("vec_id"), col("cell")),
+      // E-step: reassign every indexed row to its nearest new centroid.
+      // KEEP-CELL on no-signal rows (the streaming epoch's and
+      // applyRebalance's documented convention): an index row whose
+      // vector is missing or whose nearest distance is NULL keeps its
+      // stored cell — the inner-join form would silently DROP
+      // missing-vector rows from codes_rt and send NULL-embedding rows
+      // to the min-label centroid via the NULLS-LAST tiebreak.
+      val near = nearestAssign(s, d, reb.select(col("vec_id"), col("cell")),
         s"$root/centroids_rt_all")
-        .select(col("vec_id"), col("label").as("cell"))
+        .select(col("vec_id"),
+          when(col("d2").isNull, lit(null).cast("int"))
+            .otherwise(col("label")).as("nlabel"))
+      val asg = reb.select(col("vec_id"), col("cell"))
+        .join(near, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("nlabel"), col("cell")).as("cell"))
       reb.select(col("vec_id"), col("codes"), col("label"))
         .join(asg, Seq("vec_id"))
         .write.mode("overwrite").partitionBy("cell")
@@ -5069,13 +5085,16 @@ object EmbQueries {
        |  FROM r3dim GROUP BY cell
        |), np3 AS (
        |  SELECT c2.vec_id, c2.cell AS stored, ct.label,
+       |    ${l2Sql("e.embedding", "ct.cvec")} AS d2,
        |    row_number() OVER (PARTITION BY c2.vec_id
        |      ORDER BY ${l2Sql("e.embedding", "ct.cvec")} NULLS LAST,
        |        ct.label) AS rn
-       |  FROM cells2 c2 JOIN embeddings e USING (vec_id)
+       |  FROM cells2 c2 LEFT JOIN embeddings e USING (vec_id)
        |  CROSS JOIN cent3a ct
        |), cells3 AS (
-       |  SELECT vec_id, label AS cell FROM np3 WHERE rn = 1
+       |  SELECT vec_id,
+       |    CASE WHEN d2 IS NULL THEN stored ELSE label END AS cell
+       |  FROM np3 WHERE rn = 1
        |), cent3 AS (
        |  SELECT label, cvec FROM cent3a
        |  WHERE label IN (SELECT DISTINCT cell FROM cells3)
@@ -5296,14 +5315,16 @@ object EmbQueries {
 
   /** VERSION GC plan — the retention step the blue/green history
     * needs once epochs keep publishing: retain the newest `keep`
-    * versions (the published one always among them — rollback depth
-    * IS the retention contract), expire the rest, and list every
-    * artifact directory that ONLY expired versions reference. A dir
-    * shared with any retained version is never deletable (logical
-    * versions share immutable dirs by design), and only paths under
-    * `root` are ever offered for deletion (an externally-located
-    * artifact is someone else's lifecycle). Pure driver-side FS
-    * metadata — versions are few by construction.
+    * versions PLUS whatever version the live manifest currently
+    * publishes (after a rollback the published version is an OLD one —
+    * newest-keep alone would delete the very dirs serving points at,
+    * so the manifest is consulted, not assumed), expire the rest, and
+    * list every artifact directory that ONLY expired versions
+    * reference. A dir shared with any retained version is never
+    * deletable (logical versions share immutable dirs by design), and
+    * only paths under `root` are ever offered for deletion (an
+    * externally-located artifact is someone else's lifecycle). Pure
+    * driver-side FS metadata — versions are few by construction.
     *
     * @return (retainedVersions, expiredVersions, deletableDirs)
     */
@@ -5314,7 +5335,13 @@ object EmbQueries {
     val versions = listVersions(s, root)
     if (versions.size <= keep)
       return (versions.map(_._1), Seq.empty, Seq.empty)
-    val (expired, retained) = versions.splitAt(versions.size - keep)
+    val manifestP = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json")
+    val fs = manifestP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val published: Option[Int] =
+      if (fs.exists(manifestP)) Some(readManifest(s, root)._1) else None
+    val retainIds =
+      versions.takeRight(keep).map(_._1).toSet ++ published
+    val (retained, expired) = versions.partition(v => retainIds(v._1))
     val keepDirs = retained.flatMap(v => Seq(v._2, v._3)).toSet
     val deletable = expired.flatMap(v => Seq(v._2, v._3)).distinct
       .filterNot(keepDirs)

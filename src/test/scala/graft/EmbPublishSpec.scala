@@ -134,5 +134,23 @@ class EmbPublishSpec extends AnyFunSuite {
     // more retained than published: a provable no-op
     val (r4, e4, d4) = queries.EmbQueries.gcPlan(spark, root, keep = 10)
     assert(r4 == Seq(3, 4) && e4.isEmpty && d4.isEmpty)
+
+    // ROLLBACK + GC: republish v3 (an OLD version — the live manifest
+    // now points behind the newest log entry). keep=1 retains the
+    // newest (v4) AND the published v3 — nothing the live manifest
+    // references is ever offered for deletion, and gcVersions leaves
+    // serving intact
+    queries.EmbQueries.publishVersion(spark, root, 3, v3c, sharedK)
+    assert(queries.EmbQueries.readManifest(spark, root)._1 == 3)
+    val (r5, e5, d5) = queries.EmbQueries.gcPlan(spark, root, keep = 1)
+    assert(r5 == Seq(3, 4) && e5.isEmpty && d5.isEmpty,
+      s"rollback GC must retain the published version: $r5 $e5 $d5")
+    queries.EmbQueries.gcVersions(spark, root, keep = 1)
+    assert(new java.io.File(sharedK).exists() &&
+      new java.io.File(v3c).exists())
+    val (_, cRoll, kRoll) = queries.EmbQueries.readManifest(spark, root)
+    assert(new java.io.File(cRoll).exists() &&
+      new java.io.File(kRoll).exists(),
+      "GC after rollback deleted dirs the live manifest points at")
   }
 }
