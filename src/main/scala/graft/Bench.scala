@@ -298,6 +298,16 @@ object Bench {
     // SCALE.md); retime_sec + load1m are the classification signal.
     val qLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // memory-pressure self-classification (the load1m precedent): GC
+    // time and pinned storage are sampled around EVERY query, so a
+    // diffuse slowdown shows up as rising gc_ms/storage_mb in
+    // BENCH_FULL.json instead of needing a profiling re-run — cached
+    // deserialized blocks live on the heap, and their GC tax lands on
+    // queries that never touch them.
+    val qGcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val qStorageMb =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val gcRunStart = gcMs()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val preDrained = drainListenerBus()
       val profiled = profileSet.contains(name) || profileSet.contains("all")
@@ -305,8 +315,9 @@ object Bench {
       // between would otherwise accumulate (memory) and mis-attribute
       // if a later profiled query skipped the clear
       stageBuf.clear()
-      val gc0 = if (profiled) gcMs() else 0L
-      val st0 = if (profiled) storageBytes() else 0L
+      val gc0 = gcMs()
+      val st0 = storageBytes()
+      qStorageMb(name) = st0 / 1e6
       qLoad(name) = load1m()
       val (r0, w0, i0) = (shufR.get(), shufW.get(), inB.get())
       val t0 = System.nanoTime()
@@ -317,6 +328,7 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         val postDrained = drainListenerBus()
+        qGcMs(name) = gcMs() - gc0
         if (profiled) {
           import scala.jdk.CollectionConverters._
           val stages = stageBuf.asScala.mkString("[", ",", "]")
@@ -375,15 +387,34 @@ object Bench {
         "\"" + k + "\":{\"shuffle_read\":" + r +
           ",\"shuffle_write\":" + w + ",\"input\":" + i +
           ",\"drained\":" + drained +
-          f""","load1m":${qLoad.getOrElse(k, -1.0)}%.2f""" + extra + "}"
+          f""","load1m":${qLoad.getOrElse(k, -1.0)}%.2f""" +
+          s""","gc_ms":${qGcMs.getOrElse(k, -1L)}""" +
+          f""","storage_mb":${qStorageMb.getOrElse(k, -1.0)}%.1f""" +
+          extra + "}"
       }.mkString("{", ",", "}")
     val drainTimeouts = byteMetrics.valuesIterator.count(!_._4)
     val loadQMax =
       if (qLoad.isEmpty) -1.0 else qLoad.valuesIterator.max
     val loadJson =
       f"""{"warm_start":$loadWarmStart%.2f,"warm_end":$loadWarmEnd%.2f,"q_max":$loadQMax%.2f}"""
+    // headline memory-pressure fields (the load1m convention): total GC
+    // across the measured section, the worst single-query GC bite, and
+    // the pinned-storage trajectory (end + max of the per-query-start
+    // samples) — a rising storage curve with rising gc_ms is the
+    // suite-lifetime cache-accumulation signature, distinguishable at a
+    // glance from host contention (load) and plan regressions (bytes)
+    val gcTotalMs = gcMs() - gcRunStart
+    val gcQMax = if (qGcMs.isEmpty) -1L else qGcMs.valuesIterator.max
+    val storageEndMb = storageBytes() / 1e6
+    val storageMaxMb =
+      if (qStorageMb.isEmpty) -1.0
+      else math.max(qStorageMb.valuesIterator.max, storageEndMb)
+    val gcJson =
+      s"""{"total_ms":$gcTotalMs,"q_max_ms":$gcQMax}"""
+    val storageJson =
+      f"""{"end_mb":$storageEndMb%.1f,"max_mb":$storageMaxMb%.1f}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"value_retimed":$totalRetimed,"unit":"sec","n_queries":${results.size},"shared_warm_sec":$sharedWarmSec,"drain_timeouts":$drainTimeouts,"load":$loadJson,"retimed_n":${retimed.size},"queries":$fullQs,"bytes":$bytesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_retimed":$totalRetimed,"unit":"sec","n_queries":${results.size},"shared_warm_sec":$sharedWarmSec,"drain_timeouts":$drainTimeouts,"load":$loadJson,"gc":$gcJson,"storage":$storageJson,"retimed_n":${retimed.size},"queries":$fullQs,"bytes":$bytesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // GLOBAL line cap, not a fixed queries-map budget: round 4 proved a
@@ -398,7 +429,7 @@ object Bench {
     val shuffleWriteMb =
       byteMetrics.valuesIterator.map(_._2).sum / 1e6
     def line(qs: String, shown: Int): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_retimed":${f"$totalRetimed%.3f"},"unit":"sec","n_queries":${results.size},"shared_warm_sec":${f"$sharedWarmSec%.3f"},"shuffle_write_mb":${f"$shuffleWriteMb%.1f"},"load":$loadJson,"retimed_n":${retimed.size},"queries_shown":$shown,"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_retimed":${f"$totalRetimed%.3f"},"unit":"sec","n_queries":${results.size},"shared_warm_sec":${f"$sharedWarmSec%.3f"},"shuffle_write_mb":${f"$shuffleWriteMb%.1f"},"load":$loadJson,"gc":$gcJson,"storage":$storageJson,"retimed_n":${retimed.size},"queries_shown":$shown,"full":"BENCH_FULL.json","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val fixedLen = line("{}", 0).length
     val kept = slowest
       .scanLeft(0)((acc, s) => acc + s.length + 1)
