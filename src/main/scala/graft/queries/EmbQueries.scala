@@ -1576,7 +1576,9 @@ object EmbQueries {
         val root = indexPath(d)
         val (ver, centPath, codesPath) = readManifest(s, root)
         val cent2 = s.read.parquet(centPath)
-        val codes2 = s.read.parquet(codesPath)
+        // segment-list tolerant (the versioned streaming maintenance
+        // manifest form); the batch publish chain stays single-segment
+        val codes2 = readSegments(s, codesPath)
         val e = emb(s, d)
         val qv = broadcast(e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv")))
@@ -5305,9 +5307,16 @@ object EmbQueries {
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+        // quoted values may contain commas (the codes field is a
+        // comma-separated SEGMENT LIST under versioned streaming
+        // maintenance); bare values (the version number) stop at the
+        // JSON delimiters
         def field(k: String): String =
-          s""""$k":"?([^",}]+)"?""".r.findFirstMatchIn(txt)
-            .getOrElse(sys.error(s"version log missing $k: $txt")).group(1)
+          ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt)
+            .map(_.group(1))
+            .orElse(("\"" + k + "\":([^,}\"]+)").r
+              .findFirstMatchIn(txt).map(_.group(1)))
+            .getOrElse(sys.error(s"version log missing $k: $txt")).trim
         (field("version").toInt, field("centroids"), field("codes"))
       }
       .sortBy(_._1)
@@ -5342,8 +5351,14 @@ object EmbQueries {
     val retainIds =
       versions.takeRight(keep).map(_._1).toSet ++ published
     val (retained, expired) = versions.partition(v => retainIds(v._1))
-    val keepDirs = retained.flatMap(v => Seq(v._2, v._3)).toSet
-    val deletable = expired.flatMap(v => Seq(v._2, v._3)).distinct
+    // each field may be a comma-separated segment list (versioned
+    // streaming maintenance); a dir shared with ANY retained version's
+    // segment set survives
+    def dirsOf(v: (Int, String, String)): Seq[String] =
+      (v._2.split(',').toSeq ++ v._3.split(',').toSeq)
+        .map(_.trim).filter(_.nonEmpty)
+    val keepDirs = retained.flatMap(dirsOf).toSet
+    val deletable = expired.flatMap(dirsOf).distinct
       .filterNot(keepDirs)
       .filter(_.startsWith(root + "/"))
     (retained.map(_._1), expired.map(_._1), deletable)
@@ -5367,6 +5382,19 @@ object EmbQueries {
     dirs.size
   }
 
+  /** Read a comma-separated code SEGMENT list (the versioned streaming
+    * maintenance manifest form) as one DataFrame: each segment loads as
+    * its own cell-partitioned root and the roots union — Spark rejects
+    * multiple partitioned roots in a single read
+    * (CONFLICTING_DIRECTORY_STRUCTURES), and a filter on `cell` pushes
+    * through the Union to prune directories per segment.
+    */
+  private[graft] def readSegments(
+      s: SparkSession, csv: String): DataFrame =
+    csv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(p => s.read.parquet(p))
+      .reduce(_.unionByName(_))
+
   /** Read the published manifest: (version, centroidsPath, codesPath).
     * One tiny driver-side FS read — the serving process resolves its
     * artifact paths from this, nothing else.
@@ -5378,9 +5406,14 @@ object EmbQueries {
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+    // same list-tolerant parse as listVersions: quoted values may hold
+    // a comma-separated segment list
     def field(k: String): String =
-      s""""$k":"?([^",}]+)"?""".r.findFirstMatchIn(txt)
-        .getOrElse(sys.error(s"manifest missing $k: $txt")).group(1)
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt)
+        .map(_.group(1))
+        .orElse(("\"" + k + "\":([^,}\"]+)").r
+          .findFirstMatchIn(txt).map(_.group(1)))
+        .getOrElse(sys.error(s"manifest missing $k: $txt")).trim
     (field("version").toInt, field("centroids"), field("codes"))
   }
 

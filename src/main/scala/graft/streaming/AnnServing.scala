@@ -389,9 +389,13 @@ object AnnServing {
     // BEFORE the shortN cut — the emb_ivfpq_soft_delete semantics,
     // online (tombstoned ids never surface while compaction is
     // pending); batch twin pinned in StreamingSpec
+    // codesPath may be a comma-separated SEGMENT list (the versioned
+    // maintenance manifest form) — all segments are cell-partitioned,
+    // so the probed-cell filter still prunes directories per segment
     val masked = excludeIds.foldLeft(
-      codeFilter.foldLeft(spark.read.parquet(codesPath)
-        .filter(col("cell").isin(probedCells.map(Int.box): _*)))(_.filter(_)))(
+      codeFilter.foldLeft(
+        graft.queries.EmbQueries.readSegments(spark, codesPath)
+          .filter(col("cell").isin(probedCells.map(Int.box): _*)))(_.filter(_)))(
       (d, t) => d.join(broadcast(t.select("vec_id")),
         Seq("vec_id"), "left_anti"))
     val short = masked
@@ -539,21 +543,32 @@ object AnnServing {
     * @return number of index rows appended (replayed/duplicate ids
     *         excluded)
     */
-  def applyUpsertBatch(
-      spark: SparkSession,
-      indexDir: String,
-      batch: DataFrame,
-      fullDedup: Boolean = false): Long = {
-    import graft.queries.EmbQueries.{PqDim, PqSub}
-    // the filterable metadata column (attribute inlining — the served
-    // layout keeps `label` beside the codes so filtered search is a
-    // pushed scan predicate); a batch without it lands NULL labels
-    val b = batch.select(col("vec_id").cast("long").as("vec_id"),
+  /** Normalize an arriving upsert micro-batch to the index row shape:
+    * (vec_id LONG, embedding ARRAY&lt;FLOAT&gt;, label INT — NULL when
+    * the batch carries no label column; attribute inlining keeps the
+    * filterable metadata beside the codes).
+    */
+  private def normalizeUpsertBatch(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<float>").as("embedding"),
       (if (batch.columns.contains("label")) col("label")
        else lit(null)).cast("int").as("label"))
-    if (b.isEmpty) return 0L
-    val cent = spark.read.parquet(s"$indexDir/centroids")
+
+  /** Assign + PQ-encode one normalized batch against explicit artifact
+    * paths — the ONE arithmetic both the in-place and the VERSIONED
+    * upsert run (identical by construction): nearest-centroid cell and
+    * per-subspace codebook argmin, both unrounded L2² with NULLS LAST
+    * and smallest-id tiebreaks (the batch path's pqArgmin convention).
+    *
+    * @return (vec_id, codes, label, cell)
+    */
+  private def encodeBatch(
+      spark: SparkSession,
+      b: DataFrame,
+      centroidsPath: String,
+      codebookPath: String): DataFrame = {
+    import graft.queries.EmbQueries.{PqDim, PqSub}
+    val cent = spark.read.parquet(centroidsPath)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc_nulls_last, col("c_label"))
     val assign = b.crossJoin(broadcast(cent))
@@ -563,7 +578,7 @@ object AnnServing {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_label").as("cell"))
-    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val cb = spark.read.parquet(codebookPath)
     val sub = b.select(col("vec_id"),
       posexplode(array((0 until PqSub).map(j =>
         slice(col("embedding"), j * PqDim + 1, PqDim)): _*))
@@ -581,8 +596,19 @@ object AnnServing {
       .agg(transform(
         array_sort(collect_list(struct(col("j"), col("cid")))),
         x => x.getField("cid")).as("codes"))
-    val rows = codes.join(assign, "vec_id")
-      .join(b.select(col("vec_id"), col("label")), "vec_id").persist()
+    codes.join(assign, "vec_id")
+      .join(b.select(col("vec_id"), col("label")), "vec_id")
+  }
+
+  def applyUpsertBatch(
+      spark: SparkSession,
+      indexDir: String,
+      batch: DataFrame,
+      fullDedup: Boolean = false): Long = {
+    val b = normalizeUpsertBatch(batch)
+    if (b.isEmpty) return 0L
+    val rows = encodeBatch(spark, b, s"$indexDir/centroids",
+      s"$indexDir/codebook").persist()
     rows.count()
     // IDEMPOTENCE: drop rows whose vec_id is already indexed in the
     // cell it assigns to (replay after failure / re-arriving id). The
@@ -1125,6 +1151,353 @@ object AnnServing {
           batch, k)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
+  // ------------------------------------------------------------------
+  // VERSIONED streaming maintenance — the blue/green form of the
+  // in-place ops above, routed through the SAME publishVersion +
+  // MANIFEST.json machinery the batch publish chain owns
+  // (EmbQueries.publishVersion / readManifest / gcPlan).
+  //
+  // Layout under `root`: MANIFEST.json + VERSION.<v>.json (the
+  // immutable log), centroids_v<v>/ dirs, code SEGMENT dirs, and the
+  // global codebook/ (maintenance never retrains it). The manifest's
+  // `codes` field is an ordered comma-separated list of immutable
+  // segment dirs — every consumer (scoreBatchAt, emb_ivfpq_published,
+  // gcPlan) already splits on ','.
+  //
+  // Why this shape kills both round-11 hazard classes BY CONSTRUCTION:
+  //   1. TORN-INDEX CRASH WINDOW: every write lands in a FRESH dir
+  //      that no manifest references yet; the publish is one atomic
+  //      rename. A crash at any point leaves the old version serving
+  //      intact, and the orphan v_next dirs are overwritten by the
+  //      checkpoint replay (same version number re-derives from the
+  //      unchanged manifest) or collected by GC.
+  //   2. OVERWRITE-RECACHE: no plan ever reads a path the op replaces
+  //      — the persist/collect/truncateLineage/refreshByPath
+  //      discipline the in-place ops need (and round 11's bug came
+  //      from) has nothing to defend against here and is absent.
+  //
+  // Cost classes, stated honestly for 100 TB:
+  //   - upsert: O(batch) — one new segment dir + one manifest rename;
+  //     the full-view dedup scan is the id-keyed point-lookup's local
+  //     stand-in (the applyUpsertBatch fullDedup note).
+  //   - rebalance / epoch: corpus-proportional consolidation — the
+  //     same class as their in-place forms (the epoch IS a corpus
+  //     pass), with segment-list compaction as a free side effect.
+  //   - delete: consolidation here (simplest correct blue/green form);
+  //     at scale the partition-local alternative is tombstone segments
+  //     + the serving-time excludeIds mask (already implemented) with
+  //     compaction deferred to the next consolidation op.
+  //
+  // Replay semantics (foreachBatch redelivery after a crash, BEFORE
+  // or AFTER the publish): every op re-derives its inputs from the
+  // manifest's CURRENT view. A pre-publish replay recomputes and
+  // republishes the same version. Post-publish, upsert and delete are
+  // strictly IDEMPOTENT (the dedup/anti-join finds nothing — zero
+  // rows, no publish); rebalance and the epoch are CONVERGING
+  // maintenance decisions, not no-ops — a replay re-measures the
+  // published view's health and may legitimately act again (e.g. a
+  // post-epoch state whose dominant region still trips the skew
+  // rule), publishing a strictly newer consistent version. Redelivery
+  // therefore never corrupts state; it can only advance maintenance —
+  // the same behavior the in-place sinks already have.
+  // ------------------------------------------------------------------
+
+  /** The manifest's current view: (version, centroidsPath, ordered
+    * code-segment paths).
+    */
+  private def manifestView(
+      spark: SparkSession, root: String): (Int, String, Seq[String]) = {
+    val (v, cent, codes) =
+      graft.queries.EmbQueries.readManifest(spark, root)
+    (v, cent, codes.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+  }
+
+  private def viewCodes(
+      spark: SparkSession, segs: Seq[String]): DataFrame =
+    graft.queries.EmbQueries.readSegments(spark, segs.mkString(","))
+
+  /** VERSIONED upsert: encode the batch against the published
+    * centroids (encodeBatch — the exact in-place arithmetic), dedup
+    * against the published view, write the fresh rows as ONE new
+    * immutable segment, publish version+1 whose segment list is the
+    * old list plus the new dir. O(batch) data written; the manifest
+    * rename is the only mutation of shared state.
+    *
+    * @return number of index rows the new version adds (0 = no new
+    *         version published)
+    */
+  def applyUpsertBatchVersioned(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame): Long = {
+    val b = normalizeUpsertBatch(batch)
+    if (b.isEmpty) return 0L
+    val (v, centPath, segs) = manifestView(spark, root)
+    val rows = encodeBatch(spark, b, centPath, s"$root/codebook")
+      .persist()
+    rows.count()
+    // full-view dedup (the fullDedup rationale: maintenance can change
+    // centroids between batches, so a replayed id may assign elsewhere)
+    val dupIds = viewCodes(spark, segs)
+      .join(broadcast(rows.select("vec_id")), Seq("vec_id"), "left_semi")
+      .select("vec_id").distinct()
+    val fresh = rows
+      .join(broadcast(dupIds), Seq("vec_id"), "left_anti").persist()
+    val n = fresh.count()
+    if (n > 0) {
+      val seg = s"$root/codes_up_v${v + 1}"
+      // overwrite: a crash-retry of the SAME batch re-derives the same
+      // version number from the unchanged manifest and rewrites the
+      // orphan dir cleanly
+      fresh.write.mode("overwrite").partitionBy("cell").parquet(seg)
+      graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+        centPath, (segs :+ seg).mkString(","))
+    }
+    fresh.unpersist()
+    rows.unpersist()
+    n
+  }
+
+  /** VERSIONED cell rebalance: same overgrown-cell detection and
+    * order-pinned split arithmetic as [[applyRebalance]], but the
+    * result is a CONSOLIDATED new codes segment + a new centroid dir
+    * published as version+1 — never a rewrite of anything the current
+    * version serves. Consolidation also compacts the upsert segment
+    * list back to one dir.
+    *
+    * @return rows moved into new cells (0 = balanced, nothing
+    *         published)
+    */
+  def applyRebalanceVersioned(
+      spark: SparkSession,
+      root: String,
+      vectorsPath: String,
+      num: Int = graft.queries.EmbQueries.RebalanceNum,
+      den: Int = graft.queries.EmbQueries.RebalanceDen): Long = {
+    val (v, centPath, segs) = manifestView(spark, root)
+    val codes = viewCodes(spark, segs)
+    val szRows = codes.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect()
+    val nCells = szRows.length.toLong
+    val total = szRows.map(_.getLong(1)).sum
+    val overgrown = szRows
+      .filter(r => den * r.getLong(1) * nCells > num * total)
+      .map(_.getInt(0)).sorted
+    if (overgrown.isEmpty) return 0L
+
+    val cent = spark.read.parquet(centPath)
+    val maxLabel = cent.agg(max(col("c_label"))).collect()(0).getInt(0)
+    val newId: Map[Int, Int] = overgrown.zipWithIndex
+      .map { case (c, i) => c -> (maxLabel + i + 1) }.toMap
+    val ogCols = overgrown.map(Int.box).toSeq
+
+    val vecs = spark.read.parquet(vectorsPath)
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("mvec"))
+    // LEFT join + strict-inequality move rule: vectorless rows keep
+    // their cell (the applyRebalance convention)
+    val mem = codes.filter(col("cell").isin(ogCols: _*))
+      .join(vecs, Seq("vec_id"), "left")
+    val seedAV = mem.filter(col("mvec").isNotNull)
+      .groupBy("cell").agg(min(col("vec_id")).as("avid"))
+      .join(vecs.select(col("vec_id").as("avid"),
+        col("mvec").as("avec")), "avid")
+      .select("cell", "avec")
+    val dA = mem.join(broadcast(seedAV), Seq("cell"), "left")
+      .withColumn("d2a",
+        graft.functions.VecL2Sq.column(col("mvec"), col("avec")))
+    val wB = Window.partitionBy(col("cell"))
+      .orderBy(col("d2a").desc_nulls_last, col("vec_id"))
+    val seedBV = dA.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("mvec").as("bvec"))
+    val moved = dA.join(broadcast(seedBV), "cell")
+      .withColumn("d2b",
+        graft.functions.VecL2Sq.column(col("mvec"), col("bvec")))
+      .select(col("vec_id"), col("codes"), col("label"),
+        when(col("d2b") < col("d2a"),
+          element_at(typedLit(newId), col("cell")))
+          .otherwise(col("cell")).as("cell"),
+        col("mvec"))
+    val nMoved = moved.filter(col("cell") > maxLabel).count()
+
+    // consolidated v+1 codes: split memberships + untouched cells —
+    // reads only the IMMUTABLE old segments, writes only fresh dirs
+    val codesNext = s"$root/codes_v${v + 1}"
+    val centNext = s"$root/centroids_v${v + 1}"
+    moved.select("vec_id", "codes", "label", "cell")
+      .unionByName(codes.filter(!col("cell").isin(ogCols: _*))
+        .select("vec_id", "codes", "label", "cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(codesNext)
+    moved
+      .select(col("cell"), posexplode(col("mvec")).as(Seq("dim", "v")))
+      .withColumn("vi", graft.queries.EmbQueries.snap6(col("v")))
+      .groupBy("cell", "dim")
+      .agg(expr(graft.queries.EmbQueries.mean6Expr("vi")).as("cv"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+      .select(col("cell").as("c_label"), col("cvec"))
+      .unionByName(cent.filter(!col("c_label").isin(ogCols: _*)))
+      .write.mode("overwrite").parquet(centNext)
+    graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+      centNext, codesNext)
+    nMoved
+  }
+
+  /** VERSIONED retrain-when-due: [[applyRetrainEpochIfDue]]'s health
+    * rules and Lloyd epoch (M-step means, keep-cell E-step, emptied
+    * cells prune), published as a consolidated version+1 instead of
+    * rewritten in place. Note what is ABSENT relative to the in-place
+    * twin: no persist/count fences, no driver collect of the centroid
+    * rows, no truncateLineage, no refreshByPath — the epoch reads only
+    * immutable published segments and writes only unpublished dirs,
+    * so the overwrite-recache hazard cannot exist here.
+    *
+    * @return (ran, misplacedBefore)
+    */
+  def applyRetrainEpochIfDueVersioned(
+      spark: SparkSession,
+      root: String,
+      vectorsPath: String,
+      num: Int = graft.queries.EmbQueries.RebalanceNum,
+      den: Int = graft.queries.EmbQueries.RebalanceDen): (Boolean, Long) = {
+    val (v, centPath, segs) = manifestView(spark, root)
+    val codes = viewCodes(spark, segs)
+    val centRaw = spark.read.parquet(centPath)
+    val cent = centRaw
+      .select(col("c_label").as("clab"), col("cvec"))
+      .groupBy("clab").agg(first(col("cvec")).as("cvec"))
+    val vecs = spark.read.parquet(vectorsPath)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("mvec"))
+    val szRows = codes.groupBy("cell").agg(count(lit(1)).as("cn"))
+      .collect()
+    val nCells = szRows.length.toLong
+    val total = szRows.map(_.getLong(1)).sum
+    val maxCell = if (szRows.isEmpty) 0L else szRows.map(_.getLong(1)).max
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("clab"))
+    val mis = codes.select("vec_id", "cell")
+      .join(vecs, Seq("vec_id"), "left")
+      .crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("mvec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(col("d2").isNotNull && col("clab") =!= col("cell"))
+      .count()
+    val skew = den.toLong * maxCell * nCells > num.toLong * total
+    val drift = total > 0 && mis * 10 >= total
+    if (!(skew || drift)) return (false, mis)
+
+    // M-step: per-cell means over the current memberships
+    val cent3 = codes.select("vec_id", "cell")
+      .join(vecs, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("mvec")).as(Seq("dim", "v")))
+      .withColumn("vi", graft.queries.EmbQueries.snap6(col("v")))
+      .groupBy("cell", "dim")
+      .agg(expr(graft.queries.EmbQueries.mean6Expr("vi")).as("cv"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+      .select(col("cell").as("c_label"), col("cvec"))
+    val cent3B = cent3
+      .select(col("c_label").as("nlab"), col("cvec").as("ncvec"))
+    // E-step: reassign every vectored row; NULL distance keeps cell
+    val wE = Window.partitionBy(col("vec_id"))
+      .orderBy(col("nd2").asc_nulls_last, col("nlab"))
+    val asg = codes
+      .join(vecs, Seq("vec_id"), "left")
+      .crossJoin(broadcast(cent3B))
+      .withColumn("nd2",
+        graft.functions.VecL2Sq.column(col("mvec"), col("ncvec")))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("codes"), col("label"),
+        when(col("nd2").isNotNull, col("nlab"))
+          .otherwise(col("cell")).as("cell"))
+    val codesNext = s"$root/codes_v${v + 1}"
+    val centNext = s"$root/centroids_v${v + 1}"
+    asg.write.mode("overwrite").partitionBy("cell").parquet(codesNext)
+    // final centroids read back off the WRITTEN codes (a fresh dir —
+    // reading it is safe): epoch means for surviving cells, plus the
+    // old centroid for any all-vectorless cell the means pass missed
+    val live = spark.read.parquet(codesNext)
+      .select(col("cell").as("c_label")).distinct()
+    cent3.join(live, Seq("c_label"), "left_semi")
+      .unionByName(centRaw
+        .join(live, Seq("c_label"), "left_semi")
+        .join(cent3.select("c_label"), Seq("c_label"), "left_anti"))
+      .write.mode("overwrite").parquet(centNext)
+    graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+      centNext, codesNext)
+    (true, mis)
+  }
+
+  /** VERSIONED delete: survivors of the published view minus the
+    * tombstoned ids, consolidated into a version+1 segment (emptied
+    * cells simply never appear — no explicit directory drop, no
+    * dynamic-overwrite machinery). Blue/green correctness first; the
+    * scale-path alternative for high-rate deletes is the serving-time
+    * excludeIds mask with compaction deferred to the next
+    * consolidation (both already exist).
+    *
+    * @return number of index rows the new version removes
+    */
+  def applyDeleteBatchVersioned(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame): Long = {
+    val ids = batch.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    if (ids.isEmpty) return 0L
+    val (v, centPath, segs) = manifestView(spark, root)
+    val codes = viewCodes(spark, segs)
+    val removed = codes.join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .count()
+    if (removed == 0L) return 0L
+    val codesNext = s"$root/codes_v${v + 1}"
+    codes.join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(codesNext)
+    graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+      centPath, codesNext)
+    removed
+  }
+
+  /** The VERSIONED self-healing sink — [[startSelfHealingSink]]'s
+    * chain (upsert, rebalance if skewed, retrain epoch if due) routed
+    * through the blue/green manifest, plus retention GC: each
+    * micro-batch leaves the index a chain of immutable versions with
+    * the newest published, rollback-able to `keepVersions` deep, and
+    * serving (startPublishedServingSink re-resolves the manifest per
+    * batch) never observes an intermediate state.
+    */
+  def startVersionedSelfHealingSink(
+      stream: DataFrame,
+      root: String,
+      vectorsPath: String,
+      checkpoint: String,
+      keepVersions: Int = 3,
+      num: Int = graft.queries.EmbQueries.RebalanceNum,
+      den: Int = graft.queries.EmbQueries.RebalanceDen,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        applyUpsertBatchVersioned(s, root, batch)
+        applyRebalanceVersioned(s, root, vectorsPath, num, den)
+        applyRetrainEpochIfDueVersioned(s, root, vectorsPath, num, den)
+        graft.queries.EmbQueries.gcVersions(s, root, keepVersions)
         ()
       }
       .start()

@@ -1,0 +1,300 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The VERSIONED streaming maintenance contract (AnnServing
+  * applyUpsertBatchVersioned / applyRebalanceVersioned /
+  * applyRetrainEpochIfDueVersioned routed through the blue/green
+  * manifest):
+  *   1. TWIN EQUALITY — the versioned chain's final published view is
+  *      row-identical (codes AND centroids) to the in-place chain
+  *      applied to a twin index, for the same skew workload;
+  *   2. IMMUTABILITY — publishing later versions moves no bytes of
+  *      earlier versions' artifact dirs (EmbPublishSpec's pin, here
+  *      across maintenance ops);
+  *   3. KILL-MID-EPOCH — unpublished v-next dirs (the crash window) are
+  *      invisible: the manifest keeps serving the old version
+  *      row-identically, and the re-run op overwrites the orphan dir
+  *      and publishes cleanly;
+  *   4. REPLAY IDEMPOTENCE — re-delivering the same batch/ops after the
+  *      publish changes nothing (no new version);
+  *   5. ROLLBACK + GC — an older version republished serves its exact
+  *      old answers; gcVersions keeps the published + newest versions'
+  *      segments and serving survives the GC;
+  *   6. INDEPENDENT POST-CHECK — after the epoch, zero vectored rows
+  *      sit outside their nearest published centroid (drift recomputed
+  *      here from raw artifacts, not via the op's own code paths).
+  *   7. SINK TWIN — startVersionedSelfHealingSink through a real
+  *      stream produces the same published view as the direct calls.
+  */
+class EmbVersionedMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def filesOf(d: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(d)).map(f => f.getAbsolutePath -> f.length())
+      .toMap
+  }
+
+  /** skew workload: clones of the biggest cell's members (the
+    * StreamingSpec self-healing recipe) — drives rebalance AND epoch
+    */
+  private def skewRows(full: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame)
+      : Array[(Long, Seq[Float], Int)] = {
+    val topCell = full.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).collect()(0).getInt(0)
+    full.filter(col("cell") === topCell)
+      .select("vec_id").join(emb, "vec_id")
+      .select("vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0) + 3000000L, r.getSeq[Float](1), r.getInt(2)))
+  }
+
+  private def codesKey(d: org.apache.spark.sql.DataFrame) = d.select(
+    col("vec_id"), col("cell"), col("label"),
+    array_join(transform(col("codes"), c => c.cast("string")), ",")
+      .as("cs"))
+
+  private def centKey(d: org.apache.spark.sql.DataFrame) = d.select(
+    col("c_label"),
+    array_join(transform(col("cvec"), c => c.cast("string")), ","))
+
+  private def servedAnswers(root: String, vecsPath: String,
+      batch: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] = {
+    val (_, centPath, codesPath) =
+      queries.EmbQueries.readManifest(spark, root)
+    graft.streaming.AnnServing.scoreBatchAt(spark, centPath, codesPath,
+      s"$root/codebook", spark.read.parquet(vecsPath), batch)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+  }
+
+  test("versioned maintenance: twin equality, immutability, crash window, rollback, GC") {
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val full = spark.read.parquet(s"$idx/codes")
+    val rows = skewRows(full, emb)
+    import spark.implicits._
+    val aug = tmp("ann_ver_vecs")
+    emb.select("vec_id", "embedding", "label").unionByName(
+      spark.createDataset(rows.toSeq)
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("label")))
+      .write.parquet(s"$aug/embeddings.parquet")
+    val augPath = s"$aug/embeddings.parquet"
+    val batch = spark.createDataset(rows.toSeq)
+      .toDF("vec_id", "embedding", "label")
+
+    // versioned root: v1 = the as-built artifacts, published
+    val vroot = tmp("ann_ver")
+    full.write.partitionBy("cell").parquet(s"$vroot/codes_v1")
+    spark.read.parquet(s"$idx/centroids")
+      .write.parquet(s"$vroot/centroids_v1")
+    spark.read.parquet(s"$idx/codebook").write.parquet(s"$vroot/codebook")
+    queries.EmbQueries.publishVersion(spark, vroot, 1,
+      s"$vroot/centroids_v1", s"$vroot/codes_v1")
+    // in-place twin
+    val twin = tmp("ann_ver_twin")
+    full.write.partitionBy("cell").parquet(s"$twin/codes")
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$twin/centroids")
+    spark.read.parquet(s"$idx/codebook").write.parquet(s"$twin/codebook")
+
+    // anchor query batch: three real vectors
+    val anchors = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    anchors.persist().count()
+
+    // 1) versioned UPSERT: O(batch) segment + manifest v2
+    val v1Cent = filesOf(s"$vroot/centroids_v1")
+    val v1Codes = filesOf(s"$vroot/codes_v1")
+    val nUp = graft.streaming.AnnServing
+      .applyUpsertBatchVersioned(spark, vroot, batch)
+    assert(nUp == rows.length.toLong, s"upsert appended $nUp")
+    val (v2, c2, k2) = queries.EmbQueries.readManifest(spark, vroot)
+    assert(v2 == 2 && c2.endsWith("centroids_v1"))
+    assert(k2 == s"$vroot/codes_v1,$vroot/codes_up_v2", k2)
+    // v1 artifacts untouched by the publish (immutability)
+    assert(filesOf(s"$vroot/codes_v1") == v1Codes)
+    assert(filesOf(s"$vroot/centroids_v1") == v1Cent)
+    val answersV2 = servedAnswers(vroot, augPath, anchors)
+
+    // 2) CRASH WINDOW: an orphan unpublished v3 dir (a torn write of
+    // the NEXT version) is invisible — manifest and answers unchanged
+    spark.range(5).selectExpr("id AS vec_id", "array(1,2) AS codes",
+      "CAST(id AS INT) AS label", "CAST(id AS INT) AS cell")
+      .write.partitionBy("cell").parquet(s"$vroot/codes_v3")
+    assert(queries.EmbQueries.readManifest(spark, vroot)._1 == 2)
+    assert(servedAnswers(vroot, augPath, anchors) == answersV2,
+      "an unpublished dir changed serving")
+
+    // 3) versioned REBALANCE: overwrites the orphan dir, publishes v3
+    val movedV = graft.streaming.AnnServing
+      .applyRebalanceVersioned(spark, vroot, augPath)
+    assert(movedV > 0, "workload did not skew the index")
+    val (v3, _, k3) = queries.EmbQueries.readManifest(spark, vroot)
+    assert(v3 == 3 && k3 == s"$vroot/codes_v3", k3)
+
+    // 4) versioned EPOCH when due -> v4
+    val (ranV, _) = graft.streaming.AnnServing
+      .applyRetrainEpochIfDueVersioned(spark, vroot, augPath)
+    assert(ranV, "health rules did not trip")
+    assert(queries.EmbQueries.readManifest(spark, vroot)._1 == 4)
+
+    // 5) REPLAY IDEMPOTENCE (upsert/delete — the dedup guarantee): a
+    // redelivered batch appends nothing and publishes nothing.
+    // Rebalance/epoch replays are converging maintenance decisions,
+    // not no-ops (a post-epoch state can legitimately still trip the
+    // skew rule) — so they are NOT re-run here, keeping the versioned
+    // and in-place chains on identical one-pass histories for the
+    // twin-equality pin below.
+    assert(graft.streaming.AnnServing
+      .applyUpsertBatchVersioned(spark, vroot, batch) == 0L)
+    assert(graft.streaming.AnnServing
+      .applyDeleteBatchVersioned(spark, vroot,
+        spark.range(9000000L, 9000005L).toDF("vec_id")) == 0L,
+      "deleting absent ids published a version")
+    assert(queries.EmbQueries.readManifest(spark, vroot)._1 == 4,
+      "a replayed no-op published a version")
+
+    // 6) TWIN EQUALITY vs the in-place chain
+    graft.streaming.AnnServing.applyUpsertBatch(
+      spark, twin, batch, fullDedup = true)
+    graft.streaming.AnnServing.applyRebalance(spark, twin, augPath)
+    val (ranT, _) = graft.streaming.AnnServing
+      .applyRetrainEpochIfDue(spark, twin, augPath)
+    assert(ranT)
+    val (_, cPub, kPub) = queries.EmbQueries.readManifest(spark, vroot)
+    val vCodes = queries.EmbQueries.readSegments(spark, kPub)
+    val tCodes = spark.read.parquet(s"$twin/codes")
+    assert(codesKey(vCodes).exceptAll(codesKey(tCodes)).isEmpty)
+    assert(codesKey(tCodes).exceptAll(codesKey(vCodes)).isEmpty)
+    val vCent = spark.read.parquet(cPub)
+    val tCent = spark.read.parquet(s"$twin/centroids")
+    assert(centKey(vCent).exceptAll(centKey(tCent)).isEmpty)
+    assert(centKey(tCent).exceptAll(centKey(vCent)).isEmpty)
+
+    // 7) INDEPENDENT POST-CHECK: zero vectored rows outside their
+    // nearest published centroid (recomputed from raw artifacts)
+    val cent = vCent.select(col("c_label").as("clab"), col("cvec"))
+      .groupBy("clab").agg(first(col("cvec")).as("cvec"))
+    val vecs = spark.read.parquet(augPath)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("mvec"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("clab"))
+    val misAfter = vCodes.select("vec_id", "cell")
+      .join(vecs, Seq("vec_id"), "left")
+      .crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("mvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wN))
+      .filter(col("rn") === 1)
+      .filter(col("d2").isNotNull && col("clab") =!= col("cell"))
+      .count()
+    assert(misAfter == 0, s"epoch left $misAfter misplaced rows")
+
+    // 8) ROLLBACK: republish v2 -> the upsert-era answers, exactly;
+    // then back to v4
+    val answersV4 = servedAnswers(vroot, augPath, anchors)
+    queries.EmbQueries.publishVersion(spark, vroot, 2,
+      s"$vroot/centroids_v1", s"$vroot/codes_v1,$vroot/codes_up_v2")
+    assert(servedAnswers(vroot, augPath, anchors) == answersV2,
+      "rollback did not restore the old version's answers")
+    queries.EmbQueries.publishVersion(spark, vroot, 4, cPub, kPub)
+    assert(servedAnswers(vroot, augPath, anchors) == answersV4)
+
+    // 9) GC keep=1: published v4 retained, earlier exclusive segments
+    // deleted, serving intact
+    val deleted = queries.EmbQueries.gcVersions(spark, vroot, keep = 1)
+    assert(deleted > 0)
+    assert(!new java.io.File(s"$vroot/codes_up_v2").exists(),
+      "expired upsert segment survived GC")
+    assert(servedAnswers(vroot, augPath, anchors) == answersV4,
+      "GC broke serving")
+    anchors.unpersist()
+    ()
+  }
+
+  test("versioned self-healing sink equals the direct-call versioned chain") {
+    import org.apache.spark.sql.types._
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val full = spark.read.parquet(s"$idx/codes")
+    val rows = skewRows(full, emb)
+    import spark.implicits._
+    val aug = tmp("ann_vsink_vecs")
+    emb.select("vec_id", "embedding", "label").unionByName(
+      spark.createDataset(rows.toSeq)
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("label")))
+      .write.parquet(s"$aug/embeddings.parquet")
+    val augPath = s"$aug/embeddings.parquet"
+
+    val sroot = tmp("ann_vsink")
+    val droot = tmp("ann_vsink_direct")
+    Seq(sroot, droot).foreach { r =>
+      full.write.partitionBy("cell").parquet(s"$r/codes_v1")
+      spark.read.parquet(s"$idx/centroids")
+        .write.parquet(s"$r/centroids_v1")
+      spark.read.parquet(s"$idx/codebook").write.parquet(s"$r/codebook")
+      queries.EmbQueries.publishVersion(spark, r, 1,
+        s"$r/centroids_v1", s"$r/codes_v1")
+    }
+
+    val in = tmp("ann_vsink_in")
+    val sb = new StringBuilder
+    rows.foreach { case (id, v, l) =>
+      sb.append(
+        s"""{"vec_id":$id,"embedding":[${v.mkString(",")}],"label":$l}\n""")
+    }
+    Files.write(java.nio.file.Paths.get(in, "a.json"),
+      sb.toString.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", IntegerType)))
+    val q = graft.streaming.AnnServing.startVersionedSelfHealingSink(
+      spark.readStream.schema(schema).json(in),
+      sroot, augPath, tmp("ann_vsink_ckpt"))
+    assert(q.awaitTermination(120000))
+
+    val batch = spark.createDataset(rows.toSeq)
+      .toDF("vec_id", "embedding", "label")
+    graft.streaming.AnnServing
+      .applyUpsertBatchVersioned(spark, droot, batch)
+    graft.streaming.AnnServing
+      .applyRebalanceVersioned(spark, droot, augPath)
+    val (ran, _) = graft.streaming.AnnServing
+      .applyRetrainEpochIfDueVersioned(spark, droot, augPath)
+    assert(ran)
+    queries.EmbQueries.gcVersions(spark, droot, keep = 3)
+
+    val (vs, cs, ks) = queries.EmbQueries.readManifest(spark, sroot)
+    val (vd, cd, kd) = queries.EmbQueries.readManifest(spark, droot)
+    assert(vs == vd, s"sink published v$vs, direct v$vd")
+    val sC = queries.EmbQueries.readSegments(spark, ks)
+    val dC = queries.EmbQueries.readSegments(spark, kd)
+    assert(codesKey(sC).exceptAll(codesKey(dC)).isEmpty)
+    assert(codesKey(dC).exceptAll(codesKey(sC)).isEmpty)
+    assert(centKey(spark.read.parquet(cs))
+      .exceptAll(centKey(spark.read.parquet(cd))).isEmpty)
+    assert(centKey(spark.read.parquet(cd))
+      .exceptAll(centKey(spark.read.parquet(cs))).isEmpty)
+    ()
+  }
+}
