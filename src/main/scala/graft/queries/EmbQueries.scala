@@ -3512,7 +3512,7 @@ object EmbQueries {
     Q(
       "emb_label_nprobe_repair",
       (s, d) => {
-        val (_, rec, chosen) = labelRepairFrames(s, d)
+        val (_, rec, chosen, ver) = labelRepairFrames(s, d)
         val base = rec.filter(col("np") === 2)
           .select(col("a_label"), col("n_anchors"), col("n_truth"),
             col("n_hits").as("base_n_hits"))
@@ -3522,7 +3522,8 @@ object EmbQueries {
           .join(repaired,
             col("np_r") === coalesce(col("np_ok"), lit(4)) &&
               repaired("a_label") === base("a_label"))
-          .select(base("a_label"), col("n_anchors"), col("n_truth"),
+          .select(lit(ver).as("index_version"),
+            base("a_label"), col("n_anchors"), col("n_truth"),
             col("base_n_hits"),
             round(col("base_n_hits").cast("double") / col("n_truth"), 6)
               .as("base_recall"),
@@ -3535,8 +3536,9 @@ object EmbQueries {
           .orderBy("a_label")
       },
       Some(
-        s"""WITH $ivfCellsCte, $labelRepairCte
-           |SELECT b.a_label,
+        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, $retrainCte,
+           |$labelRepairCte
+           |SELECT 3 AS index_version, b.a_label,
            |  CAST(b.n_anchors AS BIGINT) AS n_anchors,
            |  CAST(b.n_truth AS BIGINT) AS n_truth,
            |  CAST(b.n_hits AS BIGINT) AS base_n_hits,
@@ -3570,7 +3572,7 @@ object EmbQueries {
     Q(
       "emb_label_aware_serving",
       (s, d) => {
-        val (sims0, _, chosen) = labelRepairFrames(s, d)
+        val (sims0, _, chosen, _) = labelRepairFrames(s, d)
         val wQ = Window.partitionBy("a_id")
           .orderBy(col("sim").desc, col("vec_id"))
         sims0
@@ -3586,7 +3588,8 @@ object EmbQueries {
           .orderBy("a_id", "rank")
       },
       Some(
-        s"""WITH $ivfCellsCte, $labelRepairCte
+        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, $retrainCte,
+           |$labelRepairCte
            |SELECT a_id, a_label, nprobe, rank, vec_id, sim FROM (
            |  SELECT s.a_id, s.a_label,
            |    CAST(coalesce(ch.np_ok, 4) AS INT) AS nprobe,
@@ -3598,6 +3601,237 @@ object EmbQueries {
            |  WHERE s.arn <= coalesce(ch.np_ok, 4)
            |    AND s.sim IS NOT NULL)
            |WHERE rank <= 5 ORDER BY a_id, rank""".stripMargin)),
+
+    // COMBINED-LEVER REPAIR — the (nprobe x shortN) grid PER LABEL
+    // over the published index's PQ serving read: the bigger budget a
+    // slice gets when per-label nprobe alone cannot reach the floor.
+    // emb_label_nprobe_repair prices the EXACT-rerank read (recall is
+    // upper-bounded by cell coverage at depth <= 4); this query prices
+    // the production PQ read where deeper probes are affordable
+    // BECAUSE shortN caps the true-vector fetches — probe up to 6
+    // cells of 8-byte codes, shortlist {10,20,40} by ADC, exact-rerank
+    // only the shortlist. One depth-6 candidate ADC scan (anchor
+    // cell-rank carried; every (np, sn) grid point is a predicate +
+    // rank cut over the same frame, never a re-scan — the
+    // operating-grid convention per slice). Chosen combo = the
+    // CHEAPEST (min np first — scan cost dominates at 100 TB — then
+    // min sn) meeting the 0.4 pooled floor; a label no combo can lift
+    // reports floor_met=false with the full-budget (np=6, sn=40) row
+    // as the honest evidence. Epoch-consistent like the repair: every
+    // artifact resolves from the manifest's current version.
+    Q(
+      "emb_label_shortn_repair",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        import s.implicits._
+        publishedOnce(s, d)
+        val (ver, centPath, codesPath) = readManifest(s, indexPath(d))
+        val e = emb(s, d)
+        val anchors = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("a_id"),
+            coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
+            col("embedding").as("av")))
+        val cent = s.read.parquet(centPath)
+          .select(col("c_label").as("label"), col("cvec"))
+          .groupBy("label").agg(first(col("cvec")).as("cvec"))
+        val wA = Window.partitionBy("a_id")
+          .orderBy(col("d2").asc_nulls_last, col("label"))
+        val aRank6 = broadcast(anchors.crossJoin(broadcast(cent))
+          .withColumn("d2",
+            graft.functions.VecL2Sq.column(col("av"), col("cvec")))
+          .withColumn("arn", row_number().over(wA))
+          .filter(col("arn") <= 6)
+          .select(col("a_id"), col("label").as("cell"), col("arn")))
+        // per-anchor ADC table (8 anchors x PqSub x PqK — broadcast)
+        val aSub = anchors.select(col("a_id").as("qa"),
+          posexplode(array((0 until PqSub).map(j =>
+            slice(col("av"), j * PqDim + 1, PqDim)): _*))
+            .as(Seq("qj", "qsv")))
+        val aadc = pqCodebook(s, d)
+          .join(broadcast(aSub), col("j") === col("qj"))
+          .select(col("qa").as("a_id"), col("j"), col("cid"),
+            round(graft.functions.VecL2Sq.column(col("qsv"), col("cvec")),
+              6).as("pd"))
+        // ONE ADC pass over the depth-6 candidates, rank carried
+        val scored = readSegments(s, codesPath)
+          .join(broadcast(aRank6), Seq("cell"))
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("arn"), col("vec_id"),
+            posexplode(col("codes")).as(Seq("j", "cid")))
+          .join(broadcast(aadc), Seq("a_id", "j", "cid"))
+          .groupBy("a_id", "arn", "vec_id")
+          .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+            .as("pq_d2"))
+        val ns = Seq(2, 3, 4, 5, 6).toDF("np")
+        val sns = Seq(10, 20, 40).toDF("sn")
+        val wS = Window.partitionBy("np", "a_id")
+          .orderBy(col("pq_d2"), col("vec_id"))
+        val shortl = scored.join(broadcast(ns), col("arn") <= col("np"))
+          .withColumn("srn", row_number().over(wS))
+          .join(broadcast(sns), col("srn") <= col("sn"))
+          .select("np", "sn", "a_id", "vec_id")
+        val wR = Window.partitionBy("np", "sn", "a_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val t5 = shortl
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(anchors, "a_id")
+          .select(col("np"), col("sn"), col("a_id"), col("a_label"),
+            col("vec_id"),
+            round(cosine(col("embedding"), col("av")), 6).as("sim"))
+          .filter(col("sim").isNotNull)
+          .withColumn("r", row_number().over(wR))
+          .filter(col("r") <= 5)
+          .select("np", "sn", "a_id", "a_label", "vec_id")
+        val wE = Window.partitionBy("a_id")
+          .orderBy(col("es").desc, col("vec_id"))
+        val exact5 = e.crossJoin(anchors)
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("a_label"), col("vec_id"),
+            round(cosine(col("embedding"), col("av")), 6).as("es"))
+          .filter(col("es").isNotNull)
+          .withColumn("r", row_number().over(wE))
+          .filter(col("r") <= 5)
+          .select("a_id", "a_label", "vec_id")
+        val hits = t5.join(exact5, Seq("a_id", "vec_id"), "left_semi")
+          .groupBy("np", "sn", "a_label").agg(count(lit(1)).as("n_hits"))
+        val truth = exact5.groupBy("a_label")
+          .agg(count(lit(1)).as("n_truth"),
+            countDistinct(col("a_id")).as("n_anchors"))
+        val rec = truth.crossJoin(broadcast(ns)).crossJoin(broadcast(sns))
+          .join(hits, Seq("np", "sn", "a_label"), "left")
+          .select(col("np"), col("sn"), col("a_label"), col("n_truth"),
+            col("n_anchors"),
+            coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))
+        // cheapest floor-meeting combo, scan cost first: np*1000 + sn
+        val chosen = rec.groupBy("a_label")
+          .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
+            col("np") * 1000 + col("sn"))).as("combo"))
+        val base = rec.filter(col("np") === 2 && col("sn") === 20)
+          .select(col("a_label"), col("n_anchors"), col("n_truth"),
+            col("n_hits").as("base_n_hits"))
+        val rep = rec.select(col("np").as("np_r"), col("sn").as("sn_r"),
+          col("a_label"), col("n_hits").as("rep_n_hits"))
+        base.join(chosen, "a_label")
+          .withColumn("np_c",
+            floor(coalesce(col("combo"), lit(6040)) / 1000.0).cast("int"))
+          .withColumn("sn_c",
+            (coalesce(col("combo"), lit(6040)) % 1000).cast("int"))
+          .join(rep,
+            col("np_r") === col("np_c") && col("sn_r") === col("sn_c") &&
+              rep("a_label") === base("a_label"))
+          .select(lit(ver).as("index_version"),
+            base("a_label"), col("n_anchors"), col("n_truth"),
+            col("base_n_hits"),
+            round(col("base_n_hits").cast("double") / col("n_truth"), 6)
+              .as("base_recall"),
+            col("np_c").as("nprobe_chosen"),
+            col("sn_c").as("shortn_chosen"),
+            col("rep_n_hits"),
+            round(col("rep_n_hits").cast("double") / col("n_truth"), 6)
+              .as("rep_recall"),
+            col("combo").isNotNull.as("floor_met"))
+          .orderBy("a_label")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, $retrainCte,
+           |anch AS (
+           |  SELECT vec_id AS a_id,
+           |    coalesce(CAST(label AS INT), -2) AS a_label,
+           |    embedding AS av
+           |  FROM embeddings WHERE vec_id < 8
+           |), arank6 AS (
+           |  SELECT a_id, cell, arn FROM (
+           |    SELECT a.a_id, c.label AS cell, row_number() OVER (
+           |      PARTITION BY a.a_id
+           |      ORDER BY ${l2Sql("a.av", "c.cvec")} NULLS LAST,
+           |        c.label) AS arn
+           |    FROM anch a CROSS JOIN cent3 c) WHERE arn <= 6
+           |), aadc AS (
+           |  SELECT q.vec_id AS a_id, c.j, c.cid,
+           |    round(${l2Sql("q.sv", "c.cvec")}, 6) AS pd
+           |  FROM c1 c JOIN sub q ON q.j = c.j AND q.vec_id < 8
+           |), scored AS (
+           |  SELECT ar.a_id, ar.arn, k.vec_id,
+           |    CAST(sum(CAST(ad.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+           |  FROM codes k
+           |  JOIN cells3 c ON c.vec_id = k.vec_id
+           |  JOIN arank6 ar ON ar.cell = c.cell
+           |  JOIN aadc ad ON ad.a_id = ar.a_id AND ad.j = k.j
+           |    AND ad.cid = k.cid
+           |  WHERE k.vec_id <> ar.a_id
+           |  GROUP BY 1, 2, 3
+           |), nsg AS (SELECT unnest([2, 3, 4, 5, 6]) AS np),
+           |sng AS (SELECT unnest([10, 20, 40]) AS sn),
+           |shortr AS (
+           |  SELECT n.np, s.a_id, s.vec_id,
+           |    row_number() OVER (PARTITION BY n.np, s.a_id
+           |      ORDER BY s.pq_d2, s.vec_id) AS srn
+           |  FROM scored s JOIN nsg n ON s.arn <= n.np
+           |), shortlg AS (
+           |  SELECT sr.np, g.sn, sr.a_id, sr.vec_id
+           |  FROM shortr sr JOIN sng g ON sr.srn <= g.sn
+           |), simsg AS (
+           |  SELECT sl.np, sl.sn, sl.a_id, a.a_label, e.vec_id,
+           |    ${cosSql("e.embedding", "a.av")} AS sim
+           |  FROM shortlg sl JOIN embeddings e USING (vec_id)
+           |  JOIN anch a ON a.a_id = sl.a_id
+           |), t5g AS (
+           |  SELECT np, sn, a_id, a_label, vec_id FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY np, sn, a_id
+           |      ORDER BY sim DESC, vec_id) AS r
+           |    FROM simsg WHERE sim IS NOT NULL) WHERE r <= 5
+           |), ex0 AS (
+           |  SELECT a.a_id, a.a_label, e.vec_id,
+           |    ${cosSql("e.embedding", "a.av")} AS es
+           |  FROM embeddings e CROSS JOIN anch a
+           |  WHERE e.vec_id <> a.a_id
+           |), e5 AS (
+           |  SELECT a_id, a_label, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY es DESC, vec_id) AS r
+           |    FROM ex0 WHERE es IS NOT NULL) WHERE r <= 5
+           |), hitsg AS (
+           |  SELECT t.np, t.sn, t.a_label, count(*) AS n_hits
+           |  FROM t5g t JOIN e5 USING (a_id, vec_id) GROUP BY 1, 2, 3
+           |), truthg AS (
+           |  SELECT a_label, count(*) AS n_truth,
+           |    count(DISTINCT a_id) AS n_anchors
+           |  FROM e5 GROUP BY 1
+           |), recg AS (
+           |  SELECT n.np, g.sn, t.a_label, t.n_truth, t.n_anchors,
+           |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+           |  FROM nsg n CROSS JOIN sng g CROSS JOIN truthg t
+           |  LEFT JOIN hitsg h ON h.np = n.np AND h.sn = g.sn
+           |    AND h.a_label = t.a_label
+           |), chg AS (
+           |  SELECT a_label,
+           |    min(CASE WHEN n_hits * 10 >= n_truth * 4
+           |      THEN np * 1000 + sn END) AS combo
+           |  FROM recg GROUP BY 1
+           |)
+           |SELECT 3 AS index_version, b.a_label,
+           |  CAST(b.n_anchors AS BIGINT) AS n_anchors,
+           |  CAST(b.n_truth AS BIGINT) AS n_truth,
+           |  CAST(b.n_hits AS BIGINT) AS base_n_hits,
+           |  round(CAST(b.n_hits AS DOUBLE) / b.n_truth, 6)
+           |    AS base_recall,
+           |  CAST(floor(coalesce(c.combo, 6040) / 1000.0) AS INT)
+           |    AS nprobe_chosen,
+           |  CAST(coalesce(c.combo, 6040) % 1000 AS INT)
+           |    AS shortn_chosen,
+           |  CAST(r.n_hits AS BIGINT) AS rep_n_hits,
+           |  round(CAST(r.n_hits AS DOUBLE) / r.n_truth, 6)
+           |    AS rep_recall,
+           |  (c.combo IS NOT NULL) AS floor_met
+           |FROM recg b
+           |JOIN chg c ON c.a_label = b.a_label
+           |JOIN recg r ON r.a_label = b.a_label
+           |  AND r.np = CAST(floor(coalesce(c.combo, 6040) / 1000.0)
+           |    AS INT)
+           |  AND r.sn = CAST(coalesce(c.combo, 6040) % 1000 AS INT)
+           |WHERE b.np = 2 AND b.sn = 20
+           |ORDER BY b.a_label""".stripMargin)),
 
     // POST-EPOCH FAIRNESS RE-AUDIT — emb_recall_by_label re-run
     // against the RETRAINED (v3) index: per anchor label, pooled
@@ -4121,7 +4355,7 @@ object EmbQueries {
     * pid component keeps concurrent JVMs from racing overwrite-vs-read
     * on a shared /tmp path (the FormatQueries.scratch convention)
     */
-  private def indexPath(dir: String): String = {
+  private[graft] def indexPath(dir: String): String = {
     val h = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
     val pid = ProcessHandle.current().pid()
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -5125,33 +5359,51 @@ object EmbQueries {
 
   /** Shared lineage of the per-label repair family
     * (emb_label_nprobe_repair derives the per-slice operating point;
-    * emb_label_aware_serving SERVES it): ONE candidate scan to the max
+    * emb_label_aware_serving SERVES it), derived against the
+    * manifest's CURRENT published version (publishedOnce -> v3, the
+    * retrained epoch) — NOT the v1 build lineage: the engine's own
+    * post-epoch audit (emb_retrain_recall_by_label) proves per-label
+    * recall MOVES under an epoch, so a depth table derived against one
+    * epoch and served against another is stale by construction; here
+    * the derivation, the serving query, and the streaming sink all
+    * resolve the same manifest. Shape: ONE candidate scan to the max
     * depth (anchor cell-ranks carried as a column — every depth is a
     * predicate over the same frame, never a re-scan), the exact
     * per-anchor truth, the per-(depth, label) recall ledger, and the
     * chosen minimum depth meeting the 0.4 floor (NULL = unreachable
     * within the budget).
     *
-    * @return (sims0, rec, chosen): candidate sims with arn; the
-    *         (np, a_label, n_truth, n_anchors, n_hits) ledger; and
-    *         (a_label, np_ok)
+    * @return (sims0, rec, chosen, version): candidate sims with arn;
+    *         the (np, a_label, n_truth, n_anchors, n_hits) ledger;
+    *         (a_label, np_ok); and the index version served
     */
   private def labelRepairFrames(
-      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, Int) = {
     import s.implicits._
+    publishedOnce(s, d)
+    val (ver, centPath, codesPath) = readManifest(s, indexPath(d))
     val e = emb(s, d)
-    val ranked = ivfRanked(s, d)
-    val cells = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_label").as("cell"))
+    val cells = readSegments(s, codesPath)
+      .select(col("vec_id"), col("cell"))
+    // published centroid table, label-keyed first() read (the bounded
+    // broadcast convention)
+    val cent = s.read.parquet(centPath)
+      .select(col("c_label").as("label"), col("cvec"))
+      .groupBy("label").agg(first(col("cvec")).as("cvec"))
     val anchors = broadcast(e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("a_id"),
         coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
         col("embedding").as("av")))
-    // anchor cells to the MAX candidate depth, rank carried
-    val aRank4 = broadcast(ranked
-      .filter(col("vec_id") < 8 && col("rn") <= 4)
-      .select(col("vec_id").as("a_id"), col("c_label").as("cell"),
-        col("rn").as("arn")))
+    // anchor cells to the MAX candidate depth against the CURRENT
+    // centroids, rank carried (NULLS LAST, label tiebreak)
+    val wA = Window.partitionBy("a_id")
+      .orderBy(col("d2").asc_nulls_last, col("label"))
+    val aRank4 = broadcast(anchors.crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("av"), col("cvec")))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= 4)
+      .select(col("a_id"), col("label").as("cell"), col("arn")))
     val ns = Seq(2, 3, 4).toDF("np")
     // ONE candidate scan; every depth is a predicate over it
     val sims0 = e.join(cells, "vec_id")
@@ -5193,11 +5445,15 @@ object EmbQueries {
     val chosen = rec.groupBy("a_label")
       .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
         col("np"))).as("np_ok"))
-    (sims0, rec, chosen)
+    (sims0, rec, chosen, ver)
   }
 
   /** DuckDB twin of [[labelRepairFrames]] — the CTE chain both repair
-    * oracles compose over (needs [[ivfCellsCte]] in scope).
+    * oracles compose over. Epoch-consistent: anchors rank against the
+    * PUBLISHED (v3) centroid table `cent3` and candidates come from
+    * the published memberships `cells3`, so the full retrain chain
+    * ([[ivfCellsCte]], [[pqCte]], [[rebalanceServeCte]],
+    * [[retrainCte]]) must be in scope.
     */
   private lazy val labelRepairCte: String =
     s"""anch AS (
@@ -5206,14 +5462,18 @@ object EmbQueries {
        |    embedding AS av
        |  FROM embeddings WHERE vec_id < 8
        |), arank4 AS (
-       |  SELECT vec_id AS a_id, label AS cell, rn AS arn
-       |  FROM ranked WHERE vec_id < 8 AND rn <= 4
+       |  SELECT a_id, cell, arn FROM (
+       |    SELECT a.a_id, c.label AS cell, row_number() OVER (
+       |      PARTITION BY a.a_id
+       |      ORDER BY ${l2Sql("a.av", "c.cvec")} NULLS LAST,
+       |        c.label) AS arn
+       |    FROM anch a CROSS JOIN cent3 c) WHERE arn <= 4
        |), ns AS (SELECT unnest([2, 3, 4]) AS np),
        |sims0 AS (
        |  SELECT ar.a_id, a.a_label, ar.arn, e.vec_id,
        |    ${cosSql("e.embedding", "a.av")} AS sim
        |  FROM embeddings e
-       |  JOIN cells c ON c.vec_id = e.vec_id
+       |  JOIN cells3 c ON c.vec_id = e.vec_id
        |  JOIN arank4 ar ON ar.cell = c.cell
        |  JOIN anch a ON a.a_id = ar.a_id
        |  WHERE e.vec_id <> ar.a_id

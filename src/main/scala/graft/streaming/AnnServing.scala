@@ -148,6 +148,25 @@ object AnnServing {
       vectorsPath: String,
       depthsPath: String,
       batch: DataFrame,
+      k: Int = 5): DataFrame =
+    scoreBatchLabelAwareAt(spark, s"$indexDir/centroids",
+      s"$indexDir/codes", vectorsPath, depthsPath, batch, k)
+
+  /** [[scoreBatchLabelAware]] with the index artifact paths resolved
+    * explicitly — the EPOCH-CONSISTENT form: the published-manifest
+    * sink passes the manifest's current centroid/code paths, so the
+    * index served always matches the epoch the (label -> nprobe) side
+    * table was derived against (emb_label_nprobe_repair derives off
+    * the same manifest). codesPath may be a comma-separated segment
+    * list.
+    */
+  def scoreBatchLabelAwareAt(
+      spark: SparkSession,
+      centroidsPath: String,
+      codesPath: String,
+      vectorsPath: String,
+      depthsPath: String,
+      batch: DataFrame,
       k: Int = 5): DataFrame = {
     val empty = {
       import spark.implicits._
@@ -163,7 +182,7 @@ object AnnServing {
     val depths = spark.read.parquet(depthsPath)
       .select(col("a_label").as("qlabel"), col("np").cast("int").as("np"))
       .groupBy("qlabel").agg(first(col("np")).as("np"))
-    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cent = spark.read.parquet(centroidsPath)
       .select(col("c_label").as("clab"), col("cvec"))
       .groupBy("clab").agg(first(col("cvec")).as("cvec"))
     // per-query centroid ranks (B x kk rows), cut to the query's own
@@ -178,7 +197,7 @@ object AnnServing {
       .filter(col("arn") <= coalesce(col("np"), lit(2)))
       .select(col("qid"), col("qvec"), col("clab").as("cell"))
     // pruned candidate fetch: only the probed cells' rows, exact rerank
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = graft.queries.EmbQueries.readSegments(spark, codesPath)
       .select(col("vec_id"), col("cell"))
     val wR = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -1149,6 +1168,41 @@ object AnnServing {
         val s = batch.sparkSession
         scoreBatchLabelAware(s, indexDir, vectorsPath, depthsPath,
           batch, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
+  /** EPOCH-CONSISTENT label-aware serving: the
+    * [[startPublishedServingSink]] shape for the per-slice read —
+    * MANIFEST.json and the depth side table BOTH re-resolve per
+    * micro-batch, so a new epoch's publish and its re-derived repair
+    * table take effect together on the next batch (the index served
+    * can never lag the depths it is probed with, closing the
+    * stale-repair hazard the v1-derived table had). Each answered row
+    * carries the serving version.
+    */
+  def startPublishedLabelAwareServingSink(
+      stream: DataFrame,
+      manifestRoot: String,
+      vectorsPath: String,
+      depthsPath: String,
+      outDir: String,
+      checkpoint: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val (ver, centPath, codesPath) =
+          graft.queries.EmbQueries.readManifest(s, manifestRoot)
+        scoreBatchLabelAwareAt(s, centPath, codesPath, vectorsPath,
+          depthsPath, batch, k)
+          .withColumn("version", lit(ver))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
         ()

@@ -1388,13 +1388,19 @@ class StreamingSpec extends AnyFunSuite {
   test("label-aware streaming serving equals the batch per-slice serve") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
-    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    // the (label -> nprobe) side table is the repair decision itself
+    // the (label -> nprobe) side table is the repair decision itself —
+    // v3-derived (the repair resolves the published manifest), so the
+    // sink below must serve the SAME manifest for row-identity: the
+    // epoch-consistency contract
     val depthsPath = tmp("las_depths") + "/depths.parquet"
     Registry.byName("emb_label_nprobe_repair").build(spark, dir)
       .select(col("a_label"), col("nprobe_chosen").as("np"))
       .write.mode("overwrite").parquet(depthsPath)
+    val root = queries.EmbQueries.indexPath(dir)
+    val (ver, centPath, codesPath) =
+      queries.EmbQueries.readManifest(spark, root)
+    assert(ver == 3, s"repair must publish/serve the v3 epoch, got v$ver")
     // stream every anchor (vec_id < 8) with its label — the same
     // query universe the batch emb_label_aware_serving answers
     val anchors = emb.filter(col("vec_id") < 8)
@@ -1414,11 +1420,14 @@ class StreamingSpec extends AnyFunSuite {
       StructField("qlabel", IntegerType),
       StructField("qvec", ArrayType(DoubleType))))
     val out = tmp("las_out")
-    val q = graft.streaming.AnnServing.startLabelAwareServingSink(
+    val q = graft.streaming.AnnServing.startPublishedLabelAwareServingSink(
       spark.readStream.schema(schema).json(in),
-      idx, s"$dir/embeddings.parquet", depthsPath, out,
+      root, s"$dir/embeddings.parquet", depthsPath, out,
       tmp("las_ckpt"))
     assert(q.awaitTermination(120000))
+    // every answered row carries the serving version = the repair's
+    assert(spark.read.parquet(out)
+      .filter(col("version") =!= 3).count() == 0)
 
     // row-identical to the batch per-slice serve for every anchor
     val batch = Registry.byName("emb_label_aware_serving")
@@ -1433,16 +1442,16 @@ class StreamingSpec extends AnyFunSuite {
 
     // a query whose label has no depth entry falls back to nprobe=2
     // and still answers (never crashes, never over-probes)
-    val fallback = graft.streaming.AnnServing.scoreBatchLabelAware(
-      spark, idx, s"$dir/embeddings.parquet", depthsPath,
+    val fallback = graft.streaming.AnnServing.scoreBatchLabelAwareAt(
+      spark, centPath, codesPath, s"$dir/embeddings.parquet", depthsPath,
       emb.filter(col("vec_id") === 9)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           lit(999).as("qlabel")))
     assert(fallback.count() == 5)
 
     // empty batch: typed empty frame, not a crash
-    val none = graft.streaming.AnnServing.scoreBatchLabelAware(
-      spark, idx, s"$dir/embeddings.parquet", depthsPath,
+    val none = graft.streaming.AnnServing.scoreBatchLabelAwareAt(
+      spark, centPath, codesPath, s"$dir/embeddings.parquet", depthsPath,
       emb.filter(col("vec_id") === -1)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           lit(0).as("qlabel")))
