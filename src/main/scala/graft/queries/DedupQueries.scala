@@ -1983,6 +1983,106 @@ object DedupQueries {
            |  inter * 10 >= least(size_a, size_b) * 9 AS contained
            |FROM j ORDER BY a_id, b_id""".stripMargin)),
 
+    // SUB-WINDOW LONGEST COMMON RUN — the span queries' last fidelity
+    // gap closed (Lee et al.'s suffix-array longest-match, realized
+    // within the bounded candidate pair set): per minhash candidate
+    // pair, the LONGEST exact common token run at ONE-token
+    // granularity — no 12-token window quantization. Construction: a
+    // common substring is a maximal run along a DIAGONAL of the
+    // match matrix (positions ai in A, bi in B with equal tokens and
+    // constant ai - bi), so explode both docs' positions, equi-join
+    // on the token, and gaps-and-islands each (pair, diagonal) by ai
+    // — the substringSpans island technique, one dimension up. Ties
+    // break (max run_len, min a_start, min b_start); pairs sharing no
+    // token emit nothing. Cost is bounded by the CANDIDATE set (ids
+    // broadcast-semi-join the corpus BEFORE tokenizing — the
+    // containment convention): the match matrix of a near-dup pair is
+    // diagonal-dominated, so rows ~ shared tokens, not |A|x|B|; the
+    // production kernel for adversarial repeated-token docs is a
+    // per-pair suffix automaton (O(|A|+|B|)), which this SQL form is
+    // the oracle-checkable twin of. Starts are 1-based like the span
+    // queries.
+    Q(
+      "dedup_pair_longest_run",
+      (s, d) => {
+        val pairs = minhashPairs(s, d).select("a_id", "b_id")
+        val ids = pairs.select(col("a_id").as("doc_id"))
+          .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+        val pos = toksFor(s, d, ids)
+          .select(col("doc_id"),
+            posexplode(col("tok")).as(Seq("i0", "term")))
+          .select(col("doc_id"), (col("i0") + 1).as("i"), col("term"))
+        val m = pairs
+          .join(pos.select(col("doc_id").as("a_id"), col("i").as("ai"),
+            col("term")), Seq("a_id"))
+          .join(pos.select(col("doc_id").as("b_id"), col("i").as("bi"),
+            col("term")), Seq("b_id", "term"))
+          .select(col("a_id"), col("b_id"), col("ai"), col("bi"),
+            (col("ai") - col("bi")).as("diag"))
+        val wD = org.apache.spark.sql.expressions.Window
+          .partitionBy("a_id", "b_id", "diag").orderBy("ai")
+        val runs = m
+          .withColumn("new_run",
+            when(col("ai") - lag(col("ai"), 1).over(wD) === 1, lit(0L))
+              .otherwise(lit(1L)))
+          .withColumn("grp", sum(col("new_run")).over(wD))
+          .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+          .agg(count(lit(1)).as("run_len"),
+            min(col("ai")).as("a_start"), min(col("bi")).as("b_start"))
+        val wBest = org.apache.spark.sql.expressions.Window
+          .partitionBy("a_id", "b_id")
+          .orderBy(col("run_len").desc, col("a_start"), col("b_start"))
+        runs.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("a_id"), col("b_id"),
+            col("run_len").cast("int").as("run_len"),
+            col("a_start").cast("int").as("a_start"),
+            col("b_start").cast("int").as("b_start"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        s"""WITH pairs AS (
+           |  SELECT a_id, b_id FROM ($minhashSql)
+           |), cand_ids AS (
+           |  SELECT a_id AS doc_id FROM pairs
+           |  UNION SELECT b_id FROM pairs
+           |), cl AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |  WHERE doc_id IN (SELECT doc_id FROM cand_ids)
+           |), tk AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cl
+           |), pos AS (
+           |  SELECT doc_id, CAST(i AS INT) AS i, tok[CAST(i AS INT)] AS term
+           |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS i
+           |        FROM tk)
+           |), m AS (
+           |  SELECT p.a_id, p.b_id, pa.i AS ai, pb.i AS bi,
+           |    pa.i - pb.i AS diag
+           |  FROM pairs p
+           |  JOIN pos pa ON pa.doc_id = p.a_id
+           |  JOIN pos pb ON pb.doc_id = p.b_id AND pb.term = pa.term
+           |), r1 AS (
+           |  SELECT *, CASE WHEN ai - lag(ai) OVER (
+           |      PARTITION BY a_id, b_id, diag ORDER BY ai) = 1
+           |    THEN 0 ELSE 1 END AS new_run
+           |  FROM m
+           |), r2 AS (
+           |  SELECT *, sum(new_run) OVER (
+           |      PARTITION BY a_id, b_id, diag ORDER BY ai) AS grp
+           |  FROM r1
+           |), runs AS (
+           |  SELECT a_id, b_id, diag, grp, count(*) AS run_len,
+           |    min(ai) AS a_start, min(bi) AS b_start
+           |  FROM r2 GROUP BY 1, 2, 3, 4
+           |)
+           |SELECT a_id, b_id, CAST(run_len AS INT) AS run_len,
+           |  CAST(a_start AS INT) AS a_start,
+           |  CAST(b_start AS INT) AS b_start
+           |FROM (SELECT *, row_number() OVER (PARTITION BY a_id, b_id
+           |    ORDER BY run_len DESC, a_start, b_start) AS rn
+           |  FROM runs)
+           |WHERE rn = 1 ORDER BY a_id, b_id""".stripMargin)),
+
     // Canonical-document selection per duplicate cluster: the resolution
     // policy a real pipeline applies after clustering — keep the most
     // content-rich member (max token count, doc_id tie-break), not
