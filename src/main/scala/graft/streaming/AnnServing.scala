@@ -1525,13 +1525,108 @@ object AnnServing {
     removed
   }
 
+  /** Re-derive the (label -> nprobe) serving side table against the
+    * manifest's CURRENT version — the post-epoch refresh that keeps
+    * label-aware serving epoch-consistent (a depth table derived
+    * against one epoch and served against another is stale by
+    * construction; the engine's own post-epoch audit proves per-label
+    * recall moves under an epoch). Same derivation as the batch
+    * emb_label_nprobe_repair: anchors = vec_id &lt; 8 of the vector
+    * table, ONE candidate scan to depth 4 with the anchor cell-rank
+    * carried (each depth a predicate, never a re-scan), exact pooled
+    * truth, chosen = the minimum depth in {2,3,4} meeting the 0.4
+    * floor (unreachable slices get the max-budget depth 4 — the
+    * serving fallback; the batch query is where floor_met stays
+    * honest). Writes (a_label, np, index_version) to `outPath`
+    * (overwrite — the label-aware sinks re-read it per micro-batch).
+    *
+    * @return the index version the depths were derived against
+    */
+  def deriveLabelDepths(
+      spark: SparkSession,
+      root: String,
+      vectorsPath: String,
+      outPath: String): Int = {
+    val (ver, centPath, codesPath) =
+      graft.queries.EmbQueries.readManifest(spark, root)
+    val e = spark.read.parquet(vectorsPath)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val anchors = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"),
+        coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
+        col("embedding").as("av")))
+    val cent = spark.read.parquet(centPath)
+      .select(col("c_label").as("label"), col("cvec"))
+      .groupBy("label").agg(first(col("cvec")).as("cvec"))
+    val wA = Window.partitionBy("a_id")
+      .orderBy(col("d2").asc_nulls_last, col("label"))
+    val aRank4 = broadcast(anchors.crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("av"), col("cvec")))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= 4)
+      .select(col("a_id"), col("label").as("cell"), col("arn")))
+    val cells = graft.queries.EmbQueries.readSegments(spark, codesPath)
+      .select(col("vec_id"), col("cell"))
+    import spark.implicits._
+    val ns = Seq(2, 3, 4).toDF("np")
+    val sims0 = e.select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id")
+      .join(aRank4, "cell")
+      .join(anchors, "a_id")
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("arn"), col("vec_id"),
+        round(graft.queries.EmbQueries.cosine(col("embedding"),
+          col("av")), 6).as("sim"))
+      .filter(col("sim").isNotNull)
+    val wP = Window.partitionBy("np", "a_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val t5 = sims0.join(broadcast(ns), col("arn") <= col("np"))
+      .withColumn("r", row_number().over(wP))
+      .filter(col("r") <= 5)
+      .select("np", "a_id", "a_label", "vec_id")
+    val wE = Window.partitionBy("a_id")
+      .orderBy(col("es").desc, col("vec_id"))
+    val exact5 = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(anchors)
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id"),
+        round(graft.queries.EmbQueries.cosine(col("embedding"),
+          col("av")), 6).as("es"))
+      .filter(col("es").isNotNull)
+      .withColumn("r", row_number().over(wE))
+      .filter(col("r") <= 5)
+      .select("a_id", "a_label", "vec_id")
+    val hits = t5.join(exact5, Seq("a_id", "vec_id"), "left_semi")
+      .groupBy("np", "a_label").agg(count(lit(1)).as("n_hits"))
+    val truth = exact5.groupBy("a_label")
+      .agg(count(lit(1)).as("n_truth"))
+    truth.crossJoin(broadcast(ns))
+      .join(hits, Seq("np", "a_label"), "left")
+      .select(col("np"), col("a_label"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .groupBy("a_label")
+      .agg(coalesce(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
+        col("np"))), lit(4)).cast("int").as("np"))
+      .withColumn("index_version", lit(ver))
+      .write.mode("overwrite").parquet(outPath)
+    ver
+  }
+
   /** The VERSIONED self-healing sink — [[startSelfHealingSink]]'s
     * chain (upsert, rebalance if skewed, retrain epoch if due) routed
     * through the blue/green manifest, plus retention GC: each
     * micro-batch leaves the index a chain of immutable versions with
     * the newest published, rollback-able to `keepVersions` deep, and
     * serving (startPublishedServingSink re-resolves the manifest per
-    * batch) never observes an intermediate state.
+    * batch) never observes an intermediate state. When `depthsPath`
+    * is given, ANY version-advancing batch triggers
+    * [[deriveLabelDepths]] against the NEW version, so label-aware
+    * serving's side table refreshes in the same batch that moved the
+    * index — the epoch-consistency loop,
+    * closed unattended.
     */
   def startVersionedSelfHealingSink(
       stream: DataFrame,
@@ -1539,6 +1634,7 @@ object AnnServing {
       vectorsPath: String,
       checkpoint: String,
       keepVersions: Int = 3,
+      depthsPath: Option[String] = None,
       num: Int = graft.queries.EmbQueries.RebalanceNum,
       den: Int = graft.queries.EmbQueries.RebalanceDen,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -1548,9 +1644,18 @@ object AnnServing {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        val v0 = graft.queries.EmbQueries.readManifest(s, root)._1
         applyUpsertBatchVersioned(s, root, batch)
         applyRebalanceVersioned(s, root, vectorsPath, num, den)
         applyRetrainEpochIfDueVersioned(s, root, vectorsPath, num, den)
+        depthsPath.foreach { dp =>
+          // refresh on ANY version advance — upsert included: new rows
+          // change candidate sets and pooled truth, so per-label
+          // depths can shift under every mutation class. One bounded
+          // derivation (8 anchors, depth-4 scan) per mutating batch.
+          if (graft.queries.EmbQueries.readManifest(s, root)._1 > v0)
+            deriveLabelDepths(s, root, vectorsPath, dp)
+        }
         graft.queries.EmbQueries.gcVersions(s, root, keepVersions)
         ()
       }

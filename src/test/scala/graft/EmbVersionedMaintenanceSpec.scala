@@ -268,9 +268,11 @@ class EmbVersionedMaintenanceSpec extends AnyFunSuite {
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(DoubleType)),
       StructField("label", IntegerType)))
+    val depthsPath = tmp("ann_vsink_depths") + "/depths.parquet"
     val q = graft.streaming.AnnServing.startVersionedSelfHealingSink(
       spark.readStream.schema(schema).json(in),
-      sroot, augPath, tmp("ann_vsink_ckpt"))
+      sroot, augPath, tmp("ann_vsink_ckpt"),
+      depthsPath = Some(depthsPath))
     assert(q.awaitTermination(120000))
 
     val batch = spark.createDataset(rows.toSeq)
@@ -295,6 +297,24 @@ class EmbVersionedMaintenanceSpec extends AnyFunSuite {
       .exceptAll(centKey(spark.read.parquet(cd))).isEmpty)
     assert(centKey(spark.read.parquet(cd))
       .exceptAll(centKey(spark.read.parquet(cs))).isEmpty)
+
+    // EPOCH-CONSISTENT DEPTHS: the sink refreshed the (label -> np)
+    // side table against the version it published — same version
+    // stamp, and row-identical to a direct derivation against the
+    // sink's final manifest
+    val depths = spark.read.parquet(depthsPath)
+    assert(depths.filter(col("index_version") =!= vs).count() == 0,
+      "depth table derived against a different version than published")
+    val directDepths = tmp("ann_vsink_depths2") + "/d.parquet"
+    val dv = graft.streaming.AnnServing.deriveLabelDepths(
+      spark, sroot, augPath, directDepths)
+    assert(dv == vs)
+    val dkey = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("a_label", "np", "index_version")
+    assert(dkey(depths)
+      .exceptAll(dkey(spark.read.parquet(directDepths))).isEmpty)
+    assert(dkey(spark.read.parquet(directDepths))
+      .exceptAll(dkey(depths)).isEmpty)
     ()
   }
 }
