@@ -3692,13 +3692,17 @@ object EmbQueries {
           .withColumn("r", row_number().over(wE))
           .filter(col("r") <= 5)
           .select("a_id", "a_label", "vec_id")
-        val hits = t5.join(exact5, Seq("a_id", "vec_id"), "left_semi")
+        // every frame below is grid-bounded (|labels| x 15 rows at
+        // most) — broadcast explicitly so no bounded join ever plans a
+        // sort-merge
+        val hits = t5
+          .join(broadcast(exact5), Seq("a_id", "vec_id"), "left_semi")
           .groupBy("np", "sn", "a_label").agg(count(lit(1)).as("n_hits"))
         val truth = exact5.groupBy("a_label")
           .agg(count(lit(1)).as("n_truth"),
             countDistinct(col("a_id")).as("n_anchors"))
         val rec = truth.crossJoin(broadcast(ns)).crossJoin(broadcast(sns))
-          .join(hits, Seq("np", "sn", "a_label"), "left")
+          .join(broadcast(hits), Seq("np", "sn", "a_label"), "left")
           .select(col("np"), col("sn"), col("a_label"), col("n_truth"),
             col("n_anchors"),
             coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))
@@ -3709,9 +3713,10 @@ object EmbQueries {
         val base = rec.filter(col("np") === 2 && col("sn") === 20)
           .select(col("a_label"), col("n_anchors"), col("n_truth"),
             col("n_hits").as("base_n_hits"))
-        val rep = rec.select(col("np").as("np_r"), col("sn").as("sn_r"),
-          col("a_label"), col("n_hits").as("rep_n_hits"))
-        base.join(chosen, "a_label")
+        val rep = broadcast(
+          rec.select(col("np").as("np_r"), col("sn").as("sn_r"),
+            col("a_label"), col("n_hits").as("rep_n_hits")))
+        base.join(broadcast(chosen), "a_label")
           .withColumn("np_c",
             floor(coalesce(col("combo"), lit(6040)) / 1000.0).cast("int"))
           .withColumn("sn_c",
