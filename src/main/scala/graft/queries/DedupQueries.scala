@@ -1846,6 +1846,84 @@ object DedupQueries {
            |FROM tokt t LEFT JOIN spt sp USING (source)
            |ORDER BY t.source""".stripMargin)),
 
+    // SPANS APPLIED — the ACT step that completes the span family
+    // (detect: dedup_substring_spans; price: dedup_span_savings; act:
+    // this): the corpus with every duplicated span CUT, per document —
+    // kept token count, cut token count, and an md5 over the kept
+    // token stream in order (the verifiable artifact of the cut; a
+    // downstream writer would emit the kept tokens themselves). This
+    // is the cut-all form — every occurrence of duplicated text goes,
+    // the aggressive end of Lee et al.'s policy spectrum; keep-one-
+    // canonical is a policy layer over the same span frame (pick the
+    // corpus-min owner per span hash), not a different engine op.
+    // Shape: only span-owning docs re-tokenize (semi join on the span
+    // doc set BEFORE the explode); coverage is a per-doc hash join of
+    // positions to the bounded span list with a range predicate —
+    // never a position x position product; assembly is one per-doc
+    // sort inside an aggregate. Docs cut to nothing stay as rows
+    // (n_kept = 0, hash of the empty stream) — silently dropping them
+    // would misreport the reclaimed mass.
+    Q(
+      "dedup_spans_applied",
+      (s, d) => {
+        val sp = substringSpans(s, d)
+        val sdocs = sp.select("doc_id").distinct()
+        val pos = toks(s, d)
+          .join(broadcast(sdocs), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            posexplode(col("tok")).as(Seq("i0", "term")))
+          .select(col("doc_id"), (col("i0") + 1).as("i"), col("term"))
+        val spn = sp.select(col("doc_id").as("sdoc"),
+          col("span_start"), col("span_end"))
+        val kept = pos.join(spn,
+          col("doc_id") === col("sdoc") &&
+            col("i") >= col("span_start") && col("i") <= col("span_end"),
+          "left_anti")
+        val agg = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("i"), col("term")))),
+              x => x.getField("term")), " ")).as("kept_hash"))
+        val lens = toks(s, d)
+          .join(broadcast(sdocs), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), size(col("tok")).as("n_tokens"))
+        lens.join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+              .cast("int").as("n_cut"),
+            coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+            coalesce(col("kept_hash"), md5(lit(""))).as("kept_hash"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $spanCte, sdocs AS (
+           |  SELECT DISTINCT doc_id FROM spans
+           |), pos2 AS (
+           |  SELECT doc_id, CAST(i AS INT) AS i,
+           |    tok[CAST(i AS INT)] AS term
+           |  FROM (SELECT s.doc_id, s.tok,
+           |          unnest(range(1, len(s.tok) + 1)) AS i
+           |        FROM toksrc s JOIN sdocs USING (doc_id))
+           |), kept2 AS (
+           |  SELECT p.doc_id, p.i, p.term FROM pos2 p
+           |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+           |    WHERE sp.doc_id = p.doc_id
+           |      AND p.i BETWEEN sp.span_start AND sp.span_end)
+           |), agg2 AS (
+           |  SELECT doc_id, count(*) AS n_kept,
+           |    md5(string_agg(term, ' ' ORDER BY i)) AS kept_hash
+           |  FROM kept2 GROUP BY doc_id
+           |), lens2 AS (
+           |  SELECT t.doc_id, len(t.tok) AS n_tokens
+           |  FROM toksrc t JOIN sdocs USING (doc_id)
+           |)
+           |SELECT l.doc_id, CAST(l.n_tokens AS INT) AS n_tokens,
+           |  CAST(l.n_tokens - coalesce(a.n_kept, 0) AS INT) AS n_cut,
+           |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+           |  coalesce(a.kept_hash, md5('')) AS kept_hash
+           |FROM lens2 l LEFT JOIN agg2 a USING (doc_id)
+           |ORDER BY l.doc_id""".stripMargin)),
+
     // INCREMENTAL SPANS — the batch-proportional form of the span
     // query: for each NEW-batch (val-split) document, the maximal
     // spans of text ALREADY PRESENT in the train corpus (window hash

@@ -128,4 +128,27 @@ class DedupSpansSpec extends AnyFunSuite {
         s"doc $doc sum(span_len) != coverage size")
     }
   }
+
+  test("the act step cuts exactly what the spans price") {
+    // price <-> act consistency: per doc, dedup_spans_applied.n_cut
+    // must equal dedup_substring_spans' sum(span_len) — true ONLY
+    // because the interval merge makes spans token-disjoint (the old
+    // start-run merge would have priced overlapping spans twice while
+    // the cut removes each token once)
+    val dir = TestSpark.sf0001
+    val priced = Registry.byName("dedup_substring_spans")
+      .build(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Int]("span_len")).sum).toMap
+    val applied = Registry.byName("dedup_spans_applied")
+      .build(spark, dir).collect()
+    assert(applied.map(_.getAs[Long]("doc_id")).toSet == priced.keySet)
+    applied.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_cut") == priced(doc),
+        s"doc $doc: cut ${r.getAs[Int]("n_cut")} priced ${priced(doc)}")
+      assert(r.getAs[Int]("n_kept") + r.getAs[Int]("n_cut") ==
+        r.getAs[Int]("n_tokens"))
+    }
+  }
 }
