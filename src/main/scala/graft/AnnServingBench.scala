@@ -53,6 +53,9 @@ object AnnServingBench {
     val idx = queries.EmbQueries.ensureServedIndex(spark, sfDir)
     val vectorsPath = s"$sfDir/embeddings.parquet"
     if (channel == "maintain") { maintain(spark, idx, sfDir, nQ, nFiles); return }
+    if (channel == "maintain_versioned") {
+      maintainVersioned(spark, idx, sfDir, nQ, nFiles); return
+    }
     val dir = Files.createTempDirectory("ann_tp").toFile
     val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
     val emb = spark.read.parquet(vectorsPath)
@@ -174,6 +177,80 @@ object AnnServingBench {
       else "null"
     println(
       s"""{"metric":"ann_maintain_throughput","unit":"vectors_per_sec","channel":"maintain","value":${f"${applied / sec}%.1f"},"n_vectors":$applied,"staged":$staged,"cells_before":$cellsBefore,"cells_after":$cellsAfter,"sec":${f"$sec%.2f"},"error":$error,"sf":"$sfDir"}""")
+    CacheRegistry.clear(spark)
+    spark.stop()
+    if (error != "null") System.exit(1)
+  }
+
+  /** The `maintain_versioned` channel: the SAME staged workload as
+    * `maintain`, drained through startVersionedSelfHealingSink against
+    * a published v1 root — the apples-to-apples price of blue/green
+    * (immutable segments + atomic manifest publishes + retention GC +
+    * the per-advance depth-table refresh) over in-place mutation.
+    * Reports the final published version and segment count beside the
+    * rate.
+    */
+  private def maintainVersioned(
+      spark: SparkSession,
+      idx: String,
+      sfDir: String,
+      nQ: Int,
+      nFiles: Int): Unit = {
+    val dir = Files.createTempDirectory("ann_maint_ver").toFile
+    val work = new java.io.File(dir, "ix").getAbsolutePath
+    val full = spark.read.parquet(s"$idx/codes")
+    full.write.partitionBy("cell").parquet(s"$work/codes_v1")
+    spark.read.parquet(s"$idx/centroids")
+      .write.parquet(s"$work/centroids_v1")
+    spark.read.parquet(s"$idx/codebook").write.parquet(s"$work/codebook")
+    queries.EmbQueries.publishVersion(spark, work, 1,
+      s"$work/centroids_v1", s"$work/codes_v1")
+    val cellsBefore = spark.read.parquet(s"$work/centroids_v1").count()
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVec = emb.count()
+    val fresh = emb
+      .crossJoin(spark.range((nQ + nVec - 1) / nVec)
+        .select(col("id").as("rep")))
+      .filter(col("vec_id") + col("rep") * nVec < nQ)
+      .select((col("vec_id") + col("rep") * nVec + lit(1000000000L))
+        .as("vec_id"),
+        col("embedding"), col("label"))
+    val aug = new java.io.File(dir, "vecs").getAbsolutePath
+    emb.select("vec_id", "embedding", "label").unionByName(fresh)
+      .write.parquet(aug)
+    val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
+    fresh.repartition(nFiles).write.mode("overwrite")
+      .json(inDir.getAbsolutePath)
+    val staged = spark.read.json(inDir.getAbsolutePath).count()
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", LongType)))
+    val depths = new java.io.File(dir, "depths.parquet").getAbsolutePath
+    val t0 = System.nanoTime()
+    val q = streaming.AnnServing.startVersionedSelfHealingSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", math.max(1, nFiles / 4))
+        .json(inDir.getAbsolutePath),
+      work, aug, new java.io.File(dir, "ck").getAbsolutePath,
+      depthsPath = Some(depths))
+    val drained = q.awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val (ver, centPath, codesPath) =
+      queries.EmbQueries.readManifest(spark, work)
+    val applied = queries.EmbQueries.readSegments(spark, codesPath)
+      .filter(col("vec_id") >= 1000000000L).count()
+    val cellsAfter = spark.read.parquet(centPath).count()
+    val nSegs = codesPath.split(',').length
+    val error =
+      if (!drained) "\"awaitTermination timed out\""
+      else if (applied != staged)
+        s""""applied $applied of $staged staged vectors""""
+      else "null"
+    println(
+      s"""{"metric":"ann_maintain_throughput","unit":"vectors_per_sec","channel":"maintain_versioned","value":${f"${applied / sec}%.1f"},"n_vectors":$applied,"staged":$staged,"cells_before":$cellsBefore,"cells_after":$cellsAfter,"final_version":$ver,"final_segments":$nSegs,"sec":${f"$sec%.2f"},"error":$error,"sf":"$sfDir"}""")
     CacheRegistry.clear(spark)
     spark.stop()
     if (error != "null") System.exit(1)
