@@ -1525,6 +1525,33 @@ object AnnServing {
     removed
   }
 
+  /** SEGMENT COMPACTION when due: an upsert-only version chain grows
+    * the manifest's segment list one dir per batch — each segment is
+    * O(batch) to write but every read lists and unions all of them,
+    * so an unattended ingest stream needs a compaction rung the way a
+    * log-structured store does. When the published list exceeds
+    * `maxSegments`, the full view rewrites as ONE consolidated
+    * segment published as version+1 (same blue/green mechanics: fresh
+    * dir, atomic rename, old versions GC-able). Rebalance and the
+    * epoch consolidate as a side effect, so this only triggers on
+    * quiet stretches where upserts alone advance the version.
+    *
+    * @return true iff a compacted version was published
+    */
+  def applyCompactionIfDue(
+      spark: SparkSession,
+      root: String,
+      maxSegments: Int = 8): Boolean = {
+    val (v, centPath, segs) = manifestView(spark, root)
+    if (segs.size <= maxSegments) return false
+    val codesNext = s"$root/codes_v${v + 1}"
+    viewCodes(spark, segs)
+      .write.mode("overwrite").partitionBy("cell").parquet(codesNext)
+    graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+      centPath, codesNext)
+    true
+  }
+
   /** Re-derive the (label -> nprobe) serving side table against the
     * manifest's CURRENT version — the post-epoch refresh that keeps
     * label-aware serving epoch-consistent (a depth table derived
@@ -1635,6 +1662,7 @@ object AnnServing {
       checkpoint: String,
       keepVersions: Int = 3,
       depthsPath: Option[String] = None,
+      maxSegments: Int = 8,
       num: Int = graft.queries.EmbQueries.RebalanceNum,
       den: Int = graft.queries.EmbQueries.RebalanceDen,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -1648,6 +1676,7 @@ object AnnServing {
         applyUpsertBatchVersioned(s, root, batch)
         applyRebalanceVersioned(s, root, vectorsPath, num, den)
         applyRetrainEpochIfDueVersioned(s, root, vectorsPath, num, den)
+        applyCompactionIfDue(s, root, maxSegments)
         depthsPath.foreach { dp =>
           // refresh on ANY version advance — upsert included: new rows
           // change candidate sets and pooled truth, so per-label

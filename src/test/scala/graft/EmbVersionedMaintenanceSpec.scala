@@ -317,4 +317,151 @@ class EmbVersionedMaintenanceSpec extends AnyFunSuite {
       .exceptAll(dkey(depths)).isEmpty)
     ()
   }
+
+  test("upsert-only chain grows one segment per batch; compaction collapses it losslessly") {
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val full = spark.read.parquet(s"$idx/codes")
+    val vroot = tmp("ann_compact")
+    full.write.partitionBy("cell").parquet(s"$vroot/codes_v1")
+    spark.read.parquet(s"$idx/centroids")
+      .write.parquet(s"$vroot/centroids_v1")
+    spark.read.parquet(s"$idx/codebook").write.parquet(s"$vroot/codebook")
+    queries.EmbQueries.publishVersion(spark, vroot, 1,
+      s"$vroot/centroids_v1", s"$vroot/codes_v1")
+
+    // three tiny disjoint upserts: one clone of vectors 1..3 each —
+    // far below the skew threshold, so nothing consolidates on its own
+    import spark.implicits._
+    (1 to 3).foreach { k =>
+      val batch = emb.filter(col("vec_id") === k.toLong)
+        .select((col("vec_id") + lit(5000000L * k)).as("vec_id"),
+          col("embedding"), col("label"))
+      assert(graft.streaming.AnnServing
+        .applyUpsertBatchVersioned(spark, vroot, batch) == 1L)
+    }
+    val (v4, _, k4) = queries.EmbQueries.readManifest(spark, vroot)
+    assert(v4 == 4 && k4.split(',').length == 4,
+      s"expected 4 segments after 3 upserts, got $k4")
+    val before = queries.EmbQueries.readSegments(spark, k4)
+    val nBefore = before.count()
+    val keyBefore = codesKey(before).collect().map(_.toString).sorted
+
+    // under the threshold: a no-op; over it: one consolidated publish
+    assert(!graft.streaming.AnnServing
+      .applyCompactionIfDue(spark, vroot, maxSegments = 4))
+    assert(graft.streaming.AnnServing
+      .applyCompactionIfDue(spark, vroot, maxSegments = 3))
+    val (v5, _, k5) = queries.EmbQueries.readManifest(spark, vroot)
+    assert(v5 == 5 && k5.split(',').length == 1, k5)
+    val after = queries.EmbQueries.readSegments(spark, k5)
+    assert(after.count() == nBefore)
+    assert(codesKey(after).collect().map(_.toString).sorted
+      .sameElements(keyBefore), "compaction changed the row set")
+    // and the segmented version remains rollback-able until GC
+    queries.EmbQueries.publishVersion(spark, vroot, 4,
+      s"$vroot/centroids_v1", k4)
+    assert(queries.EmbQueries
+      .readSegments(spark,
+        queries.EmbQueries.readManifest(spark, vroot)._3)
+      .count() == nBefore)
+    ()
+  }
+
+  test("versioned sink restart from checkpoint resumes incrementally and matches the per-batch twin") {
+    import org.apache.spark.sql.types._
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val full = spark.read.parquet(s"$idx/codes")
+    val cells = full.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).collect()
+    val topCell = cells(0).getInt(0)
+    val sndCell = cells(1).getInt(0)
+    def clonesOf(cell: Int, off: Long): Array[(Long, Seq[Float], Int)] =
+      full.filter(col("cell") === cell)
+        .select("vec_id").join(emb, "vec_id")
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0) + off, r.getSeq[Float](1), r.getInt(2)))
+    val batchA = clonesOf(topCell, 3000000L)
+    val batchB = clonesOf(sndCell, 4000000L)
+    import spark.implicits._
+    val aug = tmp("ann_restart_vecs")
+    emb.select("vec_id", "embedding", "label").unionByName(
+      spark.createDataset((batchA ++ batchB).toSeq)
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("label")))
+      .write.parquet(s"$aug/embeddings.parquet")
+    val augPath = s"$aug/embeddings.parquet"
+
+    val sroot = tmp("ann_restart")
+    val droot = tmp("ann_restart_direct")
+    Seq(sroot, droot).foreach { r =>
+      full.write.partitionBy("cell").parquet(s"$r/codes_v1")
+      spark.read.parquet(s"$idx/centroids")
+        .write.parquet(s"$r/centroids_v1")
+      spark.read.parquet(s"$idx/codebook").write.parquet(s"$r/codebook")
+      queries.EmbQueries.publishVersion(spark, r, 1,
+        s"$r/centroids_v1", s"$r/codes_v1")
+    }
+    def writeFile(in: String, name: String,
+        rows: Array[(Long, Seq[Float], Int)]): Unit = {
+      val sb = new StringBuilder
+      rows.foreach { case (id, v, l) => sb.append(
+        s"""{"vec_id":$id,"embedding":[${v.mkString(",")}],"label":$l}\n""")
+      }
+      Files.write(java.nio.file.Paths.get(in, name),
+        sb.toString.getBytes("UTF-8"))
+    }
+    val in = tmp("ann_restart_in")
+    val ckpt = tmp("ann_restart_ckpt")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", IntegerType)))
+    def runSink(): Unit = {
+      val q = graft.streaming.AnnServing.startVersionedSelfHealingSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(in),
+        sroot, augPath, ckpt)
+      assert(q.awaitTermination(120000))
+    }
+    // batch A drains, the sink STOPS (AvailableNow) — the "kill";
+    // the restart with the same checkpoint must process ONLY batch B
+    writeFile(in, "a.json", batchA)
+    runSink()
+    val vMid = queries.EmbQueries.readManifest(spark, sroot)._1
+    assert(vMid > 1, "batch A published nothing")
+    writeFile(in, "b.json", batchB)
+    runSink()
+
+    // twin: the same chain called directly, one call set per batch
+    Seq(batchA, batchB).foreach { rows =>
+      val b = spark.createDataset(rows.toSeq)
+        .toDF("vec_id", "embedding", "label")
+      graft.streaming.AnnServing.applyUpsertBatchVersioned(spark, droot, b)
+      graft.streaming.AnnServing.applyRebalanceVersioned(
+        spark, droot, augPath)
+      graft.streaming.AnnServing.applyRetrainEpochIfDueVersioned(
+        spark, droot, augPath)
+      graft.streaming.AnnServing.applyCompactionIfDue(spark, droot, 8)
+      queries.EmbQueries.gcVersions(spark, droot, 3)
+    }
+    val (vs, cs, ks) = queries.EmbQueries.readManifest(spark, sroot)
+    val (vd, cd, kd) = queries.EmbQueries.readManifest(spark, droot)
+    assert(vs == vd, s"restart chain published v$vs, twin v$vd")
+    val sC = queries.EmbQueries.readSegments(spark, ks)
+    val dC = queries.EmbQueries.readSegments(spark, kd)
+    assert(codesKey(sC).exceptAll(codesKey(dC)).isEmpty)
+    assert(codesKey(dC).exceptAll(codesKey(sC)).isEmpty)
+    assert(centKey(spark.read.parquet(cs))
+      .exceptAll(centKey(spark.read.parquet(cd))).isEmpty)
+    assert(centKey(spark.read.parquet(cd))
+      .exceptAll(centKey(spark.read.parquet(cs))).isEmpty)
+    // no replay duplicates across the restart
+    assert(sC.groupBy("vec_id").count().filter(col("count") > 1)
+      .count() == 0)
+    ()
+  }
 }
