@@ -3622,94 +3622,7 @@ object EmbQueries {
     Q(
       "emb_label_shortn_repair",
       (s, d) => {
-        import org.apache.spark.sql.types.DecimalType
-        import s.implicits._
-        publishedOnce(s, d)
-        val (ver, centPath, codesPath) = readManifest(s, indexPath(d))
-        val e = emb(s, d)
-        val anchors = broadcast(e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("a_id"),
-            coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
-            col("embedding").as("av")))
-        val cent = s.read.parquet(centPath)
-          .select(col("c_label").as("label"), col("cvec"))
-          .groupBy("label").agg(first(col("cvec")).as("cvec"))
-        val wA = Window.partitionBy("a_id")
-          .orderBy(col("d2").asc_nulls_last, col("label"))
-        val aRank6 = broadcast(anchors.crossJoin(broadcast(cent))
-          .withColumn("d2",
-            graft.functions.VecL2Sq.column(col("av"), col("cvec")))
-          .withColumn("arn", row_number().over(wA))
-          .filter(col("arn") <= 6)
-          .select(col("a_id"), col("label").as("cell"), col("arn")))
-        // per-anchor ADC table (8 anchors x PqSub x PqK — broadcast)
-        val aSub = anchors.select(col("a_id").as("qa"),
-          posexplode(array((0 until PqSub).map(j =>
-            slice(col("av"), j * PqDim + 1, PqDim)): _*))
-            .as(Seq("qj", "qsv")))
-        val aadc = pqCodebook(s, d)
-          .join(broadcast(aSub), col("j") === col("qj"))
-          .select(col("qa").as("a_id"), col("j"), col("cid"),
-            round(graft.functions.VecL2Sq.column(col("qsv"), col("cvec")),
-              6).as("pd"))
-        // ONE ADC pass over the depth-6 candidates, rank carried
-        val scored = readSegments(s, codesPath)
-          .join(broadcast(aRank6), Seq("cell"))
-          .filter(col("vec_id") =!= col("a_id"))
-          .select(col("a_id"), col("arn"), col("vec_id"),
-            posexplode(col("codes")).as(Seq("j", "cid")))
-          .join(broadcast(aadc), Seq("a_id", "j", "cid"))
-          .groupBy("a_id", "arn", "vec_id")
-          .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
-            .as("pq_d2"))
-        val ns = Seq(2, 3, 4, 5, 6).toDF("np")
-        val sns = Seq(10, 20, 40).toDF("sn")
-        val wS = Window.partitionBy("np", "a_id")
-          .orderBy(col("pq_d2"), col("vec_id"))
-        val shortl = scored.join(broadcast(ns), col("arn") <= col("np"))
-          .withColumn("srn", row_number().over(wS))
-          .join(broadcast(sns), col("srn") <= col("sn"))
-          .select("np", "sn", "a_id", "vec_id")
-        val wR = Window.partitionBy("np", "sn", "a_id")
-          .orderBy(col("sim").desc, col("vec_id"))
-        val t5 = shortl
-          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-          .join(anchors, "a_id")
-          .select(col("np"), col("sn"), col("a_id"), col("a_label"),
-            col("vec_id"),
-            round(cosine(col("embedding"), col("av")), 6).as("sim"))
-          .filter(col("sim").isNotNull)
-          .withColumn("r", row_number().over(wR))
-          .filter(col("r") <= 5)
-          .select("np", "sn", "a_id", "a_label", "vec_id")
-        val wE = Window.partitionBy("a_id")
-          .orderBy(col("es").desc, col("vec_id"))
-        val exact5 = e.crossJoin(anchors)
-          .filter(col("vec_id") =!= col("a_id"))
-          .select(col("a_id"), col("a_label"), col("vec_id"),
-            round(cosine(col("embedding"), col("av")), 6).as("es"))
-          .filter(col("es").isNotNull)
-          .withColumn("r", row_number().over(wE))
-          .filter(col("r") <= 5)
-          .select("a_id", "a_label", "vec_id")
-        // every frame below is grid-bounded (|labels| x 15 rows at
-        // most) — broadcast explicitly so no bounded join ever plans a
-        // sort-merge
-        val hits = t5
-          .join(broadcast(exact5), Seq("a_id", "vec_id"), "left_semi")
-          .groupBy("np", "sn", "a_label").agg(count(lit(1)).as("n_hits"))
-        val truth = exact5.groupBy("a_label")
-          .agg(count(lit(1)).as("n_truth"),
-            countDistinct(col("a_id")).as("n_anchors"))
-        val rec = truth.crossJoin(broadcast(ns)).crossJoin(broadcast(sns))
-          .join(broadcast(hits), Seq("np", "sn", "a_label"), "left")
-          .select(col("np"), col("sn"), col("a_label"), col("n_truth"),
-            col("n_anchors"),
-            coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))
-        // cheapest floor-meeting combo, scan cost first: np*1000 + sn
-        val chosen = rec.groupBy("a_label")
-          .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
-            col("np") * 1000 + col("sn"))).as("combo"))
+        val (_, _, rec, chosen, ver) = labelBudgetFrames(s, d)
         val base = rec.filter(col("np") === 2 && col("sn") === 20)
           .select(col("a_label"), col("n_anchors"), col("n_truth"),
             col("n_hits").as("base_n_hits"))
@@ -3739,82 +3652,7 @@ object EmbQueries {
       },
       Some(
         s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, $retrainCte,
-           |anch AS (
-           |  SELECT vec_id AS a_id,
-           |    coalesce(CAST(label AS INT), -2) AS a_label,
-           |    embedding AS av
-           |  FROM embeddings WHERE vec_id < 8
-           |), arank6 AS (
-           |  SELECT a_id, cell, arn FROM (
-           |    SELECT a.a_id, c.label AS cell, row_number() OVER (
-           |      PARTITION BY a.a_id
-           |      ORDER BY ${l2Sql("a.av", "c.cvec")} NULLS LAST,
-           |        c.label) AS arn
-           |    FROM anch a CROSS JOIN cent3 c) WHERE arn <= 6
-           |), aadc AS (
-           |  SELECT q.vec_id AS a_id, c.j, c.cid,
-           |    round(${l2Sql("q.sv", "c.cvec")}, 6) AS pd
-           |  FROM c1 c JOIN sub q ON q.j = c.j AND q.vec_id < 8
-           |), scored AS (
-           |  SELECT ar.a_id, ar.arn, k.vec_id,
-           |    CAST(sum(CAST(ad.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
-           |  FROM codes k
-           |  JOIN cells3 c ON c.vec_id = k.vec_id
-           |  JOIN arank6 ar ON ar.cell = c.cell
-           |  JOIN aadc ad ON ad.a_id = ar.a_id AND ad.j = k.j
-           |    AND ad.cid = k.cid
-           |  WHERE k.vec_id <> ar.a_id
-           |  GROUP BY 1, 2, 3
-           |), nsg AS (SELECT unnest([2, 3, 4, 5, 6]) AS np),
-           |sng AS (SELECT unnest([10, 20, 40]) AS sn),
-           |shortr AS (
-           |  SELECT n.np, s.a_id, s.vec_id,
-           |    row_number() OVER (PARTITION BY n.np, s.a_id
-           |      ORDER BY s.pq_d2, s.vec_id) AS srn
-           |  FROM scored s JOIN nsg n ON s.arn <= n.np
-           |), shortlg AS (
-           |  SELECT sr.np, g.sn, sr.a_id, sr.vec_id
-           |  FROM shortr sr JOIN sng g ON sr.srn <= g.sn
-           |), simsg AS (
-           |  SELECT sl.np, sl.sn, sl.a_id, a.a_label, e.vec_id,
-           |    ${cosSql("e.embedding", "a.av")} AS sim
-           |  FROM shortlg sl JOIN embeddings e USING (vec_id)
-           |  JOIN anch a ON a.a_id = sl.a_id
-           |), t5g AS (
-           |  SELECT np, sn, a_id, a_label, vec_id FROM (
-           |    SELECT *, row_number() OVER (
-           |      PARTITION BY np, sn, a_id
-           |      ORDER BY sim DESC, vec_id) AS r
-           |    FROM simsg WHERE sim IS NOT NULL) WHERE r <= 5
-           |), ex0 AS (
-           |  SELECT a.a_id, a.a_label, e.vec_id,
-           |    ${cosSql("e.embedding", "a.av")} AS es
-           |  FROM embeddings e CROSS JOIN anch a
-           |  WHERE e.vec_id <> a.a_id
-           |), e5 AS (
-           |  SELECT a_id, a_label, vec_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY a_id
-           |      ORDER BY es DESC, vec_id) AS r
-           |    FROM ex0 WHERE es IS NOT NULL) WHERE r <= 5
-           |), hitsg AS (
-           |  SELECT t.np, t.sn, t.a_label, count(*) AS n_hits
-           |  FROM t5g t JOIN e5 USING (a_id, vec_id) GROUP BY 1, 2, 3
-           |), truthg AS (
-           |  SELECT a_label, count(*) AS n_truth,
-           |    count(DISTINCT a_id) AS n_anchors
-           |  FROM e5 GROUP BY 1
-           |), recg AS (
-           |  SELECT n.np, g.sn, t.a_label, t.n_truth, t.n_anchors,
-           |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
-           |  FROM nsg n CROSS JOIN sng g CROSS JOIN truthg t
-           |  LEFT JOIN hitsg h ON h.np = n.np AND h.sn = g.sn
-           |    AND h.a_label = t.a_label
-           |), chg AS (
-           |  SELECT a_label,
-           |    min(CASE WHEN n_hits * 10 >= n_truth * 4
-           |      THEN np * 1000 + sn END) AS combo
-           |  FROM recg GROUP BY 1
-           |)
+           |$labelBudgetCte
            |SELECT 3 AS index_version, b.a_label,
            |  CAST(b.n_anchors AS BIGINT) AS n_anchors,
            |  CAST(b.n_truth AS BIGINT) AS n_truth,
@@ -3837,6 +3675,86 @@ object EmbQueries {
            |  AND r.sn = CAST(coalesce(c.combo, 6040) % 1000 AS INT)
            |WHERE b.np = 2 AND b.sn = 20
            |ORDER BY b.a_label""".stripMargin)),
+
+    // BUDGET-AWARE SERVING — the combined-lever repair's decision
+    // CONSUMED (the emb_label_aware_serving pattern one lever up):
+    // each anchor query is served through the PQ read at ITS label's
+    // chosen (nprobe, shortN) — probe to the chosen depth (a predicate
+    // over the shared depth-6 candidate frame), shortlist to the
+    // chosen budget by ADC rank, exact-rerank the shortlist, top-5.
+    // Labels whose grid had no floor-meeting combo serve at the full
+    // budget (6, 40) — the same honest fallback the repair row
+    // flags. One window per stage, both partitioned per query; at
+    // 100 TB the combo table is a broadcast row per label and each
+    // query pays its OWN probe depth and fetch budget — the point of
+    // budget repair over raising either global knob.
+    Q(
+      "emb_label_budget_serving",
+      (s, d) => {
+        val (anchors, scored, _, chosen, _) = labelBudgetFrames(s, d)
+        val combos = broadcast(chosen
+          .select(col("a_label"),
+            floor(coalesce(col("combo"), lit(6040)) / 1000.0)
+              .cast("int").as("np_c"),
+            (coalesce(col("combo"), lit(6040)) % 1000)
+              .cast("int").as("sn_c")))
+        val wS = Window.partitionBy("a_id")
+          .orderBy(col("pq_d2"), col("vec_id"))
+        val bshort = scored
+          .join(anchors.select(col("a_id"), col("a_label")), "a_id")
+          .join(combos, "a_label")
+          .filter(col("arn") <= col("np_c"))
+          .withColumn("srn", row_number().over(wS))
+          .filter(col("srn") <= col("sn_c"))
+          .select("a_id", "vec_id", "np_c", "sn_c")
+        val wR = Window.partitionBy("a_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        bshort
+          .join(emb(s, d).select(col("vec_id"), col("embedding")),
+            "vec_id")
+          .join(anchors, "a_id")
+          .select(col("a_id"), col("a_label"),
+            col("np_c").as("nprobe"), col("sn_c").as("shortn"),
+            col("vec_id"),
+            round(cosine(col("embedding"), col("av")), 6).as("sim"))
+          .filter(col("sim").isNotNull)
+          .withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= 5)
+          .select("a_id", "a_label", "nprobe", "shortn", "rank",
+            "vec_id", "sim")
+          .orderBy("a_id", "rank")
+      },
+      Some(
+        s"""WITH $ivfCellsCte, $pqCte, $rebalanceServeCte, $retrainCte,
+           |$labelBudgetCte, combos AS (
+           |  SELECT a_label,
+           |    CAST(floor(coalesce(combo, 6040) / 1000.0) AS INT)
+           |      AS np_c,
+           |    CAST(coalesce(combo, 6040) % 1000 AS INT) AS sn_c
+           |  FROM chg
+           |), bshort AS (
+           |  SELECT a_id, vec_id, np_c, sn_c FROM (
+           |    SELECT s.a_id, s.vec_id, c2.np_c, c2.sn_c,
+           |      row_number() OVER (PARTITION BY s.a_id
+           |        ORDER BY s.pq_d2, s.vec_id) AS srn
+           |    FROM scored s
+           |    JOIN anch a ON a.a_id = s.a_id
+           |    JOIN combos c2 ON c2.a_label = a.a_label
+           |    WHERE s.arn <= c2.np_c)
+           |  WHERE srn <= sn_c
+           |), bserve AS (
+           |  SELECT b.a_id, a.a_label, b.np_c, b.sn_c, e.vec_id,
+           |    ${cosSql("e.embedding", "a.av")} AS sim
+           |  FROM bshort b JOIN embeddings e USING (vec_id)
+           |  JOIN anch a ON a.a_id = b.a_id
+           |)
+           |SELECT a_id, a_label, nprobe, shortn, rank, vec_id, sim
+           |FROM (
+           |  SELECT a_id, a_label, np_c AS nprobe, sn_c AS shortn,
+           |    vec_id, sim, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY sim DESC, vec_id) AS rank
+           |  FROM bserve WHERE sim IS NOT NULL)
+           |WHERE rank <= 5 ORDER BY a_id, rank""".stripMargin)),
 
     // POST-EPOCH FAIRNESS RE-AUDIT — emb_recall_by_label re-run
     // against the RETRAINED (v3) index: per anchor label, pooled
@@ -5517,6 +5435,194 @@ object EmbQueries {
        |      THEN np END) AS np_ok
        |  FROM rec GROUP BY 1
        |)""".stripMargin
+
+  /** DuckDB twin of [[labelBudgetFrames]] — the CTE chain the budget
+    * repair AND the budget serving oracles compose over (needs the
+    * full retrain chain in scope, like [[labelRepairCte]]).
+    */
+  private lazy val labelBudgetCte: String =
+    s"""anch AS (
+       |  SELECT vec_id AS a_id,
+       |    coalesce(CAST(label AS INT), -2) AS a_label,
+       |    embedding AS av
+       |  FROM embeddings WHERE vec_id < 8
+       |), arank6 AS (
+       |  SELECT a_id, cell, arn FROM (
+       |    SELECT a.a_id, c.label AS cell, row_number() OVER (
+       |      PARTITION BY a.a_id
+       |      ORDER BY ${l2Sql("a.av", "c.cvec")} NULLS LAST,
+       |        c.label) AS arn
+       |    FROM anch a CROSS JOIN cent3 c) WHERE arn <= 6
+       |), aadc AS (
+       |  SELECT q.vec_id AS a_id, c.j, c.cid,
+       |    round(${l2Sql("q.sv", "c.cvec")}, 6) AS pd
+       |  FROM c1 c JOIN sub q ON q.j = c.j AND q.vec_id < 8
+       |), scored AS (
+       |  SELECT ar.a_id, ar.arn, k.vec_id,
+       |    CAST(sum(CAST(ad.pd AS DECIMAL(18,6))) AS DOUBLE) AS pq_d2
+       |  FROM codes k
+       |  JOIN cells3 c ON c.vec_id = k.vec_id
+       |  JOIN arank6 ar ON ar.cell = c.cell
+       |  JOIN aadc ad ON ad.a_id = ar.a_id AND ad.j = k.j
+       |    AND ad.cid = k.cid
+       |  WHERE k.vec_id <> ar.a_id
+       |  GROUP BY 1, 2, 3
+       |), nsg AS (SELECT unnest([2, 3, 4, 5, 6]) AS np),
+       |sng AS (SELECT unnest([10, 20, 40]) AS sn),
+       |shortr AS (
+       |  SELECT n.np, s.a_id, s.vec_id,
+       |    row_number() OVER (PARTITION BY n.np, s.a_id
+       |      ORDER BY s.pq_d2, s.vec_id) AS srn
+       |  FROM scored s JOIN nsg n ON s.arn <= n.np
+       |), shortlg AS (
+       |  SELECT sr.np, g.sn, sr.a_id, sr.vec_id
+       |  FROM shortr sr JOIN sng g ON sr.srn <= g.sn
+       |), simsg AS (
+       |  SELECT sl.np, sl.sn, sl.a_id, a.a_label, e.vec_id,
+       |    ${cosSql("e.embedding", "a.av")} AS sim
+       |  FROM shortlg sl JOIN embeddings e USING (vec_id)
+       |  JOIN anch a ON a.a_id = sl.a_id
+       |), t5g AS (
+       |  SELECT np, sn, a_id, a_label, vec_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY np, sn, a_id
+       |      ORDER BY sim DESC, vec_id) AS r
+       |    FROM simsg WHERE sim IS NOT NULL) WHERE r <= 5
+       |), ex0 AS (
+       |  SELECT a.a_id, a.a_label, e.vec_id,
+       |    ${cosSql("e.embedding", "a.av")} AS es
+       |  FROM embeddings e CROSS JOIN anch a
+       |  WHERE e.vec_id <> a.a_id
+       |), e5 AS (
+       |  SELECT a_id, a_label, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY es DESC, vec_id) AS r
+       |    FROM ex0 WHERE es IS NOT NULL) WHERE r <= 5
+       |), hitsg AS (
+       |  SELECT t.np, t.sn, t.a_label, count(*) AS n_hits
+       |  FROM t5g t JOIN e5 USING (a_id, vec_id) GROUP BY 1, 2, 3
+       |), truthg AS (
+       |  SELECT a_label, count(*) AS n_truth,
+       |    count(DISTINCT a_id) AS n_anchors
+       |  FROM e5 GROUP BY 1
+       |), recg AS (
+       |  SELECT n.np, g.sn, t.a_label, t.n_truth, t.n_anchors,
+       |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM nsg n CROSS JOIN sng g CROSS JOIN truthg t
+       |  LEFT JOIN hitsg h ON h.np = n.np AND h.sn = g.sn
+       |    AND h.a_label = t.a_label
+       |), chg AS (
+       |  SELECT a_label,
+       |    min(CASE WHEN n_hits * 10 >= n_truth * 4
+       |      THEN np * 1000 + sn END) AS combo
+       |  FROM recg GROUP BY 1
+       |)""".stripMargin
+
+  /** Shared lineage of the COMBINED-LEVER budget family
+    * (emb_label_shortn_repair derives the per-label (nprobe, shortN)
+    * operating point; emb_label_budget_serving SERVES it) — the
+    * labelRepairFrames pattern one lever up, epoch-consistent against
+    * the manifest's current version: ONE depth-6 candidate ADC scan
+    * with the anchor cell-rank carried, the exact truth, the
+    * per-(np, sn, label) recall ledger over the 5x3 grid, and the
+    * cheapest floor-meeting combo (min np first — scan cost dominates
+    * at 100 TB — then min sn, encoded np*1000+sn; NULL = no combo
+    * lifts the slice).
+    *
+    * @return (anchors, scored, rec, chosen, version)
+    */
+  private def labelBudgetFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
+    import org.apache.spark.sql.types.DecimalType
+    import s.implicits._
+    publishedOnce(s, d)
+    val (ver, centPath, codesPath) = readManifest(s, indexPath(d))
+    val e = emb(s, d)
+    val anchors = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"),
+        coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
+        col("embedding").as("av")))
+    val cent = s.read.parquet(centPath)
+      .select(col("c_label").as("label"), col("cvec"))
+      .groupBy("label").agg(first(col("cvec")).as("cvec"))
+    val wA = Window.partitionBy("a_id")
+      .orderBy(col("d2").asc_nulls_last, col("label"))
+    val aRank6 = broadcast(anchors.crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("av"), col("cvec")))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= 6)
+      .select(col("a_id"), col("label").as("cell"), col("arn")))
+    // per-anchor ADC table (8 anchors x PqSub x PqK — broadcast)
+    val aSub = anchors.select(col("a_id").as("qa"),
+      posexplode(array((0 until PqSub).map(j =>
+        slice(col("av"), j * PqDim + 1, PqDim)): _*))
+        .as(Seq("qj", "qsv")))
+    val aadc = pqCodebook(s, d)
+      .join(broadcast(aSub), col("j") === col("qj"))
+      .select(col("qa").as("a_id"), col("j"), col("cid"),
+        round(graft.functions.VecL2Sq.column(col("qsv"), col("cvec")),
+          6).as("pd"))
+    // ONE ADC pass over the depth-6 candidates, rank carried
+    val scored = readSegments(s, codesPath)
+      .join(broadcast(aRank6), Seq("cell"))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("arn"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "cid")))
+      .join(broadcast(aadc), Seq("a_id", "j", "cid"))
+      .groupBy("a_id", "arn", "vec_id")
+      .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+        .as("pq_d2"))
+    val ns = Seq(2, 3, 4, 5, 6).toDF("np")
+    val sns = Seq(10, 20, 40).toDF("sn")
+    val wS = Window.partitionBy("np", "a_id")
+      .orderBy(col("pq_d2"), col("vec_id"))
+    val shortl = scored.join(broadcast(ns), col("arn") <= col("np"))
+      .withColumn("srn", row_number().over(wS))
+      .join(broadcast(sns), col("srn") <= col("sn"))
+      .select("np", "sn", "a_id", "vec_id")
+    val wR = Window.partitionBy("np", "sn", "a_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val t5 = shortl
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(anchors, "a_id")
+      .select(col("np"), col("sn"), col("a_id"), col("a_label"),
+        col("vec_id"),
+        round(cosine(col("embedding"), col("av")), 6).as("sim"))
+      .filter(col("sim").isNotNull)
+      .withColumn("r", row_number().over(wR))
+      .filter(col("r") <= 5)
+      .select("np", "sn", "a_id", "a_label", "vec_id")
+    val wE = Window.partitionBy("a_id")
+      .orderBy(col("es").desc, col("vec_id"))
+    val exact5 = e.crossJoin(anchors)
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id"),
+        round(cosine(col("embedding"), col("av")), 6).as("es"))
+      .filter(col("es").isNotNull)
+      .withColumn("r", row_number().over(wE))
+      .filter(col("r") <= 5)
+      .select("a_id", "a_label", "vec_id")
+    // every frame below is grid-bounded (|labels| x 15 rows at most)
+    // — broadcast explicitly so no bounded join ever plans a
+    // sort-merge
+    val hits = t5
+      .join(broadcast(exact5), Seq("a_id", "vec_id"), "left_semi")
+      .groupBy("np", "sn", "a_label").agg(count(lit(1)).as("n_hits"))
+    val truth = exact5.groupBy("a_label")
+      .agg(count(lit(1)).as("n_truth"),
+        countDistinct(col("a_id")).as("n_anchors"))
+    val rec = truth.crossJoin(broadcast(ns)).crossJoin(broadcast(sns))
+      .join(broadcast(hits), Seq("np", "sn", "a_label"), "left")
+      .select(col("np"), col("sn"), col("a_label"), col("n_truth"),
+        col("n_anchors"),
+        coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))
+    // cheapest floor-meeting combo, scan cost first: np*1000 + sn
+    val chosen = rec.groupBy("a_label")
+      .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
+        col("np") * 1000 + col("sn"))).as("combo"))
+    (anchors, scored, rec, chosen, ver)
+  }
 
   /** BLUE/GREEN index publish — versions are LOGICAL: a manifest
     * points at immutable artifact directories (the Iceberg/Delta
