@@ -56,6 +56,9 @@ object AnnServingBench {
     if (channel == "maintain_versioned") {
       maintainVersioned(spark, idx, sfDir, nQ, nFiles); return
     }
+    if (channel == "maintain_upsert_cadence") {
+      maintainUpsertCadence(spark, idx, sfDir, nQ, nFiles); return
+    }
     val dir = Files.createTempDirectory("ann_tp").toFile
     val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
     val emb = spark.read.parquet(vectorsPath)
@@ -254,5 +257,83 @@ object AnnServingBench {
     CacheRegistry.clear(spark)
     spark.stop()
     if (error != "null") System.exit(1)
+  }
+
+  /** The `maintain_upsert_cadence` channel: the STEADY-STATE price of
+    * the depth-table refresh cadence. The SAME upsert-only backlog
+    * (consolidation disabled via an untrippable skew threshold — the
+    * ingest-heavy regime a 100 TB stream lives in) drains through
+    * startVersionedSelfHealingSink twice: EAGER (refreshEveryVersions
+    * = 1 — round 12's behavior, the O(corpus) exact-truth pass on
+    * every mutating batch) vs CADENCE (= 8). The wall-clock delta is
+    * exactly the per-batch corpus scans the cadence removed; both
+    * runs still derive on their first batch and on the compaction
+    * batch (a consolidating advance), so the tables never go missing.
+    */
+  private def maintainUpsertCadence(
+      spark: SparkSession,
+      idx: String,
+      sfDir: String,
+      nQ: Int,
+      nFiles: Int): Unit = {
+    val dir = Files.createTempDirectory("ann_maint_cad").toFile
+    val full = spark.read.parquet(s"$idx/codes")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVec = emb.count()
+    val fresh = emb
+      .crossJoin(spark.range((nQ + nVec - 1) / nVec)
+        .select(col("id").as("rep")))
+      .filter(col("vec_id") + col("rep") * nVec < nQ)
+      .select((col("vec_id") + col("rep") * nVec + lit(1000000000L))
+        .as("vec_id"),
+        col("embedding"), col("label"))
+    val aug = new java.io.File(dir, "vecs").getAbsolutePath
+    emb.select("vec_id", "embedding", "label").unionByName(fresh)
+      .write.parquet(aug)
+    val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
+    fresh.repartition(nFiles).write.mode("overwrite")
+      .json(inDir.getAbsolutePath)
+    val staged = spark.read.json(inDir.getAbsolutePath).count()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", LongType)))
+
+    def run(tag: String, refreshEvery: Int): (Double, Long, Int) = {
+      val work = new java.io.File(dir, s"ix_$tag").getAbsolutePath
+      full.write.partitionBy("cell").parquet(s"$work/codes_v1")
+      spark.read.parquet(s"$idx/centroids")
+        .write.parquet(s"$work/centroids_v1")
+      spark.read.parquet(s"$idx/codebook").write.parquet(s"$work/codebook")
+      queries.EmbQueries.publishVersion(spark, work, 1,
+        s"$work/centroids_v1", s"$work/codes_v1")
+      val depths = new java.io.File(dir, s"depths_$tag").getAbsolutePath
+      val t0 = System.nanoTime()
+      val q = streaming.AnnServing.startVersionedSelfHealingSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath),
+        work, aug, new java.io.File(dir, s"ck_$tag").getAbsolutePath,
+        depthsPath = Some(depths),
+        refreshEveryVersions = refreshEvery,
+        // consolidation disabled: pure upsert-only advances
+        num = 1 << 20, den = 1)
+      val drained = q.awaitTermination(600000)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (ver, _, codesPath) =
+        queries.EmbQueries.readManifest(spark, work)
+      val applied = queries.EmbQueries.readSegments(spark, codesPath)
+        .filter(col("vec_id") >= 1000000000L).count()
+      if (!drained || applied != staged)
+        sys.error(s"$tag run incomplete: drained=$drained " +
+          s"applied=$applied staged=$staged")
+      (sec, applied, ver)
+    }
+    val (secEager, _, vEager) = run("eager", 1)
+    val (secCad, applied, vCad) = run("cadence", 8)
+    println(
+      s"""{"metric":"ann_maintain_throughput","unit":"vectors_per_sec","channel":"maintain_upsert_cadence","value":${f"${applied / secCad}%.1f"},"value_eager":${f"${applied / secEager}%.1f"},"sec_cadence":${f"$secCad%.2f"},"sec_eager":${f"$secEager%.2f"},"n_vectors":$applied,"staged":$staged,"final_version_eager":$vEager,"final_version_cadence":$vCad,"error":null,"sf":"$sfDir"}""")
+    CacheRegistry.clear(spark)
+    spark.stop()
   }
 }

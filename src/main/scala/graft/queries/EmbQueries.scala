@@ -5533,11 +5533,31 @@ object EmbQueries {
     */
   private def labelBudgetFrames(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
-    import org.apache.spark.sql.types.DecimalType
-    import s.implicits._
     publishedOnce(s, d)
     val (ver, centPath, codesPath) = readManifest(s, indexPath(d))
-    val e = emb(s, d)
+    val (anchors, scored, rec, chosen) =
+      labelBudgetCore(s, centPath, codesPath, pqCodebook(s, d), emb(s, d))
+    (anchors, scored, rec, chosen, ver)
+  }
+
+  /** The derivation body of [[labelBudgetFrames]], parameterized on
+    * the index artifacts so the STREAMING maintenance loop can derive
+    * the same (label -> nprobe x shortN) table against any manifest
+    * (AnnServing.deriveLabelBudgets) — batch repair and streaming
+    * refresh share one construction by reference, so their decisions
+    * can never drift (the labelBudgetFrames sharing convention, one
+    * module boundary up).
+    */
+  private[graft] def labelBudgetCore(
+      s: SparkSession,
+      centPath: String,
+      codesPath: String,
+      codebook: DataFrame,
+      vectors: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
+    import s.implicits._
+    val e = vectors
     val anchors = broadcast(e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("a_id"),
         coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
@@ -5558,7 +5578,7 @@ object EmbQueries {
       posexplode(array((0 until PqSub).map(j =>
         slice(col("av"), j * PqDim + 1, PqDim)): _*))
         .as(Seq("qj", "qsv")))
-    val aadc = pqCodebook(s, d)
+    val aadc = codebook
       .join(broadcast(aSub), col("j") === col("qj"))
       .select(col("qa").as("a_id"), col("j"), col("cid"),
         round(graft.functions.VecL2Sq.column(col("qsv"), col("cvec")),
@@ -5621,7 +5641,7 @@ object EmbQueries {
     val chosen = rec.groupBy("a_label")
       .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
         col("np") * 1000 + col("sn"))).as("combo"))
-    (anchors, scored, rec, chosen, ver)
+    (anchors, scored, rec, chosen)
   }
 
   /** BLUE/GREEN index publish — versions are LOGICAL: a manifest
@@ -5649,6 +5669,31 @@ object EmbQueries {
     // moved on (re-publishing a version — rollback — just rewrites
     // the same content)
     val logP = new org.apache.hadoop.fs.Path(s"$root/VERSION.$version.json")
+    // ROLLBACK-FORK SAFETY: a log entry already present with DIFFERENT
+    // content is the record of an abandoned fork (the first publish
+    // after a rollback reuses the fork's version number). Overwriting
+    // it would orphan the fork's uniquely-named artifact dirs with no
+    // record anywhere — a permanent disk leak gcPlan could never see.
+    // Preserve the old entry as VERSION.<v>.orphan.<k>.json; gcPlan
+    // folds orphan-only dirs into its deletable set and gcVersions
+    // retires the orphan logs. A same-content rewrite (checkpoint
+    // replay, rollback itself) stays a plain idempotent overwrite.
+    if (fs.exists(logP)) {
+      val oin = fs.open(logP)
+      val old = try scala.io.Source.fromInputStream(oin, "UTF-8").mkString
+      finally oin.close()
+      if (old != body) {
+        var k = 0
+        var op = new org.apache.hadoop.fs.Path(
+          s"$root/VERSION.$version.orphan.$k.json")
+        while (fs.exists(op)) {
+          k += 1
+          op = new org.apache.hadoop.fs.Path(
+            s"$root/VERSION.$version.orphan.$k.json")
+        }
+        fs.rename(logP, op)
+      }
+    }
     val lo = fs.create(logP, true)
     lo.write(body.getBytes("UTF-8"))
     lo.close()
@@ -5693,6 +5738,32 @@ object EmbQueries {
       .sortBy(_._1)
   }
 
+  /** Abandoned-fork log entries (VERSION.&lt;v&gt;.orphan.&lt;k&gt;.json —
+    * written by [[publishVersion]] when a post-rollback publish reuses
+    * a fork's version number): (centroidsPath, codesPath) per orphan,
+    * plus the log paths themselves so [[gcVersions]] can retire them.
+    */
+  private def listOrphans(s: SparkSession, root: String)
+      : Seq[(org.apache.hadoop.fs.Path, String, String)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(conf)
+    if (!fs.exists(rp)) return Seq.empty
+    val re = "^VERSION\\.\\d+\\.orphan\\.\\d+\\.json$".r
+    fs.listStatus(rp).toSeq
+      .filter(st => re.findFirstIn(st.getPath.getName).isDefined)
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        def field(k: String): String =
+          ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt)
+            .map(_.group(1))
+            .getOrElse(sys.error(s"orphan log missing $k: $txt")).trim
+        (st.getPath, field("centroids"), field("codes"))
+      }
+  }
+
   /** VERSION GC plan — the retention step the blue/green history
     * needs once epochs keep publishing: retain the newest `keep`
     * versions PLUS whatever version the live manifest currently
@@ -5713,25 +5784,29 @@ object EmbQueries {
       : (Seq[Int], Seq[Int], Seq[String]) = {
     require(keep >= 1, "must retain at least the published version")
     val versions = listVersions(s, root)
-    if (versions.size <= keep)
-      return (versions.map(_._1), Seq.empty, Seq.empty)
     val manifestP = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json")
     val fs = manifestP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val published: Option[Int] =
       if (fs.exists(manifestP)) Some(readManifest(s, root)._1) else None
     val retainIds =
-      versions.takeRight(keep).map(_._1).toSet ++ published
+      if (versions.size <= keep) versions.map(_._1).toSet
+      else versions.takeRight(keep).map(_._1).toSet ++ published
     val (retained, expired) = versions.partition(v => retainIds(v._1))
     // each field may be a comma-separated segment list (versioned
     // streaming maintenance); a dir shared with ANY retained version's
     // segment set survives
-    def dirsOf(v: (Int, String, String)): Seq[String] =
-      (v._2.split(',').toSeq ++ v._3.split(',').toSeq)
+    def dirsOf(cent: String, codes: String): Seq[String] =
+      (cent.split(',').toSeq ++ codes.split(',').toSeq)
         .map(_.trim).filter(_.nonEmpty)
-    val keepDirs = retained.flatMap(dirsOf).toSet
-    val deletable = expired.flatMap(dirsOf).distinct
-      .filterNot(keepDirs)
-      .filter(_.startsWith(root + "/"))
+    val keepDirs = retained.flatMap(v => dirsOf(v._2, v._3)).toSet
+    // abandoned-fork records (see publishVersion): their dirs are
+    // expired BY CONSTRUCTION — no live lineage references a fork —
+    // but still shared-dir-protected like any expired version's
+    val orphanDirs = listOrphans(s, root).flatMap(o => dirsOf(o._2, o._3))
+    val deletable =
+      (expired.flatMap(v => dirsOf(v._2, v._3)) ++ orphanDirs).distinct
+        .filterNot(keepDirs)
+        .filter(_.startsWith(root + "/"))
     (retained.map(_._1), expired.map(_._1), deletable)
   }
 
@@ -5750,6 +5825,10 @@ object EmbQueries {
     expired.foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/VERSION.$v.json"),
         false))
+    // orphan logs are consumed by the plan above: every dir they
+    // referenced is now deleted or shared with a retained version
+    // (whose own log records it) — the fork's record has done its job
+    listOrphans(s, root).foreach(o => fs.delete(o._1, false))
     dirs.size
   }
 
@@ -5761,10 +5840,12 @@ object EmbQueries {
     * through the Union to prune directories per segment.
     */
   private[graft] def readSegments(
-      s: SparkSession, csv: String): DataFrame =
-    csv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-      .map(p => s.read.parquet(p))
-      .reduce(_.unionByName(_))
+      s: SparkSession, csv: String): DataFrame = {
+    val parts = csv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (parts.isEmpty)
+      sys.error(s"manifest codes field holds no segment paths: '$csv'")
+    parts.map(p => s.read.parquet(p)).reduce(_.unionByName(_))
+  }
 
   /** Read the published manifest: (version, centroidsPath, codesPath).
     * One tiny driver-side FS read — the serving process resolves its

@@ -158,7 +158,14 @@ object AnnServing {
     * index served always matches the epoch the (label -> nprobe) side
     * table was derived against (emb_label_nprobe_repair derives off
     * the same manifest). codesPath may be a comma-separated segment
-    * list.
+    * list. `indexVersion` pairs the depth read with the serving
+    * version: the newest derived table at or below it is served (see
+    * readSideTable — consolidating advances re-derive in-batch, so a
+    * lagging table is upsert-only-lagged and still valid), a table
+    * newer than the version (rollback) is never paired, and when no
+    * eligible table exists every label falls back to the global
+    * nprobe=2 (the cross-process epoch-consistency contract;
+    * single-process flat tables pass None and read whole).
     */
   def scoreBatchLabelAwareAt(
       spark: SparkSession,
@@ -167,7 +174,8 @@ object AnnServing {
       vectorsPath: String,
       depthsPath: String,
       batch: DataFrame,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      indexVersion: Option[Int] = None): DataFrame = {
     val empty = {
       import spark.implicits._
       Seq.empty[(Long, Int, Long, Double)]
@@ -178,8 +186,9 @@ object AnnServing {
       col("qlabel").cast("int").as("qlabel"))
     if (q.isEmpty) return empty
     // the per-label depth side table — label-keyed first() read (the
-    // rebalancedNear broadcast convention: bounded AND key-unique)
-    val depths = spark.read.parquet(depthsPath)
+    // rebalancedNear broadcast convention: bounded AND key-unique),
+    // pinned to the serving index version when one is given
+    val depths = readSideTable(spark, depthsPath, indexVersion)
       .select(col("a_label").as("qlabel"), col("np").cast("int").as("np"))
       .groupBy("qlabel").agg(first(col("np")).as("np"))
     val cent = spark.read.parquet(centroidsPath)
@@ -1176,12 +1185,14 @@ object AnnServing {
 
   /** EPOCH-CONSISTENT label-aware serving: the
     * [[startPublishedServingSink]] shape for the per-slice read —
-    * MANIFEST.json and the depth side table BOTH re-resolve per
-    * micro-batch, so a new epoch's publish and its re-derived repair
-    * table take effect together on the next batch (the index served
-    * can never lag the depths it is probed with, closing the
-    * stale-repair hazard the v1-derived table had). Each answered row
-    * carries the serving version.
+    * MANIFEST.json re-resolves per micro-batch and the depth side
+    * table read is PAIRED with that resolved version (versioned
+    * subdirs, newest-at-or-below — see readSideTable), so a new
+    * epoch's publish and its re-derived repair table take effect
+    * together, a rollback can never pair with a future table, and an
+    * upsert-only cadence gap keeps serving the last valid table
+    * instead of defaults. Each answered row carries the serving
+    * version.
     */
   def startPublishedLabelAwareServingSink(
       stream: DataFrame,
@@ -1201,7 +1212,7 @@ object AnnServing {
         val (ver, centPath, codesPath) =
           graft.queries.EmbQueries.readManifest(s, manifestRoot)
         scoreBatchLabelAwareAt(s, centPath, codesPath, vectorsPath,
-          depthsPath, batch, k)
+          depthsPath, batch, k, indexVersion = Some(ver))
           .withColumn("version", lit(ver))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
@@ -1273,6 +1284,81 @@ object AnnServing {
   private def viewCodes(
       spark: SparkSession, segs: Seq[String]): DataFrame =
     graft.queries.EmbQueries.readSegments(spark, segs.mkString(","))
+
+  // ------------------------------------------------------------------
+  // Versioned SIDE TABLES (per-label depth / budget operating points).
+  // Each derivation writes to a FRESH hive-style subdir
+  // `<path>/index_version=<v>` — never overwriting the dir a
+  // concurrent serving process may be mid-read on (the round-12
+  // cross-process hazard: flat overwrite + lazy read could pair a new
+  // index version with old depths or hit a half-written dir). Readers
+  // filter on the index_version PARTITION column for the manifest
+  // version they resolved; a missing version degrades to the default
+  // operating point (never a stale pairing, never a torn read).
+  // ------------------------------------------------------------------
+
+  /** Versions present in a versioned side table dir, ascending;
+    * empty when the dir is absent. Driver-side FS metadata only.
+    */
+  private[graft] def listSideTableVersions(
+      spark: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val re = "^index_version=(\\d+)$".r
+    fs.listStatus(p).toSeq
+      .flatMap(st => re.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toInt))
+      .sorted
+  }
+
+  /** Retire all but the newest `keep` versions of a side table — the
+    * table is |labels| rows per version, but an unattended stream
+    * derives one per maintenance advance, so the dir needs the same
+    * retention discipline as the version log. A reader on a pruned
+    * (rolled-back) version degrades to the default operating point.
+    */
+  private def pruneSideTable(
+      spark: SparkSession, path: String, keep: Int = 3): Unit = {
+    val vs = listSideTableVersions(spark, path)
+    if (vs.size <= keep) return
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vs.dropRight(keep).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/index_version=$v"), true))
+  }
+
+  /** Read a per-label side table paired to a resolved index version:
+    * the NEWEST derived version that is <= `indexVersion` is served
+    * (one bounded agg — the table is |labels| x versions rows, and
+    * filtering happens BEFORE the label-keyed read, so versions never
+    * mix). Why <= and not ==: consolidating advances (rebalance /
+    * epoch / compaction — the moves that invalidate a table) re-derive
+    * IN THE SAME BATCH, so a table lagging the manifest is lagged by
+    * upsert-only advances and remains valid for serving; exact-match
+    * pinning would throw it away and serve defaults through every
+    * cadence gap. A table NEWER than the resolved version (rollback in
+    * progress) is never served — no future pairing; when nothing <=
+    * the resolved version exists, the frame is empty and every label
+    * falls back to its default operating point downstream. With None,
+    * the newest derived version is served. A legacy FLAT table (no
+    * index_version column — e.g. a hand-staged repair decision) passes
+    * through whole.
+    */
+  private def readSideTable(
+      spark: SparkSession,
+      path: String,
+      indexVersion: Option[Int]): DataFrame = {
+    val raw = spark.read.parquet(path)
+    if (!raw.columns.contains("index_version")) raw
+    else {
+      val eligible = indexVersion
+        .map(v => raw.filter(col("index_version") <= v)).getOrElse(raw)
+      val m = eligible.agg(max(col("index_version"))).collect()(0)
+      if (m.isNullAt(0)) raw.filter(lit(false))
+      else eligible.filter(col("index_version") === m.getInt(0))
+    }
+  }
 
   /** VERSIONED upsert: encode the batch against the published
     * centroids (encodeBatch — the exact in-place arithmetic), dedup
@@ -1387,7 +1473,7 @@ object AnnServing {
       .unionByName(codes.filter(!col("cell").isin(ogCols: _*))
         .select("vec_id", "codes", "label", "cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(codesNext)
-    moved
+    val splitCent = moved
       .select(col("cell"), posexplode(col("mvec")).as(Seq("dim", "v")))
       .withColumn("vi", graft.queries.EmbQueries.snap6(col("v")))
       .groupBy("cell", "dim")
@@ -1397,6 +1483,15 @@ object AnnServing {
         array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
       .select(col("cell").as("c_label"), col("cvec"))
+    // an overgrown cell whose rows are ALL vectorless contributes no
+    // mean (posexplode drops NULL mvec) yet keeps its rows in
+    // codesNext — without its OLD centroid it would become
+    // unreachable by probing (the all-vectorless rescue the epoch
+    // twin does via its live/left_anti union)
+    val rescued = cent.filter(col("c_label").isin(ogCols: _*))
+      .join(splitCent.select("c_label"), Seq("c_label"), "left_anti")
+    splitCent
+      .unionByName(rescued)
       .unionByName(cent.filter(!col("c_label").isin(ogCols: _*)))
       .write.mode("overwrite").parquet(centNext)
     graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
@@ -1525,16 +1620,22 @@ object AnnServing {
     removed
   }
 
-  /** SEGMENT COMPACTION when due: an upsert-only version chain grows
-    * the manifest's segment list one dir per batch — each segment is
-    * O(batch) to write but every read lists and unions all of them,
-    * so an unattended ingest stream needs a compaction rung the way a
-    * log-structured store does. When the published list exceeds
-    * `maxSegments`, the full view rewrites as ONE consolidated
-    * segment published as version+1 (same blue/green mechanics: fresh
-    * dir, atomic rename, old versions GC-able). Rebalance and the
-    * epoch consolidate as a side effect, so this only triggers on
-    * quiet stretches where upserts alone advance the version.
+  /** SIZE-TIERED SEGMENT COMPACTION when due: an upsert-only version
+    * chain grows the manifest's segment list one dir per batch — each
+    * segment is O(batch) to write but every read lists and unions all
+    * of them, so an unattended ingest stream needs a compaction rung
+    * the way a log-structured store does. When the published list
+    * exceeds `maxSegments`, only the SMALLEST (n - maxSegments + 1)
+    * segments by on-disk bytes rewrite into one merged segment; every
+    * other segment dir is carried into version+1 UNTOUCHED (segments
+    * are vec_id-disjoint by the upsert anti-join, so any subset merges
+    * safely and order is immaterial). Cost is O(merged bytes) — the
+    * LSM invariant a 100 TB upsert stream needs: the big base segment
+    * is never rewritten just because the tail of small upsert segments
+    * grew, where the round-12 form re-paid O(index) per trigger. Same
+    * blue/green mechanics: fresh merged dir, one atomic manifest
+    * rename, expired versions GC-able; rebalance and the epoch still
+    * fully consolidate as a side effect of their own corpus passes.
     *
     * @return true iff a compacted version was published
     */
@@ -1544,11 +1645,20 @@ object AnnServing {
       maxSegments: Int = 8): Boolean = {
     val (v, centPath, segs) = manifestView(spark, root)
     if (segs.size <= maxSegments) return false
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bySize = segs
+      .map(p => (p, fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(p)).getLength))
+      .sortBy { case (p, bytes) => (bytes, p) }
+    val nMerge = segs.size - maxSegments + 1
+    val merge = bySize.take(nMerge).map(_._1)
+    val kept = segs.filterNot(merge.toSet) // manifest order preserved
     val codesNext = s"$root/codes_v${v + 1}"
-    viewCodes(spark, segs)
+    viewCodes(spark, merge)
       .write.mode("overwrite").partitionBy("cell").parquet(codesNext)
     graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
-      centPath, codesNext)
+      centPath, (kept :+ codesNext).mkString(","))
     true
   }
 
@@ -1564,8 +1674,12 @@ object AnnServing {
     * truth, chosen = the minimum depth in {2,3,4} meeting the 0.4
     * floor (unreachable slices get the max-budget depth 4 — the
     * serving fallback; the batch query is where floor_met stays
-    * honest). Writes (a_label, np, index_version) to `outPath`
-    * (overwrite — the label-aware sinks re-read it per micro-batch).
+    * honest). Writes (a_label, np) to the FRESH subdir
+    * `outPath/index_version=&lt;v&gt;` (the versioned side-table
+    * convention — see readSideTable: a concurrent serving process
+    * filtering on its own manifest version can never pair a new index
+    * with old depths or read a half-overwritten dir), and prunes
+    * subdirs beyond the newest 3.
     *
     * @return the index version the depths were derived against
     */
@@ -1637,10 +1751,196 @@ object AnnServing {
       .groupBy("a_label")
       .agg(coalesce(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
         col("np"))), lit(4)).cast("int").as("np"))
-      .withColumn("index_version", lit(ver))
-      .write.mode("overwrite").parquet(outPath)
+      .write.mode("overwrite").parquet(s"$outPath/index_version=$ver")
+    pruneSideTable(spark, outPath)
     ver
   }
+
+  /** Re-derive the COMBINED-LEVER (label -> nprobe x shortN) serving
+    * side table against the manifest's CURRENT version — the streaming
+    * twin of the batch emb_label_shortn_repair decision, by
+    * construction: the derivation body is the SAME code
+    * (EmbQueries.labelBudgetCore), pointed at this manifest's
+    * centroids/segments and the root's global codebook, so the batch
+    * repair and the streaming refresh can never disagree on a combo.
+    * Writes (a_label, np, sn) to `outPath/index_version=&lt;v&gt;`
+    * (the versioned side-table convention) with the batch query's
+    * fallback encoding: a label whose grid meets no floor gets the
+    * full budget (6, 40). Costs one depth-6 ADC scan + one 8-anchor
+    * exact pass — the [[deriveLabelDepths]] class, priced identically.
+    *
+    * @return the index version the budgets were derived against
+    */
+  def deriveLabelBudgets(
+      spark: SparkSession,
+      root: String,
+      vectorsPath: String,
+      outPath: String): Int = {
+    val (ver, centPath, codesPath) =
+      graft.queries.EmbQueries.readManifest(spark, root)
+    val vectors = spark.read.parquet(vectorsPath)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val codebook = spark.read.parquet(s"$root/codebook")
+    val (_, _, _, chosen) = graft.queries.EmbQueries.labelBudgetCore(
+      spark, centPath, codesPath, codebook, vectors)
+    chosen.select(col("a_label"),
+        floor(coalesce(col("combo"), lit(6040)) / 1000.0)
+          .cast("int").as("np"),
+        (coalesce(col("combo"), lit(6040)) % 1000).cast("int").as("sn"))
+      .write.mode("overwrite").parquet(s"$outPath/index_version=$ver")
+    pruneSideTable(spark, outPath)
+    ver
+  }
+
+  /** BUDGET-AWARE scoring — the streaming serve of the combined-lever
+    * operating point (emb_label_budget_serving's arithmetic, online):
+    * each query probes to ITS label's chosen nprobe AND shortlists to
+    * ITS label's chosen shortN, both read from the (a_label, np, sn)
+    * side table [[deriveLabelBudgets]] maintains (newest version at or
+    * below the serving version — readSideTable). Unseen labels (and
+    * every label when no eligible table version exists) serve at the
+    * full budget (6, 40) — the same honest fallback the batch repair
+    * row flags. Read plan per batch of B queries: probe B x centroids to
+    * depth 6 cut per-query, ONE directory-pruned ADC scan of the
+    * probed cells (8-byte codes, never vectors), per-query shortlist
+    * heap, exact rerank of &lt;= B*sn fetched vectors — every frame
+    * that crosses a join is broadcast-bounded by B and the grid.
+    *
+    * @param batch (qid BIGINT, qvec ARRAY&lt;FLOAT&gt;, qlabel INT)
+    * @return (qid, nprobe, shortn, rank, vec_id, sim), rank 1-based
+    */
+  def scoreBatchBudgetAwareAt(
+      spark: SparkSession,
+      centroidsPath: String,
+      codesPath: String,
+      codebookPath: String,
+      vectorsPath: String,
+      budgetsPath: String,
+      batch: DataFrame,
+      k: Int = 5,
+      indexVersion: Option[Int] = None): DataFrame = {
+    import graft.queries.EmbQueries.{PqDim, PqSub}
+    val empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Int, Int, Long, Double)]
+        .toDF("qid", "nprobe", "shortn", "rank", "vec_id", "sim")
+    }
+    val q = batch.select(col("qid").cast("long").as("qid"),
+      col("qvec").cast("array<float>").as("qvec"),
+      col("qlabel").cast("int").as("qlabel"))
+    if (q.isEmpty) return empty
+    // per-query (np, sn) — label-keyed first() read of the side table
+    // pinned to the serving version, full-budget fallback
+    val budgets = readSideTable(spark, budgetsPath, indexVersion)
+      .select(col("a_label").as("qlabel"),
+        col("np").cast("int").as("np"), col("sn").cast("int").as("sn"))
+      .groupBy("qlabel")
+      .agg(first(col("np")).as("np"), first(col("sn")).as("sn"))
+    val qb = q.select("qid", "qlabel")
+      .join(broadcast(budgets), Seq("qlabel"), "left")
+      .select(col("qid"),
+        coalesce(col("np"), lit(6)).as("np_c"),
+        coalesce(col("sn"), lit(40)).as("sn_c"))
+    // probe to each query's OWN depth — same kernel and (d2 NULLS
+    // LAST, label) tiebreak as the batch aRank6
+    val cent = spark.read.parquet(centroidsPath)
+      .select(col("c_label").as("clab"), col("cvec"))
+      .groupBy("clab").agg(first(col("cvec")).as("cvec"))
+    val wC = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc_nulls_last, col("clab"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("d2",
+        graft.functions.VecL2Sq.column(col("qvec"), col("cvec")))
+      .withColumn("arn", row_number().over(wC))
+      .filter(col("arn") <= 6)
+      .join(broadcast(qb), Seq("qid"))
+      .filter(col("arn") <= col("np_c"))
+      .select(col("qid"), col("clab").as("cell"), col("sn_c"))
+    val probedCells = probe.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    if (probedCells.isEmpty) return empty
+    // ADC table per query (B x PqSub x PqK, broadcast)
+    val cb = spark.read.parquet(codebookPath)
+    val qsub = q.select(col("qid"),
+      posexplode(array((0 until PqSub).map(j =>
+        slice(col("qvec"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
+    val adc = qsub.join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("j"), col("cid"),
+        round(graft.functions.VecL2Sq.column(col("sv"), col("cvec")), 6)
+          .as("pd"))
+    // ONE pruned code scan; per-query shortlist cut at ITS sn
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("pq_d2"), col("vec_id"))
+    val short = graft.queries.EmbQueries.readSegments(spark, codesPath)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("sn_c"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "cid")))
+      .join(broadcast(adc), Seq("qid", "j", "cid"))
+      .groupBy("qid", "sn_c", "vec_id")
+      .agg(sum(col("pd").cast(DecimalType(18, 6))).cast("double")
+        .as("pq_d2"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= col("sn_c"))
+      .select("qid", "vec_id")
+    // exact rerank; audit columns carry the served operating point
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    spark.read.parquet(vectorsPath)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.queries.EmbQueries.cosine(col("embedding"),
+          col("qvec")), 6).as("sim"))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .join(broadcast(qb), Seq("qid"))
+      .select(col("qid"), col("np_c").as("nprobe"),
+        col("sn_c").as("shortn"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** EPOCH-CONSISTENT budget-aware serving — the streaming consumer of
+    * the combined-lever operating point ([[startPublishedLabelAwareServingSink]]
+    * one lever up): MANIFEST.json re-resolves per micro-batch and the
+    * budget side table read is paired with that resolved version
+    * (newest-at-or-below — readSideTable), so the index served and the
+    * (nprobe x shortN) combos probing it always belong to the same
+    * epoch lineage; a rollback never pairs with a future table, and
+    * when no eligible table exists every label serves the full (6, 40)
+    * budget — over-spend, never a stale pairing. Each answered row
+    * carries the serving version.
+    */
+  def startPublishedBudgetAwareServingSink(
+      stream: DataFrame,
+      manifestRoot: String,
+      vectorsPath: String,
+      budgetsPath: String,
+      outDir: String,
+      checkpoint: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val (ver, centPath, codesPath) =
+          graft.queries.EmbQueries.readManifest(s, manifestRoot)
+        scoreBatchBudgetAwareAt(s, centPath, codesPath,
+          s"$manifestRoot/codebook", vectorsPath, budgetsPath, batch, k,
+          indexVersion = Some(ver))
+          .withColumn("version", lit(ver))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
 
   /** The VERSIONED self-healing sink — [[startSelfHealingSink]]'s
     * chain (upsert, rebalance if skewed, retrain epoch if due) routed
@@ -1648,12 +1948,22 @@ object AnnServing {
     * micro-batch leaves the index a chain of immutable versions with
     * the newest published, rollback-able to `keepVersions` deep, and
     * serving (startPublishedServingSink re-resolves the manifest per
-    * batch) never observes an intermediate state. When `depthsPath`
-    * is given, ANY version-advancing batch triggers
-    * [[deriveLabelDepths]] against the NEW version, so label-aware
-    * serving's side table refreshes in the same batch that moved the
-    * index — the epoch-consistency loop,
-    * closed unattended.
+    * batch) never observes an intermediate state. When `depthsPath` /
+    * `budgetsPath` are given, the per-label serving side tables
+    * ((label -> nprobe) via [[deriveLabelDepths]]; (label -> nprobe x
+    * shortN) via [[deriveLabelBudgets]]) refresh against the NEW
+    * version on a VERSION-CLASS CADENCE: a consolidating advance
+    * (rebalance / retrain epoch / compaction — the ops that move
+    * centroids or memberships, where a stale table is WRONG, not just
+    * drifted) re-derives in the SAME batch; plain upsert-only advances
+    * (new rows shift candidate sets only marginally) re-derive lazily,
+    * once `refreshEveryVersions` upsert advances accumulate since the
+    * last derivation. The cadence is restart-safe with NO extra state:
+    * the side table's own newest index_version subdir says how far
+    * behind it is. This keeps the O(corpus) exact-truth pass out of
+    * the steady-state upsert path — the per-batch cost an ingest-heavy
+    * stream at 100 TB cannot pay — while epoch-class moves keep the
+    * same-batch consistency guarantee.
     */
   def startVersionedSelfHealingSink(
       stream: DataFrame,
@@ -1662,6 +1972,8 @@ object AnnServing {
       checkpoint: String,
       keepVersions: Int = 3,
       depthsPath: Option[String] = None,
+      budgetsPath: Option[String] = None,
+      refreshEveryVersions: Int = 4,
       maxSegments: Int = 8,
       num: Int = graft.queries.EmbQueries.RebalanceNum,
       den: Int = graft.queries.EmbQueries.RebalanceDen,
@@ -1674,17 +1986,25 @@ object AnnServing {
         val s = batch.sparkSession
         val v0 = graft.queries.EmbQueries.readManifest(s, root)._1
         applyUpsertBatchVersioned(s, root, batch)
+        val vUpsert = graft.queries.EmbQueries.readManifest(s, root)._1
         applyRebalanceVersioned(s, root, vectorsPath, num, den)
         applyRetrainEpochIfDueVersioned(s, root, vectorsPath, num, den)
         applyCompactionIfDue(s, root, maxSegments)
-        depthsPath.foreach { dp =>
-          // refresh on ANY version advance — upsert included: new rows
-          // change candidate sets and pooled truth, so per-label
-          // depths can shift under every mutation class. One bounded
-          // derivation (8 anchors, depth-4 scan) per mutating batch.
-          if (graft.queries.EmbQueries.readManifest(s, root)._1 > v0)
-            deriveLabelDepths(s, root, vectorsPath, dp)
+        val vEnd = graft.queries.EmbQueries.readManifest(s, root)._1
+        val consolidated = vEnd > vUpsert
+        def due(path: String): Boolean = {
+          if (vEnd == v0) return false          // nothing moved
+          if (consolidated) return true         // epoch-class advance
+          // upsert-only advance: refresh once enough versions lag the
+          // newest derived table (derived-version bookkeeping IS the
+          // side table's own dir listing — restart-safe for free)
+          val derived = listSideTableVersions(s, path)
+          derived.isEmpty || vEnd - derived.max >= refreshEveryVersions
         }
+        depthsPath.foreach(dp =>
+          if (due(dp)) deriveLabelDepths(s, root, vectorsPath, dp))
+        budgetsPath.foreach(bp =>
+          if (due(bp)) deriveLabelBudgets(s, root, vectorsPath, bp))
         graft.queries.EmbQueries.gcVersions(s, root, keepVersions)
         ()
       }

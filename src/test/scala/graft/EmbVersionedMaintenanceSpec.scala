@@ -346,14 +346,39 @@ class EmbVersionedMaintenanceSpec extends AnyFunSuite {
     val before = queries.EmbQueries.readSegments(spark, k4)
     val nBefore = before.count()
     val keyBefore = codesKey(before).collect().map(_.toString).sorted
+    // fingerprint of the big base segment's data files — size-tiered
+    // compaction must carry it UNTOUCHED (the LSM invariant: merging
+    // the small upsert tail never re-pays the base segment's bytes)
+    def fileKey(dir: String): Seq[(String, Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val b = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += ((st.getPath.toString, st.getLen,
+            st.getModificationTime))
+      }
+      b.sortBy(_._1).toSeq
+    }
+    val baseBefore = fileKey(s"$vroot/codes_v1")
 
-    // under the threshold: a no-op; over it: one consolidated publish
+    // under the threshold: a no-op; over it: a size-TIERED publish —
+    // only the smallest (4 - 3 + 1) = 2 upsert segments merge, the
+    // base and one upsert segment carry over untouched
     assert(!graft.streaming.AnnServing
       .applyCompactionIfDue(spark, vroot, maxSegments = 4))
     assert(graft.streaming.AnnServing
       .applyCompactionIfDue(spark, vroot, maxSegments = 3))
     val (v5, _, k5) = queries.EmbQueries.readManifest(spark, vroot)
-    assert(v5 == 5 && k5.split(',').length == 1, k5)
+    val segs5 = k5.split(',').toSeq
+    assert(v5 == 5 && segs5.length == 3, k5)
+    assert(segs5.contains(s"$vroot/codes_v1"),
+      s"tiered compaction rewrote the big base segment: $k5")
+    assert(fileKey(s"$vroot/codes_v1") == baseBefore,
+      "base segment files changed across a tiered compaction")
     val after = queries.EmbQueries.readSegments(spark, k5)
     assert(after.count() == nBefore)
     assert(codesKey(after).collect().map(_.toString).sorted
@@ -462,6 +487,206 @@ class EmbVersionedMaintenanceSpec extends AnyFunSuite {
     // no replay duplicates across the restart
     assert(sC.groupBy("vec_id").count().filter(col("count") > 1)
       .count() == 0)
+    ()
+  }
+
+  test("side-table refresh cadence: upsert-only advances skip the corpus pass, consolidating advances refresh in-batch") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // a SYNTHETIC perfectly-balanced, fully-converged index (the real
+    // sf0.001 geometry trips the tight 10/9 skew rule on its own, so
+    // its every batch is consolidating — useless for observing the
+    // upsert-only cadence): 4 orthogonal block centroids in 64 dims,
+    // 30 vectors per cell sitting EXACTLY on their centroid — zero
+    // drift, zero skew, k-means at its fixed point by construction.
+    val root = tmp("ann_cadence")
+    def blockVec(c: Int): Seq[Float] =
+      (0 until 64).map(i => if (i / 16 == c) 1.0f else 0.0f)
+    val baseRows = (0 until 120).map(i =>
+      (i.toLong, blockVec(i % 4), i % 4))
+    Seq((0, blockVec(0)), (1, blockVec(1)), (2, blockVec(2)),
+      (3, blockVec(3)))
+      .toDF("c_label", "cvec").write.parquet(s"$root/centroids_v1")
+    // 16-entry constant-vector codebook per subspace: all-0 and all-1
+    // subvectors encode distinctly and deterministically
+    (for (j <- 0 until 8; cid <- 0 until 16)
+      yield (j, cid, Seq.fill(8)(cid / 8.0f)))
+      .toDF("j", "cid", "cvec").write.parquet(s"$root/codebook")
+    // bootstrap: publish ONE hand-encoded seed row, then push the
+    // remaining 119 through the REAL versioned upsert so every base
+    // row's codes come from encodeBatch itself (consistency for free)
+    Seq((0L, Seq(8, 8, 0, 0, 0, 0, 0, 0), 0, 0))
+      .toDF("vec_id", "codes", "label", "cell")
+      .write.partitionBy("cell").parquet(s"$root/codes_v1")
+    queries.EmbQueries.publishVersion(spark, root, 1,
+      s"$root/centroids_v1", s"$root/codes_v1")
+    assert(graft.streaming.AnnServing.applyUpsertBatchVersioned(
+      spark, root, baseRows.drop(1)
+        .toDF("vec_id", "embedding", "label")) == 119L)
+    val vQ = queries.EmbQueries.readManifest(spark, root)._1
+    assert(vQ == 2)
+
+    // the vector store: base + the upsert clones + the skew clones
+    def clone(off: Long, c: Int): (Long, Seq[Float], Int) =
+      (off, blockVec(c), c)
+    val skew = (0 until 30).map(i => clone(8000000L + i, 1))
+    val aug = tmp("ann_cad_vecs")
+    (baseRows ++ Seq(clone(6000000L, 0), clone(7000000L, 0)) ++ skew)
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"),
+        col("label"))
+      .write.parquet(s"$aug/embeddings.parquet")
+    val augPath = s"$aug/embeddings.parquet"
+
+    def writeFile(in: String, name: String,
+        rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val sb = new StringBuilder
+      rows.foreach { case (id, v, l) => sb.append(
+        s"""{"vec_id":$id,"embedding":[${v.mkString(",")}],"label":$l}\n""")
+      }
+      Files.write(java.nio.file.Paths.get(in, name),
+        sb.toString.getBytes("UTF-8"))
+    }
+    val in = tmp("ann_cad_in")
+    val ckpt = tmp("ann_cad_ckpt")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", IntegerType)))
+    val depths = tmp("ann_cad_depths") + "/depths.parquet"
+    val budgets = tmp("ann_cad_budgets") + "/budgets.parquet"
+    def runSink(): Unit = {
+      val q = graft.streaming.AnnServing.startVersionedSelfHealingSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(in),
+        root, augPath, ckpt,
+        depthsPath = Some(depths), budgetsPath = Some(budgets),
+        refreshEveryVersions = 3)
+      assert(q.awaitTermination(180000))
+    }
+
+    // two upsert-only micro-batches: vQ -> vQ+1 -> vQ+2 (31/32 rows in
+    // cell 0 vs 30 elsewhere — under the 10/9 rule, and zero drift, so
+    // neither batch consolidates). The FIRST mutating batch derives
+    // (no table exists yet); the second is an upsert-only advance 1
+    // version behind — UNDER the cadence, so it must NOT re-run the
+    // exact-truth corpus pass
+    writeFile(in, "a.json", Seq(clone(6000000L, 0)))
+    writeFile(in, "b.json", Seq(clone(7000000L, 0)))
+    runSink()
+    assert(queries.EmbQueries.readManifest(spark, root)._1 == vQ + 2,
+      "upsert-only batches consolidated — quiescence assumption broke")
+    assert(graft.streaming.AnnServing
+      .listSideTableVersions(spark, depths) == Seq(vQ + 1),
+      "upsert-only advance re-derived the depth table under cadence")
+    assert(graft.streaming.AnnServing
+      .listSideTableVersions(spark, budgets) == Seq(vQ + 1))
+
+    // a skew batch (30 clones into cell 1) consolidates (rebalance)
+    // — an epoch-class advance must refresh BOTH tables in the same
+    // batch, at the new published version
+    writeFile(in, "c.json", skew.toSeq)
+    runSink()
+    val vEnd = queries.EmbQueries.readManifest(spark, root)._1
+    assert(vEnd > vQ + 3,
+      "skew batch published no consolidating advance")
+    assert(graft.streaming.AnnServing
+      .listSideTableVersions(spark, depths).max == vEnd,
+      "consolidating advance did not refresh depths in-batch")
+    assert(graft.streaming.AnnServing
+      .listSideTableVersions(spark, budgets).max == vEnd)
+    // content sanity: the derived tables hold one operating point per
+    // anchor label, inside the grids
+    val dRows = spark.read.parquet(depths)
+      .filter(col("index_version") === vEnd).collect()
+    assert(dRows.nonEmpty && dRows.forall(r =>
+      Set(2, 3, 4)(r.getAs[Int]("np"))))
+    val bRows = spark.read.parquet(budgets)
+      .filter(col("index_version") === vEnd).collect()
+    assert(bRows.nonEmpty && bRows.forall(r =>
+      Set(2, 3, 4, 5, 6)(r.getAs[Int]("np")) &&
+        Set(10, 20, 40)(r.getAs[Int]("sn"))))
+    ()
+  }
+
+  test("post-rollback fork publish preserves the orphan record; GC reclaims fork-only dirs") {
+    val root = tmp("ann_orphan")
+    def mkdir(name: String): String = {
+      val d = new java.io.File(root, name)
+      d.mkdirs()
+      Files.write(d.toPath.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3))
+      d.getAbsolutePath
+    }
+    val c1 = mkdir("centroids_v1"); val k1 = mkdir("codes_v1")
+    val c2 = mkdir("centroids_v2"); val k2 = mkdir("codes_v2")
+    queries.EmbQueries.publishVersion(spark, root, 1, c1, k1)
+    queries.EmbQueries.publishVersion(spark, root, 2, c2, k2)
+    // rollback to v1 (same-content rewrite of VERSION.1.json — no
+    // orphan), then the next maintenance op reuses version number 2
+    // with DIFFERENT artifacts: the abandoned fork
+    queries.EmbQueries.publishVersion(spark, root, 1, c1, k1)
+    val c2b = mkdir("centroids_v2b"); val k2b = mkdir("codes_v2b")
+    queries.EmbQueries.publishVersion(spark, root, 2, c2b, k2b)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ex(p: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    assert(ex(s"$root/VERSION.2.orphan.0.json"),
+      "fork publish overwrote the old VERSION.2.json without a record")
+    // the fork's dirs are in the GC plan even while few versions exist
+    val (retained, _, deletable) =
+      queries.EmbQueries.gcPlan(spark, root, keep = 2)
+    assert(retained == Seq(1, 2))
+    assert(deletable.toSet == Set(c2, k2),
+      s"fork-only dirs missing from the plan: $deletable")
+    assert(queries.EmbQueries.gcVersions(spark, root, keep = 2) == 2)
+    assert(!ex(c2) && !ex(k2), "fork dirs leaked")
+    assert(!ex(s"$root/VERSION.2.orphan.0.json"), "orphan log leaked")
+    // the live lineage is untouched
+    assert(ex(c1) && ex(k1) && ex(c2b) && ex(k2b))
+    val (v, cp, kp) = queries.EmbQueries.readManifest(spark, root)
+    assert(v == 2 && cp == c2b && kp == k2b)
+    ()
+  }
+
+  test("rebalance rescues the centroid of an overgrown all-vectorless cell") {
+    import spark.implicits._
+    val root = tmp("ann_rescue")
+    // cell 0: 10 rows with NO vectors in the store (tombstoned /
+    // vectorless ingest) — overgrown under 10/9 fair share; cell 1:
+    // one vectored row
+    val codes = ((0 until 10).map(i =>
+        (9000L + i, Seq(0, 0), 7, 0)) :+ ((1L, Seq(1, 1), 7, 1)))
+      .toDF("vec_id", "codes", "label", "cell")
+    codes.write.partitionBy("cell").parquet(s"$root/codes_v1")
+    val cents = Seq((0, Seq(0.25f, 0.25f)), (1, Seq(0.75f, 0.75f)))
+      .toDF("c_label", "cvec")
+    cents.write.parquet(s"$root/centroids_v1")
+    queries.EmbQueries.publishVersion(spark, root, 1,
+      s"$root/centroids_v1", s"$root/codes_v1")
+    val vecs = tmp("ann_rescue_vecs") + "/v.parquet"
+    Seq((1L, Seq(0.75f, 0.75f), 7))
+      .toDF("vec_id", "embedding", "label").write.parquet(vecs)
+
+    val moved = graft.streaming.AnnServing
+      .applyRebalanceVersioned(spark, root, vecs)
+    assert(moved == 0L, "vectorless rows must keep their cell")
+    val (v, cp, kp) = queries.EmbQueries.readManifest(spark, root)
+    assert(v == 2, "overgrown detection must still publish v2")
+    // every row survived, cell memberships unchanged
+    val after = queries.EmbQueries.readSegments(spark, kp)
+    assert(after.filter(col("cell") === 0).count() == 10)
+    assert(after.filter(col("cell") === 1).count() == 1)
+    // THE RESCUE: cell 0 (all-vectorless, overgrown) kept its OLD
+    // centroid — without it those 10 rows would be unreachable by any
+    // probe of the published centroids
+    val cAfter = spark.read.parquet(cp)
+      .select(col("c_label"), col("cvec")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(cAfter.contains(0),
+      "overgrown all-vectorless cell lost its centroid")
+    assert(cAfter(0) == Seq(0.25f, 0.25f))
     ()
   }
 }

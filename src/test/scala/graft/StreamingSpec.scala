@@ -1459,6 +1459,128 @@ class StreamingSpec extends AnyFunSuite {
     assert(none.columns.toSeq == Seq("qid", "rank", "vec_id", "sim"))
   }
 
+  test("budget-aware streaming serving equals the batch combined-lever serve") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // publish the v3 lineage and capture the batch repair's decisions
+    val repair = Registry.byName("emb_label_shortn_repair")
+      .build(spark, dir)
+      .select(col("a_label"), col("nprobe_chosen"), col("shortn_chosen"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    val root = queries.EmbQueries.indexPath(dir)
+    val budgetsPath = tmp("bas_budgets") + "/budgets.parquet"
+    val bver = graft.streaming.AnnServing.deriveLabelBudgets(
+      spark, root, s"$dir/embeddings.parquet", budgetsPath)
+    assert(bver == 3, s"repair must publish/serve the v3 epoch, got v$bver")
+    // DECISION twin: the streaming derivation (shared labelBudgetCore)
+    // lands on exactly the combos the batch repair chose
+    val derived = spark.read.parquet(budgetsPath)
+      .select(col("a_label"), col("np"), col("sn"), col("index_version"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(derived.map(t => (t._1, t._2, t._3)) == repair,
+      s"derived=$derived repair=$repair")
+    assert(derived.forall(_._4 == 3))
+
+    // stream every anchor with its label through the published sink
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        coalesce(col("label").cast("int"), lit(-2)).as("a_label"),
+        col("embedding")).collect()
+    val in = tmp("bas_in")
+    anchors.foreach { r =>
+      val qid = r.getAs[Long]("vec_id")
+      val v = r.getSeq[Float](2)
+      Files.write(java.nio.file.Paths.get(in, s"q$qid.json"),
+        (s"""{"qid":$qid,"qlabel":${r.getAs[Int]("a_label")},""" +
+          s""""qvec":[${v.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("qlabel", IntegerType),
+      StructField("qvec", ArrayType(DoubleType))))
+    val out = tmp("bas_out")
+    val q = graft.streaming.AnnServing.startPublishedBudgetAwareServingSink(
+      spark.readStream.schema(schema).json(in),
+      root, s"$dir/embeddings.parquet", budgetsPath, out,
+      tmp("bas_ckpt"))
+    assert(q.awaitTermination(120000))
+    assert(spark.read.parquet(out)
+      .filter(col("version") =!= 3).count() == 0)
+
+    // SERVE twin: row-identical to emb_label_budget_serving for every
+    // anchor, INCLUDING the (nprobe, shortn) each row was served at
+    val batch = Registry.byName("emb_label_budget_serving")
+      .build(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Int]("nprobe"),
+        r.getAs[Int]("shortn"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq.sorted
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("nprobe"),
+        r.getAs[Int]("shortn"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq.sorted
+    assert(streamed == batch,
+      s"stream(${streamed.size}) != batch(${batch.size})")
+
+    // a query whose label has no budget row serves at the FULL budget
+    // (6, 40) — the batch repair's own fallback — and still answers
+    val (_, centPath, codesPath) =
+      queries.EmbQueries.readManifest(spark, root)
+    val fallback = graft.streaming.AnnServing.scoreBatchBudgetAwareAt(
+      spark, centPath, codesPath, s"$root/codebook",
+      s"$dir/embeddings.parquet", budgetsPath,
+      emb.filter(col("vec_id") === 9)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          lit(999).as("qlabel")),
+      indexVersion = Some(3)).collect()
+    assert(fallback.length == 5)
+    assert(fallback.forall(r => r.getAs[Int]("nprobe") == 6 &&
+      r.getAs[Int]("shortn") == 40))
+
+    // a manifest AHEAD of the table (upsert-only lag — consolidating
+    // advances re-derive in-batch, so lag is always upsert-only)
+    // serves the newest table at or below it: label 0 still gets ITS
+    // chosen combo, not the fallback
+    val c0 = derived.find(_._1 == 0).get
+    val ahead = graft.streaming.AnnServing.scoreBatchBudgetAwareAt(
+      spark, centPath, codesPath, s"$root/codebook",
+      s"$dir/embeddings.parquet", budgetsPath,
+      emb.filter(col("vec_id") === 9)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          lit(0).as("qlabel")),
+      indexVersion = Some(99)).collect()
+    assert(ahead.length == 5)
+    assert(ahead.forall(r => r.getAs[Int]("nprobe") == c0._2 &&
+      r.getAs[Int]("shortn") == c0._3))
+
+    // a manifest BELOW every derived table (rollback in progress)
+    // never pairs with a future table — full-budget fallback
+    val rolled = graft.streaming.AnnServing.scoreBatchBudgetAwareAt(
+      spark, centPath, codesPath, s"$root/codebook",
+      s"$dir/embeddings.parquet", budgetsPath,
+      emb.filter(col("vec_id") === 9)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          lit(0).as("qlabel")),
+      indexVersion = Some(2)).collect()
+    assert(rolled.length == 5)
+    assert(rolled.forall(r => r.getAs[Int]("nprobe") == 6 &&
+      r.getAs[Int]("shortn") == 40))
+
+    // empty batch: typed empty frame, not a crash
+    val none = graft.streaming.AnnServing.scoreBatchBudgetAwareAt(
+      spark, centPath, codesPath, s"$root/codebook",
+      s"$dir/embeddings.parquet", budgetsPath,
+      emb.filter(col("vec_id") === -1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          lit(0).as("qlabel")))
+    assert(none.isEmpty)
+    assert(none.columns.toSeq ==
+      Seq("qid", "nprobe", "shortn", "rank", "vec_id", "sim"))
+  }
+
   test("streaming auto-maintenance upserts then splits skewed cells") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
