@@ -2065,57 +2065,46 @@ object DedupQueries {
     // gap closed (Lee et al.'s suffix-array longest-match, realized
     // within the bounded candidate pair set): per minhash candidate
     // pair, the LONGEST exact common token run at ONE-token
-    // granularity — no 12-token window quantization. Construction: a
-    // common substring is a maximal run along a DIAGONAL of the
-    // match matrix (positions ai in A, bi in B with equal tokens and
-    // constant ai - bi), so explode both docs' positions, equi-join
-    // on the token, and gaps-and-islands each (pair, diagonal) by ai
-    // — the substringSpans island technique, one dimension up. Ties
-    // break (max run_len, min a_start, min b_start); pairs sharing no
-    // token emit nothing. Cost is bounded by the CANDIDATE set (ids
-    // broadcast-semi-join the corpus BEFORE tokenizing — the
-    // containment convention): the match matrix of a near-dup pair is
-    // diagonal-dominated, so rows ~ shared tokens, not |A|x|B|; the
-    // production kernel for adversarial repeated-token docs is a
-    // per-pair suffix automaton (O(|A|+|B|)), which this SQL form is
-    // the oracle-checkable twin of. Starts are 1-based like the span
-    // queries.
+    // granularity — no 12-token window quantization. The Spark side
+    // runs the PRODUCTION kernel: per-pair suffix automaton of A's
+    // tokens + one pass of B (graft.functions.LongestCommonRun,
+    // O(|A|+|B|) flat — immune to the adversarial repeated-token
+    // blowup, where a match-matrix equi-join pays O(f_A*f_B) rows per
+    // repeated token). The pair set bounds everything: candidate ids
+    // broadcast-semi-join the corpus BEFORE tokenizing (the
+    // containment convention), each pair ships exactly two token
+    // arrays to one task, and the kernel runs inside mapPartitions —
+    // a JUSTIFIED mapPartitions: the per-pair automaton is genuinely
+    // imperative, and the declarative twin stays fully alive as the
+    // DuckDB oracle below (the diagonal gaps-and-islands form, which
+    // the gate cross-checks hash-exactly, adversarial pairs included;
+    // DedupLongestRunSpec adds an independent O(n*m) DP). Ties break
+    // (max run_len, min a_start, min b_start); pairs sharing no token
+    // emit nothing. Starts are 1-based like the span queries.
     Q(
       "dedup_pair_longest_run",
       (s, d) => {
+        import s.implicits._
         val pairs = minhashPairs(s, d).select("a_id", "b_id")
         val ids = pairs.select(col("a_id").as("doc_id"))
           .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
-        val pos = toksFor(s, d, ids)
-          .select(col("doc_id"),
-            posexplode(col("tok")).as(Seq("i0", "term")))
-          .select(col("doc_id"), (col("i0") + 1).as("i"), col("term"))
-        val m = pairs
-          .join(pos.select(col("doc_id").as("a_id"), col("i").as("ai"),
-            col("term")), Seq("a_id"))
-          .join(pos.select(col("doc_id").as("b_id"), col("i").as("bi"),
-            col("term")), Seq("b_id", "term"))
-          .select(col("a_id"), col("b_id"), col("ai"), col("bi"),
-            (col("ai") - col("bi")).as("diag"))
-        val wD = org.apache.spark.sql.expressions.Window
-          .partitionBy("a_id", "b_id", "diag").orderBy("ai")
-        val runs = m
-          .withColumn("new_run",
-            when(col("ai") - lag(col("ai"), 1).over(wD) === 1, lit(0L))
-              .otherwise(lit(1L)))
-          .withColumn("grp", sum(col("new_run")).over(wD))
-          .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
-          .agg(count(lit(1)).as("run_len"),
-            min(col("ai")).as("a_start"), min(col("bi")).as("b_start"))
-        val wBest = org.apache.spark.sql.expressions.Window
-          .partitionBy("a_id", "b_id")
-          .orderBy(col("run_len").desc, col("a_start"), col("b_start"))
-        runs.withColumn("rn", row_number().over(wBest))
-          .filter(col("rn") === 1)
-          .select(col("a_id"), col("b_id"),
-            col("run_len").cast("int").as("run_len"),
-            col("a_start").cast("int").as("a_start"),
-            col("b_start").cast("int").as("b_start"))
+        val toks = toksFor(s, d, ids)
+        pairs
+          .join(toks.select(col("doc_id").as("a_id"),
+            col("tok").as("atok")), Seq("a_id"))
+          .join(toks.select(col("doc_id").as("b_id"),
+            col("tok").as("btok")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), col("atok"), col("btok"))
+          .as[(Long, Long, Seq[String], Seq[String])]
+          .mapPartitions(_.flatMap { case (aId, bId, atok, btok) =>
+            val a = Option(atok).getOrElse(Seq.empty).toIndexedSeq
+            val b = Option(btok).getOrElse(Seq.empty).toIndexedSeq
+            val (runLen, aStart, bStart) =
+              graft.functions.LongestCommonRun(a, b)
+            if (runLen == 0) Iterator.empty
+            else Iterator((aId, bId, runLen, aStart, bStart))
+          })
+          .toDF("a_id", "b_id", "run_len", "a_start", "b_start")
           .orderBy("a_id", "b_id")
       },
       Some(
@@ -2160,6 +2149,129 @@ object DedupQueries {
            |    ORDER BY run_len DESC, a_start, b_start) AS rn
            |  FROM runs)
            |WHERE rn = 1 ORDER BY a_id, b_id""".stripMargin)),
+
+    // PER-DOC TOKEN-EXACT SPANS — the span family's LAST quantization
+    // gap closed (round 12 left dedup_substring_spans W=12
+    // window-cover quantized; this emits the exact duplicated-token
+    // intervals): for every doc in the candidate pair set, the merged
+    // 1-based intervals of every token sitting inside a maximal
+    // common run of >= 12 tokens with ANY of its minhash partners —
+    // both sides of every pair are covered (doc as A and as B).
+    // Spark side runs the suffix-automaton kernel's coverage pass
+    // (LongestCommonRun.coverage, O(|A|+|B|) per direction): the
+    // union of suffix windows [pos-l(pos)+1, pos] at match length
+    // l >= 12 equals the union of maximal-run intervals >= 12 (each
+    // run's own end position covers it; every window extends to a
+    // containing run), so no occurrence enumeration and no match
+    // matrix. Per-doc interval union is one doc_id-keyed window
+    // chain (running-max merge — overlapping AND adjacent intervals
+    // coalesce, exactly the covered-position islands). The DuckDB
+    // oracle recomputes from the diagonal-island match matrix: runs
+    // >= 12, both sides' intervals, the same running-max merge — the
+    // gate cross-checks kernel vs matrix hash-exactly, adversarial
+    // repeated-token pairs included.
+    Q(
+      "dedup_doc_token_spans",
+      (s, d) => {
+        import s.implicits._
+        val pairs = minhashPairs(s, d).select("a_id", "b_id")
+        val ids = pairs.select(col("a_id").as("doc_id"))
+          .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+        val toks = toksFor(s, d, ids)
+        val intervals = pairs
+          .join(toks.select(col("doc_id").as("a_id"),
+            col("tok").as("atok")), Seq("a_id"))
+          .join(toks.select(col("doc_id").as("b_id"),
+            col("tok").as("btok")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), col("atok"), col("btok"))
+          .as[(Long, Long, Seq[String], Seq[String])]
+          .mapPartitions(_.flatMap { case (aId, bId, atok, btok) =>
+            val a = Option(atok).getOrElse(Seq.empty).toIndexedSeq
+            val b = Option(btok).getOrElse(Seq.empty).toIndexedSeq
+            graft.functions.LongestCommonRun.coverage(a, b, 12)
+              .iterator.map { case (s0, e0) => (bId, s0, e0) } ++
+              graft.functions.LongestCommonRun.coverage(b, a, 12)
+                .iterator.map { case (s0, e0) => (aId, s0, e0) }
+          })
+          .toDF("doc_id", "s0", "e0")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("s0", "e0")
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("s0", "e0")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)
+        intervals
+          .withColumn("new_run",
+            when(col("s0") <=
+              coalesce(max(col("e0")).over(wPrev), lit(-1)) + 1, lit(0L))
+              .otherwise(lit(1L)))
+          .withColumn("grp", sum(col("new_run")).over(w))
+          .groupBy("doc_id", "grp")
+          .agg(min(col("s0")).as("ss"), max(col("e0")).as("se"))
+          .select(col("doc_id"), col("ss").cast("int").as("span_start"),
+            col("se").cast("int").as("span_end"),
+            (col("se") - col("ss") + 1).cast("int").as("span_len"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(
+        s"""WITH pairs AS (
+           |  SELECT a_id, b_id FROM ($minhashSql)
+           |), cand_ids AS (
+           |  SELECT a_id AS doc_id FROM pairs
+           |  UNION SELECT b_id FROM pairs
+           |), cl AS (
+           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+           |  WHERE doc_id IN (SELECT doc_id FROM cand_ids)
+           |), tk AS (
+           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cl
+           |), pos AS (
+           |  SELECT doc_id, CAST(i AS INT) AS i, tok[CAST(i AS INT)] AS term
+           |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS i
+           |        FROM tk)
+           |), m AS (
+           |  SELECT p.a_id, p.b_id, pa.i AS ai, pb.i AS bi,
+           |    pa.i - pb.i AS diag
+           |  FROM pairs p
+           |  JOIN pos pa ON pa.doc_id = p.a_id
+           |  JOIN pos pb ON pb.doc_id = p.b_id AND pb.term = pa.term
+           |), r1 AS (
+           |  SELECT *, CASE WHEN ai - lag(ai) OVER (
+           |      PARTITION BY a_id, b_id, diag ORDER BY ai) = 1
+           |    THEN 0 ELSE 1 END AS new_run
+           |  FROM m
+           |), r2 AS (
+           |  SELECT *, sum(new_run) OVER (
+           |      PARTITION BY a_id, b_id, diag ORDER BY ai) AS grp
+           |  FROM r1
+           |), runs AS (
+           |  SELECT a_id, b_id, count(*) AS run_len,
+           |    min(ai) AS a_s, min(bi) AS b_s
+           |  FROM r2 GROUP BY a_id, b_id, diag, grp
+           |), iv AS (
+           |  SELECT b_id AS doc_id, CAST(b_s AS INT) AS s0,
+           |    CAST(b_s + run_len - 1 AS INT) AS e0
+           |  FROM runs WHERE run_len >= 12
+           |  UNION ALL
+           |  SELECT a_id, CAST(a_s AS INT), CAST(a_s + run_len - 1 AS INT)
+           |  FROM runs WHERE run_len >= 12
+           |), mg AS (
+           |  SELECT doc_id, s0, e0,
+           |    CASE WHEN s0 <= coalesce(max(e0) OVER (
+           |        PARTITION BY doc_id ORDER BY s0, e0
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      -1) + 1 THEN 0 ELSE 1 END AS new_run
+           |  FROM iv
+           |), g AS (
+           |  SELECT *, sum(new_run) OVER (
+           |      PARTITION BY doc_id ORDER BY s0, e0) AS grp
+           |  FROM mg
+           |)
+           |SELECT doc_id, CAST(min(s0) AS INT) AS span_start,
+           |  CAST(max(e0) AS INT) AS span_end,
+           |  CAST(max(e0) - min(s0) + 1 AS INT) AS span_len
+           |FROM g GROUP BY doc_id, grp
+           |ORDER BY doc_id, span_start""".stripMargin)),
 
     // Canonical-document selection per duplicate cluster: the resolution
     // policy a real pipeline applies after clustering — keep the most

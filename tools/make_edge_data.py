@@ -63,6 +63,18 @@ texts += [
     (502, fuzzy_prefix + " tail alpha bXtY gamma", "en", "fz"),   # lev ~2
     (503, fuzzy_prefix + " completely different continuation here now", "en", "fz"),  # lev > 8
 ]
+# adversarial repeated-token near-dup pair for dedup_pair_longest_run:
+# both docs are one token repeated (420x / 380x) with an IDENTICAL
+# 3-token tail, so their distinct shingle sets are equal (J = 1.0 ->
+# guaranteed minhash candidate pair) while the match matrix holds
+# 420*380 ~ 160k cells for the single repeated token — the blowup the
+# diagonal-island SQL oracle still prices but the Spark-side suffix-
+# automaton kernel must answer in O(|A|+|B|). Expected longest run:
+# 383 tokens (380 spams + the tail) at a_start 41, b_start 1.
+texts += [
+    (600, "spam " * 420 + "alpha ending one", "en", "adv"),
+    (601, "spam " * 380 + "alpha ending one", "en", "adv"),
+]
 doc = pa.table({
     "doc_id": pa.array([t[0] for t in texts], pa.int64()),
     "text": pa.array([t[1] for t in texts], pa.string()),
