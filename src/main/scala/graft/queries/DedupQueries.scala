@@ -491,6 +491,130 @@ object DedupQueries {
        |  FROM islands GROUP BY doc_id, grp
        |)""".stripMargin
 
+  /** TOKEN-EXACT per-doc span frame — (doc_id, span_start, span_end,
+    * span_len): for every doc in the minhash candidate pair set, the
+    * merged 1-based intervals of every token inside a maximal common
+    * run of >= 12 tokens with ANY of its partners, both sides of every
+    * pair. Detection runs the suffix-automaton coverage kernel
+    * (LongestCommonRun.coverage, O(|A|+|B|) per direction, per pair —
+    * no match matrix, no repeated-token blowup); the per-doc union is
+    * one doc_id-keyed window chain (running-max merge: overlapping AND
+    * adjacent intervals coalesce — exactly the covered-position
+    * islands). Memoized + persisted: dedup_doc_token_spans and
+    * dedup_token_spans_applied share the lineage (bench order charges
+    * the build to the alphabetically-first consumer). The frame is
+    * output-sized: spans of candidate docs only.
+    */
+  private def docTokenSpans(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memo("dedup_doc_token_spans", s, d)(
+      graft.CacheRegistry.track(s, {
+        import s.implicits._
+        val pairs = minhashPairs(s, d).select("a_id", "b_id")
+        val ids = pairs.select(col("a_id").as("doc_id"))
+          .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+        val ctoks = toksFor(s, d, ids)
+        val intervals = pairs
+          .join(ctoks.select(col("doc_id").as("a_id"),
+            col("tok").as("atok")), Seq("a_id"))
+          .join(ctoks.select(col("doc_id").as("b_id"),
+            col("tok").as("btok")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), col("atok"), col("btok"))
+          .as[(Long, Long, Seq[String], Seq[String])]
+          .mapPartitions(_.flatMap { case (aId, bId, atok, btok) =>
+            val a = Option(atok).getOrElse(Seq.empty).toIndexedSeq
+            val b = Option(btok).getOrElse(Seq.empty).toIndexedSeq
+            graft.functions.LongestCommonRun.coverage(a, b, 12)
+              .iterator.map { case (s0, e0) => (bId, s0, e0) } ++
+              graft.functions.LongestCommonRun.coverage(b, a, 12)
+                .iterator.map { case (s0, e0) => (aId, s0, e0) }
+          })
+          .toDF("doc_id", "s0", "e0")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("s0", "e0")
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("s0", "e0")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)
+        intervals
+          .withColumn("new_run",
+            when(col("s0") <=
+              coalesce(max(col("e0")).over(wPrev), lit(-1)) + 1, lit(0L))
+              .otherwise(lit(1L)))
+          .withColumn("grp", sum(col("new_run")).over(w))
+          .groupBy("doc_id", "grp")
+          .agg(min(col("s0")).as("ss"), max(col("e0")).as("se"))
+          .select(col("doc_id"), col("ss").cast("int").as("span_start"),
+            col("se").cast("int").as("span_end"),
+            (col("se") - col("ss") + 1).cast("int").as("span_len"))
+      }))
+
+  /** DuckDB twin of [[docTokenSpans]] — recomputes from the
+    * diagonal-island match matrix (the declarative form the kernel
+    * replaces): maximal runs >= 12 per (pair, diagonal), both sides'
+    * intervals, the same running-max interval merge. Ends in
+    * `dts_spans` (doc_id, span_start, span_end, span_len); `dts_tk`
+    * (candidate tokens) stays in scope for the applied step.
+    */
+  private lazy val docTokenSpanCte: String =
+    s"""dts_pairs AS (
+       |  SELECT a_id, b_id FROM ($minhashSql)
+       |), dts_ids AS (
+       |  SELECT a_id AS doc_id FROM dts_pairs
+       |  UNION SELECT b_id FROM dts_pairs
+       |), dts_cl AS (
+       |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM dts_ids)
+       |), dts_tk AS (
+       |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM dts_cl
+       |), dts_pos AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i, tok[CAST(i AS INT)] AS term
+       |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS i
+       |        FROM dts_tk)
+       |), dts_m AS (
+       |  SELECT p.a_id, p.b_id, pa.i AS ai, pb.i AS bi,
+       |    pa.i - pb.i AS diag
+       |  FROM dts_pairs p
+       |  JOIN dts_pos pa ON pa.doc_id = p.a_id
+       |  JOIN dts_pos pb ON pb.doc_id = p.b_id AND pb.term = pa.term
+       |), dts_r1 AS (
+       |  SELECT *, CASE WHEN ai - lag(ai) OVER (
+       |      PARTITION BY a_id, b_id, diag ORDER BY ai) = 1
+       |    THEN 0 ELSE 1 END AS new_run
+       |  FROM dts_m
+       |), dts_r2 AS (
+       |  SELECT *, sum(new_run) OVER (
+       |      PARTITION BY a_id, b_id, diag ORDER BY ai) AS grp
+       |  FROM dts_r1
+       |), dts_runs AS (
+       |  SELECT a_id, b_id, count(*) AS run_len,
+       |    min(ai) AS a_s, min(bi) AS b_s
+       |  FROM dts_r2 GROUP BY a_id, b_id, diag, grp
+       |), dts_iv AS (
+       |  SELECT b_id AS doc_id, CAST(b_s AS INT) AS s0,
+       |    CAST(b_s + run_len - 1 AS INT) AS e0
+       |  FROM dts_runs WHERE run_len >= 12
+       |  UNION ALL
+       |  SELECT a_id, CAST(a_s AS INT), CAST(a_s + run_len - 1 AS INT)
+       |  FROM dts_runs WHERE run_len >= 12
+       |), dts_mg AS (
+       |  SELECT doc_id, s0, e0,
+       |    CASE WHEN s0 <= coalesce(max(e0) OVER (
+       |        PARTITION BY doc_id ORDER BY s0, e0
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) + 1 THEN 0 ELSE 1 END AS new_run
+       |  FROM dts_iv
+       |), dts_g AS (
+       |  SELECT *, sum(new_run) OVER (
+       |      PARTITION BY doc_id ORDER BY s0, e0) AS grp
+       |  FROM dts_mg
+       |), dts_spans AS (
+       |  SELECT doc_id, CAST(min(s0) AS INT) AS span_start,
+       |    CAST(max(e0) AS INT) AS span_end,
+       |    CAST(max(e0) - min(s0) + 1 AS INT) AS span_len
+       |  FROM dts_g GROUP BY doc_id, grp
+       |)""".stripMargin
+
   /** STAR-edge representation of the same duplicate graph the expanded
     * pair set describes: (canonical → member) within each exact-dup
     * group plus the banded (canonical → canonical) near-dup pairs.
@@ -2172,106 +2296,85 @@ object DedupQueries {
     // repeated-token pairs included.
     Q(
       "dedup_doc_token_spans",
+      (s, d) => docTokenSpans(s, d).orderBy("doc_id", "span_start"),
+      Some(
+        s"""WITH $docTokenSpanCte
+           |SELECT doc_id, span_start, span_end, span_len
+           |FROM dts_spans
+           |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // TOKEN-EXACT SPANS APPLIED — the act step over the token-exact
+    // span frame (detect: dedup_doc_token_spans; act: this), the
+    // dedup_spans_applied contract at one-token granularity: per
+    // span-owning doc, kept/cut counts and the md5 of the kept token
+    // stream with every token-exact duplicated interval removed. The
+    // window-quantized act step cuts whole 12-token windows around
+    // every shared position; this cuts exactly the duplicated runs —
+    // the difference IS the quantization mass, visible as n_cut deltas
+    // between the two queries' rows. Same bounded shape: only
+    // span-owning docs re-tokenize (semi join before the explode),
+    // positions hash-join the bounded per-doc span list with a range
+    // predicate, assembly is one per-doc sort inside an aggregate.
+    Q(
+      "dedup_token_spans_applied",
       (s, d) => {
-        import s.implicits._
-        val pairs = minhashPairs(s, d).select("a_id", "b_id")
-        val ids = pairs.select(col("a_id").as("doc_id"))
-          .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
-        val toks = toksFor(s, d, ids)
-        val intervals = pairs
-          .join(toks.select(col("doc_id").as("a_id"),
-            col("tok").as("atok")), Seq("a_id"))
-          .join(toks.select(col("doc_id").as("b_id"),
-            col("tok").as("btok")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"), col("atok"), col("btok"))
-          .as[(Long, Long, Seq[String], Seq[String])]
-          .mapPartitions(_.flatMap { case (aId, bId, atok, btok) =>
-            val a = Option(atok).getOrElse(Seq.empty).toIndexedSeq
-            val b = Option(btok).getOrElse(Seq.empty).toIndexedSeq
-            graft.functions.LongestCommonRun.coverage(a, b, 12)
-              .iterator.map { case (s0, e0) => (bId, s0, e0) } ++
-              graft.functions.LongestCommonRun.coverage(b, a, 12)
-                .iterator.map { case (s0, e0) => (aId, s0, e0) }
-          })
-          .toDF("doc_id", "s0", "e0")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("s0", "e0")
-        val wPrev = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("s0", "e0")
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            -1)
-        intervals
-          .withColumn("new_run",
-            when(col("s0") <=
-              coalesce(max(col("e0")).over(wPrev), lit(-1)) + 1, lit(0L))
-              .otherwise(lit(1L)))
-          .withColumn("grp", sum(col("new_run")).over(w))
-          .groupBy("doc_id", "grp")
-          .agg(min(col("s0")).as("ss"), max(col("e0")).as("se"))
-          .select(col("doc_id"), col("ss").cast("int").as("span_start"),
-            col("se").cast("int").as("span_end"),
-            (col("se") - col("ss") + 1).cast("int").as("span_len"))
-          .orderBy("doc_id", "span_start")
+        val sp = docTokenSpans(s, d)
+        val sdocs = sp.select("doc_id").distinct()
+        val pos = toks(s, d)
+          .join(broadcast(sdocs), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            posexplode(col("tok")).as(Seq("i0", "term")))
+          .select(col("doc_id"), (col("i0") + 1).as("i"), col("term"))
+        val spn = sp.select(col("doc_id").as("sdoc"),
+          col("span_start"), col("span_end"))
+        val kept = pos.join(spn,
+          col("doc_id") === col("sdoc") &&
+            col("i") >= col("span_start") && col("i") <= col("span_end"),
+          "left_anti")
+        val agg = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("i"), col("term")))),
+              x => x.getField("term")), " ")).as("kept_hash"))
+        val lens = toks(s, d)
+          .join(broadcast(sdocs), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), size(col("tok")).as("n_tokens"))
+        lens.join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+              .cast("int").as("n_cut"),
+            coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+            coalesce(col("kept_hash"), md5(lit(""))).as("kept_hash"))
+          .orderBy("doc_id")
       },
       Some(
-        s"""WITH pairs AS (
-           |  SELECT a_id, b_id FROM ($minhashSql)
-           |), cand_ids AS (
-           |  SELECT a_id AS doc_id FROM pairs
-           |  UNION SELECT b_id FROM pairs
-           |), cl AS (
-           |  SELECT doc_id, ${cleanSql("text")} AS text_clean FROM documents
-           |  WHERE doc_id IN (SELECT doc_id FROM cand_ids)
-           |), tk AS (
-           |  SELECT doc_id, ${tokensSql("text_clean")} AS tok FROM cl
-           |), pos AS (
-           |  SELECT doc_id, CAST(i AS INT) AS i, tok[CAST(i AS INT)] AS term
-           |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS i
-           |        FROM tk)
-           |), m AS (
-           |  SELECT p.a_id, p.b_id, pa.i AS ai, pb.i AS bi,
-           |    pa.i - pb.i AS diag
-           |  FROM pairs p
-           |  JOIN pos pa ON pa.doc_id = p.a_id
-           |  JOIN pos pb ON pb.doc_id = p.b_id AND pb.term = pa.term
-           |), r1 AS (
-           |  SELECT *, CASE WHEN ai - lag(ai) OVER (
-           |      PARTITION BY a_id, b_id, diag ORDER BY ai) = 1
-           |    THEN 0 ELSE 1 END AS new_run
-           |  FROM m
-           |), r2 AS (
-           |  SELECT *, sum(new_run) OVER (
-           |      PARTITION BY a_id, b_id, diag ORDER BY ai) AS grp
-           |  FROM r1
-           |), runs AS (
-           |  SELECT a_id, b_id, count(*) AS run_len,
-           |    min(ai) AS a_s, min(bi) AS b_s
-           |  FROM r2 GROUP BY a_id, b_id, diag, grp
-           |), iv AS (
-           |  SELECT b_id AS doc_id, CAST(b_s AS INT) AS s0,
-           |    CAST(b_s + run_len - 1 AS INT) AS e0
-           |  FROM runs WHERE run_len >= 12
-           |  UNION ALL
-           |  SELECT a_id, CAST(a_s AS INT), CAST(a_s + run_len - 1 AS INT)
-           |  FROM runs WHERE run_len >= 12
-           |), mg AS (
-           |  SELECT doc_id, s0, e0,
-           |    CASE WHEN s0 <= coalesce(max(e0) OVER (
-           |        PARTITION BY doc_id ORDER BY s0, e0
-           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           |      -1) + 1 THEN 0 ELSE 1 END AS new_run
-           |  FROM iv
-           |), g AS (
-           |  SELECT *, sum(new_run) OVER (
-           |      PARTITION BY doc_id ORDER BY s0, e0) AS grp
-           |  FROM mg
+        s"""WITH $docTokenSpanCte, sdocs AS (
+           |  SELECT DISTINCT doc_id FROM dts_spans
+           |), dpos AS (
+           |  SELECT doc_id, CAST(i AS INT) AS i,
+           |    tok[CAST(i AS INT)] AS term
+           |  FROM (SELECT t.doc_id, t.tok,
+           |          unnest(range(1, len(t.tok) + 1)) AS i
+           |        FROM dts_tk t JOIN sdocs USING (doc_id))
+           |), dkept AS (
+           |  SELECT p.doc_id, p.i, p.term FROM dpos p
+           |  WHERE NOT EXISTS (SELECT 1 FROM dts_spans sp
+           |    WHERE sp.doc_id = p.doc_id
+           |      AND p.i BETWEEN sp.span_start AND sp.span_end)
+           |), dagg AS (
+           |  SELECT doc_id, count(*) AS n_kept,
+           |    md5(string_agg(term, ' ' ORDER BY i)) AS kept_hash
+           |  FROM dkept GROUP BY doc_id
+           |), dlens AS (
+           |  SELECT t.doc_id, len(t.tok) AS n_tokens
+           |  FROM dts_tk t JOIN sdocs USING (doc_id)
            |)
-           |SELECT doc_id, CAST(min(s0) AS INT) AS span_start,
-           |  CAST(max(e0) AS INT) AS span_end,
-           |  CAST(max(e0) - min(s0) + 1 AS INT) AS span_len
-           |FROM g GROUP BY doc_id, grp
-           |ORDER BY doc_id, span_start""".stripMargin)),
+           |SELECT l.doc_id, CAST(l.n_tokens AS INT) AS n_tokens,
+           |  CAST(l.n_tokens - coalesce(a.n_kept, 0) AS INT) AS n_cut,
+           |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+           |  coalesce(a.kept_hash, md5('')) AS kept_hash
+           |FROM dlens l LEFT JOIN dagg a USING (doc_id)
+           |ORDER BY l.doc_id""".stripMargin)),
 
     // Canonical-document selection per duplicate cluster: the resolution
     // policy a real pipeline applies after clustering — keep the most
