@@ -2320,8 +2320,10 @@ object DedupQueries {
       (s, d) => {
         val sp = docTokenSpans(s, d)
         val sdocs = sp.select("doc_id").distinct()
-        val pos = toks(s, d)
-          .join(broadcast(sdocs), Seq("doc_id"), "left_semi")
+        // toksFor, not toks+semi: the semi join prunes BELOW the
+        // tokenize projection, so only span-owning docs ever pay
+        // graft_norm_tokens (the toksFor convention — plan-audited)
+        val pos = toksFor(s, d, sdocs)
           .select(col("doc_id"),
             posexplode(col("tok")).as(Seq("i0", "term")))
           .select(col("doc_id"), (col("i0") + 1).as("i"), col("term"))
@@ -2336,8 +2338,7 @@ object DedupQueries {
             md5(array_join(transform(
               array_sort(collect_list(struct(col("i"), col("term")))),
               x => x.getField("term")), " ")).as("kept_hash"))
-        val lens = toks(s, d)
-          .join(broadcast(sdocs), Seq("doc_id"), "left_semi")
+        val lens = toksFor(s, d, sdocs)
           .select(col("doc_id"), size(col("tok")).as("n_tokens"))
         lens.join(agg, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
