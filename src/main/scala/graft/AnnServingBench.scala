@@ -56,6 +56,13 @@ object AnnServingBench {
     if (channel == "maintain_versioned") {
       maintainVersioned(spark, idx, sfDir, nQ, nFiles); return
     }
+    // same workload with the per-batch upsert publish routed through
+    // the optimistic CAS commit — prices the multi-writer safety
+    // premium (a couple of driver-side FS ops per publish; expect
+    // parity with maintain_versioned within noise)
+    if (channel == "maintain_versioned_cas") {
+      maintainVersioned(spark, idx, sfDir, nQ, nFiles, cas = true); return
+    }
     if (channel == "maintain_upsert_cadence") {
       maintainUpsertCadence(spark, idx, sfDir, nQ, nFiles); return
     }
@@ -198,7 +205,8 @@ object AnnServingBench {
       idx: String,
       sfDir: String,
       nQ: Int,
-      nFiles: Int): Unit = {
+      nFiles: Int,
+      cas: Boolean = false): Unit = {
     val dir = Files.createTempDirectory("ann_maint_ver").toFile
     val work = new java.io.File(dir, "ix").getAbsolutePath
     val full = spark.read.parquet(s"$idx/codes")
@@ -238,7 +246,7 @@ object AnnServingBench {
         .option("maxFilesPerTrigger", math.max(1, nFiles / 4))
         .json(inDir.getAbsolutePath),
       work, aug, new java.io.File(dir, "ck").getAbsolutePath,
-      depthsPath = Some(depths))
+      depthsPath = Some(depths), casPublish = cas)
     val drained = q.awaitTermination(600000)
     val sec = (System.nanoTime() - t0) / 1e9
     val (ver, centPath, codesPath) =
@@ -253,7 +261,7 @@ object AnnServingBench {
         s""""applied $applied of $staged staged vectors""""
       else "null"
     println(
-      s"""{"metric":"ann_maintain_throughput","unit":"vectors_per_sec","channel":"maintain_versioned","value":${f"${applied / sec}%.1f"},"n_vectors":$applied,"staged":$staged,"cells_before":$cellsBefore,"cells_after":$cellsAfter,"final_version":$ver,"final_segments":$nSegs,"sec":${f"$sec%.2f"},"error":$error,"sf":"$sfDir"}""")
+      s"""{"metric":"ann_maintain_throughput","unit":"vectors_per_sec","channel":"${if (cas) "maintain_versioned_cas" else "maintain_versioned"}","value":${f"${applied / sec}%.1f"},"n_vectors":$applied,"staged":$staged,"cells_before":$cellsBefore,"cells_after":$cellsAfter,"final_version":$ver,"final_segments":$nSegs,"sec":${f"$sec%.2f"},"error":$error,"sf":"$sfDir"}""")
     CacheRegistry.clear(spark)
     spark.stop()
     if (error != "null") System.exit(1)

@@ -5705,6 +5705,223 @@ object EmbQueries {
     fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  // ------------------------------------------------------------------
+  // OPTIMISTIC-CONCURRENCY publish (the multi-writer commit protocol).
+  //
+  // [[publishVersion]] is the SINGLE-WRITER primitive: its manifest
+  // rename is last-write-wins, so two maintenance processes that both
+  // built against base version v silently lose one update (the second
+  // rename strands the first writer's segments as an orphan — no leak,
+  // but dropped data with no error). The CAS discipline below makes
+  // that race a DETECTED conflict instead, the Iceberg/Delta
+  // optimistic-commit model realized on plain FS primitives:
+  //
+  //   * a forward commit targets EXACTLY expectedBase+1 and must first
+  //     CLAIM the per-version log slot VERSION.<v+1>.json via
+  //     create(overwrite=false) — atomic on HDFS, precondition-guarded
+  //     on object stores (If-None-Match), best-effort two-step on the
+  //     raw local FS (the spec exercises the sequential interleavings,
+  //     which hold on any FS). Exactly one same-base writer wins the
+  //     slot; the loser sees the claim and returns Conflict WITHOUT
+  //     touching the manifest — its work is never silently dropped.
+  //   * the claim body IS the full next manifest, so ANY process can
+  //     finish a crashed winner's commit (roll-forward helping): a
+  //     conflict-loser that finds the manifest still at expectedBase
+  //     completes the claimed publish itself, then rebases onto it —
+  //     no livelock behind an abandoned claim, no lock to expire.
+  //   * a same-content claim is a crash-retry replay of OUR OWN commit
+  //     and proceeds idempotently (Structured Streaming's foreachBatch
+  //     re-execution lands here).
+  //   * rollback under this discipline goes through [[rollbackTo]],
+  //     which retires the abandoned fork's log entries EAGERLY (to
+  //     orphan records, the [[publishVersion]] convention) so forward
+  //     slots are never left squatted by dead lineages. The legacy
+  //     lazy-orphaning path (re-publish old + next publish reuses the
+  //     fork number) remains for single-writer flows and is pinned by
+  //     EmbVersionedMaintenanceSpec; CAS protects only commits that
+  //     all use CAS — a legacy last-write-wins rename bypasses any
+  //     lock-free protocol by construction.
+  // ------------------------------------------------------------------
+
+  /** A CAS commit lost the optimistic race more times than the caller
+    * was willing to rebase (or the protocol was violated — see
+    * [[publishVersionCas]]). In a Structured Streaming sink this fails
+    * the micro-batch; the engine's retry re-reads the manifest and IS
+    * the rebase.
+    */
+  final class ConcurrentPublishException(msg: String)
+    extends RuntimeException(msg)
+
+  private def readTextFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def manifestBody(
+      version: Int, centroids: String, codes: String): String =
+    s"""{"version":$version,"centroids":"$centroids","codes":"$codes"}\n"""
+
+  /** Tolerant full parse of a manifest/claim body — None unless all
+    * three fields are present and the version is an int (the
+    * [[readManifest]] regex conventions, without the sys.error).
+    */
+  private def parseManifestBody(txt: String): Option[(Int, String, String)] = {
+    def field(k: String): Option[String] =
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt)
+        .map(_.group(1))
+        .orElse(("\"" + k + "\":([^,}\"]+)").r
+          .findFirstMatchIn(txt).map(_.group(1)))
+        .map(_.trim)
+    for {
+      v <- field("version").flatMap(_.toIntOption)
+      c <- field("centroids")
+      k <- field("codes")
+    } yield (v, c, k)
+  }
+
+  /** Atomically swap MANIFEST.json to `body` (tmp write + rename with
+    * OVERWRITE — the [[publishVersion]] tear-free primitive).
+    */
+  private def swapManifest(
+      s: SparkSession, root: String, version: Int, body: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.$version.tmp")
+    val fs = dst.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, conf)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Compare-and-swap forward publish: commit `expectedBase + 1` iff
+    * this writer wins the version-slot claim. Returns true on success
+    * (including an idempotent same-content crash-retry replay), false
+    * when the base already moved or another writer claimed the slot
+    * with different content — in which case NOTHING was written and
+    * the caller must rebase (see [[commitCas]], which also
+    * rolls forward an abandoned winner's claim). Forward commits that
+    * want multi-writer safety must ALL use this; rollbacks must go
+    * through [[rollbackTo]] so dead forks never squat the next slot.
+    */
+  private[graft] def publishVersionCas(
+      s: SparkSession, root: String, expectedBase: Int,
+      centroids: String, codes: String): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json")
+    val fs = dst.getFileSystem(conf)
+    // stale-base early out: the manifest moved since this writer read
+    // it (a racer already committed) — rebuild against the new base
+    if (fs.exists(dst) && readManifest(s, root)._1 != expectedBase)
+      return false
+    val version = expectedBase + 1
+    val body = manifestBody(version, centroids, codes)
+    val logP = new org.apache.hadoop.fs.Path(s"$root/VERSION.$version.json")
+    val claimed =
+      if (fs.exists(logP)) readTextFile(fs, logP) == body
+      else {
+        try {
+          val o = fs.create(logP, false) // no overwrite: the CAS claim
+          o.write(body.getBytes("UTF-8"))
+          o.close()
+          true
+        } catch {
+          case _: java.io.IOException =>
+            // lost the create race — accept only if the winner wrote
+            // OUR body (a concurrent replay of the same commit)
+            fs.exists(logP) && readTextFile(fs, logP) == body
+        }
+      }
+    if (!claimed) return false
+    swapManifest(s, root, version, body)
+    true
+  }
+
+  /** Rebasing CAS commit loop with roll-forward helping. `build` runs
+    * against the current manifest state (version, centroidsPath,
+    * codesPath) and returns the NEXT version's (centroids, codes)
+    * artifact paths — it re-runs on every rebase, so it must be safe
+    * to re-execute (all maintenance builders are: they write fresh
+    * uniquely-named dirs). On conflict with the manifest still at the
+    * base this writer read, the existing claim is a crashed (or
+    * in-flight) winner's commit: its body is the full next manifest,
+    * so this writer COMPLETES that publish (idempotent — if the
+    * claimant is alive both rename the same content) and rebases onto
+    * it. Returns the version this writer's OWN commit published.
+    */
+  private[graft] def commitCas(
+      s: SparkSession, root: String, maxAttempts: Int = 5)(
+      build: (Int, String, String) => (String, String)): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(conf)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (v, cent, codes) = readManifest(s, root)
+      val (nc, nk) = build(v, cent, codes)
+      if (publishVersionCas(s, root, v, nc, nk)) return v + 1
+      // conflict: if the manifest is STILL at v, the slot v+1 holds an
+      // abandoned (or in-flight) winner's claim — roll it forward so
+      // the next rebase sees it as the new base instead of livelocking
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json"))
+          && readManifest(s, root)._1 == v) {
+        val logP =
+          new org.apache.hadoop.fs.Path(s"$root/VERSION.${v + 1}.json")
+        if (fs.exists(logP)) {
+          val claim = readTextFile(fs, logP)
+          // a torn claim (writer died mid-create) must not be published
+          // as the manifest — surface it for operator removal instead
+          if (!parseManifestBody(claim).exists(_._1 == v + 1))
+            sys.error(s"claim $logP does not parse as version ${v + 1} " +
+              s"(torn write from a crashed writer?): $claim")
+          swapManifest(s, root, v + 1, claim)
+        }
+      }
+    }
+    throw new ConcurrentPublishException(
+      s"CAS commit at $root lost the race $maxAttempts times — " +
+        "either pathological writer contention or a non-CAS writer " +
+        "is renaming the manifest underneath this protocol")
+  }
+
+  /** Rollback under the CAS discipline: re-publish logged version `v`
+    * and EAGERLY retire every logged version above it to an orphan
+    * record (VERSION.&lt;w&gt;.orphan.&lt;k&gt;.json — the
+    * [[publishVersion]] fork convention, just applied at rollback time
+    * instead of lazily at the next forward publish). The abandoned
+    * fork's uniquely-named dirs stay GC-visible through the orphan
+    * records, and the next CAS commit targets v+1 against a FREE slot
+    * — a dead lineage can never squat the forward path and masquerade
+    * as an in-flight claim to [[commitCas]]'s roll-forward.
+    */
+  private[graft] def rollbackTo(
+      s: SparkSession, root: String, v: Int): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val target = listVersions(s, root).find(_._1 == v).getOrElse(
+      sys.error(s"rollback target $v is not in the version log at " +
+        s"$root (expired by GC?)"))
+    listVersions(s, root).filter(_._1 > v).foreach { case (w, _, _) =>
+      val logP = new org.apache.hadoop.fs.Path(s"$root/VERSION.$w.json")
+      var k = 0
+      var op = new org.apache.hadoop.fs.Path(
+        s"$root/VERSION.$w.orphan.$k.json")
+      while (fs.exists(op)) {
+        k += 1
+        op = new org.apache.hadoop.fs.Path(
+          s"$root/VERSION.$w.orphan.$k.json")
+      }
+      fs.rename(logP, op)
+    }
+    swapManifest(s, root, v, manifestBody(v, target._2, target._3))
+  }
+
   /** All versions ever published at `root`, from the immutable
     * VERSION.&lt;v&gt;.json log entries — (version, centroidsPath,
     * codesPath), ascending.
@@ -5868,6 +6085,27 @@ object EmbQueries {
         .getOrElse(sys.error(s"manifest missing $k: $txt")).trim
     (field("version").toInt, field("centroids"), field("codes"))
   }
+
+  /** TIME-TRAVEL resolve: the artifact paths (centroids, codes) any
+    * LOGGED version serves — not just the published one. Versions are
+    * logical and their dirs immutable, so reading an old version after
+    * later maintenance returns its exact historical answers for free;
+    * the horizon is GC retention ([[gcVersions]] deletes expired
+    * versions' logs and exclusively-owned dirs). After a rollback the
+    * reused version number resolves to the CURRENT lineage (the
+    * abandoned fork's entry was moved to an orphan record — orphans
+    * are dead lineages, deliberately not addressable here).
+    */
+  private[graft] def readManifestAt(
+      s: SparkSession, root: String, version: Int): (String, String) =
+    listVersions(s, root).find(_._1 == version)
+      .map(v => (v._2, v._3))
+      .getOrElse {
+        val logged = listVersions(s, root).map(_._1)
+        sys.error(s"version $version is not in the log at $root " +
+          s"(expired by GC or never published); logged: " +
+          s"[${logged.mkString(", ")}]")
+      }
 
   /** The publish history of the served index, run once per
     * (session, dir): v1 = the as-built artifacts, v2 = the rebalanced

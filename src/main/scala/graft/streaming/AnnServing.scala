@@ -452,6 +452,34 @@ object AnnServing {
       .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** TIME-TRAVEL serve: [[scoreBatchAt]] against the artifact paths a
+    * HISTORICAL version's immutable log entry records — not the
+    * published manifest. Because versions are logical and their dirs
+    * immutable (blue/green publish never rewrites an earlier
+    * version's files), serving at version v after any amount of later
+    * maintenance returns v's exact historical answers — the
+    * before/after read an index regression investigation or an A/B of
+    * two operating epochs needs, at zero storage cost beyond what the
+    * version log already retains. The horizon is GC retention:
+    * an expired version fails loudly in the resolve
+    * ([[graft.queries.EmbQueries.readManifestAt]]), never serves a
+    * partially-deleted index.
+    */
+  def scoreBatchAtVersion(
+      spark: SparkSession,
+      root: String,
+      version: Int,
+      vectorsPath: String,
+      batch: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      shortN: Int = graft.queries.EmbQueries.IvfPqShortN): DataFrame = {
+    val (centPath, codesPath) =
+      graft.queries.EmbQueries.readManifestAt(spark, root, version)
+    scoreBatchAt(spark, centPath, codesPath, s"$root/codebook",
+      spark.read.parquet(vectorsPath), batch, k, nprobe, shortN)
+  }
+
   /** Score ONE micro-batch of query vectors against the persisted
     * int8-SQ code artifact (`sq/` — per-vector scale + 64 int8 codes,
     * 16x less scan bandwidth than float32): the SQ rung of the
@@ -1367,39 +1395,101 @@ object AnnServing {
     * old list plus the new dir. O(batch) data written; the manifest
     * rename is the only mutation of shared state.
     *
+    * When `cas` is set the publish goes through the optimistic
+    * compare-and-swap commit ([[graft.queries.EmbQueries.commitCas]]):
+    * a concurrent writer on the same root becomes a rebase (the
+    * encode/dedup/segment-write re-runs against the racer's published
+    * view — the dedup makes the rebase idempotent under id overlap)
+    * instead of a silent lost update, and pathological contention
+    * surfaces as ConcurrentPublishException, which in a foreachBatch
+    * sink fails the micro-batch so the engine's retry continues the
+    * rebase. The default path stays the single-writer publish the
+    * existing chain pins (same version numbering in every
+    * non-conflict run).
+    *
     * @return number of index rows the new version adds (0 = no new
     *         version published)
     */
   def applyUpsertBatchVersioned(
       spark: SparkSession,
       root: String,
-      batch: DataFrame): Long = {
+      batch: DataFrame,
+      cas: Boolean = false): Long = {
     val b = normalizeUpsertBatch(batch)
     if (b.isEmpty) return 0L
-    val (v, centPath, segs) = manifestView(spark, root)
-    val rows = encodeBatch(spark, b, centPath, s"$root/codebook")
-      .persist()
-    rows.count()
-    // full-view dedup (the fullDedup rationale: maintenance can change
-    // centroids between batches, so a replayed id may assign elsewhere)
-    val dupIds = viewCodes(spark, segs)
-      .join(broadcast(rows.select("vec_id")), Seq("vec_id"), "left_semi")
-      .select("vec_id").distinct()
-    val fresh = rows
-      .join(broadcast(dupIds), Seq("vec_id"), "left_anti").persist()
-    val n = fresh.count()
-    if (n > 0) {
-      val seg = s"$root/codes_up_v${v + 1}"
-      // overwrite: a crash-retry of the SAME batch re-derives the same
-      // version number from the unchanged manifest and rewrites the
-      // orphan dir cleanly
-      fresh.write.mode("overwrite").partitionBy("cell").parquet(seg)
-      graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
-        centPath, (segs :+ seg).mkString(","))
+
+    // one attempt against a given manifest state: encode, dedup,
+    // write the fresh segment, return (segmentPath, freshCount) —
+    // None when every row is already present (no publish needed)
+    def attempt(v: Int, centPath: String, segs: Seq[String])
+        : Option[(String, Long)] = {
+      val rows = encodeBatch(spark, b, centPath, s"$root/codebook")
+        .persist()
+      rows.count()
+      // full-view dedup (the fullDedup rationale: maintenance can
+      // change centroids between batches, so a replayed id may assign
+      // elsewhere)
+      val dupIds = viewCodes(spark, segs)
+        .join(broadcast(rows.select("vec_id")), Seq("vec_id"), "left_semi")
+        .select("vec_id").distinct()
+      val fresh = rows
+        .join(broadcast(dupIds), Seq("vec_id"), "left_anti").persist()
+      val n = fresh.count()
+      val out =
+        if (n > 0) {
+          val seg = s"$root/codes_up_v${v + 1}"
+          // overwrite: a crash-retry of the SAME batch re-derives the
+          // same version number from the unchanged manifest and
+          // rewrites the orphan dir cleanly
+          fresh.write.mode("overwrite").partitionBy("cell").parquet(seg)
+          Some((seg, n))
+        } else None
+      fresh.unpersist()
+      rows.unpersist()
+      out
     }
-    fresh.unpersist()
-    rows.unpersist()
-    n
+
+    if (!cas) {
+      val (v, centPath, segs) = manifestView(spark, root)
+      attempt(v, centPath, segs) match {
+        case Some((seg, n)) =>
+          graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+            centPath, (segs :+ seg).mkString(","))
+          n
+        case None => 0L
+      }
+    } else {
+      // CAS: the build closure re-runs per rebase; a rebase where the
+      // racer already inserted every id escapes without publishing an
+      // empty advance (the control throwable below, caught here). A
+      // conflicted attempt's segment dir is deleted before the rebase
+      // writes its own — no unreferenced dir survives the loop.
+      object AllRowsPresent extends scala.util.control.ControlThrowable
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var inserted = 0L
+      var lastSeg: Option[String] = None
+      def dropLastSeg(): Unit = lastSeg.foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        lastSeg = None
+      }
+      try {
+        graft.queries.EmbQueries.commitCas(spark, root) {
+          (v, centPath, codesCsv) =>
+            dropLastSeg()
+            val segs =
+              codesCsv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            attempt(v, centPath, segs) match {
+              case Some((seg, n)) =>
+                inserted = n
+                lastSeg = Some(seg)
+                (centPath, (segs :+ seg).mkString(","))
+              case None => throw AllRowsPresent
+            }
+        }
+      } catch { case AllRowsPresent => dropLastSeg() }
+      inserted
+    }
   }
 
   /** VERSIONED cell rebalance: same overgrown-cell detection and
@@ -1977,6 +2067,7 @@ object AnnServing {
       maxSegments: Int = 8,
       num: Int = graft.queries.EmbQueries.RebalanceNum,
       den: Int = graft.queries.EmbQueries.RebalanceDen,
+      casPublish: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -1985,7 +2076,11 @@ object AnnServing {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val v0 = graft.queries.EmbQueries.readManifest(s, root)._1
-        applyUpsertBatchVersioned(s, root, batch)
+        // casPublish hardens the per-batch upsert against a zombie
+        // twin of this sink (a failed-over driver's old instance still
+        // holding the foreachBatch open) — its publish becomes a
+        // detected conflict/rebase instead of a silent lost update
+        applyUpsertBatchVersioned(s, root, batch, cas = casPublish)
         val vUpsert = graft.queries.EmbQueries.readManifest(s, root)._1
         applyRebalanceVersioned(s, root, vectorsPath, num, den)
         applyRetrainEpochIfDueVersioned(s, root, vectorsPath, num, den)
