@@ -5870,24 +5870,120 @@ object EmbQueries {
       // abandoned (or in-flight) winner's claim — roll it forward so
       // the next rebase sees it as the new base instead of livelocking
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json"))
-          && readManifest(s, root)._1 == v) {
-        val logP =
-          new org.apache.hadoop.fs.Path(s"$root/VERSION.${v + 1}.json")
-        if (fs.exists(logP)) {
-          val claim = readTextFile(fs, logP)
-          // a torn claim (writer died mid-create) must not be published
-          // as the manifest — surface it for operator removal instead
-          if (!parseManifestBody(claim).exists(_._1 == v + 1))
-            sys.error(s"claim $logP does not parse as version ${v + 1} " +
-              s"(torn write from a crashed writer?): $claim")
-          swapManifest(s, root, v + 1, claim)
-        }
-      }
+          && readManifest(s, root)._1 == v)
+        rollForwardClaim(s, root, v)
     }
     throw new ConcurrentPublishException(
       s"CAS commit at $root lost the race $maxAttempts times — " +
         "either pathological writer contention or a non-CAS writer " +
         "is renaming the manifest underneath this protocol")
+  }
+
+  /** Complete an abandoned winner's commit at slot `base + 1` (the
+    * roll-forward half of the helping protocol): the claim body IS the
+    * full next manifest, so publishing it is safe even if the claimant
+    * is alive and about to do the same rename — both swap identical
+    * content. A torn claim (writer died mid-create) is refused loudly,
+    * never published.
+    */
+  private[graft] def rollForwardClaim(
+      s: SparkSession, root: String, base: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val logP =
+      new org.apache.hadoop.fs.Path(s"$root/VERSION.${base + 1}.json")
+    if (fs.exists(logP)) {
+      val claim = readTextFile(fs, logP)
+      if (!parseManifestBody(claim).exists(_._1 == base + 1))
+        sys.error(s"claim $logP does not parse as version ${base + 1} " +
+          s"(torn write from a crashed writer?): $claim")
+      swapManifest(s, root, base + 1, claim)
+    }
+  }
+
+  /** Per-writer attempt tag for CAS-mode artifact dir names: the
+    * sanitized Spark applicationId. Two optimistic builders racing
+    * from the same base BOTH write their next-version dirs before the
+    * slot claim decides the winner — with the fixed `codes_v&lt;v+1&gt;`
+    * naming they would overwrite each other's in-flight (or even
+    * just-published) files. Suffixing every CAS-mode dir with the
+    * writer's own tag makes the attempt dirs disjoint by construction;
+    * the claim then records WHICH writer's dirs are version v+1.
+    * Within one driver the tag is stable, so a same-process retry
+    * overwrites its own attempt dir (the crash-retry self-cleaning
+    * convention of the fixed naming).
+    */
+  private[graft] def attemptTag(s: SparkSession): String =
+    s.sparkContext.applicationId.filter(c => c.isLetterOrDigit || c == '-')
+
+  /** One-shot CAS publish for op bodies whose rebase is "re-run the
+    * whole op" (the foreachBatch retry model — consolidating
+    * maintenance is too expensive to loop inside the op): try the
+    * commit; on conflict DELETE this writer's tag-suffixed attempt
+    * dirs (they lost — nothing references them), roll an abandoned
+    * winner's claim forward so the retry sees a moved base instead of
+    * livelocking, and throw [[ConcurrentPublishException]] to fail the
+    * micro-batch.
+    */
+  private[graft] def publishOrConflict(
+      s: SparkSession, root: String, expectedBase: Int,
+      centroids: String, codes: String): Unit = {
+    if (publishVersionCas(s, root, expectedBase, centroids, codes)) return
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tag = attemptTag(s)
+    (centroids.split(',').toSeq ++ codes.split(',').toSeq)
+      .map(_.trim).filter(_.nonEmpty)
+      .filter(p => p.startsWith(root + "/") && p.endsWith("." + tag))
+      .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json"))
+        && readManifest(s, root)._1 == expectedBase)
+      rollForwardClaim(s, root, expectedBase)
+    throw new ConcurrentPublishException(
+      s"version ${expectedBase + 1} at $root was committed by a " +
+        "concurrent writer — this op's attempt dirs were cleaned; " +
+        "re-run to rebase on the new base")
+  }
+
+  /** Sweep STRAY attempt dirs: a CAS writer that crashed BEFORE
+    * claiming its slot leaves tag-suffixed dirs nothing references
+    * (every post-claim crash is covered by roll-forward; pre-claim
+    * there is no record anywhere — this sweep is the record-free
+    * backstop). Deletes dirs directly under `root` whose name looks
+    * like an attempt dir (`codes*`/`centroids*` with a `.tag` suffix),
+    * is referenced by NO manifest / version log / orphan record, and
+    * whose modification time is older than `graceMs` (the grace window
+    * protects a live writer that has built but not yet claimed).
+    * Returns the number of dirs deleted.
+    */
+  private[graft] def gcStrayAttemptDirs(
+      s: SparkSession, root: String,
+      graceMs: Long = 6L * 3600 * 1000): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(conf)
+    if (!fs.exists(rp)) return 0
+    val referenced: Set[String] = {
+      val manifestP = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.json")
+      val m =
+        if (fs.exists(manifestP)) {
+          val (_, c, k) = readManifest(s, root); Seq(c, k)
+        } else Seq.empty
+      (m ++ listVersions(s, root).flatMap(v => Seq(v._2, v._3)) ++
+        listOrphans(s, root).flatMap(o => Seq(o._2, o._3)))
+        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty).toSet
+    }
+    val attemptRe = "^(codes|centroids)[^.]*\\.[A-Za-z0-9-]+$".r
+    val now = System.currentTimeMillis()
+    val stray = fs.listStatus(rp).toSeq.filter { st =>
+      st.isDirectory &&
+        attemptRe.findFirstIn(st.getPath.getName).isDefined &&
+        !referenced(st.getPath.toUri.getPath) &&
+        !referenced(st.getPath.toString) &&
+        now - st.getModificationTime >= graceMs
+    }
+    stray.foreach(st => fs.delete(st.getPath, true))
+    stray.size
   }
 
   /** Rollback under the CAS discipline: re-publish logged version `v`

@@ -1437,10 +1437,17 @@ object AnnServing {
       val n = fresh.count()
       val out =
         if (n > 0) {
-          val seg = s"$root/codes_up_v${v + 1}"
+          // cas: tag-suffixed so a racing writer's segment dir can
+          // never be clobbered by this attempt (the slot claim decides
+          // whose dir version v+1 records)
+          val sfx =
+            if (cas) "." + graft.queries.EmbQueries.attemptTag(spark)
+            else ""
+          val seg = s"$root/codes_up_v${v + 1}$sfx"
           // overwrite: a crash-retry of the SAME batch re-derives the
           // same version number from the unchanged manifest and
-          // rewrites the orphan dir cleanly
+          // rewrites the orphan dir cleanly (cas: the tag is stable
+          // within one driver, so the same self-cleaning holds)
           fresh.write.mode("overwrite").partitionBy("cell").parquet(seg)
           Some((seg, n))
         } else None
@@ -1507,7 +1514,8 @@ object AnnServing {
       root: String,
       vectorsPath: String,
       num: Int = graft.queries.EmbQueries.RebalanceNum,
-      den: Int = graft.queries.EmbQueries.RebalanceDen): Long = {
+      den: Int = graft.queries.EmbQueries.RebalanceDen,
+      cas: Boolean = false): Long = {
     val (v, centPath, segs) = manifestView(spark, root)
     val codes = viewCodes(spark, segs)
     val szRows = codes.groupBy("cell").agg(count(lit(1)).as("n"))
@@ -1557,8 +1565,11 @@ object AnnServing {
 
     // consolidated v+1 codes: split memberships + untouched cells —
     // reads only the IMMUTABLE old segments, writes only fresh dirs
-    val codesNext = s"$root/codes_v${v + 1}"
-    val centNext = s"$root/centroids_v${v + 1}"
+    // (cas: tag-suffixed so concurrent builders' dirs are disjoint)
+    val sfx = if (cas) "." + graft.queries.EmbQueries.attemptTag(spark)
+      else ""
+    val codesNext = s"$root/codes_v${v + 1}$sfx"
+    val centNext = s"$root/centroids_v${v + 1}$sfx"
     moved.select("vec_id", "codes", "label", "cell")
       .unionByName(codes.filter(!col("cell").isin(ogCols: _*))
         .select("vec_id", "codes", "label", "cell"))
@@ -1584,8 +1595,12 @@ object AnnServing {
       .unionByName(rescued)
       .unionByName(cent.filter(!col("c_label").isin(ogCols: _*)))
       .write.mode("overwrite").parquet(centNext)
-    graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
-      centNext, codesNext)
+    if (cas)
+      graft.queries.EmbQueries.publishOrConflict(spark, root, v,
+        centNext, codesNext)
+    else
+      graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+        centNext, codesNext)
     nMoved
   }
 
@@ -1605,7 +1620,8 @@ object AnnServing {
       root: String,
       vectorsPath: String,
       num: Int = graft.queries.EmbQueries.RebalanceNum,
-      den: Int = graft.queries.EmbQueries.RebalanceDen): (Boolean, Long) = {
+      den: Int = graft.queries.EmbQueries.RebalanceDen,
+      cas: Boolean = false): (Boolean, Long) = {
     val (v, centPath, segs) = manifestView(spark, root)
     val codes = viewCodes(spark, segs)
     val centRaw = spark.read.parquet(centPath)
@@ -1662,8 +1678,10 @@ object AnnServing {
       .select(col("vec_id"), col("codes"), col("label"),
         when(col("nd2").isNotNull, col("nlab"))
           .otherwise(col("cell")).as("cell"))
-    val codesNext = s"$root/codes_v${v + 1}"
-    val centNext = s"$root/centroids_v${v + 1}"
+    val sfx = if (cas) "." + graft.queries.EmbQueries.attemptTag(spark)
+      else ""
+    val codesNext = s"$root/codes_v${v + 1}$sfx"
+    val centNext = s"$root/centroids_v${v + 1}$sfx"
     asg.write.mode("overwrite").partitionBy("cell").parquet(codesNext)
     // final centroids read back off the WRITTEN codes (a fresh dir —
     // reading it is safe): epoch means for surviving cells, plus the
@@ -1675,8 +1693,12 @@ object AnnServing {
         .join(live, Seq("c_label"), "left_semi")
         .join(cent3.select("c_label"), Seq("c_label"), "left_anti"))
       .write.mode("overwrite").parquet(centNext)
-    graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
-      centNext, codesNext)
+    if (cas)
+      graft.queries.EmbQueries.publishOrConflict(spark, root, v,
+        centNext, codesNext)
+    else
+      graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+        centNext, codesNext)
     (true, mis)
   }
 
@@ -1693,7 +1715,8 @@ object AnnServing {
   def applyDeleteBatchVersioned(
       spark: SparkSession,
       root: String,
-      batch: DataFrame): Long = {
+      batch: DataFrame,
+      cas: Boolean = false): Long = {
     val ids = batch.select(col("vec_id").cast("long").as("vec_id"))
       .distinct()
     if (ids.isEmpty) return 0L
@@ -1702,11 +1725,17 @@ object AnnServing {
     val removed = codes.join(broadcast(ids), Seq("vec_id"), "left_semi")
       .count()
     if (removed == 0L) return 0L
-    val codesNext = s"$root/codes_v${v + 1}"
+    val sfx = if (cas) "." + graft.queries.EmbQueries.attemptTag(spark)
+      else ""
+    val codesNext = s"$root/codes_v${v + 1}$sfx"
     codes.join(broadcast(ids), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cell").parquet(codesNext)
-    graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
-      centPath, codesNext)
+    if (cas)
+      graft.queries.EmbQueries.publishOrConflict(spark, root, v,
+        centPath, codesNext)
+    else
+      graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+        centPath, codesNext)
     removed
   }
 
@@ -1732,7 +1761,8 @@ object AnnServing {
   def applyCompactionIfDue(
       spark: SparkSession,
       root: String,
-      maxSegments: Int = 8): Boolean = {
+      maxSegments: Int = 8,
+      cas: Boolean = false): Boolean = {
     val (v, centPath, segs) = manifestView(spark, root)
     if (segs.size <= maxSegments) return false
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -1744,11 +1774,17 @@ object AnnServing {
     val nMerge = segs.size - maxSegments + 1
     val merge = bySize.take(nMerge).map(_._1)
     val kept = segs.filterNot(merge.toSet) // manifest order preserved
-    val codesNext = s"$root/codes_v${v + 1}"
+    val sfx = if (cas) "." + graft.queries.EmbQueries.attemptTag(spark)
+      else ""
+    val codesNext = s"$root/codes_v${v + 1}$sfx"
     viewCodes(spark, merge)
       .write.mode("overwrite").partitionBy("cell").parquet(codesNext)
-    graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
-      centPath, (kept :+ codesNext).mkString(","))
+    if (cas)
+      graft.queries.EmbQueries.publishOrConflict(spark, root, v,
+        centPath, (kept :+ codesNext).mkString(","))
+    else
+      graft.queries.EmbQueries.publishVersion(spark, root, v + 1,
+        centPath, (kept :+ codesNext).mkString(","))
     true
   }
 
@@ -2082,9 +2118,11 @@ object AnnServing {
         // detected conflict/rebase instead of a silent lost update
         applyUpsertBatchVersioned(s, root, batch, cas = casPublish)
         val vUpsert = graft.queries.EmbQueries.readManifest(s, root)._1
-        applyRebalanceVersioned(s, root, vectorsPath, num, den)
-        applyRetrainEpochIfDueVersioned(s, root, vectorsPath, num, den)
-        applyCompactionIfDue(s, root, maxSegments)
+        applyRebalanceVersioned(s, root, vectorsPath, num, den,
+          cas = casPublish)
+        applyRetrainEpochIfDueVersioned(s, root, vectorsPath, num, den,
+          cas = casPublish)
+        applyCompactionIfDue(s, root, maxSegments, cas = casPublish)
         val vEnd = graft.queries.EmbQueries.readManifest(s, root)._1
         val consolidated = vEnd > vUpsert
         def due(path: String): Boolean = {

@@ -215,8 +215,12 @@ class ConcurrentPublishSpec extends AnyFunSuite {
     val (vA, cAp, kAp) = queries.EmbQueries.readManifest(spark, rA)
     val (vB, cBp, kBp) = queries.EmbQueries.readManifest(spark, rB)
     assert(vA == 2 && vB == 2)
-    assert(kAp.replace(rA, "") == kBp.replace(rB, ""), s"$kAp vs $kBp")
-    assert(cAp.replace(rA, "") == cBp.replace(rB, ""))
+    // cas dirs carry the writer's attempt tag — compare modulo it
+    def strip(csv: String, root: String): String = csv.replace(root, "")
+      .split(',').map(_.replaceAll("\\.[A-Za-z0-9-]+$", ""))
+      .mkString(",")
+    assert(strip(kAp, rA) == strip(kBp, rB), s"$kAp vs $kBp")
+    assert(strip(cAp, rA) == strip(cBp, rB))
     // replay idempotence through the CAS path: all rows present now
     assert(streaming.AnnServing
       .applyUpsertBatchVersioned(spark, rB, batch, cas = true) == 0L)
@@ -246,8 +250,148 @@ class ConcurrentPublishSpec extends AnyFunSuite {
     assert(view.select("vec_id").distinct().count() == view.count(),
       "no duplicate ids after the rebase")
     // the failed first attempt's segment was cleaned up on rebase —
-    // no unreferenced dir left behind
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$rB/codes_up_v3")),
-      "rebase left the conflicted attempt's segment dir behind")
+    // no unreferenced dir left behind (attempt dirs are tag-suffixed)
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(rB))
+      .map(_.getPath.getName).filter(_.startsWith("codes_up_v3"))
+    assert(leftover.isEmpty,
+      s"rebase left conflicted attempt dirs behind: ${leftover.toSeq}")
+  }
+
+  test("publishOrConflict: consolidating op under a racer — roll forward, clean attempt dirs, fail the batch; re-run rebases") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val full = spark.read.parquet(s"$idx/codes")
+    val root = tmp("cas_delete")
+    full.write.partitionBy("cell").parquet(s"$root/codes_v1")
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$root/centroids_v1")
+    spark.read.parquet(s"$idx/codebook").write.parquet(s"$root/codebook")
+    queries.EmbQueries.publishVersion(spark, root, 1,
+      s"$root/centroids_v1", s"$root/codes_v1")
+    val victims = full.select("vec_id").orderBy("vec_id").limit(3)
+
+    // an abandoned racer's claim squats slot 2 (valid content: the
+    // same view under an alias dir)
+    val alias = s"$root/codes_racer_v2"
+    full.write.partitionBy("cell").parquet(alias)
+    write(s"$root/VERSION.2.json", body(2, s"$root/centroids_v1", alias))
+
+    val e = intercept[queries.EmbQueries.ConcurrentPublishException] {
+      streaming.AnnServing
+        .applyDeleteBatchVersioned(spark, root, victims, cas = true)
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // the racer was rolled forward, not discarded
+    assert(queries.EmbQueries.readManifest(spark, root)._1 == 2)
+    assert(queries.EmbQueries.readManifestAt(spark, root, 2)._2 == alias)
+    // this writer's conflicted attempt dir was cleaned
+    val stray = fsOf(root).listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("codes_v2") && n.contains("."))
+    assert(stray.isEmpty, s"conflicted attempt dirs left: ${stray.toSeq}")
+    // the retry (foreachBatch model: re-run the op) rebases cleanly
+    val removed = streaming.AnnServing
+      .applyDeleteBatchVersioned(spark, root, victims, cas = true)
+    assert(removed == 3L)
+    val (v3, _, k3) = queries.EmbQueries.readManifest(spark, root)
+    assert(v3 == 3)
+    assert(queries.EmbQueries.readSegments(spark, k3)
+      .join(victims, Seq("vec_id"), "left_semi").count() == 0L,
+      "tombstoned ids survived the rebased delete")
+  }
+
+  test("cas=true maintenance chain publishes a view row-identical to the legacy chain") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = queries.EmbQueries.ensureServedIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val full = spark.read.parquet(s"$idx/codes")
+    import spark.implicits._
+    // the skew workload the versioned spec uses: clones of the biggest
+    // cell drive upsert AND rebalance
+    val topCell = full.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).collect()(0).getInt(0)
+    val rows = full.filter(col("cell") === topCell)
+      .select("vec_id").join(emb, "vec_id")
+      .select("vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0) + 5000000L, r.getSeq[Float](1), r.getInt(2)))
+    val aug = tmp("cas_chain_vecs")
+    emb.select("vec_id", "embedding", "label").unionByName(
+      spark.createDataset(rows.toSeq)
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("label")))
+      .write.parquet(s"$aug/embeddings.parquet")
+    val augPath = s"$aug/embeddings.parquet"
+    val batch = spark.createDataset(rows.toSeq)
+      .toDF("vec_id", "embedding", "label")
+    val victims = spark.createDataset(rows.take(3).map(_._1).toSeq)
+      .toDF("vec_id")
+
+    def mkRoot(): String = {
+      val r = tmp("cas_chain")
+      full.write.partitionBy("cell").parquet(s"$r/codes_v1")
+      spark.read.parquet(s"$idx/centroids").write.parquet(s"$r/centroids_v1")
+      spark.read.parquet(s"$idx/codebook").write.parquet(s"$r/codebook")
+      queries.EmbQueries.publishVersion(spark, r, 1,
+        s"$r/centroids_v1", s"$r/codes_v1")
+      r
+    }
+    def chain(r: String, cas: Boolean): Unit = {
+      streaming.AnnServing
+        .applyUpsertBatchVersioned(spark, r, batch, cas = cas)
+      streaming.AnnServing
+        .applyRebalanceVersioned(spark, r, augPath, cas = cas)
+      streaming.AnnServing.applyRetrainEpochIfDueVersioned(
+        spark, r, augPath, cas = cas)
+      streaming.AnnServing
+        .applyDeleteBatchVersioned(spark, r, victims, cas = cas)
+      streaming.AnnServing
+        .applyCompactionIfDue(spark, r, maxSegments = 1, cas = cas)
+    }
+    val rLegacy = mkRoot(); val rCas = mkRoot()
+    chain(rLegacy, cas = false)
+    chain(rCas, cas = true)
+    val (vL, cL, kL) = queries.EmbQueries.readManifest(spark, rLegacy)
+    val (vC, cC, kC) = queries.EmbQueries.readManifest(spark, rCas)
+    assert(vL == vC, s"version chains diverged: $vL vs $vC")
+    def codesKey(csv: String) = queries.EmbQueries
+      .readSegments(spark, csv)
+      .select(col("vec_id"), col("cell"), col("label"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")
+          .as("cs"))
+      .orderBy("vec_id").collect().toSeq
+    def centKey(p: String) = spark.read.parquet(p)
+      .select(col("c_label"),
+        array_join(transform(col("cvec"), c => c.cast("string")), ",")
+          .as("cv"))
+      .orderBy("c_label").collect().toSeq
+    assert(codesKey(kL) == codesKey(kC),
+      "cas and legacy chains published different code views")
+    assert(centKey(cL) == centKey(cC),
+      "cas and legacy chains published different centroids")
+  }
+
+  test("gcStrayAttemptDirs sweeps only unreferenced, aged attempt dirs") {
+    val root = tmp("cas_stray")
+    val c1 = mkdir(root, "cent_v1"); val k1 = mkdir(root, "codes_v1")
+    assert(queries.EmbQueries.publishVersionCas(spark, root, 0, c1, k1))
+    // a REFERENCED tag-suffixed dir (published under CAS): must survive
+    val c2 = mkdir(root, "centroids_v2.app-1")
+    val k2 = mkdir(root, "codes_v2.app-1")
+    assert(queries.EmbQueries.publishVersionCas(spark, root, 1, c2, k2))
+    // a stray from a pre-claim crash: unreferenced, any age
+    val dead = mkdir(root, "codes_v3.dead-writer")
+    // a non-attempt dir (no tag suffix) is out of scope even if stray
+    mkdir(root, "codes_orphanish")
+    // grace window protects fresh dirs
+    assert(queries.EmbQueries.gcStrayAttemptDirs(spark, root,
+      graceMs = 3600 * 1000L) == 0)
+    assert(ex(dead))
+    // aged out (grace 0): only the dead writer's dir goes
+    assert(queries.EmbQueries.gcStrayAttemptDirs(spark, root,
+      graceMs = 0L) == 1)
+    assert(!ex(dead), "stray attempt dir survived the sweep")
+    assert(ex(c2) && ex(k2), "a referenced attempt dir was swept")
+    assert(ex(s"$root/codes_orphanish"), "non-attempt dir was swept")
   }
 }
