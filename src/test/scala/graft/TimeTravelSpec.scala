@@ -56,6 +56,7 @@ class TimeTravelSpec extends AnyFunSuite {
     val anchors = emb.filter(col("vec_id").isin(1L, 2L, 3L))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     anchors.persist().count()
+    try {
 
     def servedAt(v: Int): Seq[(Long, Int, Long, Double)] =
       streaming.AnnServing
@@ -100,5 +101,6 @@ class TimeTravelSpec extends AnyFunSuite {
     val e = intercept[RuntimeException] { servedAt(1) }
     assert(e.getMessage.contains("version 1") &&
       e.getMessage.contains("expired"), e.getMessage)
+    } finally anchors.unpersist() // shared session: later suites assert nothing stays pinned
   }
 }
