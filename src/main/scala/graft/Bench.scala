@@ -46,6 +46,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val prior = priorQuerySecs(sfDir)
     val loadWarmStart = load1m()
+    // Measured and rejected (r13 E1): parallelismFirst=false + advisory
+    // partition sizing cut tiny-task overhead but SERIALIZED the
+    // CPU-bound small-data queries onto one core (emb_operating_grid
+    // 3.8 -> 14.6 s; suite 245.6 -> 278.3 s). Spark's default
+    // (parallelism-first coalescing) is the right call for this
+    // compute-heavy-per-byte suite; see OPTIMIZATION_r13.md.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -2329,23 +2329,30 @@ object DedupQueries {
           .select(col("doc_id"), (col("i0") + 1).as("i"), col("term"))
         val spn = sp.select(col("doc_id").as("sdoc"),
           col("span_start"), col("span_end"))
-        val kept = pos.join(spn,
-          col("doc_id") === col("sdoc") &&
-            col("i") >= col("span_start") && col("i") <= col("span_end"),
-          "left_anti")
-        val agg = kept.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_kept"),
+        // Spans are token-disjoint per doc (next span_start >
+        // prev span_end + 1 — the interval-merge invariant), so a LEFT
+        // join marks each position at most once and one aggregate reads
+        // off n_tokens (all rows), n_kept (unmarked rows) and the kept
+        // stream hash in a single pass. The former shape (anti join +
+        // separate length branch + final outer join) embedded the
+        // tokenize lineage twice and paid two extra joins (r13, guide
+        // §3.3/§5: plan size and join count).
+        pos.join(broadcast(spn),
+            col("doc_id") === col("sdoc") &&
+              col("i") >= col("span_start") && col("i") <= col("span_end"),
+            "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            coalesce(sum(when(col("sdoc").isNull, 1L)), lit(0L))
+              .as("n_kept"),
             md5(array_join(transform(
-              array_sort(collect_list(struct(col("i"), col("term")))),
+              array_sort(collect_list(when(col("sdoc").isNull,
+                struct(col("i"), col("term"))))),
               x => x.getField("term")), " ")).as("kept_hash"))
-        val lens = toksFor(s, d, sdocs)
-          .select(col("doc_id"), size(col("tok")).as("n_tokens"))
-        lens.join(agg, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
-            (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-              .cast("int").as("n_cut"),
-            coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
-            coalesce(col("kept_hash"), md5(lit(""))).as("kept_hash"))
+            (col("n_tokens") - col("n_kept")).cast("int").as("n_cut"),
+            col("n_kept").cast("int").as("n_kept"),
+            col("kept_hash"))
           .orderBy("doc_id")
       },
       Some(

@@ -2746,16 +2746,33 @@ object EmbQueries {
             round(cosine(col("embedding"), col("qv")), 6).as("es"))
           .orderBy(col("es").desc, col("vec_id")).limit(5)
           .select("vec_id")
-        val rows = (1 to 3).map { p =>
-          val candp = sims.filter(col("qrn") <= p)
-          val nc = candp.agg(count(lit(1)).as("n_candidates"))
-          val nh = candp.orderBy(col("sim").desc, col("vec_id")).limit(5)
-            .join(exact5, "vec_id").agg(count(lit(1)).as("n_hits"))
-          nc.crossJoin(nh).select(lit(p).as("nprobe"),
-            col("n_candidates"), col("n_hits"),
-            (col("n_hits") * 20).as("recall_pct"))
-        }
-        rows.reduce(_ unionByName _).orderBy("nprobe")
+        // ONE plan for all 3 depths (r13; was a 3-branch union that
+        // re-read the persisted sims frame and re-joined exact5 per
+        // depth — the emb_operating_grid collapse): each candidate
+        // fans out to the depths that include it, counts and ranked
+        // top-5 hits come from one grouped pass each, and the 3-row
+        // depth spine left-join keeps empty depths at 0 (the oracle's
+        // LEFT-join spine, verbatim). row_number over the total
+        // (sim desc, vec_id) order equals the former orderBy.limit(5).
+        import s.implicits._
+        val probes = Seq(1, 2, 3).toDF("nprobe")
+        val fan = sims
+          .withColumn("nprobe", explode(sequence(col("qrn"), lit(3))))
+        val cand = fan.groupBy("nprobe")
+          .agg(count(lit(1)).as("n_candidates"))
+        val wP = Window.partitionBy("nprobe")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val hits = fan.withColumn("r", row_number().over(wP))
+          .filter(col("r") <= 5)
+          .join(exact5, "vec_id")
+          .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+        probes.join(cand, Seq("nprobe"), "left")
+          .join(hits, Seq("nprobe"), "left")
+          .select(col("nprobe"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) * 20).as("recall_pct"))
+          .orderBy("nprobe")
       },
       Some(
         s"""WITH $ivfCellsCte, qrank AS (
@@ -3326,20 +3343,38 @@ object EmbQueries {
             round(cosine(col("embedding"), col("qv")), 6).as("es"))
           .orderBy(col("es").desc, col("vec_id")).limit(5)
           .select("vec_id")
-        Seq(5, 10, 20).map { n =>
-          val short = adcScored
-            .orderBy(col("pq_d2"), col("vec_id")).limit(n)
-          val top5 = e.join(broadcast(short), "vec_id")
-            .crossJoin(qv)
-            .select(col("vec_id"),
-              round(cosine(col("embedding"), col("qv")), 6).as("sim"))
-            .orderBy(col("sim").desc, col("vec_id")).limit(5)
-            .select("vec_id")
-          top5.join(exact5, Seq("vec_id"), "left_semi")
-            .agg(count(lit(1)).as("n_hits"))
-            .select(lit(n).as("short_n"), col("n_hits"),
-              (col("n_hits") * 20).as("recall_pct"))
-        }.reduce(_ unionByName _).orderBy("short_n")
+        // ONE plan for all 3 sweep points (r13; was a 3-branch union —
+        // same collapse as emb_operating_grid, see its comment): fan
+        // the persisted scored frame out to the budgets, rank inside
+        // each (short_n) partition (bounded, never a global window),
+        // rerank once, semi-join exact5 once, left-join the sweep
+        // frame to keep zero-hit points. row_number over the total
+        // (pq_d2|sim, vec_id) order is bit-identical to the former
+        // orderBy().limit(n) cuts.
+        import s.implicits._
+        val ns = Seq(5, 10, 20).toDF("short_n")
+        val wShort = Window.partitionBy("short_n")
+          .orderBy(col("pq_d2"), col("vec_id"))
+        val wRerank = Window.partitionBy("short_n")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val short = adcScored
+          .withColumn("short_n",
+            explode(array(lit(5), lit(10), lit(20))))
+          .withColumn("r", row_number().over(wShort))
+          .filter(col("r") <= col("short_n"))
+          .select("short_n", "vec_id")
+        val rr = short.join(e, "vec_id").crossJoin(qv)
+          .select(col("short_n"), col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .withColumn("rk", row_number().over(wRerank))
+          .filter(col("rk") <= 5)
+        val h = rr.join(exact5, Seq("vec_id"), "left_semi")
+          .groupBy("short_n").agg(count(lit(1)).as("n_hits"))
+        ns.join(h, Seq("short_n"), "left")
+          .select(col("short_n"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) * 20).as("recall_pct"))
+          .orderBy("short_n")
       },
       Some(
         s"""WITH $ivfCellsCte, $pqCte, qcells AS (
@@ -3915,20 +3950,45 @@ object EmbQueries {
             round(cosine(col("embedding"), col("qv")), 6).as("es"))
           .orderBy(col("es").desc, col("vec_id")).limit(5)
           .select("vec_id")
-        (for { p <- Seq(1, 2, 3); n <- Seq(5, 10, 20) } yield {
-          val short = adcScored.filter(col("qrn") <= p)
-            .orderBy(col("pq_d2"), col("vec_id")).limit(n)
-          val top5 = e.join(broadcast(short.select("vec_id")), "vec_id")
-            .crossJoin(qv)
-            .select(col("vec_id"),
-              round(cosine(col("embedding"), col("qv")), 6).as("sim"))
-            .orderBy(col("sim").desc, col("vec_id")).limit(5)
-            .select("vec_id")
-          top5.join(exact5, Seq("vec_id"), "left_semi")
-            .agg(count(lit(1)).as("n_hits"))
-            .select(lit(p).as("nprobe"), lit(n).as("short_n"),
-              col("n_hits"), (col("n_hits") * 20).as("recall_pct"))
-        }).reduce(_ unionByName _).orderBy("nprobe", "short_n")
+        // ONE plan for all 9 grid points (r13; was a 9-branch union
+        // that re-embedded the ADC lineage and recomputed exact5 per
+        // branch — 288 Exchanges, plans/r13/emb_operating_grid_before):
+        // each scored row fans out to the probe depths that include it
+        // (explode(sequence(qrn, 3)) — an equi fan-out, no theta join),
+        // then to the 3 shortlist budgets; per-point shortlist and
+        // rerank are rank windows PARTITIONED by the grid point
+        // (bounded frames), exact5 is built and semi-joined once, and
+        // the 9-row grid left-join restores zero-hit points — exactly
+        // the oracle CTE's shape. Ordering (pq_d2|sim, vec_id) is
+        // total, so row_number <= n is bit-identical to the former
+        // orderBy().limit(n) cuts.
+        import s.implicits._
+        val gridPts = Seq(1, 2, 3).flatMap(p =>
+          Seq(5, 10, 20).map(n => (p, n)))
+        val grid = gridPts.toDF("nprobe", "short_n")
+        val wShort = Window.partitionBy("nprobe")
+          .orderBy(col("pq_d2"), col("vec_id"))
+        val wRerank = Window.partitionBy("nprobe", "short_n")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val short = adcScored
+          .withColumn("nprobe", explode(sequence(col("qrn"), lit(3))))
+          .withColumn("r", row_number().over(wShort))
+          .withColumn("short_n",
+            explode(array(lit(5), lit(10), lit(20))))
+          .filter(col("r") <= col("short_n"))
+          .select("nprobe", "short_n", "vec_id")
+        val rr = short.join(e, "vec_id").crossJoin(qv)
+          .select(col("nprobe"), col("short_n"), col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .withColumn("rk", row_number().over(wRerank))
+          .filter(col("rk") <= 5)
+        val h = rr.join(exact5, Seq("vec_id"), "left_semi")
+          .groupBy("nprobe", "short_n").agg(count(lit(1)).as("n_hits"))
+        grid.join(h, Seq("nprobe", "short_n"), "left")
+          .select(col("nprobe"), col("short_n"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) * 20).as("recall_pct"))
+          .orderBy("nprobe", "short_n")
       },
       Some(
         s"""WITH $ivfCellsCte, $pqCte, qrank AS (
@@ -5360,14 +5420,25 @@ object EmbQueries {
     // the 3-row np LocalRelation is the broadcast build side (the
     // BNLJ bounded-frame convention — truth is a_label-keyed and
     // small, but only provably-bounded shapes may build)
-    val rec = truth.crossJoin(broadcast(ns))
-      .join(hits, Seq("np", "a_label"), "left")
-      .select(col("np"), col("a_label"), col("n_truth"),
-        col("n_anchors"),
-        coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))
-    val chosen = rec.groupBy("a_label")
-      .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
-        col("np"))).as("np_ok"))
+    // rec/chosen are BOUNDED (3 x |anchor labels| and |anchor labels|
+    // rows) and consumed by two queries (emb_label_nprobe_repair
+    // derives, emb_label_aware_serving serves) — memoized + persisted
+    // per (session, dir) like every two-consumer bounded lineage
+    // (r13): the second consumer reads the materialized ledger instead
+    // of re-running the candidate scan + exact-truth pass, and
+    // decision-vs-serve drift is impossible by construction (same
+    // rows, not just same plan).
+    val rec = graft.CacheRegistry.memo("emb_label_rec", s, d)(
+      graft.CacheRegistry.track(s,
+        truth.crossJoin(broadcast(ns))
+          .join(hits, Seq("np", "a_label"), "left")
+          .select(col("np"), col("a_label"), col("n_truth"),
+            col("n_anchors"),
+            coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))))
+    val chosen = graft.CacheRegistry.memo("emb_label_chosen", s, d)(
+      rec.groupBy("a_label")
+        .agg(min(when(col("n_hits") * 10 >= col("n_truth") * 4,
+          col("np"))).as("np_ok")))
     (sims0, rec, chosen, ver)
   }
 
@@ -5535,8 +5606,25 @@ object EmbQueries {
       : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
     publishedOnce(s, d)
     val (ver, centPath, codesPath) = readManifest(s, indexPath(d))
-    val (anchors, scored, rec, chosen) =
+    // Memoized per (session, dir) — r13: the two batch consumers
+    // (emb_label_shortn_repair derives, emb_label_budget_serving
+    // serves) each re-ran the depth-6 ADC scan + exact-truth pass;
+    // now the second reads the materialized frames. scored is bounded
+    // (probed candidates only, the adcScored persist convention), rec
+    // is 15 x |labels| rows. `lazy` keeps the core derivation from
+    // running at all on a full memo hit. The streaming twin
+    // (AnnServing.deriveLabelBudgets) still calls labelBudgetCore
+    // directly against its own manifest — unaffected.
+    lazy val core =
       labelBudgetCore(s, centPath, codesPath, pqCodebook(s, d), emb(s, d))
+    val anchors = graft.CacheRegistry.memo("emb_budget_anchors", s, d)(
+      core._1)
+    val scored = graft.CacheRegistry.memo("emb_budget_scored", s, d)(
+      graft.CacheRegistry.track(s, core._2))
+    val rec = graft.CacheRegistry.memo("emb_budget_rec", s, d)(
+      graft.CacheRegistry.track(s, core._3))
+    val chosen = graft.CacheRegistry.memo("emb_budget_chosen", s, d)(
+      core._4)
     (anchors, scored, rec, chosen, ver)
   }
 
@@ -6877,16 +6965,28 @@ object EmbQueries {
       .select("a_id", "vec_id")
     val na = broadcast(
       exact5.agg(countDistinct(col("a_id")).as("n_anchors")))
-    val wP = Window.partitionBy("a_id").orderBy(col("sim").desc, col("vec_id"))
-    val curve = (1 to 3).map { p =>
-      sims.filter(col("qrn") <= p)
+    // ONE plan for all 3 depths (r13; was a 3-branch union re-reading
+    // the persisted sims frame per depth — the emb_operating_grid
+    // collapse): fan each candidate to its covering depths, rank per
+    // (depth, anchor), one semi join, one grouped count; the 3-row
+    // depth spine left-join keeps empty depths at 0 (the Spark global
+    // aggregates always emitted a row — the oracle's LEFT-join spine
+    // already mirrors this).
+    import s.implicits._
+    val probes = Seq(1, 2, 3).toDF("nprobe")
+    val wP = Window.partitionBy("nprobe", "a_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val curve = probes
+      .join(sims.withColumn("nprobe",
+          explode(sequence(col("qrn"), lit(3))))
         .withColumn("r", row_number().over(wP))
         .filter(col("r") <= 5)
-        .select("a_id", "vec_id")
+        .select("nprobe", "a_id", "vec_id")
         .join(exact5, Seq("a_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("sum_hits"))
-        .select(lit(p).as("nprobe"), col("sum_hits"))
-    }.reduce(_ unionByName _)
+        .groupBy("nprobe").agg(count(lit(1)).as("sum_hits")),
+        Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("sum_hits"), lit(0L)).as("sum_hits"))
       .crossJoin(na)
       .withColumn("n_total", col("n_anchors") * 5)
     val chosen = broadcast(curve
