@@ -34,6 +34,22 @@ object DedupQueries {
   private def aCoef(i: Int): Long = 2L * i + 3
   private def bCoef(i: Int): Long = 104729L * i + 12345
 
+  /** 128-bit window key: TWO independent xxhash64 passes (seeds 42/43)
+    * over the token slice — replaces md5(array_join(slice, ' ')) in the
+    * shared-window INTERNALS (r13, guide §2.3 "shuffle fewer bytes"):
+    * no per-window string materialization, no crypto hash, and the
+    * shuffled key is 16 bytes instead of a 32-char string. Collision
+    * safety stays at md5's 128 bits (the 100 TB exactness argument —
+    * a single 64-bit key would birthday-collide ~1e7 times at 2e13
+    * windows). The DuckDB twins keep md5: the hash values never reach
+    * any output, only the induced shared-window SETS must agree, and
+    * both keys are collision-free over the data.
+    */
+  private def winKey2(sl: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.GraftSqlBridge.expression(sl)), 43L))
+
   // ---- Spark side ----------------------------------------------------
 
   /** doc_id + token list (cleaned). */
@@ -429,14 +445,16 @@ object DedupQueries {
             explode(transform(
               sequence(lit(1), size(col("tok")) - (W - 1)),
               i => struct(i.as("i"),
-                md5(array_join(slice(col("tok"), i, lit(W)), " "))
-                  .as("wh")))).as("p"))
-          .select(col("doc_id"), col("p.i").as("i"), col("p.wh").as("wh"))
-        val shared = pos.groupBy("wh")
+                xxhash64(slice(col("tok"), i, lit(W))).as("wh1"),
+                winKey2(slice(col("tok"), i, lit(W))).as("wh2"))))
+              .as("p"))
+          .select(col("doc_id"), col("p.i").as("i"),
+            col("p.wh1").as("wh1"), col("p.wh2").as("wh2"))
+        val shared = pos.groupBy("wh1", "wh2")
           .agg(countDistinct(col("doc_id")).as("n_docs"))
           .filter(col("n_docs") >= 2)
-          .select("wh")
-        val sp = pos.join(shared, Seq("wh"), "left_semi")
+          .select("wh1", "wh2")
+        val sp = pos.join(shared, Seq("wh1", "wh2"), "left_semi")
         val wRun = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("i")
         // first row per doc: lag is NULL -> condition not true -> new run
@@ -681,6 +699,16 @@ object DedupQueries {
     // leaves both queries measuring their own output-sized serving
     // step, not the shared candidate join
     prefixJaccardPairs(s, dir).write.format("noop").mode("overwrite").save()
+    // the two span frames (r13): window-quantized spans feed FOUR
+    // consumers (dedup_substring_spans, dedup_span_savings,
+    // dedup_span_savings_by_source, dedup_spans_applied), token-exact
+    // spans feed two (dedup_doc_token_spans, dedup_token_spans_applied)
+    // — the same staged-offline-artifact convention as the pair sets
+    // above; un-warmed, the alphabetically-first consumer absorbed the
+    // whole build (~2.4 s at sf0.1) and per-query numbers drifted with
+    // bench order
+    substringSpans(s, dir).write.format("noop").mode("overwrite").save()
+    docTokenSpans(s, dir).write.format("noop").mode("overwrite").save()
     ()
   }
 
@@ -1783,13 +1811,18 @@ object DedupQueries {
       "dedup_substring_windows",
       (s, d) => {
         val W = 12
-        val wcount = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+        val wcount = org.apache.spark.sql.expressions.Window
+          .partitionBy("wh1", "wh2")
         toks(s, d)
           .filter(size(col("tok")) >= W)
           .select(col("doc_id"),
             explode(transform(sequence(lit(1), size(col("tok")) - (W - 1)),
-              i => md5(array_join(slice(col("tok"), i, lit(W)), " "))))
-              .as("wh"))
+              i => struct(
+                xxhash64(slice(col("tok"), i, lit(W))).as("wh1"),
+                winKey2(slice(col("tok"), i, lit(W))).as("wh2"))))
+              .as("p"))
+          .select(col("doc_id"), col("p.wh1").as("wh1"),
+            col("p.wh2").as("wh2"))
           .distinct()
           .withColumn("n_docs", count(lit(1)).over(wcount))
           .groupBy("doc_id")
@@ -1999,24 +2032,28 @@ object DedupQueries {
           .select(col("doc_id"), (col("i0") + 1).as("i"), col("term"))
         val spn = sp.select(col("doc_id").as("sdoc"),
           col("span_start"), col("span_end"))
-        val kept = pos.join(spn,
-          col("doc_id") === col("sdoc") &&
-            col("i") >= col("span_start") && col("i") <= col("span_end"),
-          "left_anti")
-        val agg = kept.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_kept"),
+        // Spans are token-disjoint per doc (DedupSpansSpec pins the
+        // strict-gap invariant), so a LEFT join marks each position at
+        // most once and one aggregate reads off n_tokens / n_kept /
+        // kept-stream hash in a single pass — the former anti join +
+        // separate length branch + final outer join tokenized the
+        // corpus twice and paid two extra joins (r13, guide §3.3/§5).
+        pos.join(broadcast(spn),
+            col("doc_id") === col("sdoc") &&
+              col("i") >= col("span_start") && col("i") <= col("span_end"),
+            "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            coalesce(sum(when(col("sdoc").isNull, 1L)), lit(0L))
+              .as("n_kept"),
             md5(array_join(transform(
-              array_sort(collect_list(struct(col("i"), col("term")))),
+              array_sort(collect_list(when(col("sdoc").isNull,
+                struct(col("i"), col("term"))))),
               x => x.getField("term")), " ")).as("kept_hash"))
-        val lens = toks(s, d)
-          .join(broadcast(sdocs), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), size(col("tok")).as("n_tokens"))
-        lens.join(agg, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
-            (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-              .cast("int").as("n_cut"),
-            coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
-            coalesce(col("kept_hash"), md5(lit(""))).as("kept_hash"))
+            (col("n_tokens") - col("n_kept")).cast("int").as("n_cut"),
+            col("n_kept").cast("int").as("n_kept"),
+            col("kept_hash"))
           .orderBy("doc_id")
       },
       Some(
@@ -2070,14 +2107,16 @@ object DedupQueries {
             explode(transform(
               sequence(lit(1), size(col("tok")) - (W - 1)),
               i => struct(i.as("i"),
-                md5(array_join(slice(col("tok"), i, lit(W)), " "))
-                  .as("wh")))).as("p"))
+                xxhash64(slice(col("tok"), i, lit(W))).as("wh1"),
+                winKey2(slice(col("tok"), i, lit(W))).as("wh2"))))
+              .as("p"))
           .select(col("doc_id"), col("split"),
-            col("p.i").as("i"), col("p.wh").as("wh"))
+            col("p.i").as("i"), col("p.wh1").as("wh1"),
+            col("p.wh2").as("wh2"))
         val corpusHashes = pos.filter(col("split") === "train")
-          .select("wh").distinct()
+          .select("wh1", "wh2").distinct()
         val sp = pos.filter(col("split") === "val")
-          .join(corpusHashes, Seq("wh"), "left_semi")
+          .join(corpusHashes, Seq("wh1", "wh2"), "left_semi")
           .select("doc_id", "i")
         val wRun = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("i")
@@ -2991,15 +3030,19 @@ object DedupQueries {
       (s, d) => {
         val P = 32
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("ph").orderBy("doc_id", "pos")
+          .partitionBy("ph1", "ph2").orderBy("doc_id", "pos")
         toks(s, d)
           .filter(size(col("tok")) >= 1)
           .select(col("doc_id"),
             posexplode(transform(
               sequence(lit(0),
                 floor((size(col("tok")) - lit(1)) / lit(P)).cast("int")),
-              i => md5(array_join(slice(col("tok"), i * P + 1, lit(P)), " "))))
-              .as(Seq("pos", "ph")))
+              i => struct(
+                xxhash64(slice(col("tok"), i * P + 1, lit(P))).as("ph1"),
+                winKey2(slice(col("tok"), i * P + 1, lit(P))).as("ph2"))))
+              .as(Seq("pos", "p")))
+          .select(col("doc_id"), col("pos"),
+            col("p.ph1").as("ph1"), col("p.ph2").as("ph2"))
           .withColumn("rn", row_number().over(w))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_pass"),
@@ -3056,15 +3099,20 @@ object DedupQueries {
       "dedup_passage_threshold",
       (s, d) => {
         val P = 32
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("ph")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("ph1", "ph2")
         toks(s, d)
           .filter(size(col("tok")) >= 1)
           .select(col("doc_id"),
             posexplode(transform(
               sequence(lit(0),
                 floor((size(col("tok")) - lit(1)) / lit(P)).cast("int")),
-              i => md5(array_join(slice(col("tok"), i * P + 1, lit(P)), " "))))
-              .as(Seq("pos", "ph")))
+              i => struct(
+                xxhash64(slice(col("tok"), i * P + 1, lit(P))).as("ph1"),
+                winKey2(slice(col("tok"), i * P + 1, lit(P))).as("ph2"))))
+              .as(Seq("pos", "p")))
+          .select(col("doc_id"), col("pos"),
+            col("p.ph1").as("ph1"), col("p.ph2").as("ph2"))
           .withColumn("cnt", count(lit(1)).over(w))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_pass"),
@@ -3382,15 +3430,19 @@ object DedupQueries {
             explode(transform(
               sequence(lit(0),
                 floor((size(col("tok")) - lit(1)) / lit(P)).cast("int")),
-              i => md5(array_join(slice(col("tok"), i * P + 1, lit(P)),
-                " ")))).as("fp"))
-        val cnt = fps.groupBy("fp", "source")
+              i => struct(
+                xxhash64(slice(col("tok"), i * P + 1, lit(P))).as("fp1"),
+                winKey2(slice(col("tok"), i * P + 1, lit(P))).as("fp2"))))
+              .as("p"))
+          .select(col("source"), col("p.fp1").as("fp1"),
+            col("p.fp2").as("fp2"))
+        val cnt = fps.groupBy("fp1", "fp2", "source")
           .agg(count(lit(1)).as("c"))
-        val a = cnt.select(col("fp"), col("source").as("source_a"),
-          col("c").as("ca"))
-        val b = cnt.select(col("fp"), col("source").as("source_b"),
-          col("c").as("cb"))
-        a.join(b, "fp")
+        val a = cnt.select(col("fp1"), col("fp2"),
+          col("source").as("source_a"), col("c").as("ca"))
+        val b = cnt.select(col("fp1"), col("fp2"),
+          col("source").as("source_b"), col("c").as("cb"))
+        a.join(b, Seq("fp1", "fp2"))
           .filter(col("source_a") <= col("source_b"))
           .select(col("source_a"), col("source_b"),
             when(col("source_a") === col("source_b"),

