@@ -525,7 +525,16 @@ object DedupQueries {
     */
   private def docTokenSpans(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.memo("dedup_doc_token_spans", s, d)(
-      graft.CacheRegistry.track(s, {
+      // persisted AND plan-truncated (r13, the ConnectedComponents
+      // pattern): the applied consumer embeds this frame three ways
+      // (spans, span doc set, tokenize prune) and the un-truncated
+      // lineage — minhash pairs + pair-grouped kernel + window merge —
+      // re-analyzed as a ~600-Exchange Catalyst tree per consumer
+      // (plans/r13/dedup_token_spans_applied_before.txt); both
+      // consumers broadcast it explicitly, so the LogicalRDD's absent
+      // size statistics change no join strategy
+      org.apache.spark.sql.GraftSqlBridge.truncateLineage(
+        graft.CacheRegistry.track(s, {
         import s.implicits._
         val pairs = minhashPairs(s, d).select("a_id", "b_id")
         val ids = pairs.select(col("a_id").as("doc_id"))
@@ -565,7 +574,7 @@ object DedupQueries {
           .select(col("doc_id"), col("ss").cast("int").as("span_start"),
             col("se").cast("int").as("span_end"),
             (col("se") - col("ss") + 1).cast("int").as("span_len"))
-      }))
+      })))
 
   /** DuckDB twin of [[docTokenSpans]] — recomputes from the
     * diagonal-island match matrix (the declarative form the kernel
@@ -1562,7 +1571,11 @@ object DedupQueries {
           .join(broadcast(testSh), Seq("g"), "left_semi")
           .select("doc_id").distinct()
           .withColumn("contaminated", lit(true))
-        base.filter(col("split") === "train").select("doc_id")
+        // the spine needs only ids — splitCol is md5(doc_id)-derived,
+        // so this branch skips the tokenize pass `base` would pay (r13)
+        Tables.t(s, d, "documents").select("doc_id")
+          .withColumn("split", splitCol)
+          .filter(col("split") === "train").select("doc_id")
           .join(hit, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("contaminated"), lit(false)).as("contaminated"))
@@ -1592,8 +1605,13 @@ object DedupQueries {
       (s, d) => {
         val fpp = 0.01
         val base = toks(s, d).withColumn("split", splitCol)
-        val testSh = base.filter(col("split") === "test")
-          .select(explode(sh8Col).as("g")).distinct()
+        // small by definition (benchmark-side digests) and consumed
+        // THREE times (count, filter build, exact-hit join) — two of
+        // them driver ACTIONS, so un-persisted it tokenized the test
+        // split three times (r13, guide §5)
+        val testSh = graft.CacheRegistry.track(s,
+          base.filter(col("split") === "test")
+            .select(explode(sh8Col).as("g")).distinct())
         val bloom = testSh.stat.bloomFilter(
           "g", math.max(testSh.count(), 1000L), fpp)
         val bf = s.sparkContext.broadcast(bloom)
@@ -1605,23 +1623,27 @@ object DedupQueries {
           .select(col("doc_id"),
             coalesce(col("hit"), lit(false)).as("exact"),
             mightContain(col("g")).as("bloom"))
-        val perDoc = probes.groupBy("doc_id")
-          .agg(max(col("exact")).as("exact"), max(col("bloom")).as("bloom"))
-        val shingleStats = probes.agg(
-          count(lit(1)).as("t_probes"),
-          count(when(col("bloom") && !col("exact"), 1)).as("n_fp"),
-          coalesce(bool_and(!col("exact") || col("bloom")), lit(true))
-            .as("sh_no_fn"))
-        perDoc
+        // gram-level stats fold into the per-doc aggregate as partials
+        // (sum/bool_and are grain-associative), so the train gram
+        // stream is scanned ONCE — the former separate shingleStats
+        // branch re-ran the whole tokenize+probe pass (r13)
+        probes.groupBy("doc_id")
+          .agg(max(col("exact")).as("exact"), max(col("bloom")).as("bloom"),
+            count(lit(1)).as("p_cnt"),
+            count(when(col("bloom") && !col("exact"), 1)).as("fp_cnt"),
+            coalesce(bool_and(!col("exact") || col("bloom")), lit(true))
+              .as("no_fn"))
           .agg(
             count(lit(1)).as("n_train"),
             count(when(col("exact"), 1)).as("n_contaminated"),
-            coalesce(bool_and(!col("exact") || col("bloom")), lit(true))
-              .as("doc_no_fn"))
-          .crossJoin(shingleStats)
+            (coalesce(bool_and(!col("exact") || col("bloom")), lit(true)) &&
+              coalesce(bool_and(col("no_fn")), lit(true)))
+              .as("no_false_negatives_raw"),
+            coalesce(sum(col("p_cnt")), lit(0L)).as("t_probes"),
+            coalesce(sum(col("fp_cnt")), lit(0L)).as("n_fp"))
           .select(
             col("n_train"), col("n_contaminated"),
-            (col("doc_no_fn") && col("sh_no_fn")).as("no_false_negatives"),
+            col("no_false_negatives_raw").as("no_false_negatives"),
             (col("n_fp").cast("double") <=
               col("t_probes") * (5 * fpp) + 100).as("fp_within_bound"))
       },
@@ -2185,7 +2207,10 @@ object DedupQueries {
         val pairs = minhashPairs(s, d).select("a_id", "b_id")
         val candIds = pairs.select(col("a_id").as("doc_id"))
           .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
-        val sets = shingleSets(toksFor(s, d, candIds))
+        // bounded (candidate docs only) and consumed by BOTH join
+        // sides — persist so the shingling runs once (r13, guide §5)
+        val sets = graft.CacheRegistry.track(s,
+          shingleSets(toksFor(s, d, candIds)))
         pairs
           .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")),
             "a_id")
@@ -3234,9 +3259,12 @@ object DedupQueries {
         val pairs = winnowPairs(s, d)
         val ids = pairs.select(col("a_id").as("doc_id"))
           .union(pairs.select(col("b_id").as("doc_id"))).distinct()
-        val tf = toksFor(s, d, ids)
+        // tf is bounded (pair-member docs only) and consumed THREE
+        // times below (both join sides + lens) — un-persisted, each
+        // consumer re-tokenized the candidate set (r13, guide §5)
+        val tf = graft.CacheRegistry.track(s, toksFor(s, d, ids)
           .select(col("doc_id"), explode(col("tok")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c")))
         val lens = tf.groupBy("doc_id").agg(sum(col("c")).as("len"))
         pairs
           .join(tf.select(col("doc_id").as("a_id"), col("term"),

@@ -4688,28 +4688,45 @@ object EmbQueries {
       .select(col("c_label").as("label"), col("cvec"))
       .groupBy("label").agg(first(col("cvec")).as("cvec"))
     val e = emb(s, d).select(col("vec_id"), col("embedding"))
-    def row(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).cast("long").as("n"))
-        .select(lit(name).as("check_name"), col("n"))
-    val dangling = row("dangling_codes",
-      codes.join(e, Seq("vec_id"), "left_anti"))
-    val unindexed = row("unindexed_vectors",
-      e.join(codes, Seq("vec_id"), "left_anti"))
+    // ONE full-outer pass per key space instead of paired anti joins,
+    // and one stacked row set instead of a 6-branch union (r13): the
+    // former shape re-read codes/centroids per check and paid ~45
+    // stages for six 1-row aggregates. vec_id is unique on both sides
+    // and label/cell are pre-distinct, so the outer-join null counts
+    // ARE the anti-join counts.
+    val vecChecks = codes.select(col("vec_id"), lit(1).as("in_c"))
+      .join(e.select(col("vec_id"), lit(1).as("in_e")),
+        Seq("vec_id"), "full_outer")
+      .agg(coalesce(sum(when(col("in_e").isNull, 1L)), lit(0L))
+        .cast("long").as("dangling"),
+        coalesce(sum(when(col("in_c").isNull, 1L)), lit(0L))
+          .cast("long").as("unindexed"))
+    val cellChecks = codes.select(col("cell")).distinct()
+      .select(col("cell"), lit(1).as("in_codes"))
+      .join(cent.select(col("label").as("cell"), lit(1).as("in_cent")),
+        Seq("cell"), "full_outer")
+      .agg(coalesce(sum(when(col("in_cent").isNull, 1L)), lit(0L))
+        .cast("long").as("missing"),
+        coalesce(sum(when(col("in_codes").isNull, 1L)), lit(0L))
+          .cast("long").as("empty"))
     val dup = centRaw
       .agg((count(lit(1)) - countDistinct(col("c_label"))).cast("long")
-        .as("n"))
-      .select(lit("duplicate_centroid_labels").as("check_name"), col("n"))
-    val codeCells = codes.select(col("cell")).distinct()
-    val missing = row("missing_cell_centroids",
-      codeCells.join(cent.select(col("label").as("cell")),
-        Seq("cell"), "left_anti"))
-    val empty = row("empty_centroids",
-      cent.select(col("label").as("cell"))
-        .join(codeCells, Seq("cell"), "left_anti"))
-    val misplaced = row("misplaced_rows",
-      rebalancedNear(s, d).filter(col("label") =!= col("cell")))
-    Seq(dangling, dup, empty, misplaced, missing, unindexed)
-      .reduce(_ unionByName _)
+        .as("dup"))
+    val misplaced = rebalancedNear(s, d)
+      .filter(col("label") =!= col("cell"))
+      .agg(count(lit(1)).cast("long").as("misplaced"))
+    vecChecks.crossJoin(broadcast(cellChecks))
+      .crossJoin(broadcast(dup))
+      .crossJoin(broadcast(misplaced))
+      .selectExpr(
+        """stack(6,
+          |  'dangling_codes', dangling,
+          |  'duplicate_centroid_labels', dup,
+          |  'empty_centroids', empty,
+          |  'misplaced_rows', misplaced,
+          |  'missing_cell_centroids', missing,
+          |  'unindexed_vectors', unindexed)
+          |AS (check_name, n)""".stripMargin)
       .orderBy("check_name")
   }
 

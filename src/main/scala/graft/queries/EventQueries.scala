@@ -2176,29 +2176,45 @@ object EventQueries {
           graft.CacheRegistry.track(s, ev(s, d)
             .filter(col("event_type").isNotNull)
             .select(col("event_type").as("node")).distinct()))
-        val outw = edges.groupBy("from_type").agg(sum(col("n")).as("outn"))
-        val cnt = broadcast(nodes.agg(count(lit(1)).as("n_cnt")))
-        val r0 = nodes.crossJoin(cnt)
-          .select(col("node"), expr(s"$S div n_cnt").as("r"))
-        def step(r: DataFrame): DataFrame = {
-          val contrib = edges
-            .join(outw, "from_type")
-            .join(r.select(col("node").as("from_type"), col("r")),
-              "from_type")
-            .select(col("to_type").as("node"),
-              expr("(r * n) div outn").as("c"))
-            .groupBy("node").agg(sum(col("c")).as("contrib"))
-          nodes.join(contrib, Seq("node"), "left")
-            .na.fill(0L, Seq("contrib"))
-            .crossJoin(cnt)
-            // PrTele is precomputed in Scala: S*15 as an in-SQL literal
-            // product would multiply as INT32 (overflow wraps in Spark,
-            // throws in DuckDB)
-            .select(col("node"),
-              (expr(s"$PrTele div n_cnt") +
-                expr("(contrib * 85) div 100")).as("r"))
+        // The 3 integer iterations run DRIVER-SIDE over the collected
+        // |types|-bounded edge list (r13) — the MMR precedent
+        // (PlanSpec: "greedy recurrence is driver-side; result is a
+        // bounded local relation"): event types are a bounded
+        // vocabulary at any corpus size, so edges are |types|^2 rows
+        // and the collect is the documented bounded-frame exception.
+        // The former per-iteration join/agg chain paid ~8 exchanges of
+        // 32 near-empty tasks each per step. Same arithmetic as the
+        // oracle: all values non-negative, so Scala's truncating Long
+        // division equals Spark's `div` and DuckDB's `//` here; the
+        // per-node contribution sum accumulates in ascending
+        // (from_type, to_type) order for determinism (Long addition is
+        // associative anyway — order is belt and braces).
+        val em = edges
+          .join(edges.groupBy("from_type").agg(sum(col("n")).as("outn")),
+            "from_type")
+          .select("from_type", "to_type", "n", "outn")
+          .collect()
+          .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2),
+            r0.getLong(3)))
+          .sortBy(t => (t._1, t._2))
+        val ns = nodes.collect().map(_.getString(0)).sorted
+        val nCnt = ns.length.toLong
+        var rank: Map[String, Long] =
+          ns.iterator.map(_ -> S / nCnt).toMap
+        for (_ <- 1 to 3) {
+          val contrib =
+            scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          em.foreach { case (from, to, n, outn) =>
+            contrib(to) =
+              contrib.getOrElse(to, 0L) + (rank(from) * n) / outn
+          }
+          rank = ns.iterator.map(n0 =>
+            n0 -> (PrTele / nCnt +
+              contrib.getOrElse(n0, 0L) * 85 / 100)).toMap
         }
-        step(step(step(r0))).orderBy("node")
+        import s.implicits._
+        ns.toSeq.map(n0 => (n0, rank(n0))).toDF("node", "r")
+          .orderBy("node")
       },
       Some {
         val S = PrScale

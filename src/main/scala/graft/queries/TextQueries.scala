@@ -901,11 +901,22 @@ object TextQueries {
             .select(col("round"), col("merge_a"), col("merge_b"),
               col("pair_n"), col("ta").as("corpus_symbols_after"),
               (col("tp") - col("ta")).as("n_applied"))
-        var cur = s0
-        var tot = totOf(s0)
+        // Each round's vocab frame and 1-row argmax are persisted AND
+        // plan-truncated (r13, the ConnectedComponents iteration
+        // pattern): `cur` feeds three consumers per round (pair count,
+        // merge apply, symbol total) and `m` two, so the naive
+        // composition re-ran every earlier round's string replaces per
+        // consumer and nested the Catalyst plan cubically. Persist
+        // keeps execution linear; LogicalRDD keeps the PLAN linear.
+        def tracked(df: DataFrame): DataFrame =
+          graft.CacheRegistry.track(s, df)
+        def flat(df: DataFrame): DataFrame =
+          org.apache.spark.sql.GraftSqlBridge.truncateLineage(df)
+        var cur = flat(tracked(s0))
+        var tot = totOf(cur)
         val rows = (1 to 3).map { r =>
-          val m = argmax(pairsOf(cur))
-          val next = applyMerge(cur, m)
+          val m = flat(tracked(argmax(pairsOf(cur))))
+          val next = flat(tracked(applyMerge(cur, m)))
           val ta = totOf(next)
           val row = roundRow(r, m, tot, ta)
           cur = next
@@ -2033,11 +2044,21 @@ object TextQueries {
     Q(
       "doc_pipeline_funnel",
       (s, d) => {
-        val f1 = gateFrame(s, d)
+        // The gate frame feeds THREE consumers (the funnel chain, the
+        // test-split gram set, and the train-side contamination probe)
+        // — un-persisted, each re-ran the whole tokenize+kernel pass
+        // (3 serialized corpus passes, ~3.9 s of the query's 5 s at
+        // sf0.1). Persist the pruned gate columns once (r13, guide §5:
+        // reuse > recompute); a production funnel materializes this
+        // frame for its 7 stages at any scale. Released via
+        // CacheRegistry.clear.
+        val f1 = graft.CacheRegistry.track(s, gateFrame(s, d)
           .withColumn("fp", md5(coalesce(col("text_clean"), lit(""))))
           .withColumn("split", DedupQueries.splitCol)
           .withColumn("q2", col("n_tokens") >= 1)
           .withColumn("q3", col("n_tokens") >= 1 && col("reasons") === 0)
+          .select("doc_id", "lang", "n_tokens", "reasons", "tok", "fp",
+            "split", "q2", "q3"))
         val wFp = Window.partitionBy(col("fp"), col("q3"))
           .orderBy(col("doc_id"))
         val f2 = f1

@@ -429,15 +429,17 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
   }
 
-  test("pagerank iterations join the persisted edge list, not the corpus") {
+  test("pagerank recurrence is driver-side; result is a bounded local relation") {
+    // r13 (the MMR convention): build() runs the distributed edge/node
+    // builders (persisted, |types|-bounded), collects them, folds the
+    // 3 integer iterations in-process, and returns a |types|-row local
+    // relation — the unrolled join/agg form paid ~8 exchanges of 32
+    // near-empty tasks per iteration over the same bounded rows.
     val p = plan("ev_pagerank")
-    // the |types|-bounded edge/node frames are cached: every iteration
-    // reads InMemoryTableScan (edges x3 + nodes x4 + cnt uses), so the
-    // events file feeds only the two cached builders. (The plan STRING
-    // re-prints each cached lineage — and its FileScan — per reference,
-    // so counting FileScan substrings would overcount; the signal is
-    // that all iteration inputs are InMemoryTableScans.)
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p.take(1200))
+    assert(!p.contains("Join"), p.take(900))
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      p.take(900))
+    assert(!p.contains("FileScan"), p.take(900))
   }
 
   test("HLL merge: day sketches partial-agg'd, exact side expand-free") {
